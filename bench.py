@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed as a full action (count of the materialized
+result) after a warm-up of the session; per-query wall-clock is the
+fair end-to-end number (scan → shuffle → result).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# Headline set: one per operator family — scan-heavy agg, large join,
+# window, set op, text, similarity, dedup, UDF path.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner_hash",
+    "join_broadcast",
+    "agg_hash_groupby",
+    "agg_cube",
+    "window_rank",
+    "window_frame_agg",
+    "set_except_all",
+    "scalar_math",
+    "scalar_json",
+    "text_exact_dedup",
+    "text_token_count",
+    "sim_knn_cosine",
+    "udf_pandas_scalar",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from target_s3_parquet_spark.registry import get_queries
+    from target_s3_parquet_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = get_queries()
+
+    # Warm up the JVM + parquet footer caches with a trivial action.
+    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        # count() forces the full plan; write-less action keeps the
+        # number comparable across operators.
+        n = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

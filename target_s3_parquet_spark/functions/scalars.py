@@ -1,0 +1,318 @@
+"""Scalar function families — string, date/time, math, array, map, JSON.
+
+Everything here is built-in ``pyspark.sql.functions``: JVM-evaluated,
+inside whole-stage codegen, vectorized over the parquet reader's
+columnar batches. No Python on the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.registry import query
+
+
+@query(
+    "scalar_string",
+    """
+    SELECT p_partkey,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           SUBSTRING(p_type, 1, 5) AS type_prefix,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           TRIM(p_name) AS name_trim,
+           LENGTH(p_name) AS name_len,
+           REPLACE(p_type, ' ', '_') AS type_snake,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           CONTAINS(p_type, 'BRASS') AS is_brass,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    """,
+)
+def scalar_string(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.contains(F.col("p_type"), F.lit("BRASS")).alias("is_brass"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@query(
+    "scalar_string_split",
+    """
+    SELECT p_partkey,
+           string_split(p_name, ' ') AS name_tokens,
+           len(string_split(p_name, ' ')) AS n_tokens
+    FROM part
+    """,
+)
+def scalar_string_split(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    toks = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        toks.alias("name_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+@query(
+    "scalar_date",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           CAST(month(o_orderdate) AS BIGINT) AS order_mm,
+           CAST(day(o_orderdate) AS BIGINT) AS order_dd,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS order_dow,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31 00:00:00') AS BIGINT)
+             AS days_to_eoy,
+           CAST(quarter(o_orderdate) AS BIGINT) AS order_q
+    FROM orders
+    """,
+)
+def scalar_date(spark, sf_dir):
+    """date_trunc/extract/add/diff. DuckDB's dayofweek is 0=Sunday,
+    Spark's is 1=Sunday — the Spark side subtracts 1 to align."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_mm"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_dd"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("order_dow"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.lit("1998-12-31").cast("timestamp"), F.col("o_orderdate")
+        ).cast("long").alias("days_to_eoy"),
+        F.quarter("o_orderdate").cast("long").alias("order_q"),
+    )
+
+
+@query(
+    "scalar_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1) AS price_r1,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           POW(l_discount, 2) AS disc_sq,
+           SQRT(l_quantity) AS qty_sqrt,
+           MOD(l_orderkey, 7) AS key_mod7,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS disc_sign
+    FROM lineitem
+    """,
+)
+def scalar_math(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.pow("l_discount", F.lit(2)).alias("disc_sq"),
+        # ln/log10 are deliberately absent: glibc (Spark/JVM) and DuckDB
+        # libm disagree in the final ulp, so they can't be hash-compared
+        # cross-engine. sqrt/pow(x,2) are IEEE-exact.
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000.0 THEN 'high'
+                WHEN o_totalprice > 100000.0 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+           IF(o_orderpriority LIKE '1-%', 1, 0) AS is_urgent,
+           GREATEST(o_totalprice, 50000.0) AS floor_50k,
+           LEAST(o_totalprice, 500000.0) AS cap_500k
+    FROM orders
+    """,
+)
+def scalar_conditional(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000.0, "high")
+        .when(F.col("o_totalprice") > 100000.0, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.when(F.col("o_orderpriority").like("1-%"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_urgent"),
+        F.greatest(F.col("o_totalprice"), F.lit(50000.0)).alias("floor_50k"),
+        F.least(F.col("o_totalprice"), F.lit(500000.0)).alias("cap_500k"),
+    )
+
+
+@query(
+    "scalar_array",
+    """
+    WITH toks AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS words FROM part
+    )
+    SELECT p_partkey,
+           words,
+           len(words) AS n_words,
+           array_contains(words, 'green') AS has_green,
+           list_sort(words) AS words_sorted,
+           list_transform(words, w -> UPPER(w)) AS words_upper,
+           list_filter(words, w -> LENGTH(w) > 4) AS long_words,
+           array_to_string(words, '-') AS joined
+    FROM toks
+    """,
+)
+def scalar_array(spark, sf_dir):
+    """Array ops incl. higher-order lambdas (transform/filter run inside
+    codegen — no UDF)."""
+    p = t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        words.alias("words"),
+        F.size(words).cast("long").alias("n_words"),
+        F.array_contains(words, "green").alias("has_green"),
+        F.sort_array(words).alias("words_sorted"),
+        F.transform(words, lambda w: F.upper(w)).alias("words_upper"),
+        F.filter(words, lambda w: F.length(w) > 4).alias("long_words"),
+        F.array_join(words, "-").alias("joined"),
+    )
+
+
+@query(
+    "scalar_array_explode",
+    """
+    WITH toks AS (
+      SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word FROM part
+    )
+    SELECT word, COUNT(*) AS n FROM toks GROUP BY word
+    """,
+)
+def scalar_array_explode(spark, sf_dir):
+    """explode → word frequency (the flatten side of array handling)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "scalar_map",
+    """
+    WITH m AS (
+      SELECT p_partkey,
+             MAP {'brand': p_brand, 'type': p_type} AS attrs
+      FROM part
+    )
+    SELECT p_partkey,
+           map_keys(attrs) AS ks,
+           map_extract(attrs, 'brand')[1] AS brand,
+           cardinality(attrs) AS n_entries
+    FROM m
+    """,
+)
+def scalar_map(spark, sf_dir):
+    """MapType construction + access. (Reference has no map support at
+    all — SURVEY §1.3 'map: not supported anywhere'; extension.)"""
+    p = t(spark, sf_dir, "part")
+    attrs = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.map_keys(attrs).alias("ks"),
+        attrs.getItem("brand").alias("brand"),
+        F.size(attrs).cast("long").alias("n_entries"),
+    )
+
+
+@query(
+    "scalar_json",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') AS missing_field
+    FROM events
+    """,
+)
+def scalar_json(spark, sf_dir):
+    """JSON extraction from the events.props string column (missing paths
+    yield NULL in both engines)."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing_field"),
+    )
+
+
+@query(
+    "scalar_json_struct",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json_struct(spark, sf_dir):
+    """from_json into a typed struct, then aggregate over the parsed
+    field — schema-on-read for semi-structured columns."""
+    e = t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    parsed = e.withColumn("p", F.from_json("props", schema))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("p.k").cast("decimal(38,6)")).cast("double").alias("sum_k"),
+    )
+
+
+@query(
+    "scalar_cast_formats",
+    """
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def scalar_cast_formats(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )

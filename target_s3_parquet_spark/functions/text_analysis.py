@@ -1,0 +1,174 @@
+"""Text analysis over the ``documents`` table: profiling, language-ID
+heuristic, quality scoring, token counting, fingerprinting.
+
+All built-in string/regex functions — JVM codegen, no UDFs — so these
+scale as pure map-side projections: zero shuffle except the final
+aggregations, which group on low-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.registry import query
+
+
+@query(
+    "text_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) / COUNT(n_chars) AS avg_chars,
+           CAST(SUM(CAST(LENGTH(text) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(text) AS avg_len,
+           CAST(SUM(CAST(len(string_split(text, ' ')) AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(text) AS avg_words,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Per-language corpus profile."""
+    d = t(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double") / F.count("n_chars")).alias("avg_chars"),
+        (F.sum(F.length("text").cast("decimal(38,6)")).cast("double") / F.count("text")).alias("avg_len"),
+        (F.sum(n_words.cast("decimal(38,6)")).cast("double") / F.count("text")).alias("avg_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# Shared stopword list for the language-ID heuristic and quality score.
+_EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '),
+                             w -> list_contains({_EN_STOPWORDS!r}, w))) AS stop_hits,
+             len(string_split(text, ' ')) AS n_words
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN CAST(stop_hits AS DOUBLE) / n_words > 0.08
+                THEN 'en' ELSE 'other' END AS detected_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """Stopword-density language-ID heuristic (an n-gram/stopword scorer
+    is the classic cheap langid; the full model version would be a
+    broadcast table of n-gram → lang weights joined the same way)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.array_contains(F.lit(_EN_STOPWORDS), w))
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(
+            stop_hits.cast("double") / F.size(words) > 0.08, F.lit("en")
+        ).otherwise(F.lit("other")).alias("detected_lang"),
+    )
+
+
+@query(
+    "text_quality_score",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             LENGTH(text) AS n,
+             len(string_split(text, ' ')) AS n_words,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
+             LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS DOUBLE) / n AS word_density,
+           CAST(n_punct AS DOUBLE) / n AS punct_ratio,
+           (CASE WHEN n BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN CAST(n_punct AS DOUBLE) / n < 0.1 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN n_words >= 10 THEN 0.2 ELSE 0.0 END) AS quality
+    FROM f
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Composite quality score from length / punctuation / word-count
+    signals (the C4/Gopher-rule shape, minus the model-based parts)."""
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_words = F.size(F.split("text", " "))
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    quality = (
+        F.when(n.between(100, 5000), 0.5).otherwise(0.0)
+        + F.when(n_punct.cast("double") / n < 0.1, 0.3).otherwise(0.0)
+        + F.when(n_words >= 10, 0.2).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        (n_words.cast("double") / n).alias("word_density"),
+        (n_punct.cast("double") / n).alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+@query(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS bpe_ish_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS byte_estimate_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting three ways: whitespace, BPE-ish regex pieces
+    (letter runs / digit runs / single punctuation), and the chars/4
+    rule-of-thumb estimator."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("ws_tokens"),
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0
+            )
+        ).cast("long").alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("byte_estimate_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           substring(md5(array_to_string(list_sort(list_distinct(
+             string_split(lower(text), ' '))), ' ')), 1, 16) AS bag_fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Two content fingerprints: md5 of whitespace-normalized text
+    (order-sensitive) and a bag-of-words fingerprint (order-insensitive,
+    catches shuffled near-dups). md5 is the cross-engine-stable hash."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    bag = F.array_join(
+        F.array_sort(F.array_distinct(F.split(F.lower(F.col("text")), " "))), " "
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(bag), 1, 16).alias("bag_fingerprint"),
+    )

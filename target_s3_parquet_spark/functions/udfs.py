@@ -1,0 +1,140 @@
+"""User-defined functions: scalar Python UDF (compat demo), vectorized
+Pandas UDF, grouped-agg Pandas UDAF, and a table function via
+``mapInPandas``.
+
+Scale discipline: the Pandas variants move data via Arrow in columnar
+batches (~10-100× the row-at-a-time path). The plain Python UDF exists
+because the surface demands it (SURVEY §2B `udf_python`) — it is the
+documented slow path, never used by other operators.
+
+Determinism discipline: UDAF arithmetic is integer-exact (cents), so
+results are independent of row order / partitioning — same property the
+decimal-sum trick gives the built-in aggregates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.registry import query
+
+
+@query(
+    "udf_python",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000.0 THEN 'platinum'
+                WHEN o_totalprice >= 150000.0 THEN 'gold'
+                ELSE 'standard' END AS tier
+    FROM orders
+    """,
+)
+def udf_python(spark, sf_dir):
+    """Row-at-a-time Python UDF (the compat slow path)."""
+
+    @F.udf("string")
+    def tier(price: float) -> str:
+        if price >= 300000.0:
+            return "platinum"
+        if price >= 150000.0:
+            return "gold"
+        return "standard"
+
+    o = t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", tier("o_totalprice").alias("tier"))
+
+
+@query(
+    "udf_pandas_scalar",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * 1.0625 AS taxed_price
+    FROM lineitem
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Vectorized scalar Pandas UDF — Arrow batches, numpy arithmetic
+    (bit-identical to the SQL double expression)."""
+
+    @F.pandas_udf("double")
+    def taxed(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc) * 1.0625
+
+    l = t(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        taxed("l_extendedprice", "l_discount").alias("taxed_price"),
+    )
+
+
+@query(
+    "udaf_pandas",
+    """
+    SELECT l_returnflag,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS total_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udaf_pandas(spark, sf_dir):
+    """Grouped-agg Pandas UDAF. Integer cents keep the aggregate exact
+    and order-independent regardless of partitioning."""
+
+    @F.pandas_udf("long")
+    def total_cents(price: pd.Series) -> int:
+        return int(price.mul(100).round().astype("int64").sum())
+
+    l = t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        total_cents("l_extendedprice").alias("total_cents")
+    )
+
+
+@query(
+    "udtf_map_in_pandas",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+)
+def udtf_map_in_pandas(spark, sf_dir):
+    """Table-function shape: mapInPandas consumes partition batches and
+    emits a different schema / row count (here: filter + derive)."""
+
+    def expand(batches):
+        for pdf in batches:
+            sel = pdf[pdf["c_acctbal"] > 0]
+            yield pd.DataFrame(
+                {
+                    "c_custkey": sel["c_custkey"],
+                    "c_mktsegment": sel["c_mktsegment"],
+                    "acctbal_cents": sel["c_acctbal"].mul(100).round().astype("int64"),
+                }
+            )
+
+    c = t(spark, sf_dir, "customer")
+    return c.mapInPandas(
+        expand, schema="c_custkey long, c_mktsegment string, acctbal_cents long"
+    )
+
+
+@query(
+    "udtf_explode_native",
+    """
+    SELECT p_partkey, UNNEST(string_split(p_name, ' ')) AS word
+    FROM part
+    WHERE p_size > 40
+    """,
+)
+def udtf_explode_native(spark, sf_dir):
+    """The UDTF most pipelines actually need is explode — kept native
+    (generator inside codegen), no Python round-trip."""
+    p = t(spark, sf_dir, "part")
+    return p.filter(F.col("p_size") > 40).select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )

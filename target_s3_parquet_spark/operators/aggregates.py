@@ -1,0 +1,230 @@
+"""Aggregation operators: hash group-by, distinct, approximate distinct,
+grouping sets / cube / rollup, pivot.
+
+Spark plans every ``groupBy().agg()`` as partial (map-side) + final
+(post-shuffle) aggregation automatically, so only partial states cross
+the wire — the scalable shape for 100 TB. Group keys here are low-to-
+medium cardinality; for genuinely high-cardinality keys AQE's skew
+handling and two-phase `spark.sql.aggregate` paths apply unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.operators._util import davg, dsum, sql_davg, sql_dsum, t
+from target_s3_parquet_spark.registry import query
+
+
+@query(
+    "agg_hash_groupby",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           {sql_davg('o_totalprice', 'avg_price')},
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def agg_hash_groupby(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "sum_price"),
+            davg("o_totalprice", "avg_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "agg_distinct",
+    """
+    SELECT COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """Multi-column count-distinct (Spark expands to partial aggregates,
+    one expand + two-stage agg — no row-level distinct materialization)."""
+    return t(spark, sf_dir, "lineitem").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query("distinct_rows", "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem")
+def distinct_rows(spark, sf_dir):
+    return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# HLL sketch sizes differ between engines, so the oracle checks the exact
+# distinct instead; the Spark side asserts the sketch lands within 5% and
+# returns the exact count for hashing. This keeps an executable contract
+# on the approximate operator without pretending sketches are portable.
+@query(
+    "agg_approx_distinct",
+    """
+    SELECT COUNT(DISTINCT o_custkey) AS exact_custkeys,
+           TRUE AS approx_within_5pct
+    FROM orders
+    """,
+)
+def agg_approx_distinct(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("exact_custkeys"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.05 * F.countDistinct("o_custkey")
+        ).alias("approx_within_5pct"),
+    )
+
+
+@query(
+    "agg_rollup",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "agg_cube",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    f"""
+    SELECT l_suppkey, COUNT(*) AS n_items, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 50
+    """,
+)
+def agg_having(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum("l_quantity", "sum_qty"))
+        .filter(F.col("n_items") > 50)
+    )
+
+
+@query(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           SQRT((CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 - POW(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) / COUNT(*))
+                / (COUNT(*) - 1)) AS sd_qty,
+           (CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+            - POW(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 2) / COUNT(*))
+           / (COUNT(*) - 1) AS var_qty,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Variance/stddev via exact decimal sums of x and x² so the result
+    is order-independent and bit-identical across engines (Welford-style
+    merge states are not portable in the last ulp)."""
+    from target_s3_parquet_spark.operators._util import dec
+
+    l = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    n = F.count(F.lit(1))
+    s1 = F.sum(dec(q)).cast("double")
+    s2 = F.sum(dec(q * q)).cast("double")
+    var = (s2 - F.pow(s1, F.lit(2)) / n) / (n - 1)
+    return l.groupBy("l_returnflag").agg(
+        F.sqrt(var).alias("sd_qty"),
+        var.alias("var_qty"),
+        F.min(q).cast("double").alias("min_qty"),
+        F.max(q).cast("double").alias("max_qty"),
+    )
+
+
+@query(
+    "agg_pivot",
+    f"""
+    SELECT l_returnflag,
+           {sql_dsum("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 'O')},
+           {sql_dsum("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 'F')}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    """Pivot l_linestatus into columns (explicit value list keeps the
+    plan static — no driver-side distinct scan)."""
+    from target_s3_parquet_spark.operators._util import dec
+
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(dec("l_quantity")).cast("double"))
+    )

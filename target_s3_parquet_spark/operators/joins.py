@@ -1,0 +1,234 @@
+"""Join operators: equi (broadcast / shuffle-hash / sort-merge), all outer
+shapes, semi/anti, theta/range, and as-of.
+
+Strategy notes for the 100 TB point:
+- Dimension tables (region/nation/supplier/part at TPC-H ratios) stay
+  far under the broadcast threshold at any SF — `F.broadcast` pins the
+  hint so the fact table never shuffles for those joins.
+- Fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE
+  splits skewed partitions (`spark.sql.adaptive.skewJoin.enabled`).
+- The theta/range join is bounded by an equi prefix wherever possible —
+  a pure BNL join over two 100 TB inputs is never acceptable; see
+  `join_theta_range` (equi on suppkey, range residual) and
+  `operators.asof.as_of_join` (union + window, no cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.operators._util import dsum, sql_dsum, t
+from target_s3_parquet_spark.registry import query
+
+
+@query(
+    "join_inner_hash",
+    f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_inner_hash(spark, sf_dir):
+    """Large-large equi join on the fact key, aggregated. Both sides
+    shuffle-partition on l_orderkey/o_orderkey; AQE picks SMJ or
+    shuffled-hash from runtime sizes."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        )
+    )
+
+
+@query(
+    "join_broadcast",
+    f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal', 'sum_acctbal')}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    """Star-schema join: both dims broadcast, fact never shuffles for the
+    join (only for the final aggregation)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(F.count(F.lit(1)).alias("n_customers"), dsum("c_acctbal", "sum_acctbal"))
+    )
+
+
+@query(
+    "join_sortmerge",
+    f"""
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_dsum('o.o_totalprice', 'sum_price')}
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY l.l_returnflag
+    """,
+)
+def join_sortmerge(spark, sf_dir):
+    """Explicit sort-merge hint — the strategy of record for two huge
+    sorted-shuffle sides when neither fits a hash table."""
+    l = t(spark, sf_dir, "lineitem").hint("merge")
+    o = t(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("o_totalprice", "sum_price"))
+    )
+
+
+@query(
+    "join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000.0
+    """,
+)
+def join_left(spark, sf_dir):
+    """Left outer with a join-side residual predicate (kept in the ON
+    clause — moving it to WHERE would change the semantics)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000.0), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "join_right",
+    """
+    SELECT n.n_name, s.s_suppkey, s.s_name
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def join_right(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "join_full",
+    """
+    SELECT ck.nationkey AS c_side, sk.nationkey AS s_side,
+           ck.n_cust, sk.n_supp
+    FROM (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+          FROM customer GROUP BY c_nationkey) ck
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+          FROM supplier GROUP BY s_nationkey) sk
+      ON ck.nationkey = sk.nationkey
+    """,
+)
+def join_full(spark, sf_dir):
+    ck = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    sk = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return ck.join(sk, ck.nationkey == sk.nationkey, "full").select(
+        ck.nationkey.alias("c_side"),
+        sk.nationkey.alias("s_side"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@query(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000.0)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """EXISTS as left-semi: no row duplication, probe side streams."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000.0)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """NOT EXISTS as left-anti (customers with no high-value orders)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_theta_range",
+    """
+    SELECT s.s_suppkey, l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM supplier s JOIN lineitem l
+      ON s.s_suppkey = l.l_suppkey
+     AND l.l_quantity > s.s_acctbal / 1000.0
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    """Theta join with an equi prefix: Catalyst plans the equi part as a
+    hash/SMJ join and evaluates the range residual post-match — never a
+    cartesian product. (A pure theta join with NO equi conjunct must be
+    banded first — see `operators.asof` for the banding pattern.)"""
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem")
+    return s.join(
+        l,
+        (s.s_suppkey == l.l_suppkey) & (l.l_quantity > s.s_acctbal / 1000.0),
+    ).select("s_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+
+
+@query(
+    "join_cross_bounded",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross_bounded(spark, sf_dir):
+    """Explicit cartesian — only ever legal between bounded inputs (both
+    dims here are O(constant) at any SF)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

@@ -1,0 +1,279 @@
+"""Relational core: scans, projections, predicates, sorts, limits, set ops.
+
+All plain DataFrame compositions — Catalyst pushes the filters and the
+column pruning into the parquet scan (verify with
+``df.explain("formatted")`` → ``PushedFilters`` / ``ReadSchema``), so at
+100 TB only the referenced columns/row groups are read.
+
+Reference parity note: the reference engine is write-only (SURVEY §1.5);
+its query surface is what a consumer runs over the Parquet it writes.
+These keys are that surface, per SURVEY §2B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.operators._util import dec, dsum, sql_dsum, t
+from target_s3_parquet_spark.registry import query
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-style pricing summary. Scan → pushed filter →
+# hash-agg (partial+final automatic) → small sort. The groupBy keys have
+# tiny cardinality so the shuffle moves only partial aggregates —
+# this plan is flat-scalable: 100 TB in, a few KB shuffled.
+# --------------------------------------------------------------------------
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", _Q1_ORACLE)
+def q1_pricing_summary(spark, sf_dir):
+    l = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("l_extendedprice")).alias("avg_price"),
+            (F.sum(dec("l_discount")).cast("double") / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Scans & projections
+# --------------------------------------------------------------------------
+@query("scan_parquet", "SELECT * FROM region")
+def scan_parquet(spark, sf_dir):
+    """Bare parquet scan with its file-declared schema."""
+    return t(spark, sf_dir, "region")
+
+
+@query(
+    "project_filter",
+    """
+    SELECT l_orderkey, l_partkey, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_discount > 0.05
+    """,
+)
+def project_filter(spark, sf_dir):
+    """Projection + predicate; both reach the parquet reader (pushdown +
+    column pruning), so a 2-column projection reads 2 column chunks."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+    )
+
+
+@query(
+    "filter_pred_combo",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE (o_orderstatus IN ('O', 'F')
+           AND o_totalprice BETWEEN 1000.0 AND 150000.0
+           AND o_orderpriority LIKE '1-%')
+       OR (NOT o_orderstatus = 'P' AND o_orderdate IS NULL)
+       OR (o_custkey IS NOT NULL AND o_totalprice > 400000.0)
+    """,
+)
+def filter_pred_combo(spark, sf_dir):
+    """AND/OR/NOT, IN, BETWEEN, LIKE, null-tests in one predicate tree."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        (
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").between(1000.0, 150000.0)
+            & F.col("o_orderpriority").like("1-%")
+        )
+        | ((~(F.col("o_orderstatus") == "P")) & F.col("o_orderdate").isNull())
+        | (F.col("o_custkey").isNotNull() & (F.col("o_totalprice") > 400000.0))
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+
+
+# --------------------------------------------------------------------------
+# Sorts & limits
+# --------------------------------------------------------------------------
+@query(
+    "sort_order",
+    """
+    SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+    FROM customer
+    ORDER BY c_mktsegment ASC NULLS FIRST, c_acctbal DESC NULLS LAST, c_custkey
+    """,
+)
+def sort_order(spark, sf_dir):
+    """Global sort (range-partitioned exchange) with explicit null order."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+        .orderBy(
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("c_acctbal").desc_nulls_last(),
+            F.col("c_custkey"),
+        )
+    )
+
+
+@query(
+    "limit_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def limit_topk(spark, sf_dir):
+    """Top-k: Spark plans TakeOrderedAndProject — per-partition heap of k,
+    then a k-row merge on the driver; no global sort even at 100 TB.
+    Tie-broken on the unique key so results are deterministic."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (customer vs supplier nation footprints)
+# --------------------------------------------------------------------------
+@query(
+    "set_union_all",
+    """
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def set_union_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionAll(s)
+
+
+@query(
+    "set_union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union_distinct(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "set_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    """
+    SELECT DISTINCT l_orderkey AS orderkey FROM lineitem
+    EXCEPT
+    SELECT o_orderkey AS orderkey FROM orders WHERE o_totalprice > 100000.0
+    """,
+)
+def set_except(spark, sf_dir):
+    """Order keys present in lineitem but not among high-value orders."""
+    l = t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("orderkey"))
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000.0)
+        .select(F.col("o_orderkey").alias("orderkey"))
+    )
+    return l.distinct().subtract(o)
+
+
+@query(
+    "set_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@query(
+    "set_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@query(
+    "union_by_name",
+    """
+    SELECT n_nationkey AS k, n_name AS name FROM nation
+    UNION ALL
+    SELECT r_regionkey AS k, r_name AS name FROM region
+    """,
+)
+def union_by_name(spark, sf_dir):
+    """Column-name-aware union (schema evolution building block)."""
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("k"), F.col("n_name").alias("name")
+    )
+    r = t(spark, sf_dir, "region").select(
+        F.col("r_name").alias("name"), F.col("r_regionkey").alias("k")
+    )
+    return n.unionByName(r)

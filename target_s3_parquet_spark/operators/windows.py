@@ -1,0 +1,161 @@
+"""Window-function operators: ranking, analytic (lag/lead/first/last),
+and frame aggregations.
+
+Each window spec shuffles once on its partition key and sorts within
+partitions — at 100 TB the partition key (custkey / suppkey) has high
+cardinality so partitions stay small and parallel; no single-partition
+global windows (those serialize the world through one task).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.registry import query
+
+
+@query(
+    "window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank(spark, sf_dir):
+    """Ranking family over a per-customer window (orderBy includes the
+    unique orderkey so every rank is deterministic)."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .withColumn("rnk", F.rank().over(w).cast("long"))
+        .withColumn("drnk", F.dense_rank().over(w).cast("long"))
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
+    )
+
+
+@query(
+    "window_topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-k per group — the scalable idiom (rank + filter), never a
+    per-group collect. Spark pushes the rn<=k limit into the window sort
+    (WindowGroupLimit) so each partition keeps only k rows."""
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_analytic",
+    """
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate,
+           LAG(l_quantity)  OVER w AS prev_qty,
+           LEAD(l_quantity) OVER w AS next_qty,
+           FIRST_VALUE(l_quantity) OVER w AS first_qty,
+           LAST_VALUE(l_quantity)  OVER w AS last_qty
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    """,
+)
+def window_analytic(spark, sf_dir):
+    """lag/lead/first/last over a per-supplier event-time ordering.
+    Note LAST_VALUE uses the default frame (unbounded preceding →
+    current row) in both engines, so it equals the current row's value —
+    kept deliberately to pin that semantic."""
+    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .withColumn("prev_qty", F.lag("l_quantity").over(w))
+        .withColumn("next_qty", F.lead("l_quantity").over(w))
+        .withColumn("first_qty", F.first("l_quantity").over(w))
+        .withColumn("last_qty", F.last("l_quantity").over(w))
+        .drop("l_quantity")
+    )
+
+
+@query(
+    "window_frame_agg",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing3_spend
+    FROM orders
+    """,
+)
+def window_frame_agg(spark, sf_dir):
+    """Running + sliding frame sums (decimal-exact, see _util.DEC)."""
+    from target_s3_parquet_spark.operators._util import dec
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    trailing = w.rowsBetween(-2, W.currentRow)
+    price = dec(F.col("o_totalprice"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .withColumn("running_spend", F.sum(price).over(running).cast("double"))
+        .withColumn("trailing3_spend", F.sum(price).over(trailing).cast("double"))
+        .drop("o_totalprice")
+    )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice
+                          RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+             AS n_similar_spend
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over a value (not row) offset — peers within ±1000.
+    (The Python `rangeBetween` API only takes integer offsets, so the
+    double-valued frame goes through the SQL window syntax — same plan.)"""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               COUNT(*) OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice
+                              RANGE BETWEEN 1000.0 PRECEDING AND 1000.0 FOLLOWING)
+                 AS n_similar_spend
+        FROM orders
+        """
+    )

@@ -1,0 +1,107 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local mode (``local[N]``) is a single JVM; the same conf block is what
+we'd ship to a 1000-executor cluster — AQE owns runtime re-planning
+(partition coalescing, skew-join splitting, join-strategy switching),
+shuffle partitions start at a sane value and AQE coalesces down,
+Arrow is on for any pandas-UDF exchange, and the session timezone is
+pinned to UTC so results are comparable across engines (DuckDB oracle
+included).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# S3A conf we would enable on a real cluster (hadoop-aws on classpath).
+# Harmless when the jars are absent as long as no s3a:// path is read.
+_S3A_CONF = {
+    # Magic committer: task output goes straight to the final location via
+    # multipart uploads, no rename penalty on S3's flat namespace.
+    "spark.hadoop.fs.s3a.committer.name": "magic",
+    "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+    "spark.hadoop.fs.s3a.fast.upload": "true",
+    # Replaces the reference's hand-rolled boto3 backoff
+    # (reference s3.py:16-21 — 5 tries, factor 10).
+    "spark.hadoop.fs.s3a.retry.limit": "5",
+    "spark.hadoop.fs.s3a.connection.maximum": "96",
+}
+
+
+def get_spark(
+    app_name: str = "target_s3_parquet_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default
+    ``local[*]``). ``shuffle_partitions`` defaults to the local core
+    count — on a cluster you'd size it to ~2-3× total executor cores
+    and let AQE coalesce.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(os.cpu_count() or 8, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffledHashJoinFactor", "3")
+        # Read TIMESTAMP(NANOS) parquet columns as raw long nanos instead
+        # of failing (Spark timestamps are µs); load_table truncates.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in _S3A_CONF.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    """Path of one synthetic table under a scale-factor dir."""
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read one synthetic table (parquet scan; Catalyst prunes/pushes).
+
+    Nanosecond-precision parquet timestamps (events.ts) are outside
+    Spark's µs timestamp range, so they're read as raw nanos
+    (``legacy.parquet.nanosAsLong``) and truncated to µs — the same
+    floor-truncation DuckDB applies when it surfaces TIMESTAMP_NS at µs.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for field in df.schema.fields:
+        meta = field.metadata or {}
+        if meta.get("__nanos_long__") or (
+            field.name == "ts" and isinstance(field.dataType, T.LongType)
+        ):
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(F.floor(F.col(field.name) / 1000).cast("long")),
+            )
+    return df
