@@ -1,7 +1,132 @@
-"""Driver-facing query keys for the Singer ingestion pipeline (the
-reference's core capability, SURVEY §2A R1-R13). Filled in by the
-singer batch/streaming modules; registered here so the driver exercises
-ingestion through the same contract as the relational operators.
+"""Driver-facing query keys exercising the Singer ingest pipeline
+(SURVEY §2A R1-R6, R10) through the same oracle contract as the
+relational operators.
 
-Populated in M1 (see sources/singer.py).
+The message log is synthesized distributively FROM the sf tables
+(``to_json`` over a struct — an executor-side projection, so the test
+scales with the table), then pushed through the real parse → dispatch
+→ validate → flatten pipeline. The DuckDB oracle recomputes the
+expected output straight from the source table: if parse/flatten lose
+or corrupt anything, the hashes split.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.registry import query
+from target_s3_parquet_spark.sources.singer import (
+    StreamPlan,
+    parse_message_lines,
+    records_for_stream,
+)
+
+_ORDERS_SCHEMA = {
+    "type": ["null", "object"],
+    "properties": {
+        "id": {"type": ["null", "integer"]},
+        "status": {"type": ["null", "string"], "maxLength": 8},
+        "amounts": {
+            "type": ["null", "object"],
+            "properties": {
+                "price": {"type": ["null", "number"]},
+                "tax_est": {"type": ["null", "number"]},
+            },
+        },
+        "flags": {"type": ["null", "array"], "items": {"type": ["null", "string"]}},
+    },
+    "required": ["id"],
+}
+
+
+def _orders_as_singer_lines(spark, sf_dir):
+    """orders rows → Singer RECORD envelope JSON lines (R1's input,
+    built executor-side)."""
+    o = t(spark, sf_dir, "orders")
+    record = F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            (F.col("o_totalprice") * 0.07).alias("tax_est"),
+        ).alias("amounts"),
+        F.array(F.col("o_orderpriority"), F.col("o_orderstatus")).alias("flags"),
+    )
+    return o.select(
+        F.to_json(
+            F.struct(
+                F.lit("RECORD").alias("type"),
+                F.lit("orders").alias("stream"),
+                record.alias("record"),
+            )
+        ).alias("value")
+    )
+
+
+@query(
+    "singer_ingest_flatten",
+    """
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           o_totalprice AS amounts__price,
+           o_totalprice * 0.07 AS amounts__tax_est,
+           [o_orderpriority, o_orderstatus] AS flags
+    FROM orders
+    """,
+)
+def singer_ingest_flatten(spark, sf_dir):
+    """R2+R3+R4+R6 end-to-end: parse envelope JSON, validate against the
+    stream's JSON schema, apply the derived StructType, flatten nested
+    objects to parent__child. Oracle recomputes from the source table —
+    a lossless round trip is the only way the hashes match."""
+    lines = _orders_as_singer_lines(spark, sf_dir)
+    messages = parse_message_lines(lines)
+    plan = StreamPlan(stream="orders", json_schema=_ORDERS_SCHEMA)
+    flat = records_for_stream(messages, plan, validate="strict")
+    return flat.withColumn("id", F.col("id").cast("long"))
+
+
+@query(
+    "singer_ingest_flatten_compat",
+    """
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           o_totalprice AS amounts__price,
+           o_totalprice * 0.07 AS amounts__tax_est,
+           '[' || '''' || o_orderpriority || ''', ''' || o_orderstatus || ''']'
+             AS flags
+    FROM orders
+    """,
+)
+def singer_ingest_flatten_compat(spark, sf_dir):
+    """Same pipeline in compat mode: arrays stringified exactly like the
+    reference's str(list) (utils.py:61)."""
+    lines = _orders_as_singer_lines(spark, sf_dir)
+    messages = parse_message_lines(lines)
+    plan = StreamPlan(stream="orders", json_schema=_ORDERS_SCHEMA)
+    flat = records_for_stream(messages, plan, validate="none", compat=True)
+    return flat.withColumn("id", F.col("id").cast("long"))
+
+
+@query(
+    "singer_validate_quarantine",
+    """
+    SELECT o_orderkey AS id,
+           CASE WHEN o_orderstatus IS NULL THEN NULL
+                WHEN LENGTH(o_orderstatus) > 8 THEN 'maxLength:status'
+                END AS _validation_error
+    FROM orders
+    """,
+)
+def singer_validate_quarantine(spark, sf_dir):
+    """R4 permissive mode: the native when-check validator emits a
+    quarantine column instead of failing the run (all rows clean on
+    this data — the negative path is pinned by tests/test_singer.py)."""
+    lines = _orders_as_singer_lines(spark, sf_dir)
+    messages = parse_message_lines(lines)
+    plan = StreamPlan(stream="orders", json_schema=_ORDERS_SCHEMA)
+    flat = records_for_stream(messages, plan, validate="permissive")
+    return flat.select(
+        F.col("id").cast("long").alias("id"), "_validation_error"
+    )

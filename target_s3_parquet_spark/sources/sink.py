@@ -1,0 +1,111 @@
+"""Partitioned Parquet sink — R8/R9/R11/R12 with the reference's bugs
+fixed.
+
+Reference behavior being replaced (and cited for parity):
+- R8 per-contiguous-run flush (``__init__.py:292-301``) → hash
+  ``partitionBy``: order-independent; interleaved streams no longer
+  explode into one file per run.
+- R9 ``file_size`` record cap (``__init__.py:307-313``) →
+  ``maxRecordsPerFile``.
+- R11 BytesIO-then-upload (``__init__.py:272-277``, whole file in RAM)
+  → streaming task writes through the committer (S3A magic committer on
+  a real cluster — no rename, no full-file buffering).
+- R12 compression: the reference computes an extension but never passes
+  the codec to the writer (``__init__.py:190-204`` vs ``273``) so
+  output is always snappy. Here the codec is actually applied.
+- L2 naming convention ``{stream}/{date}`` → Hive-style partition dirs.
+- L3 KMS encryption → S3A server-side-encryption conf (cluster conf,
+  not code).
+
+At 100 TB: writing is embarrassingly parallel; the only planning
+decision is file sizing (``maxRecordsPerFile`` + AQE coalescing keeps
+files near the row-group sweet spot instead of task-count-many shards).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VALID_CODECS = {"none", "uncompressed", "snappy", "gzip", "brotli", "zstd", "lz4"}
+
+
+@dataclass
+class SinkConfig:
+    path: str
+    compression: str = "snappy"
+    max_records_per_file: int | None = None  # R9 file_size; None = unbounded
+    partition_by_stream: bool = True  # R8
+    date_partition: bool = False  # L2 {date} naming convention
+    mode: str = "append"
+
+    def normalized_codec(self) -> str:
+        c = (self.compression or "snappy").lower()
+        if c not in VALID_CODECS:
+            # reference warns-and-defaults on unknown codecs
+            # (__init__.py:201-204); keep that contract
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "unknown compression %r; using snappy", self.compression
+            )
+            return "snappy"
+        return c
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    stream: str,
+    cfg: SinkConfig,
+) -> str:
+    """Write one stream's flattened records to
+    ``{path}/[stream=<stream>/][dt=<date>/]*.parquet``."""
+    out = df
+    partition_cols: list[str] = []
+    if cfg.partition_by_stream:
+        out = out.withColumn("stream", F.lit(stream))
+        partition_cols.append("stream")
+    if cfg.date_partition:
+        out = out.withColumn("dt", F.current_date().cast("string"))
+        partition_cols.append("dt")
+
+    writer = out.write.mode(cfg.mode).option("compression", cfg.normalized_codec())
+    if cfg.max_records_per_file and cfg.max_records_per_file > 0:
+        writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(cfg.path)
+    return os.path.join(cfg.path, f"stream={stream}") if cfg.partition_by_stream else cfg.path
+
+
+def run_singer_to_parquet(
+    spark: SparkSession,
+    message_log_path: str,
+    cfg: SinkConfig,
+    validate: str = "strict",
+    add_metadata: bool = False,
+    compat: bool = False,
+) -> tuple[list[str], str | None]:
+    """EP1/EP2/EP3 end-to-end (reference ``main``→``persist_messages``→
+    ``consumer``): ingest the log, write every stream, THEN return the
+    final state — state must only be emitted after all writes commit
+    (at-least-once, reference ``__init__.py:353-357``)."""
+    from target_s3_parquet_spark.sources.singer import ingest
+
+    streams, state = ingest(
+        spark, message_log_path, validate=validate, add_metadata=add_metadata, compat=compat
+    )
+    written = [write_stream_parquet(df, s, cfg) for s, df in streams.items()]
+    return written, state
+
+
+def emit_state(state: str | None) -> None:
+    """R13: print the bookmark to stdout for the tap runner (reference
+    ``__init__.py:26-31``)."""
+    if state is not None:
+        import sys
+
+        print(state, flush=True, file=sys.stdout)

@@ -1,0 +1,145 @@
+"""Conformance tests for the Singer ingest pipeline (SURVEY §5 item 1):
+assertions are on OUTPUTS — flattened rows, written parquet content,
+applied compression — closing the reference's `assertTrue(True)` TODO
+(reference tests/integration/test_target_s3_parquet.py:24-39).
+"""
+
+import glob
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests import singer_fixtures as fx
+
+
+@pytest.fixture()
+def log3(tmp_path):
+    return fx.write_log(str(tmp_path), fx.three_stream_log())
+
+
+def _ingest(spark, path, **kw):
+    from target_s3_parquet_spark.sources.singer import ingest
+
+    return ingest(spark, path, **kw)
+
+
+def test_three_streams_rows_and_schema(spark, log3):
+    streams, state = _ingest(spark, log3)
+    assert set(streams) == {"app-users", "app-clicks", "app-sessions"}
+
+    users = streams["app-users"].orderBy("id").collect()
+    assert [r["id"] for r in users] == [1, 2, 3]
+    assert [r["name"] for r in users] == ["ada", "bo", "cy"]
+    assert users[1]["score"] is None  # missing field → null, not dropped
+
+    # int32 bounds in schema → IntegerType (SURVEY §1.3)
+    users_schema = dict(streams["app-users"].dtypes)
+    assert users_schema["id"] == "int"
+    assert users_schema["score"] == "double"
+
+
+def test_nested_flatten_and_types(spark, log3):
+    streams, _ = _ingest(spark, log3)
+    clicks = streams["app-clicks"]
+    # nested object → parent__child (2 levels deep), array preserved
+    assert set(clicks.columns) == {
+        "id", "at", "meta__page", "meta__depth",
+        "meta__geo__lat", "meta__geo__lon", "tags",
+    }
+    rows = {r["id"]: r for r in clicks.collect()}
+    assert rows[10]["meta__geo__lat"] == 1.5
+    assert rows[10]["tags"] == ["a", "b"]
+    assert rows[11]["meta__depth"] is None
+    # lossless mode: date-time string → TimestampType
+    assert dict(clicks.dtypes)["at"] == "timestamp"
+
+
+def test_compat_mode_stringifies_arrays(spark, log3):
+    streams, _ = _ingest(spark, log3, compat=True)
+    clicks = {r["id"]: r for r in streams["app-clicks"].collect()}
+    # reference utils.py:61 applies str() to list values
+    assert clicks[10]["tags"] == "['a', 'b']"
+    assert clicks[11]["tags"] is None
+    assert dict(streams["app-clicks"].dtypes)["at"] == "string"
+
+
+def test_state_is_last_one(spark, log3):
+    _, state = _ingest(spark, log3)
+    assert json.loads(state) == {
+        "bookmarks": {"app-users": {"id": 3}, "app-clicks": {"id": 11}}
+    }
+
+
+def test_invalid_json_raises(spark, tmp_path):
+    from target_s3_parquet_spark.sources.singer import SingerError
+
+    p = fx.write_log(str(tmp_path), fx.invalid_json_log())
+    with pytest.raises(SingerError, match="invalid JSON"):
+        _ingest(spark, p)
+
+
+def test_record_before_schema_raises(spark, tmp_path):
+    from target_s3_parquet_spark.sources.singer import SingerError
+
+    p = fx.write_log(str(tmp_path), fx.record_before_schema_log())
+    with pytest.raises(SingerError, match="before a corresponding schema"):
+        _ingest(spark, p)
+
+
+def test_validation_strict_raises(spark, tmp_path):
+    p = fx.write_log(str(tmp_path), fx.validation_failure_log())
+    streams, _ = _ingest(spark, p, validate="strict")
+    with pytest.raises(Exception, match="validation failed"):
+        streams["app-users"].collect()
+
+
+def test_validation_permissive_quarantines(spark, tmp_path):
+    p = fx.write_log(str(tmp_path), fx.validation_failure_log())
+    streams, _ = _ingest(spark, p, validate="permissive")
+    rows = streams["app-users"].collect()
+    assert len(rows) == 1
+    assert rows[0]["_validation_error"] == "maxLength:name"
+
+
+def test_sink_applies_compression_and_partitions(spark, log3, tmp_path):
+    from target_s3_parquet_spark.sources.sink import SinkConfig, run_singer_to_parquet
+
+    out = str(tmp_path / "out")
+    written, state = run_singer_to_parquet(
+        spark, log3, SinkConfig(path=out, compression="gzip", max_records_per_file=1)
+    )
+    assert state is not None
+    # R8: one dir per stream, hash-partitioned not run-contiguous
+    dirs = sorted(os.path.basename(d) for d in glob.glob(f"{out}/stream=*"))
+    assert dirs == ["stream=app-clicks", "stream=app-sessions", "stream=app-users"]
+    files = glob.glob(f"{out}/stream=app-users/*.parquet")
+    # R9: maxRecordsPerFile=1 → 3 users → ≥3 files
+    assert len(files) >= 3
+    # R12: codec ACTUALLY applied (the reference's dropped-codec bug)
+    meta = pq.ParquetFile(files[0]).metadata
+    assert meta.row_group(0).column(0).compression == "GZIP"
+    # round trip: all rows back
+    back = spark.read.parquet(out)
+    assert back.filter("stream = 'app-users'").count() == 3
+
+
+def test_metadata_columns(spark, log3):
+    streams, _ = _ingest(spark, log3, add_metadata=True)
+    cols = streams["app-users"].columns
+    assert "_sdc_extracted_at" in cols and "_sdc_batched_at" in cols
+
+def test_schema_replacement_last_wins(spark, tmp_path):
+    lines = [
+        fx._msg(type="SCHEMA", stream="s", schema={"properties": {"a": {"type": ["null", "integer"]}}}, key_properties=[]),
+        fx._msg(type="RECORD", stream="s", record={"a": 1}),
+        fx._msg(type="SCHEMA", stream="s", schema={"properties": {"a": {"type": ["null", "integer"]}, "b": {"type": ["null", "string"]}}}, key_properties=[]),
+        fx._msg(type="RECORD", stream="s", record={"a": 2, "b": "x"}),
+    ]
+    p = fx.write_log(str(tmp_path), lines)
+    streams, _ = _ingest(spark, p)
+    # later SCHEMA replaces earlier (reference __init__.py:241): full
+    # column set present, early records get nulls for new columns
+    rows = {r["a"]: r for r in streams["s"].collect()}
+    assert rows[1]["b"] is None and rows[2]["b"] == "x"
