@@ -100,8 +100,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         if meta.get("__nanos_long__") or (
             field.name == "ts" and isinstance(field.dataType, T.LongType)
         ):
+            # integer `div`, not `/`: ns-epoch longs exceed 2^53, so
+            # double division would corrupt the low microseconds
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros(F.floor(F.col(field.name) / 1000).cast("long")),
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
     return df

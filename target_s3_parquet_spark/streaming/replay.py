@@ -1,0 +1,83 @@
+"""Replay a batch table as a bounded file-source stream.
+
+Standard local-testing harness for Structured Streaming operators: the
+table is chunked into K files; ``readStream`` consumes them (optionally
+one per micro-batch to exercise multi-batch state), the query runs to
+quiescence with ``processAllAvailable``, and the sink's result comes
+back as a normal DataFrame.
+
+On a real deployment the source would be Kafka/Kinesis/files-on-S3 —
+everything downstream of ``readStream`` is identical.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def replay_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    build: Callable[[DataFrame], DataFrame],
+    output_mode: str = "complete",
+    n_chunks: int = 3,
+    one_file_per_trigger: bool = True,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Write ``source`` as ``n_chunks`` parquet files, stream them
+    through ``build``, return the materialized sink contents.
+
+    ``order_col``: chunk boundaries follow this column's sort order so
+    event-time progresses monotonically across micro-batches (what a
+    replayed log would do) — required for watermark-sensitive ops.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    tmp = tempfile.mkdtemp(prefix="replay_")
+    name = "sink_" + uuid.uuid4().hex[:12]
+    try:
+        # Assign each row a chunk id in order_col order (arbitrary-but-
+        # deterministic order when none given), then write the chunks
+        # sequentially so the file source's mtime ordering replays them
+        # as successive micro-batches.
+        order = F.col(order_col) if order_col else F.lit(1)
+        w = W.orderBy(order)
+        numbered = source.withColumn(
+            "_chunk", ((F.row_number().over(w) - 1) * n_chunks / F.count(F.lit(1)).over(W.partitionBy())).cast("int")
+        ).cache()
+        stream_dir = os.path.join(tmp, "stream")
+        for i in range(n_chunks):
+            chunk = numbered.filter(F.col("_chunk") == i).drop("_chunk")
+            chunk.coalesce(1).write.mode("append").parquet(stream_dir)
+        numbered.unpersist()
+
+        reader = (
+            spark.readStream.schema(source.schema)
+            .option("maxFilesPerTrigger", 1 if one_file_per_trigger else 1000)
+            .parquet(stream_dir)
+        )
+        out = build(reader)
+        q = (
+            out.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # materialize before the temp dir vanishes
+        rows = spark.table(name)
+        rows = spark.createDataFrame(rows.collect(), rows.schema)
+        return rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1,5 +1,295 @@
-"""Driver-facing query keys for Structured Streaming operators
-(SURVEY §2B streaming table). Populated in M3 — streaming results are
-materialized via memory-sink runs so the callables still return a
-DataFrame for the rows-only driver check.
+"""Structured Streaming operators (SURVEY §2B streaming table), each
+run to quiescence over a chunked replay of the ``events`` table so the
+driver gets a plain DataFrame back.
+
+Output-mode discipline: results must be invariant to micro-batch
+boundaries for the oracle to hold — windowed aggregations run in
+``complete`` mode (final state only); watermark-dependent ops document
+their chunk-order contract via ``order_col="ts"``.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.operators._util import dec, t
+from target_s3_parquet_spark.registry import query
+from target_s3_parquet_spark.streaming.replay import replay_stream
+
+
+@query(
+    "stream_singer_ingest",
+    """
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           o_totalprice AS amounts__price,
+           'orders' AS stream
+    FROM orders
+    """,
+)
+def stream_singer_ingest(spark, sf_dir):
+    """R1-R13 as one streaming job: orders rows rendered as Singer
+    RECORD lines across multiple log files, ingested by the
+    checkpointed foreachBatch pipeline, read back from the parquet it
+    wrote. The oracle recomputes the expected flattened output straight
+    from the source table."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from target_s3_parquet_spark.sources.singer_queries import _orders_as_singer_lines
+    from target_s3_parquet_spark.streaming.singer_stream import SingerStreamJob
+    from target_s3_parquet_spark.sources.singer import StreamPlan
+
+    schema = {
+        "type": ["null", "object"],
+        "properties": {
+            "id": {"type": ["null", "integer"]},
+            "status": {"type": ["null", "string"]},
+            "amounts": {
+                "type": ["null", "object"],
+                "properties": {"price": {"type": ["null", "number"]}},
+            },
+        },
+    }
+    tmp = tempfile.mkdtemp(prefix="singer_stream_")
+    try:
+        log_dir = f"{tmp}/log"
+        schema_line = _json.dumps(
+            {"type": "SCHEMA", "stream": "orders", "schema": schema, "key_properties": ["id"]}
+        )
+        lines = _orders_as_singer_lines(spark, sf_dir)
+        # schema header file + two record log files (two epochs)
+        import os as _os
+
+        _os.makedirs(log_dir)
+        with open(f"{log_dir}/000_schema.jsonl", "w") as f:
+            f.write(schema_line + "\n")
+        half = lines.withColumn("_h", (F.crc32(F.col("value")) % 2).cast("int"))
+        for i in (0, 1):
+            half.filter(F.col("_h") == i).select("value").coalesce(1).write.mode(
+                "append"
+            ).text(f"{log_dir}/records_{i}")
+        job = SingerStreamJob(
+            plans={"orders": StreamPlan("orders", schema)},
+            output_path=f"{tmp}/out",
+            checkpoint_path=f"{tmp}/ckpt",
+        )
+        q = job.start(spark, f"{log_dir}/*", max_files_per_trigger=2)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = spark.read.parquet(f"{tmp}/out").withColumn(
+            "id", F.col("id").cast("long")
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_window_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_window_tumbling(spark, sf_dir):
+    """Tumbling 1-hour event-time windows (epoch-aligned like
+    date_trunc); complete mode ⇒ the final state equals the batch
+    aggregation regardless of chunking."""
+    events = t(spark, sf_dir, "events")
+
+    def build(stream):
+        return (
+            stream.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    return replay_stream(spark, events, build, output_mode="complete")
+
+
+@query(
+    "stream_window_sliding",
+    """
+    WITH offsets AS (SELECT UNNEST([0, 1]) AS i)
+    SELECT time_bucket(INTERVAL '30 minutes', ts) - i * INTERVAL '30 minutes'
+             AS window_start,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN offsets
+    GROUP BY 1
+    """,
+)
+def stream_window_sliding(spark, sf_dir):
+    """Sliding windows: 1-hour duration, 30-minute slide — every event
+    lands in exactly two windows. The oracle derives the same two
+    window-starts per event arithmetically."""
+    events = t(spark, sf_dir, "events")
+
+    def build(stream):
+        return (
+            stream.groupBy(F.window("ts", "1 hour", "30 minutes"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("window.start").alias("window_start"), "n_events")
+        )
+
+    return replay_stream(spark, events, build, output_mode="complete")
+
+
+@query(
+    "stream_window_session",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL '30 minutes'
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_window_session(spark, sf_dir):
+    """Session windows (30-minute gap) per user. The oracle rebuilds
+    sessionization relationally (lag → gap flag → running sum), pinning
+    Spark's session_window merge semantics against an independent
+    derivation."""
+    events = t(spark, sf_dir, "events")
+
+    def build(stream):
+        return (
+            stream.groupBy(
+                F.session_window("ts", "30 minutes").alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                "n_events",
+            )
+        )
+
+    return replay_stream(spark, events, build, output_mode="complete")
+
+
+@query(
+    "stream_dedup",
+    """
+    SELECT event_id, event_type, value
+    FROM events
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming dedup on the event key with a watermark: the input is
+    the events table unioned with itself (every row duplicated across
+    micro-batches); dropDuplicates keeps exactly one copy."""
+    events = t(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    doubled = events.union(events)
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .dropDuplicates(["event_id"])
+            .drop("ts")
+        )
+
+    return replay_stream(
+        spark, doubled, build, output_mode="append", order_col="ts", n_chunks=4
+    )
+
+
+@query("stream_watermark_late")  # rows-only: drop count depends on arrival order
+def stream_watermark_late(spark, sf_dir):
+    """Late-data handling: a 30-minute watermark over event time with
+    append output — only windows the watermark has passed are emitted;
+    the trailing open window is withheld. Chunk order follows ts so the
+    watermark advances deterministically, but the exact emitted set is
+    an arrival-order property, not a relational one → rows-only check."""
+    events = t(spark, sf_dir, "events")
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                F.col("window.start").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    return replay_stream(
+        spark, events, build, output_mode="append", order_col="ts", n_chunks=5
+    )
+
+
+@query(
+    "stream_stateful_running",
+    """
+    SELECT user_id, COUNT(*) AS total_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_running(spark, sf_dir):
+    """Arbitrary stateful processing: applyInPandasWithState keeps a
+    per-user (count, sum) state across micro-batches and emits the
+    running totals each batch; the max emission per user equals the
+    final aggregate, which the oracle recomputes relationally."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+
+    def update(key, pdfs, state: GroupState):
+        count, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            count += len(pdf)
+            # decimal-exact via integer micro-units to stay
+            # order-independent
+            total += int(pdf["value"].mul(1_000_000).round().astype("int64").sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "emit_count": [count], "emit_total": [total]}
+        )
+
+    def build(stream):
+        return stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, emit_count long, emit_total long",
+            stateStructType="count long, total long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    emissions = replay_stream(
+        spark, events, build, output_mode="update", n_chunks=3
+    )
+    return emissions.groupBy("user_id").agg(
+        F.max("emit_count").alias("total_events"),
+        (F.max("emit_total").cast("double") / 1_000_000).alias("total_value"),
+    )
