@@ -73,6 +73,208 @@ def _word_set(col):
     return F.array_distinct(F.split(F.lower(col), " "))
 
 
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+# Signature: H hash functions; hash_i(shingle) = md5(i || ':' || shingle).
+# md5 hex is uniform, so MIN over a fixed-width hex prefix is a valid
+# minhash (lexicographic order == numeric order on fixed width), and —
+# the point — both engines compute it bit-identically, so the WHOLE
+# LSH pipeline (signatures → band keys → candidate join → Jaccard
+# verify) carries a DuckDB oracle. B bands × R rows = H; two docs
+# collide if any band's R minhashes all match.
+_MH_H = 12  # hash functions
+_MH_B = 4  # bands
+_MH_R = 3  # rows per band
+_MH_THRESHOLD = 0.30  # verified Jaccard cutoff
+
+
+def _minhash_sql() -> str:
+    """DuckDB CTEs computing doc → band keys + gram sets."""
+    minhashes = ", ".join(
+        f"MIN(substring(md5('{i}:' || gram), 1, 16)) AS mh{i}" for i in range(_MH_H)
+    )
+    bands = ", ".join(
+        "md5(" + " || ".join(f"mh{b * _MH_R + r}" for r in range(_MH_R)) + f") AS band{b}"
+        for b in range(_MH_B)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, band{b} AS band_key FROM sigs"
+        for b in range(_MH_B)
+    )
+    return f"""
+    WITH grams AS (
+      SELECT doc_id, UNNEST(list_distinct(
+        list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+                       i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))
+      )) AS gram
+      FROM documents
+    ),
+    sets AS (
+      SELECT doc_id, list_sort(list(gram)) AS grams FROM grams GROUP BY doc_id
+    ),
+    sigs0 AS (
+      SELECT doc_id, {minhashes} FROM grams GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id, {bands} FROM sigs0
+    ),
+    band_rows AS ({band_rows}),
+    candidates AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band_rows a JOIN band_rows b
+        ON a.band_no = b.band_no AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+           / (len(sa.grams) + len(sb.grams) - len(list_intersect(sa.grams, sb.grams)))
+             AS jaccard
+    FROM candidates c
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+          / (len(sa.grams) + len(sb.grams) - len(list_intersect(sa.grams, sb.grams)))
+          >= {_MH_THRESHOLD}
+    """
+
+
+@query("text_near_dedup_minhash", _minhash_sql())
+def text_near_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH near-duplicate detection, the 100 TB shape:
+
+    1. per-doc word-3-gram shingles (map-side projection),
+    2. H=12 md5 minhashes → B=4 band keys per doc (map-side),
+    3. candidate pairs via self-join ON (band_no, band_key) — the ONLY
+       shuffle moves (doc_id, 16-char key) rows, never documents,
+    4. exact Jaccard verify on the candidates only, ≥ 0.30 kept.
+
+    No all-pairs product anywhere: cost is O(docs × H) hashing plus a
+    bucket-local join. Skewed buckets (boilerplate shingles) are split
+    by AQE skew-join handling.
+    """
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    grams = F.when(
+        F.size(words) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 3),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs = d.select("doc_id", grams.alias("grams")).filter(F.size("grams") > 0)
+
+    exploded = docs.select("doc_id", F.explode("grams").alias("gram"))
+    sig = exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("gram"))), 1, 16)
+            ).alias(f"mh{i}")
+            for i in range(_MH_H)
+        ]
+    )
+    band_cols = [
+        F.md5(F.concat(*[F.col(f"mh{b * _MH_R + r}") for r in range(_MH_R)])).alias(
+            f"band{b}"
+        )
+        for b in range(_MH_B)
+    ]
+    sigs = sig.select("doc_id", *band_cols)
+    band_rows = None
+    for b in range(_MH_B):
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_key")
+        )
+        band_rows = part if band_rows is None else band_rows.unionAll(part)
+
+    a = band_rows.alias("a")
+    b_ = band_rows.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sets = docs.select("doc_id", F.array_sort("grams").alias("grams"))
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.grams"), F.col("sb.grams")))
+    uni = F.size(F.col("sa.grams")) + F.size(F.col("sb.grams")) - inter
+    jac = inter.cast("double") / uni
+    return (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _MH_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+_SH_BITS = 24  # demo width; production uses 64 via the same construction
+
+
+def _simhash_sql() -> str:
+    word_hash = "CAST(('0x' || substring(md5(word), 1, 8)) AS BIGINT)"
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ({word_hash} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+        f" AS s{b}"
+        for b in range(_SH_BITS)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(_SH_BITS)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, UNNEST(list_distinct(string_split(lower(text), ' '))) AS word
+      FROM documents
+    ),
+    bitsums AS (
+      SELECT doc_id, {bit_sums} FROM words GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash
+    FROM bitsums
+    """
+
+
+@query("text_simhash", _simhash_sql())
+def text_simhash(spark, sf_dir):
+    """SimHash document fingerprints: each distinct word votes ±1 per
+    bit position of its md5-derived hash; the sign vector packs into an
+    integer whose Hamming distance approximates cosine similarity of
+    the bag-of-words. All map-side + one groupBy — a pure linear scan
+    at any scale. Near-dup candidates then come from banding the
+    simhash bits exactly like MinHash bands."""
+    d = t(spark, sf_dir, "documents")
+    words_df = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower(F.col("text")), " "))).alias(
+            "word"
+        ),
+    )
+    h = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+    bit_sums = [
+        F.sum(
+            F.when(((h / F.lit(1 << b)).cast("long") % 2) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SH_BITS)
+    ]
+    sums = words_df.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for b in range(_SH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sums.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
 @query(
     "text_ngram_jaccard_dup",
     """
