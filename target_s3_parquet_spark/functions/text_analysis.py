@@ -172,3 +172,68 @@ def text_fingerprint(spark, sf_dir):
         F.md5(norm).alias("fingerprint"),
         F.substring(F.md5(bag), 1, 16).alias("bag_fingerprint"),
     )
+
+
+@query(
+    "text_tokenize_tfidf",
+    """
+    WITH toks AS (
+      SELECT doc_id, t AS token
+      FROM (SELECT doc_id,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           tf.tf * (n.n - df.df + 0.5) / (df.df + 0.5) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    WHERE tf.doc_id < 64
+    """,
+)
+def text_tokenize_tfidf(spark, sf_dir):
+    """Tokenize + TF-IDF weighting over `documents`.
+
+    IDF uses the BM25 rational form (N - df + 0.5)/(df + 0.5) instead
+    of a logarithm: integer-derived double division is bit-identical
+    across engines, whereas ln() differs in the last ulp between
+    libm implementations (same ranking either way).
+
+    Shape at scale: tf is one shuffle on (doc_id, token); df is an
+    agg over the same exploded relation (Spark reuses the exchange);
+    the df side joins back BROADCAST because vocabulary cardinality
+    is sublinear in corpus size. The doc_id < 64 predicate on output
+    only bounds the verified slice - tf/df are corpus-wide, and the
+    filter pushes below the join on the tf side."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.select(F.countDistinct("doc_id").alias("n"))
+    return (
+        tf.filter(F.col("doc_id") < 64)
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            (
+                F.col("tf") * (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ).alias("tfidf"),
+        )
+    )

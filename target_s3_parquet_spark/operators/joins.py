@@ -232,3 +232,63 @@ def join_cross_bounded(spark, sf_dir):
     r = t(spark, sf_dir, "region")
     n = t(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_asof",
+    """
+    SELECT purchase_id, user_id, view_id, view_ts FROM (
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             v.event_id AS view_id, v.ts AS view_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'view') v
+        ON v.user_id = p.user_id AND v.ts <= p.ts)
+    WHERE rn = 1
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the latest view at-or-before
+    it by the same user (ties broken by larger event_id), unmatched
+    purchases kept with nulls.
+
+    NOT implemented as a range join (the oracle's p×v product blows up
+    quadratically per user at scale). Instead the union-window trick:
+    tag both sides, union, ONE shuffle on user_id, sort by (ts, side,
+    event_id) inside each partition, and `last(view, ignoreNulls)` over
+    an unbounded-preceding frame carries the most recent view forward
+    into every purchase row. Cost is a single sort-shuffle of
+    |views| + |purchases| rows regardless of match fan-out."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "event_id",
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    tagged = views.unionAll(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    view_struct = F.when(
+        F.col("side") == 0, F.struct(F.col("event_id"), F.col("ts"))
+    )
+    carried = tagged.withColumn(
+        "last_view", F.last(view_struct, ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("last_view.event_id").alias("view_id"),
+        F.col("last_view.ts").alias("view_ts"),
+    )

@@ -134,3 +134,323 @@ def sim_pairs_threshold(spark, sf_dir):
         ).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= 0.35)
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed similarity (the 100 TB scale path)
+# ---------------------------------------------------------------------------
+# Random-hyperplane (sign) LSH: P hyperplanes with deterministic +-1
+# weights derived from md5 at module import, shared verbatim by the
+# Spark plan and the DuckDB oracle, so candidate generation is
+# bit-identical cross-engine. B bands x R bits = P; two vectors are
+# candidates iff some band's R sign bits all agree. Only candidates
+# pay the exact-cosine verify - no all-pairs product anywhere.
+import hashlib as _hashlib
+
+_LSH_P = 12  # hyperplanes
+_LSH_B = 4  # bands
+_LSH_R = 3  # bits per band
+_LSH_DIM = 64
+_LSH_TAU = 0.40
+
+
+def _plane_weights() -> list[list[int]]:
+    """Deterministic +-1 hyperplane weights: parity of md5("p:i")."""
+    return [
+        [
+            1 if _hashlib.md5(f"{p}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(_LSH_DIM)
+        ]
+        for p in range(_LSH_P)
+    ]
+
+
+_W = _plane_weights()
+
+
+def _sign_sql(p: int) -> str:
+    """DuckDB: sign bit of dot(v, plane p) as '0'/'1' (left-to-right sum)."""
+    terms = " ".join(
+        ("+ " if w > 0 else "- ") + f"v[{i + 1}]" for i, w in enumerate(_W[p])
+    )
+    return f"CASE WHEN (0.0 {terms}) >= 0 THEN '1' ELSE '0' END"
+
+
+def _band_key_sql(b: int) -> str:
+    return " || ".join(_sign_sql(b * _LSH_R + r) for r in range(_LSH_R))
+
+
+def _sign_col(v, p: int):
+    """Spark twin of :func:`_sign_sql` - identical left-to-right fold."""
+    acc = F.lit(0.0)
+    for i, w in enumerate(_W[p]):
+        e = F.element_at(v, i + 1)
+        acc = (acc + e) if w > 0 else (acc - e)
+    return F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def _band_key_col(v, b: int):
+    return F.concat(*[_sign_col(v, b * _LSH_R + r) for r in range(_LSH_R)])
+
+
+def _lsh_core_sql() -> str:
+    """Shared CTEs: vectors -> band rows -> verified candidate pairs."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_no, {_band_key_sql(b)} AS band_key FROM v"
+        for b in range(_LSH_B)
+    )
+    dot = "list_sum(list_transform(range(1, {n} + 1), i -> a.v[i] * b.v[i]))".format(
+        n=_LSH_DIM
+    )
+    norm_a = dot.replace("b.v", "a.v")
+    norm_b = dot.replace("a.v", "b.v")
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    band_rows AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM band_rows x JOIN band_rows y
+        ON x.band_no = y.band_no AND x.band_key = y.band_key
+       AND x.vec_id < y.vec_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             {dot} / (SQRT({norm_a}) * SQRT({norm_b})) AS cosine
+      FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+    )
+    """
+
+
+def _lsh_band_rows(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    band_rows = None
+    for b in range(_LSH_B):
+        part = e.select(
+            "vec_id",
+            F.lit(b).alias("band_no"),
+            _band_key_col(F.col("v"), b).alias("band_key"),
+        )
+        band_rows = part if band_rows is None else band_rows.unionAll(part)
+    return e, band_rows
+
+
+def _lsh_verified(spark, sf_dir):
+    e, band_rows = _lsh_band_rows(spark, sf_dir)
+    x = band_rows.alias("x")
+    y = band_rows.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band_no") == F.col("y.band_no"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+        .distinct()
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
+    b_ = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    return (
+        cand.join(a, F.col("id_a") == F.col("a_id"))
+        .join(b_, F.col("id_b") == F.col("b_id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (
+                    F.sqrt(_dot(F.col("va"), F.col("va")))
+                    * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+                )
+            ).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "sim_lsh_bucketed",
+    _lsh_core_sql()
+    + f"""
+    SELECT id_a, id_b, cosine FROM verified WHERE cosine >= {_LSH_TAU}
+    """,
+)
+def sim_lsh_bucketed(spark, sf_dir):
+    """Scale path for all-pairs similarity: sign-LSH banding.
+
+    1. map-side: P=12 hyperplane sign bits per vector -> B=4 band keys,
+    2. the ONLY shuffle joins (band_no, band_key) rows - vectors whose
+       signs disagree in every band never meet,
+    3. exact cosine verify on candidates only, >= 0.40 kept.
+
+    At 100 TB the band join shuffles (vec_id, 3-char key) pairs - a few
+    bytes per vector per band - and AQE splits skewed buckets. The
+    hyperplanes are +-1 literals baked into the plan (no second input),
+    so candidate generation is embarrassingly parallel."""
+    return _lsh_verified(spark, sf_dir).filter(F.col("cosine") >= _LSH_TAU)
+
+
+@query(
+    "emb_near_dup_cosine",
+    _lsh_core_sql()
+    + f"""
+    SELECT vec_id FROM v
+    WHERE vec_id NOT IN (
+      SELECT id_b FROM verified WHERE cosine >= {_LSH_TAU}
+    )
+    """,
+)
+def emb_near_dup_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate REMOVAL: a vector is dropped when
+    an LSH bucket pairs it with a lower-id vector at cosine >= 0.40
+    (keep-first policy). Survivors = corpus minus the dominated set -
+    a left-anti join against the verified pair list, so the dedup is
+    one candidate join + one anti join at any scale."""
+    verified = _lsh_verified(spark, sf_dir)
+    dominated = verified.filter(F.col("cosine") >= _LSH_TAU).select(
+        F.col("id_b").alias("vec_id")
+    )
+    e = t(spark, sf_dir, "embeddings").select("vec_id")
+    return e.join(dominated, "vec_id", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate nearest neighbor
+# ---------------------------------------------------------------------------
+_IVF_K = 16  # cells (centroid count)
+_IVF_NPROBE = 2  # cells probed per query
+_IVF_TOPK = 5
+_IVF_NQ = 4  # query vectors
+
+
+def _cos_sql(av: str, bv: str) -> str:
+    dot = f"list_sum(list_transform(range(1, {_LSH_DIM} + 1), i -> {av}[i] * {bv}[i]))"
+    na = f"list_sum(list_transform(range(1, {_LSH_DIM} + 1), i -> {av}[i] * {av}[i]))"
+    nb = f"list_sum(list_transform(range(1, {_LSH_DIM} + 1), i -> {bv}[i] * {bv}[i]))"
+    return f"{dot} / (SQRT({na}) * SQRT({nb}))"
+
+
+def _cos_col(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@query(
+    "sim_ann_ivf",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {_IVF_K}),
+    corpus AS (SELECT vec_id, v FROM v WHERE vec_id >= {_IVF_K}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT corpus.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY corpus.vec_id
+                 ORDER BY {_cos_sql('corpus.v', 'c.cv')} DESC, c.cid) AS rn
+        FROM corpus, c)
+      WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus
+          WHERE vec_id < {_IVF_K + _IVF_NQ}),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, c.cid) AS rn
+        FROM q, c)
+      WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'n.v')} AS cosine
+      FROM probe p
+      JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      JOIN q ON q.query_id = p.query_id
+      JOIN corpus n ON n.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= {_IVF_TOPK}
+    """,
+)
+def sim_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbor - the index-backed scale path.
+
+    Cells are seeded deterministically from the first K=16 vectors (a
+    stand-in for a sampled k-means fit; at 100 TB the centroid table is
+    the trained codebook, still tiny, still broadcast):
+
+    1. assignment: centroids BROADCAST against the corpus, cell =
+       argmax cosine - one map-side pass, no shuffle of the corpus,
+    2. probing: each query scores the K centroids, keeps nprobe=2
+       cells - driver-scale work,
+    3. search: candidates = corpus rows in probed cells only (a
+       broadcast semi-filter on cell id), exact cosine, top-5/query.
+
+    Recall loss vs brute force is the IVF tradeoff; the oracle encodes
+    the same construction so correctness is exact for the given seed."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    c = v.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    corpus = v.filter(F.col("vec_id") >= _IVF_K)
+
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid")
+    )
+    assign = (
+        corpus.join(F.broadcast(c))
+        .select(
+            "vec_id", "cid", _cos_col(F.col("v"), F.col("cv")).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+    q = corpus.filter(F.col("vec_id") < _IVF_K + _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    probe = (
+        q.join(F.broadcast(c))
+        .select(
+            "query_id", "cid", _cos_col(F.col("qv"), F.col("cv")).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IVF_NPROBE)
+        .select("query_id", "cid")
+    )
+
+    scored = (
+        F.broadcast(probe)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(corpus.select(F.col("vec_id"), F.col("v").alias("nv")), "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_col(F.col("qv"), F.col("nv")).alias("cosine"),
+        )
+    )
+    w_top = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id", "cosine")
+    )
