@@ -18,11 +18,17 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 # Headline set: one per operator family — scan-heavy agg, large join,
-# window, set op, text, similarity, dedup, UDF path.
+# window, set op, text, similarity, dedup, UDF path — plus the
+# compound multi-join TPC-H-shaped plans and the LSH scale paths.
 HEADLINE = [
     "q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume",
     "join_inner_hash",
     "join_broadcast",
+    "join_asof",
     "agg_hash_groupby",
     "agg_cube",
     "window_rank",
@@ -32,7 +38,9 @@ HEADLINE = [
     "scalar_json",
     "text_exact_dedup",
     "text_token_count",
+    "text_near_dedup_minhash",
     "sim_knn_cosine",
+    "sim_lsh_bucketed",
     "udf_pandas_scalar",
 ]
 

@@ -228,3 +228,29 @@ def agg_pivot(spark, sf_dir):
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.sum(dec("l_quantity")).cast("double"))
     )
+
+
+@query(
+    "agg_percentile",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           median(o_totalprice) AS med
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact percentiles (linear interpolation) + median per group.
+    Both engines sort-and-interpolate over identical doubles, so even
+    the interpolated values match bit-for-bit. Exact percentile is a
+    sort-based aggregate — at 100 TB prefer `approx_percentile`
+    (mergeable sketch, no sort) when the use case tolerates error;
+    exact stays correct but pays a per-group sort."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.median("o_totalprice").alias("med"),
+    )

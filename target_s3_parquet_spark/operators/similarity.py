@@ -168,12 +168,19 @@ def _plane_weights() -> list[list[int]]:
 _W = _plane_weights()
 
 
+def _w_list_sql(p: int) -> str:
+    return "[" + ", ".join(f"{w:.1f}" for w in _W[p]) + "]"
+
+
 def _sign_sql(p: int) -> str:
-    """DuckDB: sign bit of dot(v, plane p) as '0'/'1' (left-to-right sum)."""
-    terms = " ".join(
-        ("+ " if w > 0 else "- ") + f"v[{i + 1}]" for i, w in enumerate(_W[p])
+    """DuckDB: sign bit of dot(v, plane p) as '0'/'1' — a left-to-right
+    list_sum fold over v[i] * (±1.0), same fold order as the Spark
+    F.aggregate twin below."""
+    dot = (
+        f"list_sum(list_transform(range(1, {_LSH_DIM} + 1),"
+        f" i -> v[i] * ({_w_list_sql(p)})[i]))"
     )
-    return f"CASE WHEN (0.0 {terms}) >= 0 THEN '1' ELSE '0' END"
+    return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
 
 
 def _band_key_sql(b: int) -> str:
@@ -181,11 +188,12 @@ def _band_key_sql(b: int) -> str:
 
 
 def _sign_col(v, p: int):
-    """Spark twin of :func:`_sign_sql` - identical left-to-right fold."""
-    acc = F.lit(0.0)
-    for i, w in enumerate(_W[p]):
-        e = F.element_at(v, i + 1)
-        acc = (acc + e) if w > 0 else (acc - e)
+    """Spark twin of :func:`_sign_sql` — identical left-to-right fold.
+    (±1.0 multiplies are IEEE-exact sign flips, so this equals the
+    add/subtract formulation bit-for-bit while keeping the plan to one
+    aggregate node per plane instead of 64 chained adds.)"""
+    w = F.array(*[F.lit(float(x)) for x in _W[p]])
+    acc = _dot(v, w)
     return F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
@@ -194,7 +202,9 @@ def _band_key_col(v, b: int):
 
 
 def _lsh_core_sql() -> str:
-    """Shared CTEs: vectors -> band rows -> verified candidate pairs."""
+    """Shared CTEs: vectors (+ precomputed norm) -> band rows ->
+    verified candidate pairs. Norms are computed once per vector, not
+    per candidate pair — the verify step is a single dot product."""
     band_rows = " UNION ALL ".join(
         f"SELECT vec_id, {b} AS band_no, {_band_key_sql(b)} AS band_key FROM v"
         for b in range(_LSH_B)
@@ -202,12 +212,14 @@ def _lsh_core_sql() -> str:
     dot = "list_sum(list_transform(range(1, {n} + 1), i -> a.v[i] * b.v[i]))".format(
         n=_LSH_DIM
     )
-    norm_a = dot.replace("b.v", "a.v")
-    norm_b = dot.replace("a.v", "b.v")
     return f"""
     WITH v AS (
-      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      FROM embeddings
+      SELECT vec_id, v,
+             SQRT(list_sum(list_transform(range(1, {_LSH_DIM} + 1),
+                                          i -> v[i] * v[i]))) AS nrm
+      FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings)
     ),
     band_rows AS ({band_rows}),
     cand AS (
@@ -217,8 +229,7 @@ def _lsh_core_sql() -> str:
        AND x.vec_id < y.vec_id
     ),
     verified AS (
-      SELECT c.id_a, c.id_b,
-             {dot} / (SQRT({norm_a}) * SQRT({norm_b})) AS cosine
+      SELECT c.id_a, c.id_b, {dot} / (a.nrm * b.nrm) AS cosine
       FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
     )
     """
@@ -227,6 +238,9 @@ def _lsh_core_sql() -> str:
 def _lsh_band_rows(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    e = e.select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
     )
     band_rows = None
     for b in range(_LSH_B):
@@ -253,21 +267,17 @@ def _lsh_verified(spark, sf_dir):
         .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
         .distinct()
     )
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"))
-    b_ = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b_ = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
         cand.join(a, F.col("id_a") == F.col("a_id"))
         .join(b_, F.col("id_b") == F.col("b_id"))
         .select(
             "id_a",
             "id_b",
-            (
-                _dot(F.col("va"), F.col("vb"))
-                / (
-                    F.sqrt(_dot(F.col("va"), F.col("va")))
-                    * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-                )
-            ).alias("cosine"),
+            (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
         )
     )
 
@@ -290,7 +300,15 @@ def sim_lsh_bucketed(spark, sf_dir):
     At 100 TB the band join shuffles (vec_id, 3-char key) pairs - a few
     bytes per vector per band - and AQE splits skewed buckets. The
     hyperplanes are +-1 literals baked into the plan (no second input),
-    so candidate generation is embarrassingly parallel."""
+    so candidate generation is embarrassingly parallel.
+
+    Parameter scaling: candidate volume is B * n^2 / 2^R per band-key
+    space, so R (bits per band) must grow with corpus size and target
+    threshold - R=3/B=4 here because the demo threshold 0.40 sits in
+    the low-similarity regime (sign-agreement prob 0.63/bit) and the
+    synthetic corpus has no true near-dups; production near-dup at
+    tau>=0.9 (0.86/bit) uses R=8+/B=4-8, giving 256+ buckets per band
+    and per-bucket candidate lists that stay bounded as n grows."""
     return _lsh_verified(spark, sf_dir).filter(F.col("cosine") >= _LSH_TAU)
 
 

@@ -1,0 +1,314 @@
+"""Compound analytical queries (TPC-H-shaped) over the synthetic star
+schema — multi-join, selective-filter, agg-then-topk plans that exercise
+the optimizer end-to-end the way single-operator keys can't.
+
+The reference has no query surface at all (it is a write-only Singer
+target — see SURVEY.md §1.5), so these are extension operators: the
+query capability a user of the written Parquet actually runs, expressed
+so Catalyst produces the plan we'd want at 100 TB:
+
+- dimension tables (region/nation/customer/supplier/part) broadcast —
+  the fact table never shuffles for a dim join;
+- selective date/segment filters sit below the joins (pushed to the
+  parquet scan — verify with .explain showing PushedFilters);
+- aggregates use the DECIMAL(38,6) exact-sum discipline so results are
+  partitioning-independent (same answer on 1 or 1000 executors).
+
+Q-numbers follow the classic TPC-H queries these are shaped after,
+adapted to the driver's slimmer synthetic schema (TESTDATA.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.operators._util import dec, dsum, sql_dsum, t
+from target_s3_parquet_spark.registry import query
+
+_REV_SQL = "l_extendedprice * (1.0 - l_discount)"
+
+
+def _rev():
+    # Built lazily: Column construction needs an active SparkContext.
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           {sql_dsum(_REV_SQL, "revenue")},
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-15'
+      AND l.l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark, sf_dir):
+    """Q3: unshipped-order revenue for one market segment, top 10.
+
+    Plan shape: customer (filtered on segment) broadcasts into orders
+    (date filter pushed to scan), the result broadcasts into lineitem —
+    the fact table is filtered and aggregated without ever being the
+    build side. Top-10 via TakeOrderedAndProject, no global sort."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
+    )
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(_rev(), "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name, {sql_dsum(_REV_SQL, "revenue")}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def tpch_q5_local_supplier_volume(spark, sf_dir):
+    """Q5: revenue by nation where customer and supplier share the
+    nation, one region, two-year window. Six-table join where every
+    dimension side broadcasts; the only exchange is the final small
+    groupBy on n_name."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    f"""
+    SELECT {sql_dsum("l_extendedprice * l_discount", "revenue")},
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24.0
+    """,
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """Q6: pure scan-filter-aggregate — the pushdown showcase. All four
+    predicates reach the parquet reader (PushedFilters), only three
+    columns are read (ReadSchema), and the aggregate is a map-side
+    partial + single-row final. At 100 TB this is I/O bound, exactly
+    as it should be."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.04, 0.06)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    f"""
+    SELECT c.c_custkey, c.c_name, {sql_dsum(_REV_SQL, "revenue")},
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """Q10: top-20 customers by returned-item revenue in a quarter.
+    Fact-side filter on returnflag prunes before the join; customer and
+    nation broadcast; TakeOrdered caps the result."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(_rev(), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q18_large_volume",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, big.sum_qty
+    FROM (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(38,6))) > 120
+    ) big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def tpch_q18_large_volume(spark, sf_dir):
+    """Q18: customers with orders whose total quantity exceeds the
+    threshold. The HAVING-aggregate runs first (one shuffle on the
+    fact's own key — unavoidable and maximally pruned: two columns in,
+    one row per qualifying order out), then dims broadcast onto the
+    tiny survivor set."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 120)
+        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(F.broadcast(o), big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@query(
+    "subquery_exists",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def subquery_exists(spark, sf_dir):
+    """Correlated EXISTS — decorrelates to a left-semi join (Catalyst
+    does the same rewrite when expressed in SQL). Semi join keeps the
+    probe side unexpanded: no fan-out however many urgent orders a
+    customer has."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "subquery_not_in",
+    """
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                            WHERE l_quantity >= 45.0)
+    """,
+)
+def subquery_not_in(spark, sf_dir):
+    """NOT IN over a non-nullable key — decorrelates to a left-anti
+    join. (With a nullable subquery column NOT IN needs null-aware
+    anti join semantics; l_partkey is non-null so plain anti is
+    exact.)"""
+    p = t(spark, sf_dir, "part")
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45.0)
+    return p.join(
+        l, p.p_partkey == l.l_partkey, "left_anti"
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "subquery_scalar_correlated",
+    """
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity
+    FROM lineitem l
+    JOIN (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    ) pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity > 1.8 * pa.avg_qty
+    """,
+)
+def subquery_scalar_correlated(spark, sf_dir):
+    """Q17-shaped correlated scalar subquery: rows exceeding 1.8× the
+    per-partkey average. Decorrelated form: aggregate once per partkey,
+    join back. Both sides shuffle on l_partkey — Spark reuses the
+    exchange for the self-join (ReusedExchange in the plan)."""
+    l = t(spark, sf_dir, "lineitem")
+    pa = l.groupBy("l_partkey").agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        l.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") > 1.8 * F.col("avg_qty"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )

@@ -62,6 +62,7 @@ def load_all() -> None:
         joins,
         relational,
         similarity,
+        tpch,
         windows,
     )
     from target_s3_parquet_spark.functions import (  # noqa: F401
