@@ -1,0 +1,175 @@
+"""Training-data pipeline utilities: deterministic splits, event
+sessionization, reshaping, and table profiling — the operations a
+large-scale dataset build runs between ingest and training.
+
+All are pure DataFrame compositions (no UDFs) so they stay inside
+whole-stage codegen, and all are deterministic (hash-based, not
+RNG-based) so the same row lands in the same split/session on any
+cluster size, any partitioning, any run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.registry import query
+
+
+@query(
+    "sample_hash_split",
+    """
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars
+    FROM (
+      SELECT CASE
+               WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8)) AS BIGINT) % 100 < 90 THEN 'valid'
+               ELSE 'test'
+             END AS split,
+             n_chars
+      FROM documents)
+    GROUP BY split
+    """,
+)
+def sample_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test split by key hash —
+    NOT `df.sample()`: RNG sampling is partitioning-dependent and
+    unrepeatable across engines/runs, while `md5(key) % 100` pins every
+    document to its split forever (new data joins a split without
+    reshuffling old rows — the property a training pipeline needs for
+    dataset versioning). Map-side only; the tiny groupBy here just
+    summarizes the assignment."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "sessionize_events",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, session_no, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess
+    GROUP BY user_id, session_no
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Batch sessionization: a new session starts after a >30 min gap.
+    The classic gaps-and-islands plan — lag to flag starts, running sum
+    to number sessions, then aggregate per session. ONE shuffle on
+    user_id serves the lag window, the numbering window, and (via
+    partial aggregation on the same partitioning) the final groupBy —
+    the whole operator is a single exchange at any scale. (This is the
+    batch twin of the streaming `session_window` operator.)"""
+    e = t(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_order)
+    is_start = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
+        1,
+    ).otherwise(0)
+    w_run = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(is_start).over(w_run).alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "unpivot_melt",
+    """
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+      FROM customer)
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    """Wide→long reshape via native `unpivot` (STACK under the hood —
+    a generator projection, zero shuffle, output rows = cols × rows
+    streamed out of the same scan)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+@query(
+    "profile_table_stats",
+    """
+    SELECT 'o_totalprice' AS col_name,
+           COUNT(*) AS n_rows,
+           COUNT(o_totalprice) AS n_nonnull,
+           COUNT(DISTINCT o_totalprice) AS n_distinct,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_val,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    """,
+)
+def profile_table_stats(spark, sf_dir):
+    """ANALYZE-style column profile (rowcount, null count, NDV, min,
+    max) as one job: per-column aggregates computed in a single scan
+    per column set. Exact NDV here because the oracle needs exactness;
+    the 100 TB profile swaps COUNT(DISTINCT) for the mergeable
+    `approx_count_distinct` sketch (see `agg_approx_distinct`)."""
+    o = t(spark, sf_dir, "orders")
+
+    def prof(col):
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.count("*").alias("n_rows"),
+            F.count(col).alias("n_nonnull"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.min(col).cast("double").alias("min_val"),
+            F.max(col).cast("double").alias("max_val"),
+        )
+
+    return prof("o_totalprice").unionAll(prof("o_custkey"))

@@ -60,6 +60,7 @@ def load_all() -> None:
         aggregates,
         dedup,
         joins,
+        pipeline,
         relational,
         similarity,
         tpch,
