@@ -292,3 +292,49 @@ def join_asof(spark, sf_dir):
         F.col("last_view.event_id").alias("view_id"),
         F.col("last_view.ts").alias("view_ts"),
     )
+
+
+@query(
+    "join_skew_salted",
+    """
+    SELECT n.n_name, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Skew-mitigation pattern: salt the hot key space S ways.
+
+    The fact side gets a deterministic salt (hash of its row key mod
+    S); the dim side explodes S replicas, one per salt value; the join
+    key becomes (key, salt), splitting each hot key's rows across S
+    tasks. Result set is IDENTICAL to the plain join (the oracle is the
+    unsalted SQL) — only the physical distribution changes, which is
+    the point: correctness is partitioning-independent, so the salt is
+    free to vary with observed skew. Spark 3+ AQE does this rewrite
+    automatically for sort-merge joins (skewJoin.enabled); the explicit
+    form is for the cases AQE can't see, e.g. skewed aggregations or
+    pre-AQE shuffle plans. Partial aggregation happens per (key, salt)
+    before the final merge — two small shuffles instead of one hot one.
+    """
+    SALT = 8
+    c = t(spark, sf_dir, "customer").withColumn(
+        "salt", (F.xxhash64("c_custkey") % SALT + SALT) % SALT
+    )
+    n = (
+        t(spark, sf_dir, "nation")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
+        .withColumn("salt", F.col("salt").cast("bigint"))
+    )
+    joined = c.join(
+        F.broadcast(n), (c.c_nationkey == n.n_nationkey) & (c.salt == n.salt)
+    )
+    salted = joined.groupBy("n_name", c.salt).agg(
+        F.count("*").alias("pc"),
+        F.sum(F.col("c_acctbal").cast("decimal(38,6)")).alias("pb"),
+    )
+    return salted.groupBy("n_name").agg(
+        F.sum("pc").alias("n_customers"),
+        F.sum("pb").cast("double").alias("total_bal"),
+    )

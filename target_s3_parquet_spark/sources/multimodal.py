@@ -86,10 +86,26 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload") -> DataF
     )
 
 
-@query("multimodal_decode_features")  # no SQL oracle: mapInPandas plumbing
+@query(
+    "multimodal_decode_features",
+    # The stub decoder is md5-deterministic, so even the mapInPandas
+    # path carries a full value oracle: width/height derive from the
+    # first 8 bytes of md5(payload) exactly as decode_image_stub does.
+    """
+    SELECT doc_id,
+           64 + CAST(('0x' || substring(md5(text), 1, 16)) AS UBIGINT) % 1024
+             AS width,
+           64 + (CAST(('0x' || substring(md5(text), 1, 16)) AS UBIGINT) // 1024)
+               % 1024 AS height,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
 def multimodal_decode_features(spark, sf_dir):
-    """Feature extraction through the stubbed decoder (rows-only check:
-    the decode is a deterministic fake, not SQL-expressible)."""
+    """Feature extraction through the stubbed decoder. The Spark side
+    runs the REAL distributed plumbing (binary column -> Arrow batches
+    -> mapInPandas -> typed schema out); the oracle replays the stub's
+    md5 arithmetic in SQL, so the whole path is value-verified."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
