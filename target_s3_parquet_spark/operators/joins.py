@@ -338,3 +338,61 @@ def join_skew_salted(spark, sf_dir):
         F.sum("pc").alias("n_customers"),
         F.sum("pb").cast("double").alias("total_bal"),
     )
+
+
+@query(
+    "join_bucketed_colocated",
+    """
+    SELECT o.o_orderkey, o.o_orderdate,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    """Shuffle-free large-large join via bucketing.
+
+    Both tables are written once as bucketed datasets (16 buckets,
+    hashed + sorted on the join key); the sort-merge join then reads
+    bucket i against bucket i directly — ZERO exchange on either side,
+    and the groupBy on the same key reuses the bucket partitioning too.
+    This is the co-location strategy for repeated fact-fact joins at
+    100 TB: pay one bucketed write, then every subsequent join/agg on
+    that key is exchange-free. (AQE can't remove a shuffle it never
+    sees; bucketing removes it at the source.) The `merge` hint pins
+    SMJ so the demo doesn't degenerate to broadcast at toy scale."""
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))), ".bucketed")
+    names = {}
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        tname = f"{tbl}_bkt_{tag}"
+        names[tbl] = tname
+        if not spark.catalog.tableExists(tname):
+            (
+                t(spark, sf_dir, tbl)
+                .write.bucketBy(16, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, tname))
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tname)
+            )
+    l = spark.table(names["lineitem"])
+    o = spark.table(names["orders"]).filter(F.col("o_orderstatus") == "F")
+    return (
+        o.hint("merge")
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
