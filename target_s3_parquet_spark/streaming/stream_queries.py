@@ -293,3 +293,38 @@ def stream_stateful_running(spark, sf_dir):
         F.max("emit_count").alias("total_events"),
         (F.max("emit_total").cast("double") / 1_000_000).alias("total_value"),
     )
+
+
+@query(
+    "stream_join_static",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_join_static(spark, sf_dir):
+    """Stream-static enrichment join: the event stream joins a static
+    dimension (customer) micro-batch by micro-batch — the canonical
+    "enrich the firehose with reference data" pattern. The static side
+    is broadcast into every micro-batch (re-resolved each trigger, so a
+    refreshed dim table is picked up without restarting the query);
+    state is only the running aggregate, never the join itself.
+    Complete-mode aggregation makes the result micro-batch-invariant,
+    which is what lets a batch oracle verify it."""
+    events = t(spark, sf_dir, "events")
+    customer = F.broadcast(t(spark, sf_dir, "customer"))
+
+    def build(stream):
+        enriched = (
+            stream.filter(F.col("event_type") == "purchase")
+            .join(customer, F.col("user_id") == F.col("c_custkey"))
+        )
+        return enriched.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+
+    return replay_stream(spark, events, build, output_mode="complete")
