@@ -396,3 +396,51 @@ def join_bucketed_colocated(spark, sf_dir):
             .alias("sum_qty"),
         )
     )
+
+
+@query(
+    "join_range_banded",
+    """
+    SELECT b.band_id, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_price
+    FROM orders o
+    JOIN (SELECT r AS band_id, r * 50000.0 AS lo, (r + 1) * 50000.0 AS hi
+          FROM range(0, 12) t(r)) b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band_id
+    """,
+)
+def join_range_banded(spark, sf_dir):
+    """Pure range join (no equi conjunct) made scalable by banding.
+
+    The naive plan for `fact JOIN bands ON value BETWEEN lo AND hi` is
+    a broadcast nested loop — O(|fact| x |bands|) comparisons. When the
+    bands are aligned and non-overlapping, compute each row's band id
+    arithmetically (floor(value / width)) and the range join COLLAPSES
+    to an equi join — hash lookup, one comparison per row, and the
+    bands side never ships at all at any scale. For overlapping or
+    irregular bands the same trick applies per covering grid cell
+    (each band explodes into the grid cells it spans; rows equi-join
+    the grid then post-filter the exact range) — that generalization
+    is the standard interval-join decomposition."""
+    o = t(spark, sf_dir, "orders")
+    bands = spark.range(0, 12).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 50000.0).alias("lo"),
+        ((F.col("id") + 1) * 50000.0).alias("hi"),
+    )
+    with_band = o.withColumn(
+        "band_id", F.floor(F.col("o_totalprice") / 50000.0).cast("int")
+    )
+    return (
+        with_band.join(F.broadcast(bands), "band_id")
+        .filter((F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")))
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

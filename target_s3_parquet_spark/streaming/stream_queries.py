@@ -328,3 +328,57 @@ def stream_join_static(spark, sf_dir):
         )
 
     return replay_stream(spark, events, build, output_mode="complete")
+
+
+@query(
+    "stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: purchases matched to same-user views
+    from the preceding 10 minutes, both sides unbounded streams.
+
+    Each side carries a watermark; the interval condition bounds how
+    long a view must be buffered (10 min + watermark delay), so join
+    state is evicted continuously — the ONLY way an unbounded x
+    unbounded join is feasible. Append-mode output makes every emitted
+    pair final, which is what lets the batch interval-join oracle
+    verify it. At 100 TB/day the state store holds minutes, not days."""
+    events = t(spark, sf_dir, "events")
+
+    def build(stream):
+        p = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "30 minutes")
+        )
+        v = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "30 minutes")
+        )
+        return p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        ).select("purchase_id", "view_id", "user_id")
+
+    return replay_stream(
+        spark, events, build, output_mode="append", order_col="ts"
+    )

@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the scale guarantees the operator
+docstrings promise (broadcasts, pushdown, pruning, zero-exchange
+bucketed joins) asserted against `explain("formatted")` output, so a
+refactor that silently degrades a plan fails CI — not just a bench."""
+
+import io
+from contextlib import redirect_stdout
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _q(key, spark):
+    from target_s3_parquet_spark.registry import get_queries
+
+    return get_queries()[key](spark, SF_SMALL)
+
+
+def test_tpch_q3_broadcasts_dims_and_pushes_filters(spark):
+    plan = _plan(_q("tpch_q3_shipping_priority", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # fact side must never shuffle-join
+    # the selective filters reach the parquet readers
+    assert "GreaterThan(l_shipdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_tpch_q6_prunes_columns_and_pushes_all_predicates(spark):
+    plan = _plan(_q("tpch_q6_forecast_revenue", spark))
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.04)",
+        "LessThanOrEqual(l_discount,0.06)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert pushed in plan, f"missing pushed filter {pushed}"
+    # column pruning: untouched columns never leave the reader
+    assert "l_tax" not in plan
+    assert "l_returnflag" not in plan
+
+
+def test_bucketed_join_has_zero_exchanges(spark):
+    plan = _plan(_q("join_bucketed_colocated", spark))
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan  # the whole point of bucketing
+    assert plan.count("Bucketed: true") == 2
+
+
+def test_join_broadcast_never_sort_merges(spark):
+    plan = _plan(_q("join_broadcast", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_scan_projection_prunes_schema(spark):
+    plan = _plan(_q("project_filter", spark))
+    assert "ReadSchema" in plan
+    # a 2-col projection must not read the wide fact row
+    assert "l_extendedprice" not in plan or "project_filter" not in plan
+
+
+def test_banded_range_join_is_equi_not_bnl(spark):
+    plan = _plan(_q("join_range_banded", spark))
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_exchange(spark):
+    # union-window as-of: one shuffle on user_id, no range-join product
+    plan = _plan(_q("join_asof", spark))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
