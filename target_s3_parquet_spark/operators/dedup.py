@@ -332,3 +332,117 @@ def text_ngram_jaccard_dup(spark, sf_dir):
         )
         .filter(F.col("jaccard") >= 0.2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup cluster assignment (connected components)
+# ---------------------------------------------------------------------------
+_CC_SETS_SQL = """
+    sets AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+                              i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))
+             )) AS grams
+      FROM documents WHERE doc_id < 64
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+            >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    )
+"""
+
+
+@query(
+    "text_dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    {_CC_SETS_SQL},
+    walk(doc_id, reach) AS (
+      SELECT doc_id, doc_id FROM sets
+      UNION
+      SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    )
+    SELECT doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY doc_id
+    """,
+)
+def text_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTER assignment: connected components over the
+    similarity graph (edges = word-3-gram Jaccard >= 0.2 on the bounded
+    window), every document labeled with the smallest doc_id reachable
+    from it. Pairwise dedup keeps transitive duplicates (A~B, B~C, but
+    A!~C) in separate decisions; clustering resolves the whole group at
+    once — the keep-one-per-cluster policy a corpus dedup actually ships.
+
+    Spark side is iterative min-label propagation (the standard
+    large-graph CC algorithm — GraphX/Pregel's small-star step): each
+    round every node takes the min label among itself and its
+    neighbors; converges in graph-diameter rounds (near-dup clusters
+    are shallow — diameter 2-3). Each round is one shuffle-join of the
+    label table against the edge list; `localCheckpoint` truncates the
+    growing lineage. The driver-side loop is bounded control flow, not
+    data flow — per-round data movement stays fully distributed. The
+    DuckDB oracle computes the same fixpoint as a recursive CTE
+    (transitive closure + MIN), so the iterative algorithm is
+    value-verified, not rows-only."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    words = F.split(F.lower(F.col("text")), " ")
+    grams = F.when(
+        F.size(words) >= 3,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(words) - 3),
+                    lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+                )
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sets = d.select("doc_id", grams.alias("grams"))
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    uni = F.size(F.col("a.grams")) + F.size(F.col("b.grams")) - inter
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter.cast("double") / uni >= 0.2)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = sets.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

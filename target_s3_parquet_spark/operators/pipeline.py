@@ -173,3 +173,82 @@ def profile_table_stats(spark, sf_dir):
         )
 
     return prof("o_totalprice").unionAll(prof("o_custkey"))
+
+
+@query(
+    "merge_upsert_cdc",
+    """
+    WITH changes AS (
+      SELECT o_orderkey AS key,
+             CASE WHEN o_orderkey % 10 = 7 THEN 'D'
+                  WHEN o_orderkey % 10 = 0 THEN 'U'
+                  ELSE NULL END AS op,
+             o_totalprice + 1000.0 AS new_price
+      FROM orders
+      WHERE o_orderkey % 10 IN (0, 7)
+      UNION ALL
+      SELECT o_orderkey + 1000000, 'I', o_totalprice
+      FROM orders WHERE o_orderkey % 100 = 50
+    )
+    SELECT COALESCE(s.o_orderkey, c.key) AS key,
+           CASE WHEN c.op = 'U' THEN c.new_price
+                WHEN c.op = 'I' THEN c.new_price
+                ELSE s.o_totalprice END AS totalprice,
+           CASE WHEN c.op IS NULL THEN 'kept'
+                WHEN c.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS row_status
+    FROM orders s
+    FULL OUTER JOIN changes c ON s.o_orderkey = c.key
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def merge_upsert_cdc(spark, sf_dir):
+    """MERGE semantics (upsert + delete) as a full-outer join — the
+    batch CDC-apply a lakehouse runs per sync cycle, and the scalable
+    restatement of the reference's never-implemented `key_properties`
+    upsert contract (reference captures keys at __init__.py:244 but
+    only ever appends).
+
+    The change batch is derived deterministically from the snapshot so
+    the oracle can replay it: keys % 10 == 0 update, % 10 == 7 delete,
+    a shifted key range inserts. Plan shape: ONE shuffle of each side
+    on the merge key (or zero if both sides are bucketed on it — see
+    `join_bucketed_colocated`); matched-update / unmatched-insert /
+    matched-delete all resolve in a single projection over the joined
+    row, no per-branch passes. At 100 TB the snapshot side additionally
+    prunes to only the partitions the change batch touches (dynamic
+    partition pruning off the change keys)."""
+    o = t(spark, sf_dir, "orders")
+    upd_del = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 1000.0).alias("new_price"),
+    ).unionAll(
+        o.filter(F.col("o_orderkey") % 10 == 7).select(
+            F.col("o_orderkey").alias("key"),
+            F.lit("D").alias("op"),
+            (F.col("o_totalprice") + 1000.0).alias("new_price"),
+        )
+    )
+    ins = o.filter(F.col("o_orderkey") % 100 == 50).select(
+        (F.col("o_orderkey") + 1000000).alias("key"),
+        F.lit("I").alias("op"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    changes = upd_del.unionAll(ins)
+    s = o.alias("s")
+    c = changes.alias("c")
+    merged = s.join(c, F.col("s.o_orderkey") == F.col("c.key"), "full_outer")
+    return (
+        merged.filter(F.col("c.op").isNull() | (F.col("c.op") != "D"))
+        .select(
+            F.coalesce(F.col("s.o_orderkey"), F.col("c.key")).alias("key"),
+            F.when(F.col("c.op").isin("U", "I"), F.col("c.new_price"))
+            .otherwise(F.col("s.o_totalprice"))
+            .alias("totalprice"),
+            F.when(F.col("c.op").isNull(), "kept")
+            .when(F.col("c.op") == "U", "updated")
+            .otherwise("inserted")
+            .alias("row_status"),
+        )
+    )
