@@ -237,3 +237,113 @@ def text_tokenize_tfidf(spark, sf_dir):
             ).alias("tfidf"),
         )
     )
+
+
+@query(
+    "text_pii_scrub",
+    r"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' Contact: user' || doc_id ||
+             '@example.com or https://example.com/u/' || doc_id AS raw
+      FROM documents
+    ),
+    scrubbed AS (
+      SELECT doc_id,
+             len(regexp_extract_all(raw, 'https?://[^ ]+')) AS n_urls,
+             regexp_replace(
+               regexp_replace(raw, 'https?://[^ ]+', '<URL>', 'g'),
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'
+             ) AS clean
+      FROM enriched
+    )
+    SELECT doc_id, n_urls,
+           len(regexp_extract_all(clean, '<EMAIL>')) AS n_emails,
+           md5(clean) AS clean_md5
+    FROM scrubbed
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """PII scrubbing for training corpora: URLs then emails replaced by
+    placeholder tokens, with per-doc redaction counts. (The synthetic
+    corpus carries no real PII, so deterministic PII is appended from
+    doc_id first — both engines construct the identical input.) Pure
+    regexp projection: map-side, codegen'd, zero shuffle at any scale.
+    Patterns are restricted to the regex subset with identical
+    semantics in Java regex and RE2 so the oracle matches byte-for-byte
+    (verified via md5 of the scrubbed text)."""
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id"),
+        F.lit("@example.com or https://example.com/u/"),
+        F.col("doc_id"),
+    )
+    no_url = F.regexp_replace(raw, r"https?://[^ ]+", "<URL>")
+    clean = F.regexp_replace(
+        no_url, r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(r"https?://[^ ]+"), 0))
+        .cast("long")
+        .alias("n_urls"),
+        F.size(F.regexp_extract_all(clean, F.lit("<EMAIL>"), 0))
+        .cast("long")
+        .alias("n_emails"),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )
+
+
+@query(
+    "docs_quality_filter",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+             LENGTH(text) AS n
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n BETWEEN 100 AND 5000
+        AND n_words >= 10
+        AND CAST(n_punct AS DOUBLE) / n < 0.1
+    )
+    SELECT lang, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(n_words AS DECIMAL(38,6))) AS DOUBLE) AS total_words,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM kept
+    GROUP BY lang
+    """,
+)
+def docs_quality_filter(spark, sf_dir):
+    """End-to-end corpus cleaning selection (the C4-rule shape): length
+    window + minimum word count + punctuation-ratio cap, then per-lang
+    acceptance stats. This is the materialization query a dataset build
+    runs before tokenization — at 100 TB it is a single filtered scan
+    (every predicate computable per-row, no shuffle until the tiny
+    per-lang summary), and the kept set would be written
+    `partitionBy(lang)` straight from the same plan."""
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_words = F.size(F.split("text", " "))
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    kept = d.select(
+        "lang", "n_chars", n.alias("n"), n_words.alias("n_words"), n_punct.alias("n_punct")
+    ).filter(
+        n.between(100, 5000)
+        & (n_words >= 10)
+        & (n_punct.cast("double") / n < 0.1)
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(F.col("n_words").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_words"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -71,7 +71,7 @@ def load_all() -> None:
         text_analysis,
         udfs,
     )
-    from target_s3_parquet_spark.sources import multimodal, singer_queries  # noqa: F401
+    from target_s3_parquet_spark.sources import formats, multimodal, singer_queries  # noqa: F401
     from target_s3_parquet_spark.streaming import stream_queries  # noqa: F401
 
     _LOADED = True

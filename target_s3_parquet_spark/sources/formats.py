@@ -1,0 +1,82 @@
+"""File-format sources beyond Parquet: CSV and JSON-lines round trips.
+
+The reference's only I/O is stdin text in, Parquet out; a user running
+queries over landed data also needs the sidecar formats taps and
+exports produce. Each key writes a table out in the format under test
+(into a gitignored scratch dir), reads it back with an explicit schema
+(never inference — schema inference is a full extra pass at 100 TB and
+nondeterministic under sampling), and returns the content, which the
+oracle checks against the original table: a write→read identity proof
+for the format codec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.registry import query
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".roundtrip",
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("odate", T.StringType()),
+    ]
+)
+
+_ORACLE = """
+    SELECT o_orderkey AS key, o_orderstatus AS status,
+           o_totalprice AS price,
+           strftime(o_orderdate, '%Y-%m-%d') AS odate
+    FROM orders
+"""
+
+
+def _export(spark, sf_dir):
+    return t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+    )
+
+
+def _roundtrip(spark, sf_dir, fmt: str):
+    path = os.path.join(
+        _SCRATCH, f"orders_{fmt}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    out = _export(spark, sf_dir)
+    writer = out.write.mode("overwrite")
+    if fmt == "csv":
+        writer.option("header", "true").csv(path)
+        return spark.read.schema(_SCHEMA).option("header", "true").csv(path)
+    writer.json(path)
+    return spark.read.schema(_SCHEMA).json(path)
+
+
+@query("scan_csv_roundtrip", _ORACLE)
+def scan_csv_roundtrip(spark, sf_dir):
+    """CSV write→read identity: header on, explicit schema on read (a
+    headerless string scan plus cast would also work; inference never
+    does at scale). Doubles survive because Spark's CSV writer emits
+    round-trippable shortest-repr floats."""
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@query("scan_json_roundtrip", _ORACLE)
+def scan_json_roundtrip(spark, sf_dir):
+    """JSON-lines write→read identity with explicit schema — the
+    landing format half of all taps emit. Field order in JSON is
+    irrelevant; the schema projects by name."""
+    return _roundtrip(spark, sf_dir, "json")
