@@ -1,0 +1,172 @@
+"""Time-series operators over the ``events`` stream table: hierarchical
+rollups (the hypertable continuous-aggregate shape), gap-filling with
+last-observation-carried-forward, and Z-order clustering keys for
+time+key data skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.operators._util import dec, t
+from target_s3_parquet_spark.registry import query
+
+
+@query(
+    "rollup_time_hierarchy",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS (
+      (event_type),
+      (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)),
+      (event_type, CAST(date_trunc('day', ts) AS TIMESTAMP),
+       date_trunc('hour', ts))
+    )
+    """,
+)
+def rollup_time_hierarchy(spark, sf_dir):
+    """Hypertable-style continuous-aggregate hierarchy: one pass emits
+    the hourly, daily, and all-time rollups per event type via ROLLUP
+    over (type, day, hour). Spark computes the finest grain once and
+    re-aggregates upward (a single Expand + one shuffle), which is the
+    same maintenance strategy a continuous aggregate runs incrementally
+    per arriving chunk at 100 TB — append the hour partials, merge
+    upward; decimal-exact sums make the merge order-independent."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.date_trunc("hour", "ts").alias("hour"),
+            "value",
+        )
+        .rollup("event_type", "day", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
+        )
+        # ROLLUP also emits the grand-total row; the SQL GROUPING SETS
+        # spec above starts at (event_type), so drop the () grouping.
+        .filter(F.col("event_type").isNotNull())
+    )
+
+
+@query(
+    "gapfill_locf",
+    """
+    WITH bounds AS (
+      SELECT user_id,
+             date_trunc('day', MIN(ts)) AS lo,
+             date_trunc('day', MAX(ts)) AS hi
+      FROM events WHERE user_id < 8 GROUP BY user_id
+    ),
+    grid AS (
+      SELECT b.user_id, g.d AS day
+      FROM bounds b, LATERAL (
+        SELECT UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS d) g
+    ),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+      FROM events WHERE user_id < 8
+      GROUP BY user_id, date_trunc('day', ts)
+    ),
+    joined AS (
+      SELECT g.user_id, g.day, d.day_value,
+             COUNT(d.day_value) OVER (PARTITION BY g.user_id ORDER BY g.day)
+               AS grp
+      FROM grid g LEFT JOIN daily d
+        ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id, day, day_value,
+           MAX(day_value) OVER (PARTITION BY user_id, grp) AS filled_value
+    FROM joined
+    """,
+)
+def gapfill_locf(spark, sf_dir):
+    """Gap-fill to a daily grid with last-observation-carried-forward:
+
+    1. per-user day grid via `sequence(min_day, max_day)` + explode —
+       generated, not stored;
+    2. left-join the real daily aggregates onto the grid;
+    3. LOCF via `last(value, ignoreNulls)` over an unbounded-preceding
+       window — one shuffle on user_id shared by grid numbering and
+       fill.
+
+    The standard time-series densification: grid size is
+    days x users (bounded, predictable), never a cross join against
+    the raw events. (DuckDB lacks ignore-nulls `last_value`, so the
+    oracle builds the same fill with the count-partition trick —
+    identical semantics, engine-local idiom.)"""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(dec(F.col("value"))).cast("double").alias("day_value"))
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@query(
+    "zorder_cluster_key",
+    """
+    SELECT event_id, x, y,
+           CAST((SELECT SUM(
+                   (((x // (1 << i.i)) % 2) * (1 << (2 * i.i)))
+                 + (((y // (1 << i.i)) % 2) * (1 << (2 * i.i + 1))))
+                 FROM (SELECT UNNEST(range(0, 16)) AS i) i) AS BIGINT) AS zval
+    FROM (
+      SELECT event_id,
+             user_id % 65536 AS x,
+             CAST(epoch(ts) AS BIGINT) // 86400 % 65536 AS y
+      FROM events)
+    """,
+)
+def zorder_cluster_key(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, day): interleave
+    16 bits of each dimension so rows near in BOTH dimensions are near
+    in the sort order. Sorting/range-partitioning the write by `zval`
+    gives every parquet file a tight min/max envelope on BOTH columns
+    — scans filtered on either user OR time range skip most files,
+    where a plain sort only serves its leading column. The key is pure
+    per-row bit arithmetic (codegen'd, shuffle-free); the write-side
+    usage is `df.repartitionByRange(N, "zval").sortWithinPartitions
+    ("zval").write...`."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 65536).alias("x"),
+        ((F.col("ts").cast("long") / F.lit(86400)).cast("long") % 65536).alias("y"),
+    )
+    zval = None
+    for i in range(16):
+        xb = ((F.col("x") / F.lit(1 << i)).cast("long") % 2) * F.lit(1 << (2 * i))
+        yb = ((F.col("y") / F.lit(1 << i)).cast("long") % 2) * F.lit(
+            1 << (2 * i + 1)
+        )
+        term = xb + yb
+        zval = term if zval is None else zval + term
+    return e.select("event_id", "x", "y", zval.cast("long").alias("zval"))

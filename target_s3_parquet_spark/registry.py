@@ -63,6 +63,7 @@ def load_all() -> None:
         pipeline,
         relational,
         similarity,
+        timeseries,
         tpch,
         windows,
     )
