@@ -109,3 +109,49 @@ def emit_state(state: str | None) -> None:
         import sys
 
         print(state, flush=True, file=sys.stdout)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_file_bytes`` each, preserving Hive partition directories.
+
+    The streaming Singer sink (and the reference before it — one file
+    per contiguous stream run, `__init__.py:292-301`) accretes small
+    files; S3 listings and task scheduling degrade with file count, so
+    a periodic compaction pass is part of the 100 TB story. Strategy:
+    size the dataset from the source files, `repartition(ceil(bytes /
+    target))` — an AQE-coalesced round-robin shuffle that also heals
+    skewed file sizes — and rewrite atomically via a staging directory
+    rename. Returns the output file count."""
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    staging = path.rstrip("/") + "._compact_staging"
+    writer = df.repartition(n_files).write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
+    backup = path.rstrip("/") + "._compact_old"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
