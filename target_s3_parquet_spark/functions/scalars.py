@@ -316,3 +316,24 @@ def scalar_cast_formats(spark, sf_dir):
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
+
+
+@query(
+    "scalar_posexplode",
+    """
+    SELECT doc_id, i - 1 AS pos, words[i] AS word
+    FROM (SELECT doc_id,
+                 string_split(lower(text), ' ') AS words
+          FROM documents WHERE doc_id < 16),
+         LATERAL (SELECT UNNEST(range(1, len(words) + 1)) AS i) t
+    """,
+)
+def scalar_posexplode(spark, sf_dir):
+    """Positional explode (LATERAL VIEW posexplode): token with its
+    0-based offset — the tokenizer-output shape. A generator
+    projection: rows stream out of the scan, no shuffle."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 16)
+    return d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "word"),
+    ).select("doc_id", F.col("pos").cast("long"), "word")

@@ -444,3 +444,44 @@ def join_range_banded(spark, sf_dir):
             .alias("total_price"),
         )
     )
+
+
+@query(
+    "join_null_safe",
+    """
+    WITH l AS (SELECT o_orderkey,
+                      CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                           ELSE o_orderstatus END AS k
+               FROM orders),
+         r AS (SELECT DISTINCT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                                    ELSE o_orderstatus END AS k
+               FROM orders)
+    SELECT l.o_orderkey, l.k
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — required when the join key
+    legitimately carries NULL as a value (e.g. "no status"). Catalyst
+    plans `<=>` as a hash join on a null-safe key, NOT a nested loop,
+    so it scales like any equi join; the thing to avoid is `OR (a IS
+    NULL AND b IS NULL)` spelled manually, which defeats the equi-join
+    detection."""
+    o = t(spark, sf_dir, "orders")
+    l = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    r = (
+        o.select(
+            F.when(F.col("o_orderkey") % 5 == 0, None)
+            .otherwise(F.col("o_orderstatus"))
+            .alias("k")
+        )
+        .distinct()
+        .withColumnRenamed("k", "rk")
+    )
+    return l.join(r, l.k.eqNullSafe(r.rk)).select("o_orderkey", "k")

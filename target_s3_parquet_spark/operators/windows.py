@@ -159,3 +159,32 @@ def window_range_frame(spark, sf_dir):
         FROM orders
         """
     )
+
+
+@query(
+    "window_distribution",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           ntile(10) OVER w AS decile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window functions (percent_rank / cume_dist / ntile):
+    the per-partition sort is shared by all three — one shuffle, one
+    sort, three O(1)-state evaluators streaming over it. The o_orderkey
+    tiebreak makes ranks deterministic under any partitioning."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
