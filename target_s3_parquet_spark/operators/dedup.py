@@ -164,7 +164,16 @@ def text_near_dedup_minhash(spark, sf_dir):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    docs = d.select("doc_id", grams.alias("grams")).filter(F.size("grams") > 0)
+    # The gram table feeds three DAG branches (signatures, band rows,
+    # Jaccard verify); cache it so shingling runs once. At cluster
+    # scale the same role is played by persisting to a staging parquet
+    # (or MEMORY_AND_DISK) — recomputing the shingle pass 3× is the
+    # thing to avoid either way.
+    docs = (
+        d.select("doc_id", grams.alias("grams"))
+        .filter(F.size("grams") > 0)
+        .cache()
+    )
 
     exploded = docs.select("doc_id", F.explode("grams").alias("gram"))
     sig = exploded.groupBy("doc_id").agg(
@@ -175,19 +184,17 @@ def text_near_dedup_minhash(spark, sf_dir):
             for i in range(_MH_H)
         ]
     )
-    band_cols = [
-        F.md5(F.concat(*[F.col(f"mh{b * _MH_R + r}") for r in range(_MH_R)])).alias(
-            f"band{b}"
-        )
-        for b in range(_MH_B)
-    ]
-    sigs = sig.select("doc_id", *band_cols)
-    band_rows = None
-    for b in range(_MH_B):
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band_no"), F.col(f"band{b}").alias("band_key")
-        )
-        band_rows = part if band_rows is None else band_rows.unionAll(part)
+    # All B band keys in one projection + posexplode — a single pass
+    # over the signatures instead of B unioned scans.
+    band_arr = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"mh{b * _MH_R + r}") for r in range(_MH_R)]))
+            for b in range(_MH_B)
+        ]
+    )
+    band_rows = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band_no", "band_key")
+    )
 
     a = band_rows.alias("a")
     b_ = band_rows.alias("b")

@@ -241,15 +241,17 @@ def _lsh_band_rows(spark, sf_dir):
     )
     e = e.select(
         "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
+    ).cache()
+    # All B band keys in one projection + posexplode — one pass over
+    # the vectors instead of B unioned scans, and the cached (v, nrm)
+    # table feeds band generation and the verify join without
+    # recomputing the parquet scan + casts.
+    band_arr = F.array(
+        *[_band_key_col(F.col("v"), b) for b in range(_LSH_B)]
     )
-    band_rows = None
-    for b in range(_LSH_B):
-        part = e.select(
-            "vec_id",
-            F.lit(b).alias("band_no"),
-            _band_key_col(F.col("v"), b).alias("band_key"),
-        )
-        band_rows = part if band_rows is None else band_rows.unionAll(part)
+    band_rows = e.select(
+        "vec_id", F.posexplode(band_arr).alias("band_no", "band_key")
+    )
     return e, band_rows
 
 
