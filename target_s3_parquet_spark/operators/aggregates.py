@@ -254,3 +254,29 @@ def agg_percentile(spark, sf_dir):
         F.percentile("o_totalprice", 0.9).alias("p90"),
         F.median("o_totalprice").alias("med"),
     )
+
+
+@query(
+    "agg_collect_list",
+    """
+    SELECT o_orderpriority,
+           list_sort(list(o_orderkey)) AS orderkeys_sample,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses
+    FROM orders
+    WHERE o_orderkey < 200
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_collect_list(spark, sf_dir):
+    """Array aggregation (collect_list / collect_set). Collection order
+    is partitioning-dependent in BOTH engines, so any comparable (or
+    deterministic-downstream) use must sort the collected array —
+    `array_sort(collect_list(...))` — or stay order-agnostic. Bounded
+    input only: an unbounded collect is a per-group memory bomb at
+    scale; the unbounded alternatives are explode-side processing or
+    top-k windows."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys_sample"),
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+    )
