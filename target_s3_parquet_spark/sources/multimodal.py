@@ -110,3 +110,64 @@ def multimodal_decode_features(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return extract_image_features(d)
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    frame_bytes: int = 256,
+    every_nth: int = 4,
+) -> DataFrame:
+    """Frame sampling over opaque media payloads via ``mapInPandas``:
+    the payload is treated as a stream of fixed-size frames (a real
+    video decoder would honor container keyframes; the chunking stands
+    in for it — STUB in the same sense as `decode_image_stub`), and
+    every ``every_nth`` frame is emitted with its content hash. Output
+    fan-out happens inside the Arrow batch (one input row → many frame
+    rows), partitioning is inherited, no shuffle — the shape a
+    frame-embedding pipeline needs before the GPU stage."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "frame_md5": [], "n_frame_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                n = len(payload)
+                for frame_no in range(0, (n + frame_bytes - 1) // frame_bytes):
+                    if frame_no % every_nth:
+                        continue
+                    chunk = payload[frame_no * frame_bytes : (frame_no + 1) * frame_bytes]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(frame_no)
+                    rows["frame_md5"].append(hashlib.md5(chunk).hexdigest())
+                    rows["n_frame_bytes"].append(len(chunk))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        schema="doc_id long, frame_no long, frame_md5 string, n_frame_bytes long",
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, frame_no,
+           md5(substring(text, CAST(frame_no * 256 + 1 AS BIGINT), 256))
+             AS frame_md5,
+           LEAST(256, LENGTH(text) - frame_no * 256) AS n_frame_bytes
+    FROM (
+      SELECT doc_id, text, UNNEST(range(0, CAST(CEIL(LENGTH(text) / 256.0) AS BIGINT))) AS frame_no
+      FROM documents)
+    WHERE frame_no % 4 = 0
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Every-4th-frame sampling through the mapInPandas plumbing; the
+    oracle replays the deterministic chunking with substring arithmetic
+    (documents are ASCII, so byte frames == char frames), value-
+    verifying the whole distributed fan-out path."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return sample_frames(d)
