@@ -53,8 +53,12 @@ def main() -> None:
     spark = get_spark("bench")
     queries = get_queries()
 
-    # Warm up the JVM + parquet footer caches with a trivial action.
-    spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    # Warm up the JVM, parquet footer caches, and the codegen/shuffle
+    # machinery (first groupBy+join in a session pays compilation that
+    # has nothing to do with the measured query).
+    r = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    n = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    r.join(n, r.r_regionkey == n.n_regionkey).groupBy("r_name").count().collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

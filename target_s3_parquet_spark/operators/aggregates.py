@@ -280,3 +280,26 @@ def agg_collect_list(spark, sf_dir):
         F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys_sample"),
         F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
     )
+
+
+@query(
+    "agg_distinct_twophase",
+    """
+    SELECT event_type, COUNT(*) AS n_distinct_users
+    FROM (SELECT DISTINCT event_type, user_id FROM events)
+    GROUP BY event_type
+    """,
+)
+def agg_distinct_twophase(spark, sf_dir):
+    """Skew-proof COUNT(DISTINCT): phase 1 dedups (group, key) pairs —
+    partial-aggregated map-side, so a hot group's keys spread across
+    ALL partitions instead of funneling into one reducer — phase 2
+    counts survivors per group. This is the manual form of Catalyst's
+    distinct-aggregate Expand rewrite, written out because it also
+    applies where the optimizer can't (e.g. distinct under a UDAF).
+    Same two-exchange cost as the built-in, but worst-case balanced."""
+    e = t(spark, sf_dir, "events")
+    pairs = e.select("event_type", "user_id").distinct()
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_distinct_users")
+    )
