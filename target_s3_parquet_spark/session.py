@@ -94,6 +94,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    # Defensive: the caller may hand us a session built elsewhere
+    # (driver harness, notebook) without the nanos conf — it is
+    # runtime-settable, and without it the events table read throws
+    # PARQUET_TYPE_ILLEGAL before we ever see the schema. Session
+    # timezone likewise: epoch-derived timestamps must render in UTC
+    # to match the DuckDB oracle on a non-UTC host.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
         meta = field.metadata or {}
