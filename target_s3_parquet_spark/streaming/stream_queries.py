@@ -382,3 +382,100 @@ def stream_stream_join(spark, sf_dir):
     return replay_stream(
         spark, events, build, output_mode="append", order_col="ts"
     )
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    """
+    SELECT user_id, last_ts, last_value, last_event_type FROM (
+      SELECT user_id, ts AS last_ts, value AS last_value,
+             event_type AS last_event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark, sf_dir):
+    """Streaming upsert sink via `foreachBatch`: each micro-batch MERGEs
+    into a keyed snapshot (latest row per user), the pattern for
+    maintaining a serving table from a CDC/event stream when the sink
+    has no native MERGE. Batch-id-aware writes + the checkpoint give
+    exactly-once application per epoch; the merge keeps max (ts,
+    event_id) per key, so the final snapshot is micro-batch-boundary
+    invariant — which is what the batch oracle (latest event per user)
+    verifies. The read-union-overwrite here is the toy-scale stand-in
+    for a Delta/Iceberg MERGE or dynamic partition overwrite; the
+    dataflow (dedup-within-batch, then key-join against the snapshot)
+    is the real shape."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    events = t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="fb_upsert_")
+    try:
+        stream_dir = os.path.join(tmp, "stream")
+        state_dir = os.path.join(tmp, "state")
+        # three chunks in ts order, replayed as micro-batches
+        chunked = events.withColumn(
+            "_chunk",
+            F.ntile(3).over(W.orderBy("ts", "event_id")) - 1,
+        ).cache()
+        for i in range(3):
+            chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(
+                1
+            ).write.mode("append").parquet(stream_dir)
+        chunked.unpersist()
+
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+
+        def merge(batch, batch_id):
+            latest = (
+                batch.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+            if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+                prev = batch.sparkSession.read.parquet(state_dir)
+                merged = (
+                    prev.unionByName(latest)
+                    .withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .drop("rn")
+                )
+            else:
+                merged = latest
+            staging = state_dir + f"._stage_{batch_id}"
+            merged.coalesce(1).write.mode("overwrite").parquet(staging)
+            if os.path.exists(state_dir):
+                shutil.rmtree(state_dir)
+            os.rename(staging, state_dir)
+
+        reader = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            reader.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        snap = spark.read.parquet(state_dir).select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+            F.col("event_type").alias("last_event_type"),
+        )
+        return spark.createDataFrame(snap.collect(), snap.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
