@@ -44,8 +44,16 @@ def main() -> None:
             flags.append("pushed-filters")
         if "WholeStageCodegen" in plan:
             flags.append("codegen")
-        if "Exchange" in plan:
-            flags.append(f"exchanges={plan.count('Exchange ')}")
+        import re
+
+        # formatted mode prints the operator name bare ("(4) Exchange")
+        # with the partitioning down in its Arguments block
+        shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+        bcasts = len(re.findall(r"\(\d+\) BroadcastExchange\b", plan))
+        if shuffles:
+            flags.append(f"shuffles={shuffles}")
+        if bcasts:
+            flags.append(f"bcasts={bcasts}")
         print(f"--> {key}: {', '.join(flags) or 'plain'}")
 
 
