@@ -347,3 +347,65 @@ def docs_quality_filter(spark, sf_dir):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "text_winnow_fingerprint",
+    """
+    WITH grams AS (
+      SELECT doc_id, i,
+             CAST(('0x' || substring(md5(substring(text, i, 8)), 1, 12)) AS BIGINT)
+               AS h
+      FROM (SELECT doc_id, text,
+                   UNNEST(range(1, GREATEST(LENGTH(text) - 6, 2))) AS i
+            FROM documents WHERE doc_id < 64)
+    ),
+    winmin AS (
+      SELECT doc_id,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS fp
+      FROM grams
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM winmin)
+    SELECT doc_id, COUNT(*) AS n_fingerprints,
+           md5(array_to_string(list_sort(list(fp)), ',')) AS fp_set_md5
+    FROM fps GROUP BY doc_id
+    """,
+)
+def text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every character 8-gram, slide a window of 8 consecutive hashes,
+    keep each window's minimum — guaranteeing a shared fingerprint for
+    any match ≥ 15 chars while storing ~2/w of the hashes. The rolling
+    structure is expressed as a windowed MIN over the per-position hash
+    sequence: one shuffle on doc_id, then the frame slides inside each
+    partition. Per-doc output is the fingerprint-set digest (sorted, so
+    partition-order-free) — the join key for plagiarism/overlap
+    detection between corpora."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 64)
+    # positions 1..max(len-7, 1); hash the 8-gram at each position
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 6, F.lit(2)) - 1)
+        ).alias("i"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.expr("substring(text, i, 8)")), 1, 12), 16, 10
+    ).cast("long")
+    w = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.currentRow, 7)
+    )
+    winmin = pos.select("doc_id", F.min(h).over(w).alias("fp"))
+    fps = winmin.distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("fp")), ",").cast("binary")
+        ).alias("fp_set_md5"),
+    )

@@ -171,3 +171,57 @@ def multimodal_frame_sample(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return sample_frames(d)
+
+
+def resize_image_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB — a real implementation decodes and resamples with
+    PIL/libvips. Deterministic fake preserving the testable contract
+    (output bytes depend on payload AND target dims): the 'resized'
+    payload is the md5 of payload||WxH repeated to a size proportional
+    to the pixel count."""
+    import hashlib
+
+    seed = hashlib.md5(payload + f"{width}x{height}".encode()).hexdigest()
+    n = (width * height) // 256
+    return (seed * (n // 32 + 1))[:n].encode()
+
+
+@query(
+    "multimodal_resize",
+    """
+    SELECT doc_id,
+           md5(substring(md5(text || '64x64'), 1, 16)) AS resized_md5,
+           16 AS n_resized_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark, sf_dir):
+    """Resize through the stubbed resampler at a fixed 64x64 target:
+    mapInPandas carries (payload, target dims) per row, emits the
+    resized payload's hash + size. The oracle replays the stub's hash
+    arithmetic (md5^2 of payload||'64x64'; 64*64//256 = 16 bytes of the
+    hex seed). Real plumbing, fake pixels — swap `resize_image_stub`
+    for a PIL call and nothing else changes."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(
+                lambda p: resize_image_stub(bytes(p), 64, 64)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized_md5": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "n_resized_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(
+        run, schema="doc_id long, resized_md5 string, n_resized_bytes long"
+    )
