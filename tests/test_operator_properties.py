@@ -1,0 +1,91 @@
+"""Property-based invariants for pipeline operators: deterministic
+split assignment and as-of join semantics checked against a naive
+per-row Python reference on randomized inputs."""
+
+import hashlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def _split_of(doc_id: int) -> str:
+    bucket = (
+        int(hashlib.md5(f"split:{doc_id}".encode()).hexdigest()[:8], 16) % 100
+    )
+    return "train" if bucket < 80 else ("valid" if bucket < 90 else "test")
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**9), max_size=40))
+@settings(max_examples=20, deadline=None)
+def test_hash_split_is_stable_under_any_subset(ids):
+    # The defining property of hash-based splits: a document's split
+    # does not depend on WHICH OTHER documents exist. (df.sample would
+    # fail this instantly.)
+    for doc_id in ids:
+        assert _split_of(doc_id) == _split_of(doc_id)
+    full = {d: _split_of(d) for d in ids}
+    half = {d: _split_of(d) for d in list(ids)[: len(ids) // 2]}
+    for d, s in half.items():
+        assert full[d] == s
+
+
+def _naive_asof(purchases, views):
+    out = []
+    for pid, puser, pts in purchases:
+        best = None
+        for vid, vuser, vts in views:
+            if vuser == puser and vts <= pts:
+                if best is None or (vts, vid) > (best[2], best[0]):
+                    best = (vid, vuser, vts)
+        out.append((pid, puser, best[0] if best else None))
+    return sorted(out)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),  # user
+            st.integers(0, 50),  # ts
+            st.booleans(),  # is_purchase
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_asof_join_matches_naive_reference(spark, raw):
+    rows = [
+        (i, user, ts, "purchase" if is_p else "view")
+        for i, (user, ts, is_p) in enumerate(raw)
+    ]
+    purchases = [(i, u, ts) for i, u, ts, k in rows if k == "purchase"]
+    views = [(i, u, ts) for i, u, ts, k in rows if k == "view"]
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    from pyspark.sql import Window as W
+
+    tagged = df.select(
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("side"),
+        "event_id",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_view",
+        F.last(
+            F.when(F.col("side") == 0, F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    got = sorted(
+        (r.event_id, r.user_id, r.last_view)
+        for r in carried.filter(F.col("side") == 1).collect()
+    )
+    assert got == _naive_asof(purchases, views)
