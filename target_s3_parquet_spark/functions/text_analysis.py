@@ -409,3 +409,38 @@ def text_winnow_fingerprint(spark, sf_dir):
             F.array_join(F.array_sort(F.collect_list("fp")), ",").cast("binary")
         ).alias("fp_set_md5"),
     )
+
+
+@query("text_ml_minhash_pipeline")  # rows-only: ml hash families aren't SQL-replayable
+def text_ml_minhash_pipeline(spark, sf_dir):
+    """The `pyspark.ml` route to near-dedup, as an alternative to the
+    hand-rolled md5 MinHash (`text_near_dedup_minhash`, which IS
+    oracle-verified): RegexTokenizer → NGram(3) (same word-3-gram
+    shingles as the md5 twin) → HashingTF (2^18 sparse space) →
+    MinHashLSH(seed=42) → approxSimilarityJoin at Jaccard distance
+    ≤ 0.7 (similarity ≥ 0.3, the md5 twin's threshold). Fixed seed keeps it deterministic; rows-only check because
+    Scala's hash family can't be replayed in the DuckDB oracle. The ml
+    estimator/transformer pipeline is the right tool when the dedup
+    stage must compose with downstream ml stages (IDF, LR quality
+    classifiers) in one Pipeline object."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="tokens", pattern=r"[^a-z]+", toLowercase=True
+    )
+    ng = NGram(n=3, inputCol="tokens", outputCol="shingles")
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    shingled = ng.transform(tok.transform(d))
+    feats = tf.transform(shingled).filter(F.size("shingles") > 0)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", seed=42, numHashTables=4)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.7, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            "jaccard_dist",
+        )
+    )

@@ -138,3 +138,45 @@ def udtf_explode_native(spark, sf_dir):
     return p.filter(F.col("p_size") > 40).select(
         "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
     )
+
+
+@query(
+    "udaf_grouped_map",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           (o_totalprice - MIN(o_totalprice) OVER w)
+           / (MAX(o_totalprice) OVER w - MIN(o_totalprice) OVER w)
+             AS price_scaled
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority)
+    """,
+)
+def udaf_grouped_map(spark, sf_dir):
+    """Grouped-map `applyInPandas`: each group arrives as ONE pandas
+    DataFrame (Arrow transfer), the UDF returns a transformed frame —
+    the escape hatch for per-group logic that built-ins can't express
+    (model scoring per key, per-entity curve fitting). Here: per-
+    priority min-max scaling, chosen because min/max/divide are IEEE-
+    exact, so the pandas path is value-verifiable against the window-
+    function oracle. Caveats encoded: one group must fit one executor's
+    memory (min-max scaling has a pure-window form — use that when it
+    exists; grouped-map is for when it doesn't), and group skew is
+    task skew — salt or pre-aggregate heavy keys."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo = pdf["o_totalprice"].min()
+        hi = pdf["o_totalprice"].max()
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderpriority": pdf["o_orderpriority"],
+                "price_scaled": (pdf["o_totalprice"] - lo) / (hi - lo),
+            }
+        )
+
+    return o.groupBy("o_orderpriority").applyInPandas(
+        scale, schema="o_orderkey long, o_orderpriority string, price_scaled double"
+    )
