@@ -80,3 +80,43 @@ def scan_json_roundtrip(spark, sf_dir):
     landing format half of all taps emit. Field order in JSON is
     irrelevant; the schema projects by name."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@query(
+    "scan_partition_pruned",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'signup')
+    GROUP BY event_type
+    """,
+)
+def scan_partition_pruned(spark, sf_dir):
+    """Hive-style partition pruning: the events table is written once
+    `partitionBy(event_type)` (the layout the Singer sink produces per
+    stream), and a filter on the partition column prunes at the
+    DIRECTORY level — unselected partitions contribute zero files to
+    the scan, visible as `PartitionFilters` in the plan with no
+    per-row filter work at all. At 100 TB this is the difference
+    between listing 2 prefixes and scanning the table; the same
+    mechanism feeds dynamic partition pruning when the filter arrives
+    via a dim-table join instead of a literal."""
+    path = os.path.join(
+        _SCRATCH, f"events_part_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+    e = spark.read.parquet(path)
+    return (
+        e.filter(F.col("event_type").isin("purchase", "signup"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -76,3 +76,11 @@ def test_asof_join_single_exchange(spark):
     plan = _plan(_q("join_asof", spark))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partition_pruned_scan_filters_directories(spark):
+    plan = _plan(_q("scan_partition_pruned", spark))
+    assert "PartitionFilters" in plan
+    assert "event_type IN (purchase,signup)" in plan.replace("  ", " ") or (
+        "in(event_type" in plan
+    ) or ("event_type" in plan.split("PartitionFilters", 1)[1][:200])
