@@ -479,3 +479,78 @@ def stream_foreachbatch_upsert(spark, sf_dir):
         return spark.createDataFrame(snap.collect(), snap.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_quarantine_sink",
+    """
+    SELECT is_valid, COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM (SELECT user_id, event_type <> 'error' AS is_valid FROM events)
+    GROUP BY is_valid
+    """,
+)
+def stream_quarantine_sink(spark, sf_dir):
+    """Dead-letter-queue pattern: one streaming pass splits each
+    micro-batch into a clean sink and a quarantine sink (here the rule
+    quarantines 'error' events — in the Singer pipeline it's the
+    compiled JSON-Schema checks; see `singer_validate_quarantine` for
+    the batch twin).
+    `foreachBatch` writes BOTH sides from one batch scan — the stream
+    is never read twice, and the checkpoint makes the split
+    exactly-once per epoch. Malformed data never kills the pipeline
+    and never silently disappears: it lands queryable, with the same
+    schema plus the violation flag."""
+    import os
+    import shutil
+    import tempfile
+
+    events = t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="dlq_")
+    try:
+        stream_dir = os.path.join(tmp, "stream")
+        for i in range(3):
+            events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(stream_dir)
+
+        good_dir = os.path.join(tmp, "good")
+        dlq_dir = os.path.join(tmp, "dlq")
+
+        def split(batch, batch_id):
+            flagged = batch.withColumn(
+                "is_valid", F.col("event_type") != "error"
+            ).cache()
+            flagged.filter("is_valid").write.mode("append").parquet(good_dir)
+            flagged.filter(~F.col("is_valid")).write.mode("append").parquet(
+                dlq_dir
+            )
+            flagged.unpersist()
+
+        reader = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            reader.writeStream.foreachBatch(split)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        parts = []
+        for d in (good_dir, dlq_dir):
+            if os.path.exists(os.path.join(d, "_SUCCESS")):
+                parts.append(spark.read.parquet(d))
+        both = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        out = both.groupBy("is_valid").agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
