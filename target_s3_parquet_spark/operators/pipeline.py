@@ -252,3 +252,97 @@ def merge_upsert_cdc(spark, sf_dir):
             .alias("row_status"),
         )
     )
+
+
+@query(
+    "corpus_contamination_check",
+    """
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8))
+                       AS BIGINT) % 100 < 80
+                  THEN 'train' ELSE 'eval' END AS split,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM documents
+    )
+    SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id, tr.fp
+    FROM (SELECT * FROM assigned WHERE split = 'train') tr
+    JOIN (SELECT * FROM assigned WHERE split = 'eval') ev
+      ON tr.fp = ev.fp
+    """,
+)
+def corpus_contamination_check(spark, sf_dir):
+    """Train/eval contamination detection: fingerprint every document
+    (whitespace-normalized md5 — swap in the winnowing fingerprint set
+    for fuzzy contamination), split by the deterministic key hash, and
+    join train fingerprints against eval fingerprints. Any hit is an
+    eval document leaked into training. Plan shape: one shuffle on the
+    fingerprint (both sides come from the same scan; Spark reuses the
+    exchange), output is presumed tiny. This exact query — at 100 TB on
+    the train side and GBs of benchmark suites on the eval side — is a
+    release gate for every serious training corpus; the eval side then
+    broadcasts instead."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    assigned = d.select(
+        "doc_id",
+        F.when(bucket < 80, "train").otherwise("eval").alias("split"),
+        fp.alias("fp"),
+    )
+    tr = assigned.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc_id"), "fp"
+    )
+    ev = assigned.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc_id"), "fp"
+    )
+    return tr.join(ev, "fp").select("train_doc_id", "eval_doc_id", "fp")
+
+
+@query(
+    "vocab_top_tokens",
+    """
+    SELECT lang, token, n FROM (
+      SELECT lang, token, n,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+      FROM (
+        SELECT lang, t AS token, COUNT(*) AS n
+        FROM (SELECT lang,
+                     UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+              FROM documents)
+        WHERE t <> ''
+        GROUP BY lang, t))
+    WHERE rn <= 20
+    """,
+)
+def vocab_top_tokens(spark, sf_dir):
+    """Vocabulary building: top-20 tokens per language by frequency —
+    the first step of any tokenizer/vocab training run. Explode →
+    count on (lang, token) — partial aggregation collapses the token
+    stream map-side, so the shuffle carries one row per distinct
+    (lang, token), not per occurrence — then a per-lang top-k window
+    over the counts. Deterministic tiebreak on the token string."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count("*").alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), "token")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "token", "n")
+    )
