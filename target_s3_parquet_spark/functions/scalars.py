@@ -337,3 +337,52 @@ def scalar_posexplode(spark, sf_dir):
         "doc_id",
         F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "word"),
     ).select("doc_id", F.col("pos").cast("long"), "word")
+
+
+@query(
+    "scalar_bitwise",
+    """
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, user_id) AS xored,
+           event_id << 2 AS shifted_l,
+           event_id >> 3 AS shifted_r
+    FROM events WHERE event_id < 512
+    """,
+)
+def scalar_bitwise(spark, sf_dir):
+    """Bitwise family (AND/OR/XOR/shifts) — exact integer ops, the
+    building blocks of the Z-order and banding keys elsewhere."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") < 512)
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft("event_id", 2).alias("shifted_l"),
+        F.shiftright("event_id", 3).alias("shifted_r"),
+    )
+
+
+@query(
+    "limit_offset_pagination",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25 OFFSET 50
+    """,
+)
+def limit_offset_pagination(spark, sf_dir):
+    """Keyless pagination (ORDER BY + LIMIT/OFFSET). Works, but OFFSET
+    still sorts-and-skips the whole prefix — deep pagination at scale
+    should be keyset-based instead (WHERE (price, key) < last_seen
+    ORDER BY ... LIMIT n), which prunes rather than skips."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(50)
+        .limit(25)
+        .select("o_orderkey", "o_totalprice")
+    )

@@ -346,3 +346,95 @@ def vocab_top_tokens(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .select("lang", "token", "n")
     )
+
+
+@query(
+    "e2e_corpus_build",
+    """
+    WITH quality AS (
+      SELECT doc_id, lang, n_chars, text
+      FROM documents
+      WHERE LENGTH(text) BETWEEN 100 AND 5000
+        AND len(string_split(text, ' ')) >= 10
+        AND CAST(LENGTH(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+            / LENGTH(text) < 0.1
+    ),
+    fp AS (
+      SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+      FROM quality
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM fp)
+      WHERE rn = 1
+    ),
+    split AS (
+      SELECT lang, n_chars,
+             CASE WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8))
+                       AS BIGINT) % 100 < 80 THEN 'train'
+                  WHEN CAST(('0x' || substring(md5('split:' || doc_id), 1, 8))
+                       AS BIGINT) % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM deduped
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS total_chars
+    FROM split
+    GROUP BY split, lang
+    """,
+)
+def e2e_corpus_build(spark, sf_dir):
+    """The whole training-corpus build as ONE declarative plan:
+
+        quality filter → exact dedup (keep-first per fingerprint) →
+        deterministic train/valid/test split → per-split stats.
+
+    Every stage is a narrow projection or a keyed window/agg, so
+    Catalyst fuses the filters into the scan and the pipeline runs in
+    two shuffles total (fingerprint dedup, final stats) regardless of
+    corpus size. This is the materialization query of the whole engine:
+    at 100 TB the same plan ends `.write.partitionBy("split",
+    "lang")` instead of the summary agg — and each stage is
+    independently verified by its own query key (docs_quality_filter,
+    text_exact_dedup, sample_hash_split)."""
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_words = F.size(F.split("text", " "))
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    quality = d.filter(
+        n.between(100, 5000)
+        & (n_words >= 10)
+        & (n_punct.cast("double") / n < 0.1)
+    )
+    fp = quality.withColumn(
+        "fp", F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    )
+    w = W.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_chars")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise(
+        "test"
+    )
+    return (
+        deduped.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_chars"),
+        )
+    )
