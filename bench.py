@@ -39,6 +39,7 @@ HEADLINE = [
     "text_exact_dedup",
     "text_token_count",
     "text_near_dedup_minhash",
+    "e2e_corpus_build",
     "sim_knn_cosine",
     "sim_lsh_bucketed",
     "udf_pandas_scalar",
