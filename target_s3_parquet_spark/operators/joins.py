@@ -485,3 +485,57 @@ def join_null_safe(spark, sf_dir):
         .withColumnRenamed("k", "rk")
     )
     return l.join(r, l.k.eqNullSafe(r.rk)).select("o_orderkey", "k")
+
+
+@query(
+    "join_asof_forward",
+    """
+    SELECT click_id, user_id, next_purchase_id, next_purchase_ts FROM (
+      SELECT c.event_id AS click_id, c.user_id AS user_id,
+             p.event_id AS next_purchase_id, p.ts AS next_purchase_ts,
+             ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                ORDER BY p.ts ASC, p.event_id ASC) AS rn
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'click') c
+      LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase') p
+        ON p.user_id = c.user_id AND p.ts >= c.ts)
+    WHERE rn = 1
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join (click → NEXT purchase at-or-after): the
+    attribution query. Same union-window construction as `join_asof`
+    but ordered descending, with `last` carrying the nearest FOLLOWING
+    purchase backward; ties at equal ts broken toward the smaller
+    event_id. One shuffle on user_id, no p×c product."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("side"), "event_id"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    tagged = purchases.unionAll(clicks)
+    # Descending ts: by the time a click row is scanned, every purchase
+    # at-or-after it (and at equal ts, preferring smaller event_id) has
+    # already been seen in the frame.
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "side", F.col("event_id").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    purchase_struct = F.when(
+        F.col("side") == 0, F.struct(F.col("event_id"), F.col("ts"))
+    )
+    carried = tagged.withColumn(
+        "next_p", F.last(purchase_struct, ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("next_p.event_id").alias("next_purchase_id"),
+        F.col("next_p.ts").alias("next_purchase_ts"),
+    )

@@ -126,6 +126,15 @@ def collect_control_plane(messages: DataFrame) -> tuple[dict[str, StreamPlan], s
     Returns (plans, last_state_json, message_type_order) where
     message_type_order preserves first-seen line order per stream for
     the record-before-schema guard (R5).
+
+    Schema-evolution policy (SURVEY hard part #4): the reference
+    validates each record under the schema in force at its log
+    position (`__init__.py:241` rebuilds the validator in-line); this
+    batch restatement applies the LAST schema to the whole run — a
+    deliberate deviation, since a single DataFrame has one schema.
+    Runs that change schemas mid-log should be split at the SCHEMA
+    boundary (the streaming path surfaces exactly this via
+    ``SingerStreamJob.observed_schema_changes`` and restarts).
     """
     ctl = (
         messages.withColumn("_line", F.monotonically_increasing_id())
