@@ -474,3 +474,112 @@ def sim_ann_ivf(spark, sf_dir):
         .filter(F.col("rn") <= _IVF_TOPK)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@query(
+    "sim_ann_recall_eval",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    corpus AS (SELECT vec_id, v FROM v WHERE vec_id >= {_IVF_K}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM corpus
+          WHERE vec_id < {_IVF_K + _IVF_NQ}),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql('q.qv', 'n.v')} DESC,
+                                           n.vec_id) AS rn
+        FROM q JOIN corpus n ON n.vec_id <> q.query_id)
+      WHERE rn <= {_IVF_TOPK}
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {_IVF_K}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT corpus.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY corpus.vec_id
+                 ORDER BY {_cos_sql('corpus.v', 'c.cv')} DESC, c.cid) AS rn
+        FROM corpus, c) WHERE rn = 1),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_cos_sql('q.qv', 'c.cv')} DESC, c.cid) AS rn
+        FROM q, c) WHERE rn <= {_IVF_NPROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'n.v')} AS cosine
+      FROM probe p
+      JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      JOIN q ON q.query_id = p.query_id
+      JOIN corpus n ON n.vec_id = a.vec_id),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rn
+        FROM scored)
+      WHERE rn <= {_IVF_TOPK}
+    )
+    SELECT e.query_id,
+           COUNT(a.neighbor_id) AS n_hits,
+           {_IVF_TOPK} AS k,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / {_IVF_TOPK} AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_ann_recall_eval(spark, sf_dir):
+    """Recall@k of the IVF index against exact brute force, per query —
+    the measurement that decides nprobe/K tuning in production. Both
+    result sets are computed in-engine (reusing the registered
+    operators) and joined; recall = |approx ∩ exact| / k. The whole
+    evaluation is itself a verified query: the oracle recomputes both
+    sides in SQL. At 100 TB this runs over a sampled query set as a
+    recurring index-quality canary."""
+    # Reuse the registered callable directly (it is a plain function).
+    from target_s3_parquet_spark.registry import QUERIES
+
+    approx = QUERIES["sim_ann_ivf"](spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    # exact top-k restricted to the IVF query set (vec_id >= _IVF_K)
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    corpus = v.filter(F.col("vec_id") >= _IVF_K)
+    q = corpus.filter(F.col("vec_id") < _IVF_K + _IVF_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        F.broadcast(q)
+        .join(corpus, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_col(F.col("qv"), F.col("v")).alias("cosine"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _IVF_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.alias("e").join(
+        approx.alias("a"),
+        (F.col("e.query_id") == F.col("a.query_id"))
+        & (F.col("e.neighbor_id") == F.col("a.neighbor_id")),
+        "left",
+    )
+    return hits.groupBy(F.col("e.query_id").alias("query_id")).agg(
+        F.count(F.col("a.neighbor_id")).alias("n_hits"),
+        F.lit(_IVF_TOPK).cast("int").alias("k"),
+        (F.count(F.col("a.neighbor_id")).cast("double") / _IVF_TOPK).alias(
+            "recall_at_k"
+        ),
+    )
