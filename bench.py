@@ -64,11 +64,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        # count() forces the full plan; write-less action keeps the
-        # number comparable across operators.
-        n = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        # min of 2 runs: the second run reuses compiled codegen and OS
+        # page cache, so min-of-2 reports steady-state query cost and
+        # strips one-off JIT noise from round-over-round comparisons.
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            # count() forces the full plan; write-less action keeps the
+            # number comparable across operators.
+            n = fn(spark, sf_dir).count()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

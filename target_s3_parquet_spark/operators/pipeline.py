@@ -96,10 +96,12 @@ def sessionize_events(spark, sf_dir):
     e = t(spark, sf_dir, "events")
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w_order)
+    # exact microsecond arithmetic — a floored-seconds diff would
+    # disagree with the oracle's INTERVAL comparison on sub-second
+    # boundary gaps
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
     is_start = F.when(
-        prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > 30 * 60),
-        1,
+        prev_ts.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
     w_run = w_order.rowsBetween(W.unboundedPreceding, W.currentRow)
     sess = e.select(

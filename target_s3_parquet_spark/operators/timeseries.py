@@ -142,7 +142,7 @@ def gapfill_locf(spark, sf_dir):
     FROM (
       SELECT event_id,
              user_id % 65536 AS x,
-             CAST(epoch(ts) AS BIGINT) // 86400 % 65536 AS y
+             epoch_us(ts) // 86400000000 % 65536 AS y
       FROM events)
     """,
 )
@@ -159,7 +159,7 @@ def zorder_cluster_key(spark, sf_dir):
     e = t(spark, sf_dir, "events").select(
         "event_id",
         (F.col("user_id") % 65536).alias("x"),
-        ((F.col("ts").cast("long") / F.lit(86400)).cast("long") % 65536).alias("y"),
+        (F.expr("unix_micros(ts) div 86400000000") % 65536).alias("y"),
     )
     zval = None
     for i in range(16):
