@@ -312,3 +312,167 @@ def subquery_scalar_correlated(spark, sf_dir):
         .filter(F.col("l_quantity") > 1.8 * F.col("avg_qty"))
         .select("l_orderkey", "l_linenumber", "l_quantity")
     )
+
+
+@query(
+    "tpch_q4_priority_count",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def tpch_q4_priority_count(spark, sf_dir):
+    """Q4 (adapted: 'late' = shipped >90 days after order date — the
+    synthetic schema has no commit/receipt dates): order counts by
+    priority where at least one line shipped late. EXISTS over a
+    correlated date comparison decorrelates to a semi join carrying the
+    order date through — the fact side collapses to distinct orderkeys
+    BEFORE the join via the semi-join's early-out, never fanning out."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    late = l.join(
+        o,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    ).select("l_orderkey").distinct()
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT 100.0 *
+           CAST(SUM(CAST(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN l.l_extendedprice * (1.0 - l.l_discount)
+                              ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    GROUP BY 1=1
+    """,
+)
+def tpch_q14_promo_revenue(spark, sf_dir):
+    """Q14: promo share of one month's revenue. Conditional aggregation
+    (CASE inside SUM) computes both numerator and denominator in ONE
+    pass over the month's lineitem slice; part broadcasts. Both sums
+    decimal-exact, the final ratio a single double division."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(dec(promo)).cast("double")
+                / F.sum(dec(rev)).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive",
+    f"""
+    SELECT {sql_dsum(_REV_SQL, "revenue")}, COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    GROUP BY 1=1
+    """,
+)
+def tpch_q19_disjunctive(spark, sf_dir):
+    """Q19: disjunction of conjunctive brand/size/quantity ranges
+    across the join. Catalyst pushes the common `p_partkey` equi key as
+    the join condition and evaluates the OR-of-ANDs as a post-join
+    residual; the per-side implied filters (brand IN (...), size/qty
+    range hulls) are derivable and pushed to each scan, so neither
+    input is read unfiltered."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(dsum(_rev(), "revenue"), F.count("*").alias("n_lines"))
+    )
+
+
+@query(
+    "sql_api_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_api_pricing_summary(spark, sf_dir):
+    """The SQL-string surface: the same engine through `spark.sql(...)`
+    over registered temp views — what a BI tool or notebook user runs.
+    Identical Catalyst plan to the DataFrame form (`q1_pricing_summary`
+    is this query's DataFrame twin); the API is syntax, the optimizer
+    is shared."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqlapi")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_base_price,
+               COUNT(*) AS count_order
+        FROM li_sqlapi
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
