@@ -299,8 +299,10 @@ def subquery_not_in(spark, sf_dir):
 def subquery_scalar_correlated(spark, sf_dir):
     """Q17-shaped correlated scalar subquery: rows exceeding 1.8× the
     per-partkey average. Decorrelated form: aggregate once per partkey,
-    join back. Both sides shuffle on l_partkey — Spark reuses the
-    exchange for the self-join (ReusedExchange in the plan)."""
+    join back. The aggregate is the only shuffle; at runtime AQE sees
+    its small output and broadcasts it into the probe side (the fact
+    table never shuffles), falling back to exchange reuse when the
+    aggregate is too big to broadcast."""
     l = t(spark, sf_dir, "lineitem")
     pa = l.groupBy("l_partkey").agg(
         (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias(

@@ -84,3 +84,29 @@ def test_partition_pruned_scan_filters_directories(spark):
     assert "event_type IN (purchase,signup)" in plan.replace("  ", " ") or (
         "in(event_type" in plan
     ) or ("event_type" in plan.split("PartitionFilters", 1)[1][:200])
+
+
+def test_registry_oracle_coverage():
+    # Every key has an oracle unless it is one of the two documented
+    # rows-only exceptions — a new key silently missing its oracle (or
+    # a regression dropping one) fails here, not in the driver.
+    from target_s3_parquet_spark.registry import get_oracles, get_queries
+
+    qs, os_ = set(get_queries()), set(get_oracles())
+    assert os_ <= qs
+    rows_only = qs - os_
+    assert rows_only == {"stream_watermark_late", "text_ml_minhash_pipeline"}, (
+        f"unexpected rows-only keys: {sorted(rows_only)}"
+    )
+
+
+def test_correlated_scalar_subquery_single_shuffle(spark):
+    # decorrelated self-join: the per-partkey aggregate is the ONLY
+    # shuffle; the probe side joins it broadcast (AQE) or reuses the
+    # exchange — either way the fact table is never shuffled twice
+    import re
+
+    plan = _plan(_q("subquery_scalar_correlated", spark))
+    shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    assert shuffles <= 1, plan
+    assert "BroadcastHashJoin" in plan or "ReusedExchange" in plan
