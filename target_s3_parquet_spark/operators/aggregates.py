@@ -303,3 +303,72 @@ def agg_distinct_twophase(spark, sf_dir):
     return pairs.groupBy("event_type").agg(
         F.count("*").alias("n_distinct_users")
     )
+
+
+@query(
+    "detect_outliers_iqr",
+    """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+    """,
+)
+def detect_outliers_iqr(spark, sf_dir):
+    """IQR outlier detection per group (Tukey fences): exact per-group
+    quartiles, then a broadcast join carries the tiny fence table back
+    over the fact scan — one per-group sort for the quantiles, one
+    broadcast, no second shuffle. Data-quality gate shape: at 100 TB
+    swap `percentile` for `approx_percentile` and the fences come from
+    a mergeable sketch with no sort at all."""
+    e = t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .filter(
+            (F.col("value") < F.col("q1") - 1.5 * iqr)
+            | (F.col("value") > F.col("q3") + 1.5 * iqr)
+        )
+        .select("event_id", "event_type", "value")
+    )
+
+
+@query(
+    "agg_histogram_fixed",
+    """
+    SELECT bin, COUNT(*) AS n,
+           bin * 50000.0 AS bin_lo, (bin + 1) * 50000.0 AS bin_hi
+    FROM (SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin
+          FROM orders)
+    GROUP BY bin
+    """,
+)
+def agg_histogram_fixed(spark, sf_dir):
+    """Fixed-width histogram via floor arithmetic (no width_bucket
+    dependency — floor((x-lo)/w) is exact and engine-agnostic). One
+    partial-aggregated groupBy on the bin id: the shuffle carries one
+    row per bin per task, so the cost is O(bins), not O(rows), at any
+    scale. The picture behind every data-distribution dashboard."""
+    o = t(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return (
+        o.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            "n",
+            (F.col("bin") * 50000.0).alias("bin_lo"),
+            ((F.col("bin") + 1) * 50000.0).alias("bin_hi"),
+        )
+    )
