@@ -170,3 +170,110 @@ def zorder_cluster_key(spark, sf_dir):
         term = xb + yb
         zval = term if zval is None else zval + term
     return e.select("event_id", "x", "y", zval.cast("long").alias("zval"))
+
+
+@query(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           date_diff('day', f.cohort_week, a.week) // 7 AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM active a JOIN firsts f ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, date_diff('day', f.cohort_week, a.week) // 7
+    """,
+)
+def cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, activity
+    counted per week offset — the standard retention triangle. Two
+    aggregations share the user_id partitioning (first-seen and
+    distinct active weeks both shuffle on user_id once); the cohort
+    table joins back broadcast (one row per user, but at 100 TB users
+    the join keys co-partition instead). Week offsets via integer day
+    arithmetic — no float dates."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    offset = (
+        F.datediff(F.col("week"), F.col("cohort_week")).cast("long") / 7
+    ).cast("long")
+    return (
+        active.join(firsts, "user_id")
+        .groupBy("cohort_week", offset.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@query(
+    "funnel_analysis",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL SELECT 'click', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT 'purchase', (SELECT COUNT(*) FROM p)
+    """,
+)
+def funnel_analysis(spark, sf_dir):
+    """Ordered funnel (view → click after view → purchase after click):
+    each stage is a keyed MIN over the events that happened at-or-after
+    the user's previous stage time. Three aggregations, all shuffling
+    on user_id — on a cluster the first shuffle's partitioning is
+    reused by the subsequent stage joins (co-partitioned), so the fact
+    table crosses the wire once. The sequential-constraint semantics
+    (not just 'did all three ever') is what makes this a funnel, not
+    three counts."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    spark_counts = [
+        v.agg(F.lit("view").alias("stage"), F.count("*").alias("n_users")),
+        c.agg(F.lit("click").alias("stage"), F.count("*").alias("n_users")),
+        p.agg(F.lit("purchase").alias("stage"), F.count("*").alias("n_users")),
+    ]
+    out = spark_counts[0]
+    for part in spark_counts[1:]:
+        out = out.unionAll(part)
+    return out
