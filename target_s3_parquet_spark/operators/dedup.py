@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from target_s3_parquet_spark.operators._util import t
-from target_s3_parquet_spark.registry import query
+from target_s3_parquet_spark.registry import QUERIES, query
 
 
 @query(
@@ -453,3 +453,66 @@ def text_dedup_clusters(spark, sf_dir):
         if changed == 0:
             break
     return labels
+
+
+@query(
+    "text_dedup_keep_best",
+    f"""
+    WITH RECURSIVE
+    {_CC_SETS_SQL},
+    walk(doc_id, reach) AS (
+      SELECT doc_id, doc_id FROM sets
+      UNION
+      SELECT w.doc_id, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    clusters AS (
+      SELECT doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT c.doc_id, c.cluster_id,
+             (CASE WHEN LENGTH(d.text) BETWEEN 100 AND 5000 THEN 0.5 ELSE 0.0 END
+              + CASE WHEN CAST(LENGTH(regexp_replace(d.text, '[a-zA-Z0-9 ]', '', 'g'))
+                           AS DOUBLE) / LENGTH(d.text) < 0.1 THEN 0.3 ELSE 0.0 END
+              + CASE WHEN len(string_split(d.text, ' ')) >= 10 THEN 0.2 ELSE 0.0 END)
+               AS quality
+      FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, quality FROM (
+      SELECT doc_id, cluster_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def text_dedup_keep_best(spark, sf_dir):
+    """Policy-driven dedup: within each near-dup cluster (connected
+    components over the Jaccard graph, as `text_dedup_clusters`), keep
+    the HIGHEST-QUALITY document rather than the lowest id — the
+    policy a real corpus build wants (near-dups differ by boilerplate;
+    keep the cleanest copy). Cluster labels join the quality scores,
+    and a per-cluster top-1 window picks the survivor (deterministic
+    tiebreak on doc_id). Composition proof-point: clustering, scoring,
+    and selection are the already-verified operators chained in one
+    plan."""
+    labels = QUERIES["text_dedup_clusters"](spark, sf_dir)
+    d = t(spark, sf_dir, "documents")
+    n = F.length("text")
+    n_words = F.size(F.split("text", " "))
+    n_punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    quality = (
+        F.when(n.between(100, 5000), 0.5).otherwise(0.0)
+        + F.when(n_punct.cast("double") / n < 0.1, 0.3).otherwise(0.0)
+        + F.when(n_words >= 10, 0.2).otherwise(0.0)
+    )
+    scored = labels.join(d.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "cluster_id", quality.alias("quality")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "quality")
+    )

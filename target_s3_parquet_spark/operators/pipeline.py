@@ -440,3 +440,40 @@ def e2e_corpus_build(spark, sf_dir):
             .alias("total_chars"),
         )
     )
+
+
+@query(
+    "events_wide_denorm",
+    """
+    SELECT e.event_id, e.ts, e.event_type, e.value,
+           c.c_name, c.c_mktsegment, n.n_name AS nation, r.r_name AS region
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def events_wide_denorm(spark, sf_dir):
+    """The denormalization write: events joined wide against the dim
+    chain, producing the one flat table analysts scan. All dims
+    broadcast — the fact rows never shuffle, so denormalizing 100 TB
+    of events costs one pass at read bandwidth. The tradeoff is
+    explicit: storage inflates by the dim columns, but every
+    downstream query drops three joins; with columnar parquet the
+    duplicated dim columns compress to near-dictionary size, which is
+    why wide tables win for read-heavy marts."""
+    e = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "event_id", "ts", "event_type", "value",
+            "c_name", "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
