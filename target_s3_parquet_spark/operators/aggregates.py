@@ -372,3 +372,76 @@ def agg_histogram_fixed(spark, sf_dir):
             ((F.col("bin") + 1) * 50000.0).alias("bin_hi"),
         )
     )
+
+
+@query(
+    "agg_string_agg",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_agg(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): collect + sort + join.
+    The ORDER BY inside the aggregate is what makes it deterministic —
+    an unordered string_agg is partitioning-dependent garbage for
+    comparison or storage. Bounded groups only (it is a collect)."""
+    n = t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+            "nations"
+        )
+    )
+
+
+@query(
+    "agg_quantile_array",
+    """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, [0.1, 0.25, 0.5, 0.75, 0.9]) AS price_quantiles
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_quantile_array(spark, sf_dir):
+    """Multi-quantile in one aggregate: one per-group sort serves the
+    whole quantile vector (vs one sort per percentile if asked
+    separately). Returns array<double> — arrays round-trip the
+    comparator and parquet natively."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.1, 0.25, 0.5, 0.75, 0.9)])).alias(
+            "price_quantiles"
+        )
+    )
+
+
+@query(
+    "sample_top_hash",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (ORDER BY md5('sample:' || doc_id)) AS rn
+      FROM documents)
+    WHERE rn <= 50
+    """,
+)
+def sample_top_hash(spark, sf_dir):
+    """Deterministic uniform k-sample: order by a keyed hash, take k.
+    Unlike `df.sample()` (partitioning-dependent RNG) this picks the
+    SAME 50 documents on any cluster, any run, any engine — md5 order
+    is uniform, so the sample is unbiased. Executes as TakeOrdered
+    (per-partition top-k then merge of k-row heaps), not a global
+    sort. Change the salt ('sample:') to draw an independent sample."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("sample:"), F.col("doc_id")))
+    return (
+        d.select("doc_id", "lang", h.alias("h"))
+        .orderBy("h")
+        .limit(50)
+        .select("doc_id", "lang")
+    )
