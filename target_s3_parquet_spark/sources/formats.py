@@ -120,3 +120,42 @@ def scan_partition_pruned(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "scan_merge_schema",
+    """
+    SELECT o_orderkey,
+           o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority END AS o_orderpriority
+    FROM orders
+    """,
+)
+def scan_merge_schema(spark, sf_dir):
+    """Schema-evolution READ: two parquet slices written with different
+    column sets (the drift the reference produces per-file — SURVEY
+    §1.2) unified by `mergeSchema` into one stable superset schema,
+    missing columns null-filled. This is the recovery path for datasets
+    that already drifted; the engine's own sink prevents new drift by
+    pinning the SCHEMA-derived StructType. mergeSchema costs a footer
+    read per file at planning time — fine for recovery, wrong as a
+    steady state (pin the schema instead)."""
+    base = os.path.join(
+        _SCRATCH, f"drift_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    o = t(spark, sf_dir, "orders")
+    if not os.path.exists(os.path.join(base, "_written")):
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ).write.mode("overwrite").parquet(os.path.join(base, "a"))
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus", "o_orderpriority"
+        ).write.mode("overwrite").parquet(os.path.join(base, "b"))
+        open(os.path.join(base, "_written"), "w").close()
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "a"), os.path.join(base, "b")
+    )
+    return merged.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
