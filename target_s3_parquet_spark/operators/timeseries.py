@@ -277,3 +277,49 @@ def funnel_analysis(spark, sf_dir):
     for part in spark_counts[1:]:
         out = out.unionAll(part)
     return out
+
+
+@query(
+    "incremental_rollup_merge",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def incremental_rollup_merge(spark, sf_dir):
+    """Incremental maintenance of a continuous aggregate, PROVEN: the
+    'historical' rollup (events with event_id < split) and the 'new
+    chunk' rollup (the rest) are computed separately — as they would be
+    on different days — then MERGED by summing partials per (type,
+    hour). The oracle is the full recompute over all events: the merge
+    matching it bit-for-bit is exactly the property that makes
+    incremental maintenance safe, and it holds BECAUSE the partials are
+    DECIMAL(38,6) (exact, associative, commutative). With raw double
+    partials the merged and recomputed totals would drift in the last
+    ulp and incremental maintenance would be unauditable. Each day's
+    chunk aggregates only its own data; merge cost is O(groups), not
+    O(history)."""
+    e = t(spark, sf_dir, "events")
+    split = 5000  # "yesterday's" boundary
+
+    def partial(df):
+        return df.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        ).agg(
+            F.count("*").alias("pc"),
+            F.sum(dec(F.col("value"))).alias("pv"),  # keep DECIMAL partial
+        )
+
+    old = partial(e.filter(F.col("event_id") < split))
+    delta = partial(e.filter(F.col("event_id") >= split))
+    return (
+        old.unionByName(delta)
+        .groupBy("event_type", "hour")
+        .agg(
+            F.sum("pc").alias("n_events"),
+            F.sum("pv").cast("double").alias("total_value"),
+        )
+    )
