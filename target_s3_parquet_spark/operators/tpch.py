@@ -629,3 +629,45 @@ def tpch_q13_order_distribution(spark, sf_dir):
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {sql_dsum(_REV_SQL, "total_revenue")}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15: the supplier(s) with maximum quarterly revenue — argmax
+    over an aggregate. The scalar MAX subquery broadcasts as a 1-row
+    literal filter over the same aggregated view (Spark computes the
+    revenue view once; the max re-aggregates its small output, no
+    second fact scan). Decimal-exact revenue makes the equality
+    comparison against MAX well-defined — with float sums, '= MAX'
+    over independently-computed aggregates is a correctness bug."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev(), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("m"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
