@@ -445,3 +445,60 @@ def sample_top_hash(spark, sf_dir):
         .limit(50)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "agg_corr_pearson",
+    """
+    SELECT l_returnflag,
+           CAST(CAST((n * sxy - sx * sy)
+           / (SQRT(n * sx2 - sx * sx) * SQRT(n * sy2 - sy * sy))
+           AS DECIMAL(20,12)) AS DOUBLE) AS corr_qty_price,
+           CAST(n AS BIGINT) AS n_rows
+    FROM (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sy2,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag)
+    """,
+)
+def agg_corr_pearson(spark, sf_dir):
+    """Pearson correlation per group from exact decimal moment sums
+    (n, Σx, Σy, Σx², Σy², Σxy) — the same order-independence argument
+    as `agg_stats`: the five sums are exact and mergeable, so the
+    correlation is identical on any partitioning (Spark's built-in
+    `corr` uses a streaming co-moment update whose float error depends
+    on row order — fine statistically, unusable for bit-exact
+    verification or reproducible pipelines). One map-side-combined
+    shuffle; the closed-form combine runs on 3 rows."""
+    from target_s3_parquet_spark.operators._util import dec as _dec
+
+    l = t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(_dec(q)).cast("double").alias("sx"),
+        F.sum(_dec(p)).cast("double").alias("sy"),
+        F.sum(_dec(q * q)).cast("double").alias("sx2"),
+        F.sum(_dec(p * p)).cast("double").alias("sy2"),
+        F.sum(_dec(q * p)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sx2") - sx * sx) * F.sqrt(n * F.col("sy2") - sy * sy)
+    )
+    # The a*b - c*d shapes here are FMA-sensitive: DuckDB's codegen may
+    # fuse the multiply-subtract while the JVM does not, shifting the
+    # last ulp. Round to 12 decimals (correlations are in [-1, 1], so
+    # this keeps full statistical precision) for a stable comparison.
+    corr = corr.cast("decimal(20,12)").cast("double")
+    return agg.select(
+        "l_returnflag",
+        corr.alias("corr_qty_price"),
+        n.cast("long").alias("n_rows"),
+    )
