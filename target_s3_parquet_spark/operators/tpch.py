@@ -671,3 +671,210 @@ def tpch_q15_top_supplier(spark, sf_dir):
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the classic TPC-H table the synthetic schema lacks,
+# generated deterministically from part x supplier so BOTH engines
+# construct the identical relation (4 suppliers per part; cost/qty from
+# md5 arithmetic). Unlocks the q2/q9/q11 family.
+# ---------------------------------------------------------------------------
+_PS_PER_PART = 4
+
+_PARTSUPP_SQL = f"""
+    partsupp AS (
+      SELECT p.p_partkey AS ps_partkey,
+             (p.p_partkey * 7 + i.i) % (SELECT COUNT(*) FROM supplier)
+               AS ps_suppkey,
+             1 + CAST(('0x' || substring(md5('ps:' || p.p_partkey || ':' || i.i), 1, 8))
+                      AS BIGINT) % 9999 AS ps_availqty,
+             1.0 + (CAST(('0x' || substring(md5('ps:' || p.p_partkey || ':' || i.i), 9, 8))
+                         AS BIGINT) % 100000) / 100.0 AS ps_supplycost
+      FROM part p, (SELECT UNNEST(range(0, {_PS_PER_PART})) AS i) i
+    )
+"""
+
+
+def _partsupp(spark, sf_dir):
+    """Spark twin of ``_PARTSUPP_SQL`` — broadcast-friendly generated
+    dimension (|part| x 4 rows, no storage)."""
+    p = t(spark, sf_dir, "part")
+    n_supp = t(spark, sf_dir, "supplier").count()  # tiny dim; driver-side scalar
+    i = F.explode(F.sequence(F.lit(0), F.lit(_PS_PER_PART - 1))).alias("i")
+    base = p.select("p_partkey", i)
+    h1 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ps:"), F.col("p_partkey"), F.lit(":"), F.col("i"))),
+            1, 8,
+        ), 16, 10,
+    ).cast("long")
+    h2 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ps:"), F.col("p_partkey"), F.lit(":"), F.col("i"))),
+            9, 8,
+        ), 16, 10,
+    ).cast("long")
+    return base.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        ((F.col("p_partkey") * 7 + F.col("i")) % n_supp).alias("ps_suppkey"),
+        (1 + h1 % 9999).alias("ps_availqty"),
+        (1.0 + (h2 % 100000) / 100.0).alias("ps_supplycost"),
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT s.s_name, n.n_name, p.p_partkey, p.p_name, ps.ps_supplycost
+    FROM part p
+    JOIN partsupp ps ON ps.ps_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND p.p_type = 'ECONOMY' AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+        SELECT MIN(ps2.ps_supplycost)
+        FROM partsupp ps2
+        JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY p_partkey, s_name
+    """,
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2: the minimum-cost supplier per qualifying part within a
+    region — the correlated-MIN pattern. Decorrelated form: compute
+    min cost per partkey over the region-filtered partsupp once, join
+    back on (partkey, cost). The supplier/nation/region chain
+    broadcasts; partsupp itself is GENERATED (a projection of part ×
+    4), so the whole query reads only the real dims."""
+    ps = _partsupp(spark, sf_dir)
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    regional = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    min_cost = regional.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        regional.join(F.broadcast(min_cost), "ps_partkey")
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .select("s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
+        .orderBy("p_partkey", "s_name")
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT nation, o_year,
+           CAST(SUM(CAST(amount AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             l.l_extendedprice * (1.0 - l.l_discount)
+               - ps.ps_supplycost * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                      AND ps.ps_suppkey = (l.l_suppkey % (SELECT COUNT(*) FROM supplier))
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_product_profit(spark, sf_dir):
+    """Q9: profit (revenue minus supply cost) by nation and year for
+    one product line. The partsupp join carries the cost basis onto
+    every lineitem; since the derived partsupp keys 4 suppliers per
+    part, the lineitem's supplier maps into that space by modulus
+    (adapted join — classic q9 joins on the exact pair). Decimal-exact
+    profit sums; dims broadcast; one lineitem⋈orders shuffle."""
+    ps = _partsupp(spark, sf_dir)
+    n_supp = t(spark, sf_dir, "supplier").count()
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    amount = _rev() - F.col("ps_supplycost") * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(ps),
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey") % n_supp),
+        )
+        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum(amount, "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    national AS (
+      SELECT ps.ps_partkey,
+             SUM(CAST(ps.ps_supplycost * ps.ps_availqty AS DECIMAL(38,6))) AS val
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_1'
+      GROUP BY ps.ps_partkey
+    )
+    SELECT ps_partkey, CAST(val AS DOUBLE) AS part_value
+    FROM national
+    WHERE val > (SELECT SUM(val) * 0.001 FROM national)
+    ORDER BY part_value DESC, ps_partkey
+    """,
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11: parts whose stock value within one nation exceeds a
+    fraction of that nation's total — aggregate, then filter against a
+    scalar re-aggregate of the SAME result (computed once, broadcast
+    as a 1-row threshold). The fraction comparison runs on exact
+    decimal values; only the final projection casts to double."""
+    ps = _partsupp(spark, sf_dir)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    national = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                (F.col("ps_supplycost") * F.col("ps_availqty")).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("val")
+        )
+    )
+    threshold = national.agg((F.sum("val") * 0.001).alias("thr"))
+    return (
+        national.join(F.broadcast(threshold), F.col("val") > F.col("thr"))
+        .select("ps_partkey", F.col("val").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
