@@ -444,3 +444,42 @@ def text_ml_minhash_pipeline(spark, sf_dir):
             "jaccard_dist",
         )
     )
+
+
+@query(
+    "fuzzy_match_levenshtein",
+    """
+    SELECT a.c_custkey AS probe_key, b.c_custkey AS match_key,
+           levenshtein(a.c_name, b.c_name) AS dist
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 5) a
+    JOIN customer b
+      ON b.c_custkey <> a.c_custkey
+     AND levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def fuzzy_match_levenshtein(spark, sf_dir):
+    """Entity-resolution fuzzy match: names within edit distance 2 of a
+    bounded probe set. The probe side BROADCASTS and the corpus is
+    scanned once with the distance evaluated per (probe, row) pair —
+    viable because probes are O(10). The unbounded all-pairs version
+    must block first (by name length ± 2 and first-char class, or an
+    n-gram LSH as in the near-dedup family) — edit distance over an
+    open cross product is never a plan, at any scale. Levenshtein is
+    exact integer DP in both engines, so the match set is identical."""
+    c = t(spark, sf_dir, "customer")
+    probes = c.filter(F.col("c_custkey") < 5).select(
+        F.col("c_custkey").alias("probe_key"), F.col("c_name").alias("probe_name")
+    )
+    return (
+        F.broadcast(probes)
+        .join(
+            c,
+            (F.col("c_custkey") != F.col("probe_key"))
+            & (F.levenshtein(F.col("probe_name"), F.col("c_name")) <= 2),
+        )
+        .select(
+            "probe_key",
+            F.col("c_custkey").alias("match_key"),
+            F.levenshtein(F.col("probe_name"), F.col("c_name")).cast("long").alias("dist"),
+        )
+    )

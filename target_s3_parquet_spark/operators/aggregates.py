@@ -502,3 +502,35 @@ def agg_corr_pearson(spark, sf_dir):
         corr.alias("corr_qty_price"),
         n.cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "agg_filtered_count_if",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE)
+             AS urgent_total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_filtered_count_if(spark, sf_dir):
+    """Filtered aggregates (SQL FILTER clause / count_if): several
+    differently-predicated aggregates in ONE pass over the group —
+    the alternative is N scans or N joins. Spark expresses them as
+    conditional aggregation (`count_if`, `sum(when(...))`) compiling
+    to the same single-shuffle plan."""
+    o = t(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority") == "1-URGENT"
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_all"),
+        F.count_if(F.col("o_totalprice") > 200000.0).alias("n_big"),
+        F.count_if(urgent).alias("n_urgent"),
+        F.sum(F.when(urgent, F.col("o_totalprice")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("urgent_total"),
+    )
