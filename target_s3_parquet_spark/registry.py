@@ -72,7 +72,12 @@ def load_all() -> None:
         text_analysis,
         udfs,
     )
-    from target_s3_parquet_spark.sources import formats, multimodal, singer_queries  # noqa: F401
+    from target_s3_parquet_spark.sources import (  # noqa: F401
+        formats,
+        multimodal,
+        singer_queries,
+        txlog,
+    )
     from target_s3_parquet_spark.streaming import stream_queries  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,56 @@
+"""Transaction-log table format: atomic versions, snapshot isolation,
+time travel, overwrite semantics, and the version-collision retry."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from target_s3_parquet_spark.sources import txlog
+
+
+def test_append_versions_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    a = spark.range(0, 100).withColumn("src", F.lit("a"))
+    b = spark.range(100, 150).withColumn("src", F.lit("b"))
+
+    v0 = txlog.commit(a, root)
+    v1 = txlog.commit(b, root)
+    assert (v0, v1) == (0, 1)
+
+    assert txlog.read_table(spark, root, version=0).count() == 100
+    assert txlog.read_table(spark, root, version=1).count() == 150
+    assert txlog.read_table(spark, root).count() == 150  # latest
+
+
+def test_overwrite_replaces_but_keeps_history(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    txlog.commit(spark.range(0, 10), root)
+    txlog.commit(spark.range(0, 7), root, mode="overwrite")
+
+    assert txlog.read_table(spark, root).count() == 7
+    assert txlog.read_table(spark, root, version=0).count() == 10
+    ops = [m["op"] for m in txlog.history(root)]
+    assert ops == ["append", "overwrite"]
+
+
+def test_version_collision_retries_not_corrupts(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    txlog.commit(spark.range(0, 5), root)
+    # simulate a racing writer that claimed version 1 out from under us
+    rival_dir = str(tmp_path / "rival")
+    spark.range(100, 103).write.parquet(rival_dir)
+    os.makedirs(txlog._log_dir(root), exist_ok=True)
+    rival_dirs = txlog.history(root)[0]["dirs"] + [rival_dir]
+    with open(txlog._manifest_path(root, 1), "x") as f:
+        json.dump({"version": 1, "op": "append", "dirs": rival_dirs}, f)
+
+    v = txlog.commit(spark.range(5, 9), root)  # must land at 2, on top of rival
+    assert v == 2
+    assert txlog.read_table(spark, root).count() == 5 + 3 + 4
+
+
+def test_read_empty_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        txlog.read_table(spark, str(tmp_path / "nope"))
