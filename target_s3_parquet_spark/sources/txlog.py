@@ -115,6 +115,62 @@ def history(root: str) -> list[dict]:
     return [_read_manifest(root, v) for v in range(last + 1)]
 
 
+def merge_into(
+    spark: SparkSession,
+    root: str,
+    changes: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+) -> int:
+    """MERGE: apply a change batch to the latest snapshot and commit
+    the result as a new overwrite version (rewrite-on-merge — the
+    simplest correct strategy; file-level pruning of untouched
+    partitions is the optimization on top). Matched keys take the
+    change row (upsert); unmatched change rows insert; change rows
+    with ``delete_col`` true delete. Old versions remain time-travelable.
+    """
+    from pyspark.sql import functions as F
+
+    snapshot = read_table(spark, root)
+    c = changes
+    if delete_col is None:
+        c = c.withColumn("__del", F.lit(False))
+        delete_col = "__del"
+    survivors = snapshot.join(c.select(key), key, "left_anti")
+    upserts = c.filter(~F.col(delete_col)).drop(delete_col)
+    merged = survivors.unionByName(upserts)
+    return commit(merged, root, mode="overwrite")
+
+
+def vacuum(root: str, retain_versions: int = 1) -> list[str]:
+    """Delete data dirs unreachable from the newest ``retain_versions``
+    manifests (and drop the older manifests). Returns removed dirs.
+    After a vacuum, time travel only reaches the retained window —
+    the Delta-style retention contract."""
+    import shutil
+
+    last = latest_version(root)
+    if last is None:
+        return []
+    keep_from = max(0, last - retain_versions + 1)
+    live: set[str] = set()
+    for v in range(keep_from, last + 1):
+        live.update(_read_manifest(root, v)["dirs"])
+    removed = []
+    data_root = os.path.join(root, "data")
+    if os.path.isdir(data_root):
+        for d in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, d)
+            if full not in live:
+                shutil.rmtree(full)
+                removed.append(full)
+    for v in range(0, keep_from):
+        mp = _manifest_path(root, v)
+        if os.path.exists(mp):
+            os.remove(mp)
+    return removed
+
+
 # -- registered query key -----------------------------------------------
 
 from pyspark.sql import functions as F  # noqa: E402

@@ -54,3 +54,41 @@ def test_version_collision_retries_not_corrupts(spark, tmp_path):
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         txlog.read_table(spark, str(tmp_path / "nope"))
+
+
+def test_merge_into_upsert_delete_and_history(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "tbl")
+    base = spark.range(0, 10).withColumn("v", F.col("id") * 10)
+    txlog.commit(base, root)
+
+    changes = spark.createDataFrame(
+        [(3, 999, False), (20, 2000, False), (5, 0, True)], "id long, v long, d boolean"
+    )
+    ver = txlog.merge_into(spark, root, changes, key="id", delete_col="d")
+    assert ver == 1
+
+    now = {r.id: r.v for r in txlog.read_table(spark, root).collect()}
+    assert now[3] == 999          # updated
+    assert now[20] == 2000        # inserted
+    assert 5 not in now           # deleted
+    assert len(now) == 10         # 10 - 1 deleted + 1 inserted
+    # pre-merge snapshot intact
+    assert txlog.read_table(spark, root, version=0).count() == 10
+
+
+def test_vacuum_retains_window(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    txlog.commit(spark.range(0, 5), root)
+    txlog.commit(spark.range(5, 8), root)
+    txlog.commit(spark.range(0, 2), root, mode="overwrite")
+
+    removed = txlog.vacuum(root, retain_versions=1)
+    assert removed  # v0/v1 dirs are unreachable from v2
+    assert txlog.read_table(spark, root).count() == 2
+    assert txlog.latest_version(root) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        txlog._read_manifest(root, 0)
