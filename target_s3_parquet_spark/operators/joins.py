@@ -539,3 +539,78 @@ def join_asof_forward(spark, sf_dir):
         F.col("next_p.event_id").alias("next_purchase_id"),
         F.col("next_p.ts").alias("next_purchase_ts"),
     )
+
+
+@query(
+    "join_asof_partitioned",
+    """
+    SELECT purchase_id, user_id, view_id, view_ts FROM (
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             v.event_id AS view_id, v.ts AS view_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'view') v
+        ON v.user_id = p.user_id AND v.ts <= p.ts)
+    WHERE rn = 1
+    """,
+)
+def join_asof_partitioned(spark, sf_dir):
+    """As-of join as a CUSTOM PHYSICAL STRATEGY (same semantics and
+    oracle as `join_asof`, different execution): hash-repartition both
+    sides by user_id, sort within each partition by (ts, side,
+    event_id), then a single `mapInPandas` pass carries the last-seen
+    view per user with a plain dict — the hand-rolled two-pointer
+    merge, Arrow-batched.
+
+    vs the window form: identical shuffle volume (one exchange + one
+    partition-local sort), but no per-row window-frame machinery and
+    no `last(ignoreNulls)` struct traffic — the carry state is O(users
+    in partition) Python dict entries, batched through Arrow. Because
+    partitioning is BY USER, a user never spans partitions, and the
+    batch iterator runs sequentially per partition, so carry state
+    across Arrow batches is correct by construction. This is the shape
+    to reach for when as-of logic grows beyond what window functions
+    express (multiple carried columns with custom staleness rules,
+    conditional resets) — the partition-sort-scan skeleton stays the
+    same."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("side"), "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    tagged = (
+        views.unionAll(purchases)
+        .repartition(32, "user_id")
+        .sortWithinPartitions("user_id", "ts", "side", "event_id")
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        last_view: dict = {}  # user_id -> (view_id, view_ts)
+        for pdf in batches:
+            out = {"purchase_id": [], "user_id": [], "view_id": [], "view_ts": []}
+            for user, ts, side, eid in zip(
+                pdf["user_id"], pdf["ts"], pdf["side"], pdf["event_id"]
+            ):
+                if side == 0:
+                    last_view[user] = (eid, ts)
+                else:
+                    vid, vts = last_view.get(user, (None, None))
+                    out["purchase_id"].append(eid)
+                    out["user_id"].append(user)
+                    out["view_id"].append(vid)
+                    out["view_ts"].append(vts)
+            yield pd.DataFrame(out)
+
+    return tagged.mapInPandas(
+        scan,
+        schema="purchase_id long, user_id long, view_id long, view_ts timestamp",
+    )
