@@ -1,0 +1,143 @@
+"""Streaming-ingest throughput: drive the checkpointed Singer streaming
+job over a generated N-record log and report per-epoch and end-to-end
+rates from the engine's own progress events (StreamingQueryListener).
+
+    python tools/bench_stream.py [n_records] [n_files]   # 200_000, 8
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SCHEMA = {
+    "type": ["null", "object"],
+    "properties": {
+        "id": {"type": ["null", "integer"]},
+        "status": {"type": ["null", "string"]},
+        "amounts": {
+            "type": ["null", "object"],
+            "properties": {"price": {"type": ["null", "number"]}},
+        },
+    },
+}
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from target_s3_parquet_spark.session import get_spark
+    from target_s3_parquet_spark.sources.singer import StreamPlan
+    from target_s3_parquet_spark.streaming.singer_stream import SingerStreamJob
+
+    spark = get_spark("bench_stream")
+
+    class Progress(StreamingQueryListener):
+        def __init__(self):
+            self.epochs = []
+
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            self.epochs.append(
+                {
+                    "batch": p.batchId,
+                    "rows": p.numInputRows,
+                    "duration_ms": p.durationMs.get("triggerExecution"),
+                }
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            pass
+
+    listener = Progress()
+    spark.streams.addListener(listener)
+
+    tmp = tempfile.mkdtemp(prefix="stream_bench_")
+    try:
+        log_dir = os.path.join(tmp, "log")
+        os.makedirs(log_dir)
+        with open(os.path.join(log_dir, "000_schema.jsonl"), "w") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "type": "SCHEMA",
+                        "stream": "orders",
+                        "schema": SCHEMA,
+                        "key_properties": ["id"],
+                    }
+                )
+                + "\n"
+            )
+        record = F.struct(
+            F.col("id").alias("id"),
+            (F.col("id") % 3).cast("string").alias("status"),
+            F.struct((F.col("id") * 1.5).alias("price")).alias("amounts"),
+        )
+        lines = spark.range(n).select(
+            F.to_json(
+                F.struct(
+                    F.lit("RECORD").alias("type"),
+                    F.lit("orders").alias("stream"),
+                    record.alias("record"),
+                )
+            ).alias("value"),
+            (F.col("id") % n_files).alias("f"),
+        )
+        for i in range(n_files):
+            lines.filter(F.col("f") == i).select("value").coalesce(1).write.mode(
+                "append"
+            ).text(os.path.join(log_dir, f"records_{i}"))
+
+        job = SingerStreamJob(
+            plans={"orders": StreamPlan("orders", SCHEMA)},
+            output_path=os.path.join(tmp, "out"),
+            checkpoint_path=os.path.join(tmp, "ckpt"),
+        )
+        t0 = time.time()
+        q = job.start(spark, os.path.join(log_dir, "*"), max_files_per_trigger=1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        wall = time.time() - t0
+        out_rows = spark.read.parquet(os.path.join(tmp, "out")).count()
+        assert out_rows == n, f"{out_rows} != {n}"
+        epochs = [e for e in listener.epochs if e["rows"]]
+        print(
+            json.dumps(
+                {
+                    "metric": "singer_stream_throughput",
+                    "value": round(n / wall, 1),
+                    "unit": "records/sec",
+                    "records": n,
+                    "wall_sec": round(wall, 2),
+                    "epochs": len(epochs),
+                    "epoch_rows": [e["rows"] for e in epochs],
+                    "epoch_ms": [e["duration_ms"] for e in epochs],
+                }
+            )
+        )
+    finally:
+        spark.streams.removeListener(listener)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
