@@ -878,3 +878,106 @@ def tpch_q11_important_stock(spark, sf_dir):
         .select("ps_partkey", F.col("val").cast("double").alias("part_value"))
         .orderBy(F.col("part_value").desc(), "ps_partkey")
     )
+
+
+@query(
+    "tpch_q16_supplier_count",
+    f"""
+    WITH {_PARTSUPP_SQL}
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'ECONOMY%'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND ps.ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def tpch_q16_supplier_count(spark, sf_dir):
+    """Q16: how many suppliers can provide each qualifying part class,
+    excluding a supplier blacklist. The NOT IN subquery decorrelates to
+    a left-anti join against the (tiny, broadcast) blacklist; the
+    part-attribute filters prune before the distinct-count, which runs
+    two-phase on (brand, type, size, suppkey)."""
+    ps = _partsupp(spark, sf_dir)
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("ECONOMY%")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        F.col("s_suppkey").alias("ps_suppkey")
+    )
+    return (
+        ps.join(bad, "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "tpch_q20_excess_stock",
+    f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+      SELECT l_partkey, l_suppkey % (SELECT COUNT(*) FROM supplier) AS sk,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey % (SELECT COUNT(*) FROM supplier)
+    )
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'red%'
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.sk = ps.ps_suppkey
+      WHERE ps.ps_availqty > 0.5 * sh.qty)
+    ORDER BY s.s_suppkey
+    """,
+)
+def tpch_q20_excess_stock(spark, sf_dir):
+    """Q20 (adapted to the derived partsupp key space): suppliers
+    holding more than half a year's shipped quantity of a part line —
+    the overstock report. Three-way chain: year's shipments aggregate
+    once on (partkey, supplier-slot); partsupp joins it with the
+    availability predicate; the survivor supplier set semi-joins back.
+    Everything after the one lineitem aggregation is dimension-sized."""
+    n_supp = t(spark, sf_dir, "supplier").count()
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = l.groupBy(
+        "l_partkey", (F.col("l_suppkey") % n_supp).alias("sk")
+    ).agg(F.sum(dec("l_quantity")).cast("double").alias("qty"))
+    ps = _partsupp(spark, sf_dir)
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    excess = (
+        ps.join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(
+            shipped,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("sk") == F.col("ps_suppkey")),
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        s.join(excess, s.s_suppkey == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
