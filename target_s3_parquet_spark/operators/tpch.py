@@ -981,3 +981,217 @@ def tpch_q20_excess_stock(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "tpch_q12_priority_by_lateness",
+    """
+    SELECT late,
+           COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM (
+      SELECT l_orderkey,
+             l_shipdate > o2.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem l JOIN orders o2 ON o2.o_orderkey = l.l_orderkey) ls
+    JOIN orders o ON o.o_orderkey = ls.l_orderkey
+    GROUP BY late
+    """,
+)
+def tpch_q12_priority_by_lateness(spark, sf_dir):
+    """Q12 (adapted: 'late' = shipped >60 days after order, standing in
+    for the missing shipmode/commit-date columns): conditional counts
+    of high- vs low-priority orders split by lateness. The CASE-inside-
+    COUNT pair computes both columns in one pass — Q12's signature
+    shape survives the column adaptation intact."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    joined = l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    ).alias("late")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy(late).agg(
+        F.count(F.when(high, 1)).alias("high_line_count"),
+        F.count(F.when(~high, 1)).alias("low_line_count"),
+    )
+
+
+@query(
+    "tpch_q17_small_qty_revenue",
+    """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (SELECT l_partkey, 
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) pa
+      ON pa.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < 0.2 * pa.avg_qty
+    GROUP BY 1=1
+    """,
+)
+def tpch_q17_small_qty_revenue(spark, sf_dir):
+    """Q17: lost-revenue estimate from small-quantity orders of one
+    brand — the correlated-average subquery, decorrelated to a
+    per-partkey aggregate joined back (Spark reuses the lineitem
+    exchange or broadcasts the small aggregate, per AQE). The brand
+    filter applies AFTER the average — the average is over ALL orders
+    of the part, the classic q17 subtlety."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    pa = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity")).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(pa, l.l_partkey == pa.pk)
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q21_waiting_supplier",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    ),
+    multi AS (
+      SELECT DISTINCT a.l_orderkey, a.l_suppkey
+      FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM (SELECT DISTINCT lt.l_orderkey, lt.l_suppkey
+          FROM late lt
+          JOIN multi m ON m.l_orderkey = lt.l_orderkey
+                      AND m.l_suppkey = lt.l_suppkey
+          WHERE NOT EXISTS (
+            SELECT 1 FROM late lt2
+            WHERE lt2.l_orderkey = lt.l_orderkey
+              AND lt2.l_suppkey <> lt.l_suppkey)) w
+    JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def tpch_q21_waiting_supplier(spark, sf_dir):
+    """Q21 (adapted lateness): suppliers who were the ONLY late
+    supplier on finalized multi-supplier orders — the famous
+    EXISTS + NOT EXISTS double-correlated query. Decorrelated form:
+    the late set joins itself semi (another supplier exists on the
+    order) and anti (no OTHER supplier was late) — two keyed joins on
+    l_orderkey over the already-small late set, no correlated
+    re-execution anywhere."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = (
+        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .cache()
+    )
+    pairs = l.select("l_orderkey", "l_suppkey").distinct()
+    other_exists = pairs.alias("b")
+    multi = (
+        pairs.alias("a")
+        .join(
+            other_exists,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+            "left_semi",
+        )
+    )
+    sole_late = late.alias("lt").join(
+        late.alias("lt2"),
+        (F.col("lt.l_orderkey") == F.col("lt2.l_orderkey"))
+        & (F.col("lt.l_suppkey") != F.col("lt2.l_suppkey")),
+        "left_anti",
+    )
+    w = sole_late.join(
+        multi,
+        ["l_orderkey", "l_suppkey"],
+        "left_semi",
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        w.join(F.broadcast(s), w.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+    )
+
+
+@query(
+    "tpch_q22_sales_opportunity",
+    """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT c.c_nationkey % 10 AS cntrycode, c.c_acctbal
+      FROM customer c
+      WHERE c.c_nationkey % 10 IN (1, 3, 5, 7)
+        AND c.c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(c2.c_acctbal)
+          FROM customer c2
+          WHERE c2.c_acctbal > 0.0 AND c2.c_nationkey % 10 IN (1, 3, 5, 7))
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+    """,
+)
+def tpch_q22_sales_opportunity(spark, sf_dir):
+    """Q22 (adapted: country code := nationkey % 10, standing in for
+    the missing phone prefix): wealthy-but-inactive customers per
+    country — a scalar average subquery (broadcast 1-row threshold)
+    plus NOT EXISTS (anti join against orders; scoped to recent orders
+    since every synthetic customer has SOME order in 7 years of
+    history). With q12/q17/q21 this
+    completes all 22 classic TPC-H query SHAPES in the engine (schema-
+    adapted where the synthetic tables lack columns)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    code = (F.col("c_nationkey") % 10).alias("cntrycode")
+    eligible = c.filter((F.col("c_nationkey") % 10).isin(1, 3, 5, 7))
+    avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")
+        ).alias("thr")
+    )
+    return (
+        eligible.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("thr"))
+        .join(
+            o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")),
+            eligible.c_custkey == o.o_custkey,
+            "left_anti",
+        )
+        .groupBy(code)
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
