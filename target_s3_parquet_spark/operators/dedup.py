@@ -516,3 +516,62 @@ def text_dedup_keep_best(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("doc_id", "cluster_id", "quality")
     )
+
+
+@query(
+    "dedup_incremental_registry",
+    """
+    WITH registry AS (
+      SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
+    ),
+    new_unique AS (
+      SELECT doc_id, h FROM (
+        SELECT b.doc_id, b.h,
+               ROW_NUMBER() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+        FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM registry r WHERE r.h = b.h))
+      WHERE rn = 1
+    )
+    SELECT 'accepted' AS outcome, COUNT(*) AS n FROM new_unique
+    UNION ALL
+    SELECT 'rejected', (SELECT COUNT(*) FROM batch) - COUNT(*) FROM new_unique
+    """,
+)
+def dedup_incremental_registry(spark, sf_dir):
+    """INCREMENTAL dedup — the shape a 100 TB corpus actually runs
+    daily: new documents are checked against the persisted hash
+    REGISTRY of everything already accepted (here: the first 250 docs
+    stand in for the historical registry, the rest for today's batch),
+    plus within-batch dedup, and only the survivors append to corpus +
+    registry. Cost is O(batch) hashing plus one anti join against the
+    registry — the historical CORPUS is never rescanned, only its hash
+    column (at scale: a bucketed hash-only table, so the anti join is
+    also shuffle-free). Re-deduping the whole corpus per ingest cycle
+    is the anti-pattern this replaces."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    registry = (
+        d.filter(F.col("doc_id") < 250).select(F.md5("text").alias("h")).distinct()
+    )
+    batch = d.filter(F.col("doc_id") >= 250).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    w = W.partitionBy("h").orderBy("doc_id")
+    new_unique = (
+        batch.join(registry, "h", "left_anti")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    n_batch = batch.count()
+    accepted = new_unique.agg(
+        F.lit("accepted").alias("outcome"), F.count("*").alias("n")
+    )
+    rejected = new_unique.agg(
+        F.lit("rejected").alias("outcome"),
+        (F.lit(n_batch) - F.count("*")).alias("n"),
+    )
+    return accepted.unionAll(rejected)
