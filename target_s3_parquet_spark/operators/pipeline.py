@@ -477,3 +477,71 @@ def events_wide_denorm(spark, sf_dir):
             F.col("r_name").alias("region"),
         )
     )
+
+
+@query(
+    "data_quality_checks",
+    """
+    SELECT 'orders_pk_unique' AS check_name,
+           (SELECT COUNT(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS violations
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'orders_fk_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0.0 OR l_discount > 1.0)
+    """,
+)
+def data_quality_checks(spark, sf_dir):
+    """The data-quality gate (dbt-test shape): primary-key uniqueness,
+    not-null, referential integrity, and domain-range checks as one
+    job emitting violation counts per check — zero means the contract
+    holds. Each check is a scan-local aggregate except FK integrity,
+    which is an anti join with the (broadcast) parent keys. At 100 TB
+    this runs as the post-write validation step of every pipeline
+    stage, and a nonzero count routes the batch to quarantine instead
+    of publishing (`stream_quarantine_sink` is the streaming
+    enforcement of the same idea)."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+
+    pk_dupes = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.lit("orders_pk_unique").alias("check_name"), F.count("*").alias("violations"))
+    )
+    nn = o.agg(
+        F.lit("orders_custkey_not_null").alias("check_name"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("violations"),
+    )
+    fk = (
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.lit("orders_fk_customer").alias("check_name"), F.count("*").alias("violations"))
+    )
+    qty = l.agg(
+        F.lit("lineitem_qty_positive").alias("check_name"),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("violations"),
+    )
+    disc = l.agg(
+        F.lit("lineitem_discount_range").alias("check_name"),
+        F.count(
+            F.when((F.col("l_discount") < 0.0) | (F.col("l_discount") > 1.0), 1)
+        ).alias("violations"),
+    )
+    out = pk_dupes
+    for part in (nn, fk, qty, disc):
+        out = out.unionAll(part)
+    return out
