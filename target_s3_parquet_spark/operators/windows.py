@@ -188,3 +188,54 @@ def window_distribution(spark, sf_dir):
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+@query(
+    "window_ignore_nulls",
+    """
+    SELECT event_id, user_id, v,
+           LAST_VALUE(v IGNORE NULLS) OVER w AS last_known,
+           FIRST_VALUE(v IGNORE NULLS) OVER w2 AS first_known
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING),
+           w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_ignore_nulls(spark, sf_dir):
+    """IGNORE NULLS window navigation — the sensor-reading pattern
+    (every third reading nulled here to simulate gaps): `last_value
+    IGNORE NULLS` over a running frame is forward-fill, `first_value`
+    over the full frame anchors each partition's first real value.
+    Same single shuffle+sort as any window family; the null-skipping
+    is evaluator-local."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 3 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w2 = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("last_known"),
+        F.first("v", ignorenulls=True).over(w2).alias("first_known"),
+    )
