@@ -534,3 +534,26 @@ def agg_filtered_count_if(spark, sf_dir):
         .cast("double")
         .alias("urgent_total"),
     )
+
+
+@query(
+    "agg_bool_and_or",
+    """
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000.0) AS all_over_1k,
+           bool_or(o_totalprice > 400000.0) AS any_over_400k,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_and_or(spark, sf_dir):
+    """Boolean aggregates (every/any): predicate satisfaction per group
+    in one pass — the assertion form of a data-quality check (compare
+    `data_quality_checks`, which counts violations instead)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000.0).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
+        F.count("*").alias("n"),
+    )
