@@ -455,9 +455,11 @@ def e2e_corpus_build(spark, sf_dir):
 )
 def events_wide_denorm(spark, sf_dir):
     """The denormalization write: events joined wide against the dim
-    chain, producing the one flat table analysts scan. All dims
-    broadcast — the fact rows never shuffle, so denormalizing 100 TB
-    of events costs one pass at read bandwidth. The tradeoff is
+    chain, producing the one flat table analysts scan. Constant-size
+    dims (nation/region) broadcast; customer is sf-proportional, so its
+    join is left to AQE — broadcast while it fits, shuffle join beyond
+    (at 100 TB the events⋈customer step is a co-partitioned shuffle,
+    not a pinned multi-GB build). The tradeoff is
     explicit: storage inflates by the dim columns, but every
     downstream query drops three joins; with columnar parquet the
     duplicated dim columns compress to near-dictionary size, which is
@@ -467,7 +469,7 @@ def events_wide_denorm(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     return (
-        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        e.join(c, e.user_id == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -508,7 +510,8 @@ def data_quality_checks(spark, sf_dir):
     not-null, referential integrity, and domain-range checks as one
     job emitting violation counts per check — zero means the contract
     holds. Each check is a scan-local aggregate except FK integrity,
-    which is an anti join with the (broadcast) parent keys. At 100 TB
+    an anti join against the parent keys (single pruned column; AQE
+    broadcasts it while small, shuffles beyond). At 100 TB
     this runs as the post-write validation step of every pipeline
     stage, and a nonzero count routes the batch to quarantine instead
     of publishing (`stream_quarantine_sink` is the streaming
@@ -528,7 +531,7 @@ def data_quality_checks(spark, sf_dir):
         F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("violations"),
     )
     fk = (
-        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey, "left_anti")
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.lit("orders_fk_customer").alias("check_name"), F.count("*").alias("violations"))
     )
     qty = l.agg(

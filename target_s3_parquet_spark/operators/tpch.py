@@ -53,10 +53,13 @@ def _rev():
 def tpch_q3_shipping_priority(spark, sf_dir):
     """Q3: unshipped-order revenue for one market segment, top 10.
 
-    Plan shape: customer (filtered on segment) broadcasts into orders
-    (date filter pushed to scan), the result broadcasts into lineitem —
-    the fact table is filtered and aggregated without ever being the
-    build side. Top-10 via TakeOrderedAndProject, no global sort."""
+    Plan shape: orders and customer are fact-scale (sf-proportional), so
+    no pinned broadcast hints — AQE picks broadcast vs shuffle join from
+    runtime stats (broadcast at test SF, sort-merge at 100 TB; the plan
+    degrades gracefully instead of OOMing a pinned build side). The
+    selective date/segment filters are pushed to the parquet scans so
+    whatever join strategy wins sees the reduced inputs. Top-10 via
+    TakeOrderedAndProject, no global sort."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-06-15").cast("timestamp")
@@ -65,8 +68,8 @@ def tpch_q3_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1998-06-15").cast("timestamp")
     )
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(_rev(), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -95,9 +98,11 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 )
 def tpch_q5_local_supplier_volume(spark, sf_dir):
     """Q5: revenue by nation where customer and supplier share the
-    nation, one region, two-year window. Six-table join where every
-    dimension side broadcasts; the only exchange is the final small
-    groupBy on n_name."""
+    nation, one region, two-year window. Six-table join: only the
+    constant-size dims (nation=25 rows, region=5 rows at any SF) carry
+    pinned broadcast hints; orders/customer/supplier are sf-proportional
+    so AQE chooses their join strategy from runtime sizes — broadcast at
+    test SF, shuffle join at 100 TB without a plan rewrite."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -108,10 +113,10 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -174,8 +179,10 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
 )
 def tpch_q10_returned_items(spark, sf_dir):
     """Q10: top-20 customers by returned-item revenue in a quarter.
-    Fact-side filter on returnflag prunes before the join; customer and
-    nation broadcast; TakeOrdered caps the result."""
+    Fact-side filter on returnflag prunes before the join; only nation
+    (25 rows at any SF) is pinned-broadcast — orders/customer are
+    sf-proportional, so AQE decides their join strategy from runtime
+    stats; TakeOrdered caps the result."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -184,8 +191,8 @@ def tpch_q10_returned_items(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = t(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(_rev(), "revenue"))
@@ -216,8 +223,12 @@ def tpch_q18_large_volume(spark, sf_dir):
     """Q18: customers with orders whose total quantity exceeds the
     threshold. The HAVING-aggregate runs first (one shuffle on the
     fact's own key — unavoidable and maximally pruned: two columns in,
-    one row per qualifying order out), then dims broadcast onto the
-    tiny survivor set."""
+    one row per qualifying order out). No pinned broadcasts: `big` is
+    the small side but its size is only known after the HAVING filter,
+    which is exactly what AQE measures at the shuffle boundary — it
+    broadcasts `big` when small and falls back to shuffle join when the
+    threshold turns out unselective, instead of a hint forcing a
+    multi-GB build of orders/customer at 100 TB."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -228,8 +239,8 @@ def tpch_q18_large_volume(spark, sf_dir):
         .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
     )
     return (
-        big.join(F.broadcast(o), big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey", "c_name", "o_orderkey", "o_orderdate",
             "o_totalprice", "sum_qty",
@@ -376,8 +387,9 @@ def tpch_q4_priority_count(spark, sf_dir):
 def tpch_q14_promo_revenue(spark, sf_dir):
     """Q14: promo share of one month's revenue. Conditional aggregation
     (CASE inside SUM) computes both numerator and denominator in ONE
-    pass over the month's lineitem slice; part broadcasts. Both sums
-    decimal-exact, the final ratio a single double division."""
+    pass over the month's lineitem slice; part is sf-proportional so no
+    pinned broadcast — AQE decides. Both sums decimal-exact, the final
+    ratio a single double division."""
     l = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
@@ -386,7 +398,7 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg(
             (
                 F.lit(100.0)
@@ -439,7 +451,7 @@ def tpch_q19_disjunctive(spark, sf_dir):
         )
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(dsum(_rev(), "revenue"), F.count("*").alias("n_lines"))
     )
@@ -505,9 +517,11 @@ def tpch_q7_nation_volume(spark, sf_dir):
     """Q7: trade volume between two nations by year, both directions.
     The nation filter is a disjunction across two different join paths
     (supplier's nation vs customer's nation) — it can't push below
-    either join alone, but both nation dims broadcast and the residual
-    evaluates on the joined row. Fact tables join orders⋈lineitem on
-    the order key; everything else broadcasts."""
+    either join alone, but both nation dims broadcast (25 rows at any
+    SF) and the residual evaluates on the joined row. The
+    sf-proportional sides (orders/customer/supplier) carry no pinned
+    hints — AQE picks broadcast-vs-shuffle from runtime sizes so the
+    plan survives a 100× scale-up."""
     s = t(spark, sf_dir, "supplier")
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
@@ -520,9 +534,9 @@ def tpch_q7_nation_volume(spark, sf_dir):
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(pair)
@@ -564,7 +578,8 @@ def tpch_q8_market_share(spark, sf_dir):
     """Q8: one supplier nation's share of a region's revenue by year —
     conditional-sum numerator over total denominator in ONE aggregate
     pass (no second scan for the denominator). Customer-side region
-    filter prunes the fact early; all dims broadcast."""
+    filter prunes the fact early; constant-size dims (nation/region)
+    broadcast, sf-proportional sides are left to AQE."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
@@ -578,11 +593,11 @@ def tpch_q8_market_share(spark, sf_dir):
     from target_s3_parquet_spark.operators._util import dec as _dec
 
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
@@ -747,9 +762,12 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     """Q2: the minimum-cost supplier per qualifying part within a
     region — the correlated-MIN pattern. Decorrelated form: compute
     min cost per partkey over the region-filtered partsupp once, join
-    back on (partkey, cost). The supplier/nation/region chain
-    broadcasts; partsupp itself is GENERATED (a projection of part ×
-    4), so the whole query reads only the real dims."""
+    back on (partkey, cost). Only the constant-size nation/region dims
+    carry pinned broadcast hints; supplier, part, and the per-partkey
+    min_cost aggregate are all sf-proportional, so AQE chooses their
+    join strategy at runtime (the min_cost back-join becomes a
+    co-partitioned shuffle join at scale — both sides already hash on
+    ps_partkey, so the exchange is reused)."""
     ps = _partsupp(spark, sf_dir)
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "ECONOMY")
@@ -758,7 +776,7 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     regional = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -766,9 +784,9 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
         F.min("ps_supplycost").alias("min_cost")
     )
     return (
-        regional.join(F.broadcast(min_cost), "ps_partkey")
+        regional.join(min_cost, "ps_partkey")
         .filter(F.col("ps_supplycost") == F.col("min_cost"))
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(p, F.col("ps_partkey") == p.p_partkey)
         .select("s_name", "n_name", "p_partkey", "p_name", "ps_supplycost")
         .orderBy("p_partkey", "s_name")
     )
@@ -804,7 +822,8 @@ def tpch_q9_product_profit(spark, sf_dir):
     every lineitem; since the derived partsupp keys 4 suppliers per
     part, the lineitem's supplier maps into that space by modulus
     (adapted join — classic q9 joins on the exact pair). Decimal-exact
-    profit sums; dims broadcast; one lineitem⋈orders shuffle."""
+    profit sums; only nation (constant 25 rows) is pinned-broadcast —
+    part/supplier/partsupp/orders are sf-proportional, left to AQE."""
     ps = _partsupp(spark, sf_dir)
     n_supp = t(spark, sf_dir, "supplier").count()
     l = t(spark, sf_dir, "lineitem")
@@ -814,14 +833,14 @@ def tpch_q9_product_profit(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     amount = _rev() - F.col("ps_supplycost") * F.col("l_quantity")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(
-            F.broadcast(ps),
+            ps,
             (F.col("ps_partkey") == F.col("l_partkey"))
             & (F.col("ps_suppkey") == F.col("l_suppkey") % n_supp),
         )
-        .join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -861,7 +880,7 @@ def tpch_q11_important_stock(spark, sf_dir):
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     national = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("ps_partkey")
         .agg(
@@ -900,9 +919,10 @@ def tpch_q11_important_stock(spark, sf_dir):
 def tpch_q16_supplier_count(spark, sf_dir):
     """Q16: how many suppliers can provide each qualifying part class,
     excluding a supplier blacklist. The NOT IN subquery decorrelates to
-    a left-anti join against the (tiny, broadcast) blacklist; the
-    part-attribute filters prune before the distinct-count, which runs
-    two-phase on (brand, type, size, suppkey)."""
+    a left-anti join against the blacklist; the part-attribute filters
+    prune before the distinct-count, which runs two-phase on (brand,
+    type, size, suppkey). No pinned broadcasts: part and the blacklist
+    are sf-proportional, so AQE chooses per-join at runtime."""
     ps = _partsupp(spark, sf_dir)
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -914,7 +934,7 @@ def tpch_q16_supplier_count(spark, sf_dir):
     )
     return (
         ps.join(bad, "ps_suppkey", "left_anti")
-        .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        .join(p, F.col("ps_partkey") == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(
@@ -965,7 +985,7 @@ def tpch_q20_excess_stock(spark, sf_dir):
     ps = _partsupp(spark, sf_dir)
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
     excess = (
-        ps.join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
+        ps.join(p, F.col("ps_partkey") == p.p_partkey)
         .join(
             shipped,
             (F.col("l_partkey") == F.col("ps_partkey"))
@@ -1007,7 +1027,7 @@ def tpch_q12_priority_by_lateness(spark, sf_dir):
     shape survives the column adaptation intact."""
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
-    joined = l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+    joined = l.join(o, l.l_orderkey == o.o_orderkey)
     late = (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     ).alias("late")
@@ -1050,7 +1070,7 @@ def tpch_q17_small_qty_revenue(spark, sf_dir):
         )
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(pa, l.l_partkey == pa.pk)
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -1101,7 +1121,7 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
         .filter(
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         )
@@ -1133,7 +1153,7 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
     )
     s = t(spark, sf_dir, "supplier")
     return (
-        w.join(F.broadcast(s), w.l_suppkey == s.s_suppkey)
+        w.join(s, w.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

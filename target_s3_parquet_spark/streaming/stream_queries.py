@@ -309,13 +309,15 @@ def stream_join_static(spark, sf_dir):
     """Stream-static enrichment join: the event stream joins a static
     dimension (customer) micro-batch by micro-batch — the canonical
     "enrich the firehose with reference data" pattern. The static side
-    is broadcast into every micro-batch (re-resolved each trigger, so a
-    refreshed dim table is picked up without restarting the query);
-    state is only the running aggregate, never the join itself.
+    is re-resolved each trigger (so a refreshed dim table is picked up
+    without restarting the query) and carries no pinned broadcast hint:
+    customer is sf-proportional, so the planner broadcasts it while it
+    fits the threshold and falls back to a per-batch shuffled join at
+    scale; state is only the running aggregate, never the join itself.
     Complete-mode aggregation makes the result micro-batch-invariant,
     which is what lets a batch oracle verify it."""
     events = t(spark, sf_dir, "events")
-    customer = F.broadcast(t(spark, sf_dir, "customer"))
+    customer = t(spark, sf_dir, "customer")
 
     def build(stream):
         enriched = (
