@@ -52,17 +52,19 @@ def scalar_string(spark, sf_dir):
     "scalar_string_split",
     """
     SELECT p_partkey,
-           string_split(p_name, ' ') AS name_tokens,
+           array_to_string(string_split(p_name, ' '), '|') AS name_tokens,
            len(string_split(p_name, ' ')) AS n_tokens
     FROM part
     """,
 )
 def scalar_string_split(spark, sf_dir):
+    # tokens serialized for output: the driver comparator can't hash
+    # list cells (see tools/check_correctness.py docstring)
     p = t(spark, sf_dir, "part")
     toks = F.split(F.col("p_name"), " ")
     return p.select(
         "p_partkey",
-        toks.alias("name_tokens"),
+        F.array_join(toks, "|").alias("name_tokens"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
 
@@ -177,29 +179,35 @@ def scalar_conditional(spark, sf_dir):
       SELECT p_partkey, string_split(p_name, ' ') AS words FROM part
     )
     SELECT p_partkey,
-           words,
            len(words) AS n_words,
            array_contains(words, 'green') AS has_green,
-           list_sort(words) AS words_sorted,
-           list_transform(words, w -> UPPER(w)) AS words_upper,
-           list_filter(words, w -> LENGTH(w) > 4) AS long_words,
+           array_to_string(list_sort(words), '|') AS words_sorted,
+           array_to_string(list_transform(words, w -> UPPER(w)), '|')
+             AS words_upper,
+           COALESCE(array_to_string(list_filter(words, w -> LENGTH(w) > 4),
+                                    '|'), '') AS long_words,
            array_to_string(words, '-') AS joined
     FROM toks
     """,
 )
 def scalar_array(spark, sf_dir):
     """Array ops incl. higher-order lambdas (transform/filter run inside
-    codegen — no UDF)."""
+    codegen — no UDF). Array-valued intermediates are serialized with
+    array_join for output: the driver comparator hashes through pandas,
+    which cannot hash list cells (same constraint as agg_collect_list)."""
     p = t(spark, sf_dir, "part")
     words = F.split(F.col("p_name"), " ")
     return p.select(
         "p_partkey",
-        words.alias("words"),
         F.size(words).cast("long").alias("n_words"),
         F.array_contains(words, "green").alias("has_green"),
-        F.sort_array(words).alias("words_sorted"),
-        F.transform(words, lambda w: F.upper(w)).alias("words_upper"),
-        F.filter(words, lambda w: F.length(w) > 4).alias("long_words"),
+        F.array_join(F.sort_array(words), "|").alias("words_sorted"),
+        F.array_join(F.transform(words, lambda w: F.upper(w)), "|").alias(
+            "words_upper"
+        ),
+        F.array_join(F.filter(words, lambda w: F.length(w) > 4), "|").alias(
+            "long_words"
+        ),
         F.array_join(words, "-").alias("joined"),
     )
 
@@ -232,7 +240,7 @@ def scalar_array_explode(spark, sf_dir):
       FROM part
     )
     SELECT p_partkey,
-           map_keys(attrs) AS ks,
+           array_to_string(map_keys(attrs), ',') AS ks,
            map_extract(attrs, 'brand')[1] AS brand,
            cardinality(attrs) AS n_entries
     FROM m
@@ -240,14 +248,17 @@ def scalar_array_explode(spark, sf_dir):
 )
 def scalar_map(spark, sf_dir):
     """MapType construction + access. (Reference has no map support at
-    all — SURVEY §1.3 'map: not supported anywhere'; extension.)"""
+    all — SURVEY §1.3 'map: not supported anywhere'; extension.)
+    map_keys output is serialized to a string for the pandas-based
+    comparator; construction order is the literal order in both
+    engines, so no sort is needed."""
     p = t(spark, sf_dir, "part")
     attrs = F.create_map(
         F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
     )
     return p.select(
         "p_partkey",
-        F.map_keys(attrs).alias("ks"),
+        F.array_join(F.map_keys(attrs), ",").alias("ks"),
         attrs.getItem("brand").alias("brand"),
         F.size(attrs).cast("long").alias("n_entries"),
     )
@@ -300,7 +311,7 @@ def scalar_json_struct(spark, sf_dir):
     "scalar_cast_formats",
     """
     SELECT o_orderkey,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec,
            CAST(o_orderkey AS VARCHAR) AS key_str,
            CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_str,
            strftime(o_orderdate, '%Y-%m') AS ym
@@ -308,10 +319,14 @@ def scalar_json_struct(spark, sf_dir):
     """,
 )
 def scalar_cast_formats(spark, sf_dir):
+    # price_dec lands as a 2-dp STRING: a DECIMAL output column would
+    # materialize as Decimal('149041.30') in Spark's pandas but float64
+    # 149041.3 in DuckDB's — stringifying in-engine keeps the fixed
+    # scale on both sides (and is itself a cast-format case)
     o = t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("price_dec"),
         F.col("o_orderkey").cast("string").alias("key_str"),
         F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),

@@ -74,7 +74,11 @@ def udf_pandas_scalar(spark, sf_dir):
     "udaf_pandas",
     """
     SELECT l_returnflag,
-           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS total_cents
+           -- CAST: DuckDB widens SUM(BIGINT) to HUGEINT, which pandas
+           -- materializes as float ("...0.0") and hash-mismatches
+           -- Spark's int64
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM lineitem
     GROUP BY l_returnflag
     """,

@@ -260,8 +260,11 @@ def agg_percentile(spark, sf_dir):
     "agg_collect_list",
     """
     SELECT o_orderpriority,
-           list_sort(list(o_orderkey)) AS orderkeys_sample,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses
+           array_to_string(list_transform(list_sort(list(o_orderkey)),
+                                          x -> CAST(x AS VARCHAR)), ',')
+             AS orderkeys_sample,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+             AS statuses
     FROM orders
     WHERE o_orderkey < 200
     GROUP BY o_orderpriority
@@ -274,11 +277,24 @@ def agg_collect_list(spark, sf_dir):
     `array_sort(collect_list(...))` — or stay order-agnostic. Bounded
     input only: an unbounded collect is a per-group memory bomb at
     scale; the unbounded alternatives are explode-side processing or
-    top-k windows."""
+    top-k windows.
+
+    Output is the sorted array joined to a ',' string: the driver's
+    comparator hashes through pandas, which cannot hash list-typed
+    cells (CORRECTNESS_r01 err), so comparable keys serialize arrays —
+    sort numerically FIRST, then stringify elements."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_list("o_orderkey")).alias("orderkeys_sample"),
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("orderkeys_sample"),
+        F.array_join(F.array_sort(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
     )
 
 
@@ -396,25 +412,46 @@ def agg_string_agg(spark, sf_dir):
     )
 
 
+_QUANTILE_LEVELS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
 @query(
     "agg_quantile_array",
-    """
+    f"""
+    WITH qs AS (
+      SELECT o_orderstatus,
+             quantile_cont(o_totalprice,
+                           [{", ".join(str(x) for x in _QUANTILE_LEVELS)}])
+               AS price_quantiles
+      FROM orders
+      GROUP BY o_orderstatus
+    )
     SELECT o_orderstatus,
-           quantile_cont(o_totalprice, [0.1, 0.25, 0.5, 0.75, 0.9]) AS price_quantiles
-    FROM orders
-    GROUP BY o_orderstatus
+           [{", ".join(str(x) for x in _QUANTILE_LEVELS)}][i] AS q_level,
+           price_quantiles[i] AS q_value
+    FROM qs CROSS JOIN (SELECT UNNEST([1, 2, 3, 4, 5]) AS i) idx
     """,
 )
 def agg_quantile_array(spark, sf_dir):
     """Multi-quantile in one aggregate: one per-group sort serves the
     whole quantile vector (vs one sort per percentile if asked
-    separately). Returns array<double> — arrays round-trip the
-    comparator and parquet natively."""
+    separately). The array is then exploded to (group, level, value)
+    rows — the aggregation still happens once as a vector (the plan
+    has ONE percentile aggregate, then a generate), and the row form
+    hashes through the driver's pandas comparator, which can't hash
+    list-typed cells (CORRECTNESS_r01 err)."""
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile("o_totalprice", F.array(*[F.lit(x) for x in (0.1, 0.25, 0.5, 0.75, 0.9)])).alias(
-            "price_quantiles"
-        )
+    levels = F.array(*[F.lit(x) for x in _QUANTILE_LEVELS])
+    vec = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", levels).alias("price_quantiles")
+    )
+    return vec.select(
+        "o_orderstatus",
+        F.posexplode("price_quantiles").alias("pos", "q_value"),
+    ).select(
+        "o_orderstatus",
+        F.element_at(levels, F.col("pos") + 1).alias("q_level"),
+        "q_value",
     )
 
 

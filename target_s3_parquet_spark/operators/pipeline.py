@@ -75,8 +75,12 @@ def sample_hash_split(spark, sf_dir):
     ),
     sess AS (
       SELECT user_id, event_id, ts,
-             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_no
+             -- CAST: DuckDB's SUM(int) OVER yields HUGEINT, which
+             -- pandas materializes as object/float and hash-mismatches
+             -- Spark's BIGINT (CORRECTNESS_r01)
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_no
       FROM gaps
     )
     SELECT user_id, session_no, COUNT(*) AS n_events,

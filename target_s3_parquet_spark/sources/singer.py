@@ -99,9 +99,14 @@ def parse_message_lines(raw: DataFrame, line_col: str = "value") -> DataFrame:
         F.get_json_object(line, "$.record").alias("_record_json"),
         F.get_json_object(line, "$.schema").alias("_schema_json"),
         F.get_json_object(line, "$.value").alias("_state_json"),
-        # a non-blank line whose JSON parse yielded nothing is corrupt
+        # a non-blank line is corrupt when its JSON parse yields nothing
+        # OR it parses but carries no envelope "type" (a bare number or
+        # string is valid JSON yet not a Singer message — the reference's
+        # singer.parse_message raises on any such line, so silently
+        # dropping it would diverge)
         (
-            F.try_parse_json(line).isNull() & (F.length(F.trim(line)) > 0)
+            (F.length(F.trim(line)) > 0)
+            & (F.try_parse_json(line).isNull() | env["type"].isNull())
         ).alias("_corrupt"),
     )
     return parsed.select(
@@ -198,8 +203,19 @@ def _compile_validators(plan: StreamPlan, rec: Column) -> list[tuple[str, Column
     props = plan.json_schema.get("properties") or {}
     required = plan.json_schema.get("required") or []
     for name in required:
+        # Draft4 'required' asserts key PRESENCE — an explicit JSON null
+        # satisfies it when the type allows null. get_json_object cannot
+        # distinguish missing from null (both return NULL), so check the
+        # object's key set instead; a record that isn't a JSON object at
+        # all (json_object_keys → NULL) also violates.
         checks.append(
-            (f"required:{name}", F.get_json_object(rec, f"$.{name}").isNull())
+            (
+                f"required:{name}",
+                ~F.coalesce(
+                    F.array_contains(F.json_object_keys(rec), F.lit(name)),
+                    F.lit(False),
+                ),
+            )
         )
     for name, prop in props.items():
         raw = F.get_json_object(rec, f"$.{name}")

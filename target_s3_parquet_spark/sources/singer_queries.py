@@ -71,7 +71,7 @@ def _orders_as_singer_lines(spark, sf_dir):
            o_orderstatus AS status,
            o_totalprice AS amounts__price,
            o_totalprice * 0.07 AS amounts__tax_est,
-           [o_orderpriority, o_orderstatus] AS flags
+           array_to_string([o_orderpriority, o_orderstatus], ',') AS flags
     FROM orders
     """,
 )
@@ -79,12 +79,16 @@ def singer_ingest_flatten(spark, sf_dir):
     """R2+R3+R4+R6 end-to-end: parse envelope JSON, validate against the
     stream's JSON schema, apply the derived StructType, flatten nested
     objects to parent__child. Oracle recomputes from the source table —
-    a lossless round trip is the only way the hashes match."""
+    a lossless round trip is the only way the hashes match. The `flags`
+    array survives the pipeline typed (lossless mode); only the OUTPUT
+    serializes it, because the driver comparator can't hash list cells."""
     lines = _orders_as_singer_lines(spark, sf_dir)
     messages = parse_message_lines(lines)
     plan = StreamPlan(stream="orders", json_schema=_ORDERS_SCHEMA)
     flat = records_for_stream(messages, plan, validate="strict")
-    return flat.withColumn("id", F.col("id").cast("long"))
+    return flat.withColumn("id", F.col("id").cast("long")).withColumn(
+        "flags", F.array_join("flags", ",")
+    )
 
 
 @query(

@@ -142,12 +142,21 @@ def merge_into(
     return commit(merged, root, mode="overwrite")
 
 
-def vacuum(root: str, retain_versions: int = 1) -> list[str]:
+def vacuum(
+    root: str, retain_versions: int = 1, retention_seconds: float = 3600.0
+) -> list[str]:
     """Delete data dirs unreachable from the newest ``retain_versions``
     manifests (and drop the older manifests). Returns removed dirs.
     After a vacuum, time travel only reaches the retained window —
-    the Delta-style retention contract."""
+    the Delta-style retention contract.
+
+    ``retention_seconds`` guards concurrent writers: ``commit()`` writes
+    its data dir BEFORE claiming a manifest, so an unreferenced dir may
+    belong to an in-flight commit. Dirs younger than the threshold are
+    skipped (mirroring Delta's vacuum retention check); pass 0 only when
+    the caller is provably the single writer."""
     import shutil
+    import time
 
     last = latest_version(root)
     if last is None:
@@ -157,13 +166,17 @@ def vacuum(root: str, retain_versions: int = 1) -> list[str]:
     for v in range(keep_from, last + 1):
         live.update(_read_manifest(root, v)["dirs"])
     removed = []
+    now = time.time()
     data_root = os.path.join(root, "data")
     if os.path.isdir(data_root):
         for d in sorted(os.listdir(data_root)):
             full = os.path.join(data_root, d)
-            if full not in live:
-                shutil.rmtree(full)
-                removed.append(full)
+            if full in live:
+                continue
+            if now - os.path.getmtime(full) < retention_seconds:
+                continue  # possibly an in-flight commit's dir
+            shutil.rmtree(full)
+            removed.append(full)
     for v in range(0, keep_from):
         mp = _manifest_path(root, v)
         if os.path.exists(mp):

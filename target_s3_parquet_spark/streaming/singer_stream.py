@@ -77,17 +77,25 @@ class SingerStreamJob:
                     os.path.join(self.state_dir, f"state-{epoch_id:010d}.json"), "w"
                 ) as f:
                     f.write(state_val)
-            # schema evolution: surface unseen SCHEMA messages
-            known = list(self.plans.keys()) or [""]
-            evolved = (
-                messages.filter(
-                    (F.col("type") == "SCHEMA") & ~F.col("stream").isin(known)
-                )
-                .select("stream")
-                .distinct()
+            # schema evolution: surface SCHEMA messages for unknown
+            # streams AND mid-run re-SCHEMAs of known streams whose
+            # payload differs from the plan in force — the latter is the
+            # actual evolution case (new columns would otherwise keep
+            # parsing under the stale plan and be silently dropped).
+            # Control-plane collect: O(streams), never O(records).
+            schema_rows = (
+                messages.withColumn("_line", F.monotonically_increasing_id())
+                .filter((F.col("type") == "SCHEMA") & F.col("stream").isNotNull())
+                .groupBy("stream")
+                .agg(F.max_by("schema_json", "_line").alias("schema_json"))
                 .collect()
             )
-            self.observed_schema_changes.extend(r["stream"] for r in evolved)
+            for r in schema_rows:
+                plan = self.plans.get(r["stream"])
+                if plan is None:
+                    self.observed_schema_changes.append(r["stream"])
+                elif json.loads(r["schema_json"] or "{}") != plan.json_schema:
+                    self.observed_schema_changes.append(r["stream"])
         finally:
             messages.unpersist()
 

@@ -1,6 +1,7 @@
 """Every registered query key vs its DuckDB oracle at sf0.001 — the same
 comparison the driver runs at sf0.01 (row count + sorted column names +
-order-insensitive value hash)."""
+order-insensitive value hash, materialized through pandas on both sides
+the way the driver's comparator does)."""
 
 import pytest
 
@@ -19,18 +20,23 @@ def test_query_matches_oracle(key, spark, duck):
 
     sys.path.insert(0, "/root/repo")
     from target_s3_parquet_spark.registry import get_oracles, get_queries
-    from tools.check_correctness import value_hash
+    from tools.check_correctness import _nonhashable_columns, frame_hash
 
     fn = get_queries()[key]
     sdf = fn(spark, SF_SMALL)
-    srows = [tuple(r) for r in sdf.collect()]
     oracle = get_oracles().get(key)
     if oracle is None:
         # rows-only contract: runs, stable schema
         assert sdf.schema.fields
+        sdf.collect()
         return
-    rel = duck.sql(oracle)
-    drows = rel.fetchall()
-    assert len(srows) == len(drows), f"rowcount {len(srows)} != {len(drows)}"
-    assert sorted(sdf.columns) == sorted(rel.columns)
-    assert value_hash(srows, sdf.columns) == value_hash(drows, rel.columns)
+    # the driver comparator cannot hash list-typed cells — oracle-checked
+    # keys must serialize arrays or explode to rows
+    assert not _nonhashable_columns(sdf), (
+        f"{key}: array/map/struct output columns {_nonhashable_columns(sdf)}"
+    )
+    spdf = sdf.toPandas()
+    dpdf = duck.sql(oracle).df()
+    assert len(spdf) == len(dpdf), f"rowcount {len(spdf)} != {len(dpdf)}"
+    assert sorted(spdf.columns) == sorted(dpdf.columns)
+    assert frame_hash(spdf) == frame_hash(dpdf)

@@ -84,7 +84,16 @@ def test_vacuum_retains_window(spark, tmp_path):
     txlog.commit(spark.range(5, 8), root)
     txlog.commit(spark.range(0, 2), root, mode="overwrite")
 
-    removed = txlog.vacuum(root, retain_versions=1)
+    # default retention refuses young dirs (concurrent-writer guard):
+    # a freshly written data dir may belong to an in-flight commit that
+    # hasn't claimed its manifest yet, so nothing this young is deleted
+    import os
+
+    n_dirs = len(os.listdir(os.path.join(root, "data")))
+    assert txlog.vacuum(root, retain_versions=1) == []
+    assert len(os.listdir(os.path.join(root, "data"))) == n_dirs
+
+    removed = txlog.vacuum(root, retain_versions=1, retention_seconds=0)
     assert removed  # v0/v1 dirs are unreachable from v2
     assert txlog.read_table(spark, root).count() == 2
     assert txlog.latest_version(root) == 2

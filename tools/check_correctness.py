@@ -2,9 +2,20 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB over the same parquet tables, then compares row count, sorted
-column names, and an order-insensitive value hash (cells stringified;
-floats via repr of the double — bit-exact match required, which is why
-the operator library does decimal-exact aggregation).
+column names, and an order-insensitive value hash.
+
+The comparison deliberately goes THROUGH PANDAS on both sides, because
+that is what the driver's comparator does (CORRECTNESS_r01 traceback:
+``_canon`` → ``DataFrame.sort_values`` → ``Categorical`` lexsort). Two
+consequences the round-1 python-tuple comparator missed:
+
+- list/array-typed output columns are UNHASHABLE in pandas — the driver
+  errors out, so this gate hard-fails any oracle-checked key whose Spark
+  schema contains Array/Map/Struct columns before even running it;
+- engine-side integer widening leaks through formatting: DuckDB's
+  ``SUM(int) OVER`` yields HUGEINT, which pandas materializes as
+  float/object ("1.0") while Spark emits int64 ("1") — a hash mismatch
+  even though the values are equal. Oracles must CAST such columns.
 
 Usage: python tools/check_correctness.py [sf_dir] [key ...]
 """
@@ -26,35 +37,50 @@ TABLES = [
 ]
 
 
-def _norm_cell(v) -> str:
-    import datetime
+def _canon(pdf):
+    """Driver-shaped canonicalization: columns sorted by name, rows
+    stable-sorted by every column. Raises TypeError on list-typed cells
+    exactly like the driver's comparator does."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+def _cell(v) -> str:
     import math
 
-    if v is None:
+    # pandas NaN/NaT normalize to one token; everything else is str()
+    # (matching a comparator that stringifies materialized cells — the
+    # reason int64 "1" vs float64 "1.0" must never reach this point
+    # with different dtypes for the same logical value).
+    try:
+        if v is None or v != v:  # NaN/NaT are not equal to themselves
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, float) and math.isnan(v):
         return "∅"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
-    if isinstance(v, (bytes, bytearray)):
-        return v.hex()
     return str(v)
 
 
-def value_hash(rows, colnames) -> str:
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted(
-        "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
-    )
+def frame_hash(pdf) -> str:
+    pdf = _canon(pdf)
     h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
+    for row in pdf.itertuples(index=False, name=None):
+        h.update("\x1f".join(_cell(v) for v in row).encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
+
+
+def _nonhashable_columns(sdf):
+    from pyspark.sql import types as T
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
 
 
 def main() -> int:
@@ -84,7 +110,18 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if name in oracles:
+                bad_cols = _nonhashable_columns(sdf)
+                if bad_cols:
+                    print(
+                        f"FAIL {name}: array/map/struct output columns "
+                        f"{bad_cols} — the driver comparator cannot hash "
+                        "these; serialize (array_join) or explode to rows"
+                    )
+                    failures.append(name)
+                    n_fail += 1
+                    continue
+            spdf = sdf.toPandas()
         except Exception:
             print(f"FAIL {name}: spark raised")
             traceback.print_exc()
@@ -92,13 +129,12 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"rows-only {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
             n_rows_only += 1
             continue
         try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = [tuple(r) for r in rel.fetchall()]
+            dpdf = con.sql(oracles[name]).df()
+            dcols = list(dpdf.columns)
         except Exception:
             print(f"FAIL {name}: duckdb raised")
             traceback.print_exc()
@@ -106,39 +142,36 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if len(spdf) != len(dpdf):
+            problems.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
         if not problems:
-            sh, dh = value_hash(srows, scols), value_hash(drows, dcols)
+            try:
+                sh, dh = frame_hash(spdf), frame_hash(dpdf)
+            except Exception:
+                print(f"FAIL {name}: comparator raised (driver would too)")
+                traceback.print_exc()
+                failures.append(name)
+                n_fail += 1
+                continue
             if sh != dh:
                 problems.append(f"valuehash spark={sh} duck={dh}")
-                # locate first differing row for debugging
-                so = sorted(
-                    "\x1f".join(
-                        _norm_cell(r[i])
-                        for i in sorted(range(len(scols)), key=lambda i: scols[i])
-                    )
-                    for r in srows
-                )
-                do = sorted(
-                    "\x1f".join(
-                        _norm_cell(r[i])
-                        for i in sorted(range(len(dcols)), key=lambda i: dcols[i])
-                    )
-                    for r in drows
-                )
-                for a, b in zip(so, do):
+                sc, dc = _canon(spdf), _canon(dpdf)
+                for i in range(min(len(sc), len(dc))):
+                    a = tuple(_cell(v) for v in sc.iloc[i])
+                    b = tuple(_cell(v) for v in dc.iloc[i])
                     if a != b:
-                        problems.append(f"  first diff:\n  spark={a!r}\n  duck ={b!r}")
+                        problems.append(
+                            f"  first diff (row {i}):\n  spark={a!r}\n  duck ={b!r}"
+                        )
                         break
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
 
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
