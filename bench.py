@@ -39,9 +39,11 @@ HEADLINE = [
     "text_exact_dedup",
     "text_token_count",
     "text_near_dedup_minhash",
+    "text_near_dedup_minhash_prod",
     "e2e_corpus_build",
     "sim_knn_cosine",
     "sim_lsh_bucketed",
+    "sim_lsh_bucketed_prod",
     "udf_pandas_scalar",
 ]
 

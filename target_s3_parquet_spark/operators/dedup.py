@@ -83,27 +83,26 @@ def _word_set(col):
 # LSH pipeline (signatures → band keys → candidate join → Jaccard
 # verify) carries a DuckDB oracle. B bands × R rows = H; two docs
 # collide if any band's R minhashes all match.
-_MH_H = 12  # hash functions
-_MH_B = 4  # bands
-_MH_R = 3  # rows per band
+#
+# R/B are OPERATOR PARAMETERS (SCALE.md τ→R policy): collision
+# probability per band is s^R for Jaccard s, so R must grow with corpus
+# size to keep per-bucket candidate lists bounded. The registered keys
+# pin two profiles of the same parameterized operator:
+#   demo  R=3, B=4 (H=12) — low-R so the sparse synthetic corpus still
+#                            yields candidate pairs to verify;
+#   prod  R=8, B=4 (H=32) — the production near-dup profile; candidate
+#                            volume drops ~|buckets|× (exponential in
+#                            ΔR), which `minhash_candidate_stats` pins
+#                            numerically as an oracle-checked result.
+_MH_H = 12  # hash functions (demo)
+_MH_B = 4  # bands (demo)
+_MH_R = 3  # rows per band (demo)
+_MH_PROD_B = 4
+_MH_PROD_R = 8
 _MH_THRESHOLD = 0.30  # verified Jaccard cutoff
 
-
-def _minhash_sql() -> str:
-    """DuckDB CTEs computing doc → band keys + gram sets."""
-    minhashes = ", ".join(
-        f"MIN(substring(md5('{i}:' || gram), 1, 16)) AS mh{i}" for i in range(_MH_H)
-    )
-    bands = ", ".join(
-        "md5(" + " || ".join(f"mh{b * _MH_R + r}" for r in range(_MH_R)) + f") AS band{b}"
-        for b in range(_MH_B)
-    )
-    band_rows = " UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_no, band{b} AS band_key FROM sigs"
-        for b in range(_MH_B)
-    )
-    return f"""
-    WITH grams AS (
+_GRAMS_CTES = """
+    grams AS (
       SELECT doc_id, UNNEST(list_distinct(
         list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
                        i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))
@@ -112,20 +111,48 @@ def _minhash_sql() -> str:
     ),
     sets AS (
       SELECT doc_id, list_sort(list(gram)) AS grams FROM grams GROUP BY doc_id
-    ),
-    sigs0 AS (
+    )"""
+
+
+def _mh_candidate_ctes(bands: int, rows_per_band: int, sfx: str = "") -> str:
+    """DuckDB CTEs from ``grams`` → candidate pairs for one (B, R)
+    profile; ``sfx`` disambiguates CTE names when two profiles share a
+    query (minhash_candidate_stats)."""
+    h = bands * rows_per_band
+    minhashes = ", ".join(
+        f"MIN(substring(md5('{i}:' || gram), 1, 16)) AS mh{i}" for i in range(h)
+    )
+    band_cols = ", ".join(
+        "md5("
+        + " || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_no, band{b} AS band_key FROM sigs{sfx}"
+        for b in range(bands)
+    )
+    return f"""
+    sigs0{sfx} AS (
       SELECT doc_id, {minhashes} FROM grams GROUP BY doc_id
     ),
-    sigs AS (
-      SELECT doc_id, {bands} FROM sigs0
+    sigs{sfx} AS (
+      SELECT doc_id, {band_cols} FROM sigs0{sfx}
     ),
-    band_rows AS ({band_rows}),
-    candidates AS (
+    band_rows{sfx} AS ({band_rows}),
+    candidates{sfx} AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM band_rows a JOIN band_rows b
+      FROM band_rows{sfx} a JOIN band_rows{sfx} b
         ON a.band_no = b.band_no AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+def _minhash_sql(bands: int = _MH_B, rows_per_band: int = _MH_R) -> str:
+    """Full verified-pair oracle for one profile."""
+    return f"""
+    WITH {_GRAMS_CTES},
+    {_mh_candidate_ctes(bands, rows_per_band)}
     SELECT c.doc_a, c.doc_b,
            CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
            / (len(sa.grams) + len(sb.grams) - len(list_intersect(sa.grams, sb.grams)))
@@ -139,20 +166,11 @@ def _minhash_sql() -> str:
     """
 
 
-@query("text_near_dedup_minhash", _minhash_sql())
-def text_near_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH near-duplicate detection, the 100 TB shape:
-
-    1. per-doc word-3-gram shingles (map-side projection),
-    2. H=12 md5 minhashes → B=4 band keys per doc (map-side),
-    3. candidate pairs via self-join ON (band_no, band_key) — the ONLY
-       shuffle moves (doc_id, 16-char key) rows, never documents,
-    4. exact Jaccard verify on the candidates only, ≥ 0.30 kept.
-
-    No all-pairs product anywhere: cost is O(docs × H) hashing plus a
-    bucket-local join. Skewed buckets (boilerplate shingles) are split
-    by AQE skew-join handling.
-    """
+def _minhash_docs(spark, sf_dir):
+    """Per-doc distinct word-3-gram shingles, cached (feeds signatures,
+    band rows, and the Jaccard verify — 3 DAG branches, 1 shingle pass).
+    At cluster scale the same role is played by persisting to a staging
+    parquet (or MEMORY_AND_DISK)."""
     d = t(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), " ")
     grams = F.when(
@@ -164,41 +182,45 @@ def text_near_dedup_minhash(spark, sf_dir):
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # The gram table feeds three DAG branches (signatures, band rows,
-    # Jaccard verify); cache it so shingling runs once. At cluster
-    # scale the same role is played by persisting to a staging parquet
-    # (or MEMORY_AND_DISK) — recomputing the shingle pass 3× is the
-    # thing to avoid either way.
-    docs = (
+    return (
         d.select("doc_id", grams.alias("grams"))
         .filter(F.size("grams") > 0)
         .cache()
     )
 
+
+def minhash_candidates(docs, bands: int, rows_per_band: int):
+    """Candidate pairs for one (B, R) profile: map-side signatures →
+    posexplode band keys → bucket equi-join. The ONLY shuffle moves
+    (doc_id, band_key) rows, never documents."""
+    h = bands * rows_per_band
     exploded = docs.select("doc_id", F.explode("grams").alias("gram"))
     sig = exploded.groupBy("doc_id").agg(
         *[
             F.min(
                 F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("gram"))), 1, 16)
             ).alias(f"mh{i}")
-            for i in range(_MH_H)
+            for i in range(h)
         ]
     )
     # All B band keys in one projection + posexplode — a single pass
     # over the signatures instead of B unioned scans.
     band_arr = F.array(
         *[
-            F.md5(F.concat(*[F.col(f"mh{b * _MH_R + r}") for r in range(_MH_R)]))
-            for b in range(_MH_B)
+            F.md5(
+                F.concat(
+                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
         ]
     )
     band_rows = sig.select(
         "doc_id", F.posexplode(band_arr).alias("band_no", "band_key")
     )
-
     a = band_rows.alias("a")
     b_ = band_rows.alias("b")
-    candidates = (
+    return (
         a.join(
             b_,
             (F.col("a.band_no") == F.col("b.band_no"))
@@ -209,6 +231,30 @@ def text_near_dedup_minhash(spark, sf_dir):
         .distinct()
     )
 
+
+def near_dedup_minhash(
+    spark,
+    sf_dir,
+    *,
+    bands: int = _MH_B,
+    rows_per_band: int = _MH_R,
+    threshold: float = _MH_THRESHOLD,
+):
+    """MinHash-LSH near-duplicate detection, the 100 TB shape:
+
+    1. per-doc word-3-gram shingles (map-side projection),
+    2. H = B×R md5 minhashes → B band keys per doc (map-side),
+    3. candidate pairs via self-join ON (band_no, band_key) — the ONLY
+       shuffle moves (doc_id, 16-char key) rows, never documents,
+    4. exact Jaccard verify on the candidates only, ≥ threshold kept.
+
+    No all-pairs product anywhere: cost is O(docs × H) hashing plus a
+    bucket-local join. Skewed buckets (boilerplate shingles) are split
+    by AQE skew-join handling. R (rows per band) controls bucket
+    selectivity — grow it with corpus size per SCALE.md's τ→R policy.
+    """
+    docs = _minhash_docs(spark, sf_dir)
+    candidates = minhash_candidates(docs, bands, rows_per_band)
     sets = docs.select("doc_id", F.array_sort("grams").alias("grams"))
     sa = sets.alias("sa")
     sb = sets.alias("sb")
@@ -219,8 +265,57 @@ def text_near_dedup_minhash(spark, sf_dir):
         candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _MH_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
+
+
+@query("text_near_dedup_minhash", _minhash_sql())
+def text_near_dedup_minhash(spark, sf_dir):
+    """Demo profile (R=3, B=4): see :func:`near_dedup_minhash`."""
+    return near_dedup_minhash(spark, sf_dir)
+
+
+@query("text_near_dedup_minhash_prod", _minhash_sql(_MH_PROD_B, _MH_PROD_R))
+def text_near_dedup_minhash_prod(spark, sf_dir):
+    """Production profile (R=8, B=4, H=32): the SAME parameterized
+    operator with bucket selectivity sized for corpus scale — band
+    collision probability is s^8, so unrelated documents effectively
+    never share a bucket and candidate volume stays ~linear in corpus
+    size (pinned by `minhash_candidate_stats`). The tradeoff is recall
+    at the low end: pairs barely over the 0.30 threshold may be missed,
+    which is the correct production posture (τ→R policy in SCALE.md)."""
+    return near_dedup_minhash(
+        spark, sf_dir, bands=_MH_PROD_B, rows_per_band=_MH_PROD_R
+    )
+
+
+@query(
+    "minhash_candidate_stats",
+    f"""
+    WITH {_GRAMS_CTES},
+    {_mh_candidate_ctes(_MH_B, _MH_R, "_demo")},
+    {_mh_candidate_ctes(_MH_PROD_B, _MH_PROD_R, "_prod")}
+    SELECT 'demo_r{_MH_R}' AS profile,
+           (SELECT COUNT(*) FROM candidates_demo) AS n_candidates
+    UNION ALL
+    SELECT 'prod_r{_MH_PROD_R}',
+           (SELECT COUNT(*) FROM candidates_prod)
+    ORDER BY profile
+    """,
+)
+def minhash_candidate_stats(spark, sf_dir):
+    """Candidate-volume comparison between the demo (R=3) and prod
+    (R=8) profiles — the oracle-checked record that raising R collapses
+    the candidate set (the quantity that must stay ~linear in corpus
+    size for LSH dedup to run at 100 TB)."""
+    docs = _minhash_docs(spark, sf_dir)
+    demo = minhash_candidates(docs, _MH_B, _MH_R).agg(
+        F.count("*").alias("n_candidates")
+    ).select(F.lit(f"demo_r{_MH_R}").alias("profile"), "n_candidates")
+    prod = minhash_candidates(docs, _MH_PROD_B, _MH_PROD_R).agg(
+        F.count("*").alias("n_candidates")
+    ).select(F.lit(f"prod_r{_MH_PROD_R}").alias("profile"), "n_candidates")
+    return demo.unionAll(prod)
 
 
 # ---------------------------------------------------------------------------

@@ -147,25 +147,35 @@ def sim_pairs_threshold(spark, sf_dir):
 # pay the exact-cosine verify - no all-pairs product anywhere.
 import hashlib as _hashlib
 
-_LSH_P = 12  # hyperplanes
-_LSH_B = 4  # bands
-_LSH_R = 3  # bits per band
+# R (bits per band) is the OPERATOR PARAMETER that keeps sign-LSH
+# viable at scale: each band has 2^R buckets, so candidate volume per
+# band is ~n²/2^R. The registered keys pin two profiles:
+#   demo R=3, B=4 (8 buckets/band) — keeps candidates flowing on the
+#        sparse synthetic corpus at the low demo threshold τ=0.40;
+#   prod R=8, B=4 (256 buckets/band) — production near-dup profile;
+#        `lsh_candidate_stats` pins the ~2^(8-3)=32× candidate drop as
+#        an oracle-checked result. SCALE.md documents the τ→R policy.
+_LSH_B = 4  # bands (demo)
+_LSH_R = 3  # bits per band (demo)
+_LSH_PROD_B = 4
+_LSH_PROD_R = 8
+_LSH_MAX_PLANES = max(_LSH_B * _LSH_R, _LSH_PROD_B * _LSH_PROD_R)
 _LSH_DIM = 64
 _LSH_TAU = 0.40
 
 
-def _plane_weights() -> list[list[int]]:
+def _plane_weights(n_planes: int) -> list[list[int]]:
     """Deterministic +-1 hyperplane weights: parity of md5("p:i")."""
     return [
         [
             1 if _hashlib.md5(f"{p}:{i}".encode()).digest()[0] % 2 == 0 else -1
             for i in range(_LSH_DIM)
         ]
-        for p in range(_LSH_P)
+        for p in range(n_planes)
     ]
 
 
-_W = _plane_weights()
+_W = _plane_weights(_LSH_MAX_PLANES)
 
 
 def _w_list_sql(p: int) -> str:
@@ -183,8 +193,10 @@ def _sign_sql(p: int) -> str:
     return f"CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END"
 
 
-def _band_key_sql(b: int) -> str:
-    return " || ".join(_sign_sql(b * _LSH_R + r) for r in range(_LSH_R))
+def _band_key_sql(b: int, rows_per_band: int = _LSH_R) -> str:
+    return " || ".join(
+        _sign_sql(b * rows_per_band + r) for r in range(rows_per_band)
+    )
 
 
 def _sign_col(v, p: int):
@@ -197,37 +209,54 @@ def _sign_col(v, p: int):
     return F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
-def _band_key_col(v, b: int):
-    return F.concat(*[_sign_col(v, b * _LSH_R + r) for r in range(_LSH_R)])
-
-
-def _lsh_core_sql() -> str:
-    """Shared CTEs: vectors (+ precomputed norm) -> band rows ->
-    verified candidate pairs. Norms are computed once per vector, not
-    per candidate pair — the verify step is a single dot product."""
-    band_rows = " UNION ALL ".join(
-        f"SELECT vec_id, {b} AS band_no, {_band_key_sql(b)} AS band_key FROM v"
-        for b in range(_LSH_B)
+def _band_key_col(v, b: int, rows_per_band: int = _LSH_R):
+    return F.concat(
+        *[_sign_col(v, b * rows_per_band + r) for r in range(rows_per_band)]
     )
-    dot = "list_sum(list_transform(range(1, {n} + 1), i -> a.v[i] * b.v[i]))".format(
-        n=_LSH_DIM
+
+
+def _lsh_band_rows_ctes(
+    bands: int = _LSH_B, rows_per_band: int = _LSH_R, sfx: str = ""
+) -> str:
+    """band_rows + cand CTE text for one (B, R) profile (assumes a `v`
+    CTE is already in scope); ``sfx`` disambiguates profiles sharing a
+    query (lsh_candidate_stats)."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band_no, {_band_key_sql(b, rows_per_band)}"
+        f" AS band_key FROM v"
+        for b in range(bands)
     )
     return f"""
-    WITH v AS (
+    band_rows{sfx} AS ({band_rows}),
+    cand{sfx} AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM band_rows{sfx} x JOIN band_rows{sfx} y
+        ON x.band_no = y.band_no AND x.band_key = y.band_key
+       AND x.vec_id < y.vec_id
+    )"""
+
+
+_LSH_V_CTE = f"""
+    v AS (
       SELECT vec_id, v,
              SQRT(list_sum(list_transform(range(1, {_LSH_DIM} + 1),
                                           i -> v[i] * v[i]))) AS nrm
       FROM (SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings)
-    ),
-    band_rows AS ({band_rows}),
-    cand AS (
-      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-      FROM band_rows x JOIN band_rows y
-        ON x.band_no = y.band_no AND x.band_key = y.band_key
-       AND x.vec_id < y.vec_id
-    ),
+    )"""
+
+
+def _lsh_core_sql(bands: int = _LSH_B, rows_per_band: int = _LSH_R) -> str:
+    """Shared CTEs: vectors (+ precomputed norm) -> band rows ->
+    verified candidate pairs. Norms are computed once per vector, not
+    per candidate pair — the verify step is a single dot product."""
+    dot = "list_sum(list_transform(range(1, {n} + 1), i -> a.v[i] * b.v[i]))".format(
+        n=_LSH_DIM
+    )
+    return f"""
+    WITH {_LSH_V_CTE},
+    {_lsh_band_rows_ctes(bands, rows_per_band)},
     verified AS (
       SELECT c.id_a, c.id_b, {dot} / (a.nrm * b.nrm) AS cosine
       FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
@@ -235,31 +264,30 @@ def _lsh_core_sql() -> str:
     """
 
 
-def _lsh_band_rows(spark, sf_dir):
+def _lsh_vectors(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_d(F.col("embedding")).alias("v")
     )
-    e = e.select(
+    # The cached (v, nrm) table feeds band generation and the verify
+    # join without recomputing the parquet scan + casts.
+    return e.select(
         "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
     ).cache()
-    # All B band keys in one projection + posexplode — one pass over
-    # the vectors instead of B unioned scans, and the cached (v, nrm)
-    # table feeds band generation and the verify join without
-    # recomputing the parquet scan + casts.
+
+
+def _lsh_candidates(e, bands: int = _LSH_B, rows_per_band: int = _LSH_R):
+    """Candidate pairs for one (B, R) profile. All B band keys in one
+    projection + posexplode — one pass over the vectors instead of B
+    unioned scans."""
     band_arr = F.array(
-        *[_band_key_col(F.col("v"), b) for b in range(_LSH_B)]
+        *[_band_key_col(F.col("v"), b, rows_per_band) for b in range(bands)]
     )
     band_rows = e.select(
         "vec_id", F.posexplode(band_arr).alias("band_no", "band_key")
     )
-    return e, band_rows
-
-
-def _lsh_verified(spark, sf_dir):
-    e, band_rows = _lsh_band_rows(spark, sf_dir)
     x = band_rows.alias("x")
     y = band_rows.alias("y")
-    cand = (
+    return (
         x.join(
             y,
             (F.col("x.band_no") == F.col("y.band_no"))
@@ -269,6 +297,13 @@ def _lsh_verified(spark, sf_dir):
         .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
         .distinct()
     )
+
+
+def _lsh_verified(
+    spark, sf_dir, bands: int = _LSH_B, rows_per_band: int = _LSH_R
+):
+    e = _lsh_vectors(spark, sf_dir)
+    cand = _lsh_candidates(e, bands, rows_per_band)
     a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b_ = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
@@ -310,8 +345,58 @@ def sim_lsh_bucketed(spark, sf_dir):
     the low-similarity regime (sign-agreement prob 0.63/bit) and the
     synthetic corpus has no true near-dups; production near-dup at
     tau>=0.9 (0.86/bit) uses R=8+/B=4-8, giving 256+ buckets per band
-    and per-bucket candidate lists that stay bounded as n grows."""
+    and per-bucket candidate lists that stay bounded as n grows —
+    `sim_lsh_bucketed_prod` IS that profile, and `lsh_candidate_stats`
+    pins the candidate-volume collapse as an oracle-checked result."""
     return _lsh_verified(spark, sf_dir).filter(F.col("cosine") >= _LSH_TAU)
+
+
+@query(
+    "sim_lsh_bucketed_prod",
+    _lsh_core_sql(_LSH_PROD_B, _LSH_PROD_R)
+    + f"""
+    SELECT id_a, id_b, cosine FROM verified WHERE cosine >= {_LSH_TAU}
+    """,
+)
+def sim_lsh_bucketed_prod(spark, sf_dir):
+    """Production profile (R=8, B=4 → 256 buckets/band) of the SAME
+    parameterized sign-LSH operator: per-band candidate volume drops
+    from ~n²/8 to ~n²/256, which is what keeps the bucket join's
+    per-key lists bounded as the corpus grows. Recall at the low demo
+    threshold τ=0.40 drops accordingly (8 agreeing sign bits ≈ 0.63^8);
+    production uses this R at τ≥0.9 where per-bit agreement is ~0.86."""
+    return _lsh_verified(
+        spark, sf_dir, _LSH_PROD_B, _LSH_PROD_R
+    ).filter(F.col("cosine") >= _LSH_TAU)
+
+
+@query(
+    "lsh_candidate_stats",
+    f"""
+    WITH {_LSH_V_CTE},
+    {_lsh_band_rows_ctes(_LSH_B, _LSH_R, "_demo")},
+    {_lsh_band_rows_ctes(_LSH_PROD_B, _LSH_PROD_R, "_prod")}
+    SELECT 'demo_r{_LSH_R}' AS profile,
+           (SELECT COUNT(*) FROM cand_demo) AS n_candidates
+    UNION ALL
+    SELECT 'prod_r{_LSH_PROD_R}',
+           (SELECT COUNT(*) FROM cand_prod)
+    ORDER BY profile
+    """,
+)
+def lsh_candidate_stats(spark, sf_dir):
+    """Candidate-volume comparison demo (R=3) vs prod (R=8): the
+    oracle-checked record that widening the band key collapses the
+    candidate set ~2^ΔR× — the quantity that must stay bounded per
+    bucket for the sign-LSH join to run at 100 TB."""
+    e = _lsh_vectors(spark, sf_dir)
+    demo = _lsh_candidates(e, _LSH_B, _LSH_R).agg(
+        F.count("*").alias("n_candidates")
+    ).select(F.lit(f"demo_r{_LSH_R}").alias("profile"), "n_candidates")
+    prod = _lsh_candidates(e, _LSH_PROD_B, _LSH_PROD_R).agg(
+        F.count("*").alias("n_candidates")
+    ).select(F.lit(f"prod_r{_LSH_PROD_R}").alias("profile"), "n_candidates")
+    return demo.unionAll(prod)
 
 
 @query(
