@@ -265,6 +265,7 @@ def records_for_stream(
     validate: str = "strict",
     add_metadata: bool = False,
     compat: bool = False,
+    with_version: bool = False,
 ) -> DataFrame:
     """R3+R4+R6+R10 for one stream: filter its RECORDs, apply the typed
     schema, validate, flatten. Pure narrow transformations — no shuffle.
@@ -272,6 +273,10 @@ def records_for_stream(
     validate: 'strict' → any violation poisons the run via raise_error
     (reference fail-fast); 'permissive' → adds ``_validation_error``;
     'none' → skip.
+
+    with_version: carry the RECORD envelope's ``version`` through as
+    ``_sdc_table_version`` (L5 ACTIVATE_VERSION support — pipelinewise
+    full-table syncs stamp every record with the sync's version).
     """
     plan = StreamPlan(plan.stream, plan.json_schema, plan.key_properties, compat)
     recs = messages.filter(
@@ -283,10 +288,16 @@ def records_for_stream(
     if validate != "none":
         for label, bad in _compile_validators(plan, rec):
             err = F.when(err.isNotNull(), err).when(bad, F.lit(label))
+    version_cols = (
+        [F.col("version").cast("long").alias("_sdc_table_version")]
+        if with_version
+        else []
+    )
     typed = recs.select(
         F.from_json(rec, plan.struct).alias("r"),
         err.alias("_validation_error"),
         F.col("time_extracted"),
+        *version_cols,
     )
     if validate == "strict":
         typed = typed.withColumn(
@@ -302,7 +313,10 @@ def records_for_stream(
             ).otherwise(F.col("r")),
         )
 
-    flat = typed.select("r.*", "_validation_error", "time_extracted")
+    carry = ["_validation_error", "time_extracted"] + (
+        ["_sdc_table_version"] if with_version else []
+    )
+    flat = typed.select("r.*", *carry)
     flat = flatten_df(flat, compat=compat)
 
     if add_metadata:
@@ -323,6 +337,23 @@ def records_for_stream(
     if validate != "permissive":
         flat = flat.drop("_validation_error")
     return flat.drop("time_extracted")
+
+
+def collect_activations(messages: DataFrame) -> dict[str, int]:
+    """L5: last ACTIVATE_VERSION per stream (reference `__init__.py:
+    144-145` logs-and-drops these; SURVEY §2A maps L5 to version-column
+    + dynamic partition overwrite, which the sink implements). A
+    control-plane collect: O(streams)."""
+    rows = (
+        messages.withColumn("_line", F.monotonically_increasing_id())
+        .filter(
+            (F.col("type") == "ACTIVATE_VERSION") & F.col("stream").isNotNull()
+        )
+        .groupBy("stream")
+        .agg(F.max_by("version", "_line").alias("version"))
+        .collect()
+    )
+    return {r["stream"]: int(r["version"]) for r in rows if r["version"] is not None}
 
 
 def ingest(

@@ -113,6 +113,78 @@ def singer_ingest_flatten_compat(spark, sf_dir):
     return flat.withColumn("id", F.col("id").cast("long"))
 
 
+_AV_SCHEMA = {
+    "type": ["null", "object"],
+    "properties": {
+        "id": {"type": ["null", "integer"]},
+        "status": {"type": ["null", "string"]},
+    },
+    "required": ["id"],
+}
+
+
+@query(
+    "singer_activate_version",
+    """
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           CAST(2 AS BIGINT) AS _sdc_table_version
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    """,
+)
+def singer_activate_version(spark, sf_dir):
+    """L5 ACTIVATE_VERSION semantics (pipelinewise full-table sync;
+    reference routes the message to a debug log, `__init__.py:144-145`
+    — this is SURVEY §2A's upgrade path): a log carries version-1
+    records (an old sync), then version-2 records (a full re-sync),
+    then ACTIVATE_VERSION 2 — the surviving table is EXACTLY the
+    version-2 rows; version-1 rows are superseded even though they
+    arrived first. The same predicate drives the sink's
+    dynamic-partition-overwrite swap (`sink.activate_version_swap`,
+    exercised on disk by tests/test_singer.py)."""
+    import json as _json
+
+    from target_s3_parquet_spark.sources.singer import collect_activations
+
+    o = t(spark, sf_dir, "orders")
+
+    def lines(pred, version):
+        return o.filter(pred).select(
+            F.to_json(
+                F.struct(
+                    F.lit("RECORD").alias("type"),
+                    F.lit("orders").alias("stream"),
+                    F.struct(
+                        F.col("o_orderkey").alias("id"),
+                        F.col("o_orderstatus").alias("status"),
+                    ).alias("record"),
+                    F.lit(version).alias("version"),
+                )
+            ).alias("value")
+        )
+
+    v1 = lines(F.col("o_orderkey") < 1000, 1)
+    v2 = lines(F.col("o_orderkey") % 2 == 0, 2)
+    activate = spark.createDataFrame(
+        [
+            (
+                _json.dumps(
+                    {"type": "ACTIVATE_VERSION", "stream": "orders", "version": 2}
+                ),
+            )
+        ],
+        "value string",
+    )
+    messages = parse_message_lines(v1.unionAll(v2).unionAll(activate))
+    plan = StreamPlan(stream="orders", json_schema=_AV_SCHEMA)
+    recs = records_for_stream(messages, plan, validate="strict", with_version=True)
+    active = collect_activations(messages)["orders"]
+    return recs.filter(
+        F.coalesce(F.col("_sdc_table_version"), F.lit(active)) == active
+    ).withColumn("id", F.col("id").cast("long"))
+
+
 @query(
     "singer_validate_quarantine",
     """

@@ -41,6 +41,11 @@ class SinkConfig:
     partition_by_stream: bool = True  # R8
     date_partition: bool = False  # L2 {date} naming convention
     mode: str = "append"
+    # L5 ACTIVATE_VERSION: when True, RECORD envelope versions become
+    # _sdc_table_version and an ACTIVATE_VERSION message swaps the
+    # stream's partition to the activated version's rows via dynamic
+    # partition overwrite (requires partition_by_stream).
+    activate_version: bool = False
 
     def normalized_codec(self) -> str:
         c = (self.compression or "snappy").lower()
@@ -81,6 +86,44 @@ def write_stream_parquet(
     return os.path.join(cfg.path, f"stream={stream}") if cfg.partition_by_stream else cfg.path
 
 
+def activate_version_swap(
+    spark: SparkSession,
+    df: DataFrame,
+    stream: str,
+    version: int,
+    cfg: SinkConfig,
+) -> str:
+    """L5 version swap (pipelinewise ACTIVATE_VERSION, the upgrade path
+    the reference routes to a debug log — ``__init__.py:144-145``): the
+    activated version's rows REPLACE the stream's partition via dynamic
+    partition overwrite, so a full-table re-sync atomically supersedes
+    the previous sync while other streams' partitions are untouched.
+    Records without an envelope version are treated as belonging to the
+    activated version (incremental taps don't stamp versions)."""
+    if not cfg.partition_by_stream:
+        raise ValueError(
+            "activate_version requires partition_by_stream: the swap "
+            "overwrites exactly one stream=... partition"
+        )
+    out = df.filter(
+        F.coalesce(F.col("_sdc_table_version"), F.lit(version)) == version
+    ).withColumn("stream", F.lit(stream))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        writer = (
+            out.write.mode("overwrite")
+            .option("compression", cfg.normalized_codec())
+            .partitionBy("stream")
+        )
+        if cfg.max_records_per_file and cfg.max_records_per_file > 0:
+            writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
+        writer.parquet(cfg.path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return os.path.join(cfg.path, f"stream={stream}")
+
+
 def run_singer_to_parquet(
     spark: SparkSession,
     message_log_path: str,
@@ -92,13 +135,35 @@ def run_singer_to_parquet(
     """EP1/EP2/EP3 end-to-end (reference ``main``→``persist_messages``→
     ``consumer``): ingest the log, write every stream, THEN return the
     final state — state must only be emitted after all writes commit
-    (at-least-once, reference ``__init__.py:353-357``)."""
-    from target_s3_parquet_spark.sources.singer import ingest
-
-    streams, state = ingest(
-        spark, message_log_path, validate=validate, add_metadata=add_metadata, compat=compat
+    (at-least-once, reference ``__init__.py:353-357``). With
+    ``cfg.activate_version``, streams carrying an ACTIVATE_VERSION
+    message get the L5 version swap instead of an append."""
+    from target_s3_parquet_spark.sources.singer import (
+        collect_activations,
+        collect_control_plane,
+        read_message_log,
+        records_for_stream,
     )
-    written = [write_stream_parquet(df, s, cfg) for s, df in streams.items()]
+
+    messages = read_message_log(spark, message_log_path)
+    plans, state, _ = collect_control_plane(messages)
+    activations = collect_activations(messages) if cfg.activate_version else {}
+    written = []
+    for s, p in plans.items():
+        df = records_for_stream(
+            messages,
+            p,
+            validate,
+            add_metadata,
+            compat,
+            with_version=cfg.activate_version,
+        )
+        if s in activations:
+            written.append(
+                activate_version_swap(spark, df, s, activations[s], cfg)
+            )
+        else:
+            written.append(write_stream_parquet(df, s, cfg))
     return written, state
 
 

@@ -119,3 +119,30 @@ def write_log(tmpdir: str, lines: list[str], name: str = "messages.jsonl") -> st
     with open(p, "w") as f:
         f.write("\n".join(lines) + "\n")
     return p
+
+
+def activate_version_logs() -> tuple[list[str], list[str]]:
+    """The reference fixture's ACTIVATE_VERSION sequence
+    (tests/integration/resources/messages-with-three-streams.json:3,6,10
+    — SCHEMA, ACTIVATE_VERSION v, versioned RECORDs), restated as two
+    runs: an initial v1 full sync, then a v2 full re-sync whose
+    activation must SUPERSEDE v1's rows while the untouched second
+    stream keeps its data."""
+    run1 = [
+        _msg(type="SCHEMA", stream="app-users", schema=USERS_SCHEMA, key_properties=["id"]),
+        _msg(type="ACTIVATE_VERSION", stream="app-users", version=1),
+        _msg(type="RECORD", stream="app-users", record={"id": 1, "name": "ada"}, version=1),
+        _msg(type="RECORD", stream="app-users", record={"id": 2, "name": "bo"}, version=1),
+        _msg(type="RECORD", stream="app-users", record={"id": 3, "name": "cy"}, version=1),
+        _msg(type="SCHEMA", stream="app-sessions", schema=SESSIONS_SCHEMA, key_properties=["id"]),
+        _msg(type="RECORD", stream="app-sessions", record={"id": 100, "dur": "04:00:00"}),
+        _msg(type="STATE", value={"bookmarks": {"app-users": {"version": 1}}}),
+    ]
+    run2 = [
+        _msg(type="SCHEMA", stream="app-users", schema=USERS_SCHEMA, key_properties=["id"]),
+        _msg(type="RECORD", stream="app-users", record={"id": 2, "name": "bo"}, version=2),
+        _msg(type="RECORD", stream="app-users", record={"id": 4, "name": "di"}, version=2),
+        _msg(type="ACTIVATE_VERSION", stream="app-users", version=2),
+        _msg(type="STATE", value={"bookmarks": {"app-users": {"version": 2}}}),
+    ]
+    return run1, run2

@@ -11,6 +11,8 @@ import os
 import pyarrow.parquet as pq
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests import singer_fixtures as fx
 
 
@@ -143,3 +145,41 @@ def test_schema_replacement_last_wins(spark, tmp_path):
     # column set present, early records get nulls for new columns
     rows = {r["a"]: r for r in streams["s"].collect()}
     assert rows[1]["b"] is None and rows[2]["b"] == "x"
+
+
+def test_activate_version_swaps_table(spark, tmp_path):
+    """L5 upgrade path (reference logs-and-drops ACTIVATE_VERSION,
+    __init__.py:144-145): a v2 full re-sync + ACTIVATE_VERSION must
+    atomically replace the stream's rows via dynamic partition
+    overwrite, leaving other streams untouched."""
+    from target_s3_parquet_spark.sources.sink import SinkConfig, run_singer_to_parquet
+
+    run1, run2 = fx.activate_version_logs()
+    out = str(tmp_path / "out")
+    cfg = SinkConfig(path=out, activate_version=True)
+
+    run_singer_to_parquet(spark, fx.write_log(str(tmp_path), run1, "r1.jsonl"), cfg)
+    users = spark.read.parquet(out).filter("stream = 'app-users'")
+    assert sorted(r["id"] for r in users.select("id").collect()) == [1, 2, 3]
+    assert users.select("_sdc_table_version").distinct().collect()[0][0] == 1
+
+    run_singer_to_parquet(spark, fx.write_log(str(tmp_path), run2, "r2.jsonl"), cfg)
+    back = spark.read.parquet(out)
+    users2 = back.filter("stream = 'app-users'")
+    # the swap: v1's rows (1,2,3) are superseded by v2's full table (2,4)
+    assert sorted(r["id"] for r in users2.select("id").collect()) == [2, 4]
+    assert users2.select("_sdc_table_version").distinct().collect()[0][0] == 2
+    # the untouched stream survives the other stream's overwrite
+    assert back.filter("stream = 'app-sessions'").count() == 1
+
+
+def test_activate_version_requires_stream_partitioning(spark, tmp_path):
+    from target_s3_parquet_spark.sources.sink import SinkConfig, activate_version_swap
+
+    df = spark.range(1).select(
+        F.col("id"), F.lit(1).alias("_sdc_table_version")
+    )
+    cfg = SinkConfig(path=str(tmp_path / "x"), partition_by_stream=False,
+                     activate_version=True)
+    with pytest.raises(ValueError):
+        activate_version_swap(spark, df, "s", 1, cfg)
