@@ -4,8 +4,16 @@ and ``setup.py:39-42``), Spark-native.
 
 Config keys (superset of the reference's, README.md:73-91):
 - ``s3_bucket``    (required, or ``output_path`` for any URI/local dir)
-- ``s3_key_prefix``, ``compression_method``, ``file_size``,
-  ``streams_in_separate_folder``, ``add_metadata_columns``, ``compat``
+- ``s3_key_prefix``, ``compression_method`` (alias ``compression``),
+  ``file_size``, ``streams_in_separate_folder``,
+  ``add_metadata_columns``, ``compat``, ``activate_version``
+- ``naming_convention``  ``{stream}/{date}/{timestamp}`` key template
+  (L2; tokens become directory levels under the output root)
+- AWS auth / endpoint / encryption (reference s3.py:28-53, README:87-88):
+  ``aws_access_key_id``, ``aws_secret_access_key``,
+  ``aws_session_token``, ``aws_profile``, ``aws_endpoint_url``,
+  ``encryption_type`` ('none'|'KMS'), ``encryption_key`` — mapped to
+  S3A conf by ``session.s3a_conf_from_config``
 - ``input_path``   message log (default "-" = stdin, spooled to a temp
   file so Spark can parallelize the scan)
 
@@ -63,21 +71,16 @@ def main(argv: list[str] | None = None) -> int:
                 f.write(line)
         input_path = spool.name
 
-    from target_s3_parquet_spark.session import get_spark
+    from target_s3_parquet_spark.session import get_spark, s3a_conf_from_config
     from target_s3_parquet_spark.sources.sink import (
-        SinkConfig,
         emit_state,
         run_singer_to_parquet,
     )
 
-    spark = get_spark("target-s3-parquet-spark")
-    cfg = SinkConfig(
-        path=output_uri(config),
-        compression=config.get("compression_method", "snappy"),
-        max_records_per_file=int(config.get("file_size", 0)) or None,
-        partition_by_stream=bool(config.get("streams_in_separate_folder", True)),
-        date_partition=bool(config.get("naming_convention_date_partition", False)),
+    spark = get_spark(
+        "target-s3-parquet-spark", extra_conf=s3a_conf_from_config(config)
     )
+    cfg = sink_config_from(config)
     _, state = run_singer_to_parquet(
         spark,
         input_path,
@@ -88,6 +91,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     emit_state(state)
     return 0
+
+
+def sink_config_from(config: dict):
+    """Reference config keys → SinkConfig (kept separate from main()
+    so tests can assert the mapping without running a pipeline)."""
+    from target_s3_parquet_spark.sources.sink import SinkConfig
+
+    return SinkConfig(
+        path=output_uri(config),
+        compression=config.get(
+            "compression_method", config.get("compression", "snappy")
+        ),
+        max_records_per_file=int(config.get("file_size", 0)) or None,
+        partition_by_stream=bool(config.get("streams_in_separate_folder", True)),
+        date_partition=bool(config.get("naming_convention_date_partition", False)),
+        activate_version=bool(config.get("activate_version", False)),
+        naming_convention=config.get("naming_convention"),
+    )
 
 
 if __name__ == "__main__":

@@ -30,6 +30,56 @@ _S3A_CONF = {
 }
 
 
+def s3a_conf_from_config(config: dict) -> dict[str, str]:
+    """Map the reference's AWS config keys (README.md:80-91, s3.py:28-53
+    `create_client` / the commented `upload_file` encryption args) onto
+    S3A Hadoop conf — the Spark-native equivalent of a boto3 session:
+
+    - aws_access_key_id / aws_secret_access_key / aws_session_token →
+      fs.s3a access/secret/session keys (temporary-credentials provider
+      when a session token is present);
+    - aws_profile → the SDK profile provider (reference falls back to
+      $AWS_PROFILE; S3A reads the same environment);
+    - aws_endpoint_url → fs.s3a.endpoint + path-style access (the
+      MinIO/localstack case the reference supports via endpoint_url);
+    - encryption_type='KMS' (+ optional encryption_key) →
+      fs.s3a.server-side-encryption-algorithm/key (SSE-KMS per object,
+      default KMS key when no key id given — same contract as the
+      reference's ServerSideEncryption/SSEKMSKeyId ExtraArgs).
+    """
+    conf: dict[str, str] = {}
+    p = "spark.hadoop.fs.s3a."
+    if config.get("aws_access_key_id") and config.get("aws_secret_access_key"):
+        conf[p + "access.key"] = config["aws_access_key_id"]
+        conf[p + "secret.key"] = config["aws_secret_access_key"]
+        if config.get("aws_session_token"):
+            conf[p + "session.token"] = config["aws_session_token"]
+            conf[p + "aws.credentials.provider"] = (
+                "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+            )
+    elif config.get("aws_profile"):
+        # the SDK's profile chain reads AWS_PROFILE; surface the intent
+        # in conf so a cluster submit can translate it to spark-env
+        conf[p + "aws.credentials.provider"] = (
+            "com.amazonaws.auth.profile.ProfileCredentialsProvider"
+        )
+        os.environ.setdefault("AWS_PROFILE", str(config["aws_profile"]))
+    if config.get("aws_endpoint_url"):
+        conf[p + "endpoint"] = config["aws_endpoint_url"]
+        conf[p + "path.style.access"] = "true"
+    enc = (config.get("encryption_type") or "none").lower()
+    if enc == "kms":
+        conf[p + "server-side-encryption-algorithm"] = "SSE-KMS"
+        if config.get("encryption_key"):
+            conf[p + "server-side-encryption.key"] = config["encryption_key"]
+    elif enc != "none":
+        raise NotImplementedError(
+            f"Encryption type '{config.get('encryption_type')}' is not "
+            "supported. Expected: 'none' or 'KMS'"
+        )
+    return conf
+
+
 def get_spark(
     app_name: str = "target_s3_parquet_spark",
     master: str | None = None,

@@ -46,6 +46,13 @@ class SinkConfig:
     # stream's partition to the activated version's rows via dynamic
     # partition overwrite (requires partition_by_stream).
     activate_version: bool = False
+    # L2 naming convention (reference README.md:90): a key template with
+    # {stream}/{date}/{timestamp} tokens, e.g.
+    # "exports/{stream}/export_date={date}/{timestamp}". Tokens resolve
+    # to DIRECTORY levels (Spark writes task-parallel files, so the
+    # reference's file-name template becomes a leaf directory); when
+    # set it replaces the stream/date partitionBy layout.
+    naming_convention: str | None = None
 
     def normalized_codec(self) -> str:
         c = (self.compression or "snappy").lower()
@@ -61,28 +68,59 @@ class SinkConfig:
         return c
 
 
+def resolve_naming_convention(
+    template: str, stream: str, when=None
+) -> str:
+    """L2 `{stream}/{date}/{timestamp}` template resolution (reference
+    README.md:90, legacy `__init__.py:96-99`). Returns a relative
+    directory path; tokens beyond the known three are rejected rather
+    than silently emitted into S3 keys."""
+    import datetime
+    import re
+
+    when = when or datetime.datetime.now(datetime.timezone.utc)
+    known = {
+        "stream": stream,
+        "date": when.strftime("%Y-%m-%d"),
+        "timestamp": when.strftime("%Y%m%dT%H%M%S"),
+    }
+    unknown = set(re.findall(r"{([^{}]*)}", template)) - set(known)
+    if unknown:
+        raise ValueError(f"unknown naming_convention tokens: {sorted(unknown)}")
+    return template.format(**known).strip("/")
+
+
 def write_stream_parquet(
     df: DataFrame,
     stream: str,
     cfg: SinkConfig,
 ) -> str:
     """Write one stream's flattened records to
-    ``{path}/[stream=<stream>/][dt=<date>/]*.parquet``."""
+    ``{path}/[stream=<stream>/][dt=<date>/]*.parquet`` — or, when
+    ``cfg.naming_convention`` is set, to the resolved template path."""
     out = df
     partition_cols: list[str] = []
-    if cfg.partition_by_stream:
-        out = out.withColumn("stream", F.lit(stream))
-        partition_cols.append("stream")
-    if cfg.date_partition:
-        out = out.withColumn("dt", F.current_date().cast("string"))
-        partition_cols.append("dt")
+    path = cfg.path
+    if cfg.naming_convention:
+        path = os.path.join(
+            cfg.path, resolve_naming_convention(cfg.naming_convention, stream)
+        )
+    else:
+        if cfg.partition_by_stream:
+            out = out.withColumn("stream", F.lit(stream))
+            partition_cols.append("stream")
+        if cfg.date_partition:
+            out = out.withColumn("dt", F.current_date().cast("string"))
+            partition_cols.append("dt")
 
     writer = out.write.mode(cfg.mode).option("compression", cfg.normalized_codec())
     if cfg.max_records_per_file and cfg.max_records_per_file > 0:
         writer = writer.option("maxRecordsPerFile", cfg.max_records_per_file)
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
-    writer.parquet(cfg.path)
+    writer.parquet(path)
+    if cfg.naming_convention:
+        return path
     return os.path.join(cfg.path, f"stream={stream}") if cfg.partition_by_stream else cfg.path
 
 
