@@ -83,11 +83,63 @@ def load_all() -> None:
     _LOADED = True
 
 
+# Keys the round-1 driver gate already verified green (CORRECTNESS_r01).
+# The driver samples the FIRST ~50 keys of queries() in dict order, so
+# never-yet-sampled families (TPC-H, streaming, windows, scalars,
+# timeseries, singer) are surfaced first and the already-green set goes
+# last — maximizing fresh coverage per round without changing any key.
+_R1_DRIVER_VERIFIED = {
+    "agg_hash_groupby", "agg_distinct", "distinct_rows",
+    "agg_approx_distinct", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "agg_having", "agg_stats", "agg_pivot", "agg_percentile",
+    "agg_collect_list", "agg_distinct_twophase", "detect_outliers_iqr",
+    "agg_histogram_fixed", "agg_string_agg", "agg_quantile_array",
+    "sample_top_hash", "agg_corr_pearson", "agg_filtered_count_if",
+    "agg_bool_and_or", "text_exact_dedup", "text_exact_dedup_rows",
+    "text_near_dedup_minhash", "text_simhash", "text_ngram_jaccard_dup",
+    "text_dedup_clusters", "text_dedup_keep_best",
+    "dedup_incremental_registry", "join_inner_hash", "join_broadcast",
+    "join_sortmerge", "join_left", "join_right", "join_full",
+    "join_semi", "join_anti", "join_theta_range", "join_cross_bounded",
+    "join_asof", "join_skew_salted", "join_bucketed_colocated",
+    "join_range_banded", "join_null_safe", "join_asof_forward",
+    "join_asof_partitioned", "sample_hash_split", "sessionize_events",
+    "unpivot_melt", "profile_table_stats",
+}
+
+_FAMILY_ORDER = (
+    ("tpch_", "q1_", "sql_api_", "subquery_"),  # 0: compound — 0 sampled r1
+    ("stream_",),                               # 1: streaming — 0 sampled r1
+    ("window_",),                               # 2
+    ("singer_",),                               # 3
+    (
+        "scalar_", "set_", "sort_", "limit_", "filter_", "project_",
+        "scan_", "union_", "txlog_",
+    ),                                          # 4
+    (
+        "rollup_", "incremental_", "gapfill_", "zorder_", "cohort_",
+        "funnel_",
+    ),                                          # 5: timeseries
+    ("udf_", "udaf_", "udtf_", "multimodal_"),  # 6
+)
+
+
+def _sample_priority(name: str) -> tuple[int, int]:
+    if name in _R1_DRIVER_VERIFIED:
+        return (len(_FAMILY_ORDER) + 2, 0)
+    for i, prefixes in enumerate(_FAMILY_ORDER):
+        if name.startswith(prefixes):
+            return (i, 0)
+    return (len(_FAMILY_ORDER) + 1, 0)  # unmatched new keys: before r1-green
+
+
 def get_queries() -> dict[str, QueryFn]:
     load_all()
-    return dict(QUERIES)
+    order = sorted(QUERIES, key=lambda k: (_sample_priority(k), 0))
+    return {k: QUERIES[k] for k in order}
 
 
 def get_oracles() -> dict[str, str]:
     load_all()
-    return dict(ORACLES)
+    order = sorted(ORACLES, key=lambda k: (_sample_priority(k), 0))
+    return {k: ORACLES[k] for k in order}
