@@ -122,6 +122,126 @@ def sessionize_events(spark, sf_dir):
 
 
 @query(
+    "pack_token_chunks",
+    """
+    SELECT source, doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(FLOOR(
+             (CAST(SUM(len(string_split(text, ' ')))
+                     OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              - len(string_split(text, ' '))) / 256.0
+           ) AS BIGINT) AS chunk_id
+    FROM documents
+    """,
+)
+def pack_token_chunks(spark, sf_dir):
+    """Sequence packing for training data (concat-then-chunk): documents
+    are concatenated in deterministic doc_id order and cut into
+    fixed-size token chunks — chunk_id = floor(start_position / L).
+    The running token offset is a window sum PARTITIONED BY source, so
+    packing parallelizes per source shard (one exchange, no global
+    sort); at 100 TB each source packs independently and a hierarchical
+    second pass would merge shard tails. This is the operator between
+    'deduped corpus' and 'fixed-length training batches'."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = F.sum(n_tok).over(w) - n_tok
+    return d.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.floor(start / F.lit(256.0)).cast("long").alias("chunk_id"),
+    )
+
+
+@query(
+    "corpus_mixture_sample",
+    """
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE CAST(('0x' || substring(md5('mix:' || doc_id), 1, 8)) AS BIGINT) % 100
+          < CASE source WHEN 'src0' THEN 80 WHEN 'src1' THEN 50 ELSE 20 END
+    """,
+)
+def corpus_mixture_sample(spark, sf_dir):
+    """Deterministic source-mixture sampling: each source is kept at a
+    target rate (src0 80%, src1 50%, long tail 20%) by hashing the
+    document key — NOT `sampleBy` (RNG, partitioning-dependent). The
+    keyed hash pins every document's fate forever, so re-running the
+    pipeline (or adding data) never reshuffles previously sampled
+    rows — the reproducibility property a training-data mixture needs.
+    Pure map-side filter: no shuffle at any scale."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    rate = (
+        F.when(F.col("source") == "src0", 80)
+        .when(F.col("source") == "src1", 50)
+        .otherwise(20)
+    )
+    return d.filter(bucket < rate).select("doc_id", "source", "lang")
+
+
+@query(
+    "gdpr_delete_propagation",
+    """
+    SELECT 'customer' AS table_name, COUNT(*) AS surviving
+    FROM customer WHERE c_custkey % 97 <> 0
+    UNION ALL
+    SELECT 'orders', COUNT(*) FROM orders WHERE o_custkey % 97 <> 0
+    UNION ALL
+    SELECT 'lineitem', COUNT(*)
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_custkey % 97 <> 0
+    """,
+)
+def gdpr_delete_propagation(spark, sf_dir):
+    """Right-to-erasure propagation: a deletion-request key set removes
+    the subject's rows from every table that references them — direct
+    (customer, orders) and transitive (lineitem via its order). Shape:
+    LEFT ANTI joins against the request keys; the transitive hop joins
+    lineitem⋈orders on the order key first (AQE picks the strategy).
+    At 100 TB this is the standard compliance job: the request set is
+    small (broadcast), each fact table is anti-joined in one pass, and
+    the output here is the per-table surviving-row audit record."""
+    victims = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select(F.col("c_custkey").alias("victim_key"))
+    )
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+
+    c_kept = c.join(
+        victims, c.c_custkey == victims.victim_key, "left_anti"
+    ).agg(F.lit("customer").alias("table_name"), F.count("*").alias("surviving"))
+    o_kept = o.join(
+        victims, o.o_custkey == victims.victim_key, "left_anti"
+    ).agg(F.lit("orders").alias("table_name"), F.count("*").alias("surviving"))
+    l_kept = (
+        l.join(o.select("o_orderkey", "o_custkey"), l.l_orderkey == F.col("o_orderkey"))
+        .join(victims, F.col("o_custkey") == victims.victim_key, "left_anti")
+        .agg(F.lit("lineitem").alias("table_name"), F.count("*").alias("surviving"))
+    )
+    return c_kept.unionAll(o_kept).unionAll(l_kept)
+
+
+@query(
     "unpivot_melt",
     """
     SELECT c_custkey, metric, val FROM (

@@ -493,6 +493,48 @@ def sql_api_pricing_summary(spark, sf_dir):
 
 
 @query(
+    "sql_recursive_cte",
+    """
+    WITH RECURSIVE walk(node, root, depth) AS (
+      SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+      FROM customer WHERE c_custkey < 8
+      UNION ALL
+      SELECT c.c_custkey, w.root, w.depth + 1
+      FROM customer c JOIN walk w
+        ON CAST(FLOOR(c.c_custkey / 8.0) AS BIGINT) = w.node
+      WHERE c.c_custkey >= 8
+    )
+    SELECT node, root, depth FROM walk
+    """,
+)
+def sql_recursive_cte(spark, sf_dir):
+    """Native WITH RECURSIVE (Spark 4.x): hierarchy traversal — every
+    customer key walks up a synthetic 8-ary tree (parent = key div 8)
+    to its root, carrying depth. Iterative self-reference the optimizer
+    executes as repeated joins until fixpoint; each iteration is a
+    keyed equi-join, so at scale it's O(depth) shuffles over a
+    SHRINKING frontier, the same shape as the label-propagation
+    loop `text_dedup_clusters` hand-rolls for connected components
+    (that key predates engine support and keeps its manual form as the
+    bounded-iteration variant)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, root, depth) AS (
+          SELECT c_custkey, c_custkey, CAST(0 AS BIGINT)
+          FROM customer_rcte WHERE c_custkey < 8
+          UNION ALL
+          SELECT c.c_custkey, w.root, w.depth + 1
+          FROM customer_rcte c JOIN walk w
+            ON CAST(FLOOR(c.c_custkey / 8.0) AS BIGINT) = w.node
+          WHERE c.c_custkey >= 8
+        )
+        SELECT node, root, depth FROM walk
+        """
+    )
+
+
+@query(
     "tpch_q7_nation_volume",
     f"""
     SELECT supp_nation, cust_nation, l_year, {sql_dsum("volume", "revenue")}
