@@ -76,10 +76,14 @@ def _word_set(col):
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
-# Signature: H hash functions; hash_i(shingle) = md5(i || ':' || shingle).
-# md5 hex is uniform, so MIN over a fixed-width hex prefix is a valid
-# minhash (lexicographic order == numeric order on fixed width), and —
-# the point — both engines compute it bit-identically, so the WHOLE
+# Signature: ONE md5 per shingle (28-bit prefix as the base hash),
+# then a universal affine family h_i(x) = (A_i·x + B_i) mod P with
+# P = 2^31−1 — H multiply-mods instead of H md5 calls per gram (the
+# md5-per-hash form cost 3.4s/6.8s in BENCH; the affine family is the
+# standard minhash construction and ~Hx cheaper map-side). A_i/B_i are
+# md5-derived literals baked into the plan, the arithmetic stays under
+# 2^59 (28-bit base × 31-bit multiplier) so int64 never overflows, and
+# — the point — both engines compute it bit-identically, so the WHOLE
 # LSH pipeline (signatures → band keys → candidate join → Jaccard
 # verify) carries a DuckDB oracle. B bands × R rows = H; two docs
 # collide if any band's R minhashes all match.
@@ -100,6 +104,18 @@ _MH_R = 3  # rows per band (demo)
 _MH_PROD_B = 4
 _MH_PROD_R = 8
 _MH_THRESHOLD = 0.30  # verified Jaccard cutoff
+_MH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime), the mod of the family
+
+import hashlib as _hashlib
+
+
+def _mh_coeff(i: int) -> tuple[int, int]:
+    """Deterministic (A_i, B_i) for hash i, derived from md5 so the
+    family is fixed across engines/runs. A_i is odd and nonzero."""
+    d = _hashlib.md5(f"mh:{i}".encode()).digest()
+    a = (int.from_bytes(d[:4], "big") % (_MH_P - 1)) | 1
+    b = int.from_bytes(d[4:8], "big") % _MH_P
+    return a, b
 
 _GRAMS_CTES = """
     grams AS (
@@ -111,20 +127,31 @@ _GRAMS_CTES = """
     ),
     sets AS (
       SELECT doc_id, list_sort(list(gram)) AS grams FROM grams GROUP BY doc_id
+    ),
+    ghash AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(gram), 1, 7)) AS BIGINT) AS h
+      FROM grams
     )"""
 
 
 def _mh_candidate_ctes(bands: int, rows_per_band: int, sfx: str = "") -> str:
-    """DuckDB CTEs from ``grams`` → candidate pairs for one (B, R)
+    """DuckDB CTEs from ``ghash`` → candidate pairs for one (B, R)
     profile; ``sfx`` disambiguates CTE names when two profiles share a
     query (minhash_candidate_stats)."""
     h = bands * rows_per_band
     minhashes = ", ".join(
-        f"MIN(substring(md5('{i}:' || gram), 1, 16)) AS mh{i}" for i in range(h)
+        "MIN(({a} * h + {b}) % {p}) AS mh{i}".format(
+            a=_mh_coeff(i)[0], b=_mh_coeff(i)[1], p=_MH_P, i=i
+        )
+        for i in range(h)
     )
     band_cols = ", ".join(
         "md5("
-        + " || ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " || ':' || ".join(
+            f"CAST(mh{b * rows_per_band + r} AS VARCHAR)"
+            for r in range(rows_per_band)
+        )
         + f") AS band{b}"
         for b in range(bands)
     )
@@ -134,7 +161,7 @@ def _mh_candidate_ctes(bands: int, rows_per_band: int, sfx: str = "") -> str:
     )
     return f"""
     sigs0{sfx} AS (
-      SELECT doc_id, {minhashes} FROM grams GROUP BY doc_id
+      SELECT doc_id, {minhashes} FROM ghash GROUP BY doc_id
     ),
     sigs{sfx} AS (
       SELECT doc_id, {band_cols} FROM sigs0{sfx}
@@ -194,11 +221,15 @@ def minhash_candidates(docs, bands: int, rows_per_band: int):
     posexplode band keys → bucket equi-join. The ONLY shuffle moves
     (doc_id, band_key) rows, never documents."""
     h = bands * rows_per_band
-    exploded = docs.select("doc_id", F.explode("grams").alias("gram"))
+    base = F.conv(F.substring(F.md5(F.col("gram")), 1, 7), 16, 10).cast("long")
+    exploded = docs.select(
+        "doc_id", F.explode("grams").alias("gram")
+    ).select("doc_id", base.alias("h"))
     sig = exploded.groupBy("doc_id").agg(
         *[
             F.min(
-                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("gram"))), 1, 16)
+                (F.lit(_mh_coeff(i)[0]) * F.col("h") + F.lit(_mh_coeff(i)[1]))
+                % F.lit(_MH_P)
             ).alias(f"mh{i}")
             for i in range(h)
         ]
@@ -208,8 +239,12 @@ def minhash_candidates(docs, bands: int, rows_per_band: int):
     band_arr = F.array(
         *[
             F.md5(
-                F.concat(
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.col(f"mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 )
             )
             for b in range(bands)
