@@ -183,3 +183,53 @@ def test_activate_version_requires_stream_partitioning(spark, tmp_path):
                      activate_version=True)
     with pytest.raises(ValueError):
         activate_version_swap(spark, df, "s", 1, cfg)
+
+
+def test_required_accepts_explicit_null_rejects_absence(spark, tmp_path):
+    """Draft4 'required' asserts key PRESENCE: {"id": null} with type
+    ["null","integer"] is VALID (ADVICE r1: the get_json_object check
+    conflated missing and null and poisoned the run); a record missing
+    the key entirely still fails strict validation."""
+    schema = {
+        "type": ["null", "object"],
+        "properties": {
+            "id": {"type": ["null", "integer"]},
+            "name": {"type": ["null", "string"]},
+        },
+        "required": ["id"],
+    }
+    ok = [
+        fx._msg(type="SCHEMA", stream="s", schema=schema, key_properties=[]),
+        fx._msg(type="RECORD", stream="s", record={"id": None, "name": "x"}),
+        fx._msg(type="RECORD", stream="s", record={"id": 1}),
+    ]
+    streams, _ = _ingest(spark, fx.write_log(str(tmp_path), ok, "ok.jsonl"))
+    rows = streams["s"].collect()  # strict mode: must NOT raise
+    assert sorted((r["id"] is None, r["name"]) for r in rows) == [
+        (False, None), (True, "x"),
+    ]
+
+    bad = [
+        fx._msg(type="SCHEMA", stream="s", schema=schema, key_properties=[]),
+        fx._msg(type="RECORD", stream="s", record={"name": "no-id"}),
+    ]
+    streams, _ = _ingest(spark, fx.write_log(str(tmp_path), bad, "bad.jsonl"))
+    import pytest as _pytest
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)):
+        streams["s"].collect()
+
+
+def test_non_message_json_line_is_corrupt(spark, tmp_path):
+    """A bare number/string is valid JSON but not a Singer message —
+    the reference's parse_message raises; silently dropping it would
+    diverge (ADVICE r1)."""
+    from target_s3_parquet_spark.sources.singer import SingerError
+
+    lines = fx.three_stream_log()[:4] + ["42"]
+    import pytest as _pytest
+
+    with _pytest.raises(SingerError):
+        _ingest(spark, fx.write_log(str(tmp_path), lines))
