@@ -278,7 +278,8 @@ def near_dedup_minhash(
     """MinHash-LSH near-duplicate detection, the 100 TB shape:
 
     1. per-doc word-3-gram shingles (map-side projection),
-    2. H = B×R md5 minhashes → B band keys per doc (map-side),
+    2. H = B×R affine minhashes over one md5 base hash per shingle →
+       B band keys per doc (map-side),
     3. candidate pairs via self-join ON (band_no, band_key) — the ONLY
        shuffle moves (doc_id, 16-char key) rows, never documents,
     4. exact Jaccard verify on the candidates only, ≥ threshold kept.
