@@ -411,6 +411,58 @@ def text_winnow_fingerprint(spark, sf_dir):
     )
 
 
+@query(
+    "text_repetition_filter",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+                            i -> array_to_string(
+                              string_split(lower(text), ' ')[i:i+2], ' '))
+               AS grams
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    )
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+             AS rep_score
+    FROM g
+    ORDER BY rep_score DESC, doc_id
+    LIMIT 25
+    """,
+)
+def text_repetition_filter(spark, sf_dir):
+    """Repetition scoring (boilerplate/spam signal for corpus quality
+    filtering): rep = 1 − distinct_trigrams/total_trigrams; the 25 most
+    repetitive documents surface for removal/review (top-k rather than
+    a fixed threshold — the synthetic corpus is near-unique, and a
+    production run tunes the cut on this ranked output). Pure map-side
+    projection — higher-order functions over the token array, no
+    shuffle, no UDF — then TakeOrderedAndProject for the top-k; the
+    score is rational arithmetic (exact in both engines; no
+    log/entropy, which can never hash-match across libm builds)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+    )
+    rep = F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(
+        grams
+    )
+    return (
+        d.filter(F.size(words) >= 3)
+        .select(
+            "doc_id",
+            F.size(grams).cast("long").alias("n_grams"),
+            rep.alias("rep_score"),
+        )
+        .orderBy(F.col("rep_score").desc(), "doc_id")
+        .limit(25)
+    )
+
+
 @query("text_ml_minhash_pipeline")  # rows-only: ml hash families aren't SQL-replayable
 def text_ml_minhash_pipeline(spark, sf_dir):
     """The `pyspark.ml` route to near-dedup, as an alternative to the

@@ -371,6 +371,44 @@ def sim_lsh_bucketed_prod(spark, sf_dir):
 
 
 @query(
+    "emb_norm_outliers",
+    f"""
+    WITH {_LSH_V_CTE},
+    f AS (
+      SELECT quantile_cont(nrm, 0.25) AS q1, quantile_cont(nrm, 0.75) AS q3
+      FROM v
+    )
+    SELECT vec_id, nrm
+    FROM v, f
+    WHERE nrm < q1 - 1.5 * (q3 - q1) OR nrm > q3 + 1.5 * (q3 - q1)
+    """,
+)
+def emb_norm_outliers(spark, sf_dir):
+    """Embedding sanity gate: vectors whose L2 norm falls outside the
+    Tukey fences — degenerate embeddings (zeroed, clipped, exploded)
+    that poison similarity search and should be quarantined before
+    indexing. Norms are one map-side fold per vector; the fences are a
+    single 1-row exact-percentile aggregate broadcast back over the
+    corpus — one shuffle total at any scale (swap in approx_percentile
+    at 100 TB for a sketch-only pass, same plan shape as
+    `detect_outliers_iqr`)."""
+    e = _lsh_vectors(spark, sf_dir).select("vec_id", "nrm")
+    fences = e.agg(
+        F.percentile("nrm", 0.25).alias("q1"),
+        F.percentile("nrm", 0.75).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        e.crossJoin(F.broadcast(fences))
+        .filter(
+            (F.col("nrm") < F.col("q1") - 1.5 * iqr)
+            | (F.col("nrm") > F.col("q3") + 1.5 * iqr)
+        )
+        .select("vec_id", "nrm")
+    )
+
+
+@query(
     "lsh_candidate_stats",
     f"""
     WITH {_LSH_V_CTE},

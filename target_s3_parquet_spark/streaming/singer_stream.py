@@ -44,17 +44,54 @@ class SingerStreamJob:
     state_dir: str | None = None
     compat: bool = False
     validate: str = "strict"
+    # L5: apply ACTIVATE_VERSION swaps per micro-batch (an epoch whose
+    # log slice carries an activation replaces that stream's partition
+    # with the activated version's rows via dynamic partition
+    # overwrite). Constraint of the micro-batch restatement: the swap
+    # covers the version's rows in the SAME epoch as the activation
+    # (the shape a full-table sync emits — records then activation in
+    # one sync); an activation whose version's rows all landed in
+    # prior epochs is a no-op here (dynamic overwrite touches only
+    # partitions present in the written data) — replay such logs
+    # through the batch path (`sink.run_singer_to_parquet`), which
+    # sees the whole log at once.
+    activate_version: bool = False
     observed_schema_changes: list[str] = field(default_factory=list)
 
     def _process_batch(self, batch: DataFrame, epoch_id: int) -> None:
+        from target_s3_parquet_spark.sources.singer import collect_activations
+
         messages = parse_message_lines(batch)
         messages.cache()
         try:
+            activations = (
+                collect_activations(messages) if self.activate_version else {}
+            )
             # data plane: every known stream, one partitioned write
             for stream, plan in self.plans.items():
                 flat = records_for_stream(
-                    messages, plan, validate=self.validate, compat=self.compat
+                    messages,
+                    plan,
+                    validate=self.validate,
+                    compat=self.compat,
+                    with_version=self.activate_version,
                 )
+                if stream in activations:
+                    from target_s3_parquet_spark.sources.sink import (
+                        SinkConfig,
+                        activate_version_swap,
+                    )
+
+                    activate_version_swap(
+                        flat.sparkSession,
+                        flat,
+                        stream,
+                        activations[stream],
+                        SinkConfig(
+                            path=self.output_path, compression=self.compression
+                        ),
+                    )
+                    continue
                 (
                     flat.withColumn("stream", F.lit(stream))
                     .write.mode("append")

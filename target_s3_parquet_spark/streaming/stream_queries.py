@@ -296,6 +296,107 @@ def stream_stateful_running(spark, sf_dir):
 
 
 @query(
+    "stream_activate_version",
+    """
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           CAST(2 AS BIGINT) AS _sdc_table_version
+    FROM orders
+    WHERE o_orderkey % 2 = 0
+    """,
+)
+def stream_activate_version(spark, sf_dir):
+    """L5 in the streaming pipeline: epoch 1 appends a version-1 sync,
+    epoch 2 carries the version-2 full re-sync plus its
+    ACTIVATE_VERSION — the swap replaces the stream's partition with
+    exactly the activated version's rows via dynamic partition
+    overwrite, superseding epoch 1's data. (The batch twin is
+    `singer_activate_version`; the micro-batch constraint — activation
+    swaps versions synced within its own epoch — is documented on
+    `SingerStreamJob.activate_version`.)"""
+    import json as _json
+    import os as _os
+    import shutil
+    import tempfile
+
+    from target_s3_parquet_spark.sources.singer import StreamPlan
+    from target_s3_parquet_spark.streaming.singer_stream import SingerStreamJob
+
+    schema = {
+        "type": ["null", "object"],
+        "properties": {
+            "id": {"type": ["null", "integer"]},
+            "status": {"type": ["null", "string"]},
+        },
+        "required": ["id"],
+    }
+    o = t(spark, sf_dir, "orders")
+
+    def lines(pred, version):
+        return o.filter(pred).select(
+            F.to_json(
+                F.struct(
+                    F.lit("RECORD").alias("type"),
+                    F.lit("orders").alias("stream"),
+                    F.struct(
+                        F.col("o_orderkey").alias("id"),
+                        F.col("o_orderstatus").alias("status"),
+                    ).alias("record"),
+                    F.lit(version).alias("version"),
+                )
+            ).alias("value")
+        )
+
+    tmp = tempfile.mkdtemp(prefix="singer_av_stream_")
+    try:
+        log_dir = f"{tmp}/log"
+        _os.makedirs(log_dir)
+        lines(F.col("o_orderkey") < 1000, 1).coalesce(1).write.mode(
+            "append"
+        ).text(f"{log_dir}/a_v1")
+        v2 = lines(F.col("o_orderkey") % 2 == 0, 2)
+        activate = spark.createDataFrame(
+            [
+                (
+                    _json.dumps(
+                        {
+                            "type": "ACTIVATE_VERSION",
+                            "stream": "orders",
+                            "version": 2,
+                        }
+                    ),
+                )
+            ],
+            "value string",
+        )
+        v2.unionAll(activate).coalesce(1).write.mode("append").text(
+            f"{log_dir}/b_v2"
+        )
+        job = SingerStreamJob(
+            plans={"orders": StreamPlan("orders", schema)},
+            output_path=f"{tmp}/out",
+            checkpoint_path=f"{tmp}/ckpt",
+            activate_version=True,
+        )
+        q = job.start(spark, f"{log_dir}/*", max_files_per_trigger=1)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        back = (
+            spark.read.parquet(f"{tmp}/out")
+            .select(
+                F.col("id").cast("long").alias("id"),
+                "status",
+                "_sdc_table_version",
+            )
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "stream_join_static",
     """
     SELECT c.c_mktsegment, COUNT(*) AS n_events,
