@@ -163,6 +163,48 @@ def pack_token_chunks(spark, sf_dir):
 
 
 @query(
+    "docs_chunk_overlap",
+    """
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_no,
+           substring(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk
+    FROM (
+      SELECT doc_id, text,
+             UNNEST(range(0, GREATEST(
+               CAST(CEIL((n_chars - 200) / 150.0) AS BIGINT), 0) + 1)) AS i
+      FROM documents
+    )
+    """,
+)
+def docs_chunk_overlap(spark, sf_dir):
+    """Sliding-window document chunking (RAG / context-window prep):
+    fixed 200-char windows at stride 150 (50-char overlap so no
+    boundary-spanning content is lost). A generator projection —
+    sequence + explode stream chunks out of the scan with no shuffle
+    at any scale; chunk count per doc is ceil((len-W)/S)+1, derived
+    from the stored n_chars so the generator is computed without
+    touching the text column until the substring."""
+    d = t(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.ceil((F.col("n_chars") - 200) / 150.0).cast("long"), F.lit(0)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("long").alias("chunk_no"),
+            F.substring(
+                F.col("text"), (F.col("i") * 150 + 1).cast("int"), 200
+            ).alias("chunk"),
+        )
+    )
+
+
+@query(
     "corpus_mixture_sample",
     """
     SELECT doc_id, source, lang
