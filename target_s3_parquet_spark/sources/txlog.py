@@ -22,6 +22,18 @@ Protocol properties:
 - **Append vs overwrite.** Append manifests extend the previous
   version's dir list; overwrite manifests replace it (old dirs stay on
   disk for time travel until a vacuum).
+- **Data skipping.** ``commit(..., stats_cols=[...])`` records per-dir
+  min/max column stats in the manifest (Delta-style file statistics);
+  ``merge_into`` uses them to rewrite only the dirs whose key range
+  overlaps the change batch — untouched dirs are carried into the new
+  manifest verbatim, so a merge touching one partition of a 100 TB
+  table rewrites one partition, not the table.
+- **Conflict detection.** ``commit(..., expected_prev=v)`` raises
+  ``ConflictError`` if another writer committed after the caller read
+  version ``v`` (serializable optimistic concurrency, the same check
+  Delta runs at commit time). ``merge_into`` retries the whole
+  read-merge-commit cycle on conflict, so concurrent merges serialize
+  instead of silently last-writer-winning.
 
 At 100 TB the same protocol holds: manifests are O(files) JSON on the
 same object store, and the only serialization point is the manifest
@@ -62,30 +74,43 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(f)
 
 
-def commit(df: DataFrame, root: str, mode: str = "append") -> int:
-    """Write ``df`` as a new table version; returns the version number.
+class ConflictError(RuntimeError):
+    """Another writer committed after the version this transaction read
+    (the serializable-conflict signal; callers re-read and retry)."""
 
-    Data lands first (invisible — no manifest yet), then the manifest
-    is claimed with an exclusive create. On a version collision the
-    claim retries against the refreshed latest version; the data files
-    are version-agnostic so no rewrite is needed.
-    """
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
-    os.makedirs(_log_dir(root), exist_ok=True)
 
-    attempt = (latest_version(root) + 1) if latest_version(root) is not None else 0
-    data_dir = os.path.join(root, "data", f"v{attempt}-{mode}-{os.getpid()}")
-    df.write.mode("error").parquet(data_dir)
+def _column_stats(df: DataFrame, cols: list[str]) -> dict:
+    """Per-column [min, max] for a just-written dir (Delta-style file
+    stats). One extra agg job per commit; values must be JSON-encodable
+    (int/float/str — the partition/merge-key types)."""
+    from pyspark.sql import functions as F
 
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min__{c}"), F.max(c).alias(f"max__{c}")]
+    row = df.agg(*aggs).collect()[0]
+    return {c: [row[f"min__{c}"], row[f"max__{c}"]] for c in cols}
+
+
+def _claim_manifest(root, op, dirs_fn, stats_fn, expected_prev) -> int:
+    """Claim the next version slot with O_EXCL. ``dirs_fn(prev)`` /
+    ``stats_fn(prev)`` recompute the manifest against the freshest
+    predecessor on every attempt, so a lost race never publishes a
+    stale dir list. With ``expected_prev`` set (three-valued: an int,
+    None-for-empty-table, or ``"any"`` to skip the check), a predecessor
+    other than the one the transaction read raises ConflictError
+    instead of silently merging over the rival's commit."""
     while True:
         prev = latest_version(root)
+        if expected_prev != "any" and prev != expected_prev:
+            raise ConflictError(
+                f"table at version {prev}, transaction read {expected_prev}"
+            )
         version = (prev + 1) if prev is not None else 0
-        if mode == "append" and prev is not None:
-            dirs = _read_manifest(root, prev)["dirs"] + [data_dir]
-        else:
-            dirs = [data_dir]
-        manifest = {"version": version, "op": mode, "dirs": dirs}
+        manifest = {"version": version, "op": op, "dirs": dirs_fn(prev)}
+        stats = stats_fn(prev)
+        if stats:
+            manifest["stats"] = stats
         try:
             with open(_manifest_path(root, version), "x") as f:
                 json.dump(manifest, f)
@@ -94,6 +119,57 @@ def commit(df: DataFrame, root: str, mode: str = "append") -> int:
             # lost the race — another writer claimed this version;
             # recompute against the new latest and try the next slot
             continue
+
+
+def commit(
+    df: DataFrame,
+    root: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+    expected_prev: int | None | str = "any",
+) -> int:
+    """Write ``df`` as a new table version; returns the version number.
+
+    Data lands first (invisible — no manifest yet), then the manifest
+    is claimed with an exclusive create. On a version collision the
+    claim retries against the refreshed latest version; the data files
+    are version-agnostic so no rewrite is needed.
+
+    ``stats_cols`` records per-dir min/max in the manifest (enables
+    merge pruning). ``expected_prev`` (int or None-for-empty) turns the
+    blind retry into serializable conflict detection: if another writer
+    committed since the caller read that version, ConflictError is
+    raised rather than appending onto the rival's result.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(_log_dir(root), exist_ok=True)
+
+    import uuid
+
+    attempt = (latest_version(root) + 1) if latest_version(root) is not None else 0
+    # uuid suffix: dir names must be unique across failed/orphaned
+    # attempts (a conflict-aborted commit leaves its dir for vacuum)
+    data_dir = os.path.join(
+        root, "data", f"v{attempt}-{mode}-{uuid.uuid4().hex[:8]}"
+    )
+    df.write.mode("error").parquet(data_dir)
+    new_stats = _column_stats(df, stats_cols) if stats_cols else None
+
+    def dirs_fn(prev):
+        if mode == "append" and prev is not None:
+            return _read_manifest(root, prev)["dirs"] + [data_dir]
+        return [data_dir]
+
+    def stats_fn(prev):
+        carried = {}
+        if mode == "append" and prev is not None:
+            carried = dict(_read_manifest(root, prev).get("stats") or {})
+        if new_stats is not None:
+            carried[data_dir] = new_stats
+        return carried
+
+    return _claim_manifest(root, mode, dirs_fn, stats_fn, expected_prev)
 
 
 def read_table(
@@ -121,25 +197,86 @@ def merge_into(
     changes: DataFrame,
     key: str,
     delete_col: str | None = None,
+    max_retries: int = 3,
 ) -> int:
-    """MERGE: apply a change batch to the latest snapshot and commit
-    the result as a new overwrite version (rewrite-on-merge — the
-    simplest correct strategy; file-level pruning of untouched
-    partitions is the optimization on top). Matched keys take the
-    change row (upsert); unmatched change rows insert; change rows
-    with ``delete_col`` true delete. Old versions remain time-travelable.
+    """MERGE with file-level pruning and serializable conflict retry.
+
+    Matched keys take the change row (upsert); unmatched change rows
+    insert; change rows with ``delete_col`` true delete. Old versions
+    remain time-travelable.
+
+    **Pruning.** Dirs whose recorded ``key`` min/max (see
+    ``commit(stats_cols=...)``) is disjoint from the change batch's key
+    range cannot contain a matched row; they are carried into the new
+    manifest unrewritten. Dirs without stats are conservatively
+    rewritten. At 100 TB this is the difference between rewriting one
+    time-partition and rewriting the table.
+
+    **Concurrency.** The commit is claimed with ``expected_prev`` =
+    the version this merge read; if a rival lands first, the whole
+    read-merge-commit cycle is retried (up to ``max_retries``) against
+    the fresh snapshot — concurrent merges serialize instead of the
+    second silently overwriting the first's effect.
     """
     from pyspark.sql import functions as F
 
-    snapshot = read_table(spark, root)
     c = changes
     if delete_col is None:
         c = c.withColumn("__del", F.lit(False))
         delete_col = "__del"
-    survivors = snapshot.join(c.select(key), key, "left_anti")
+    kmin, kmax = c.agg(F.min(key), F.max(key)).collect()[0]
     upserts = c.filter(~F.col(delete_col)).drop(delete_col)
-    merged = survivors.unionByName(upserts)
-    return commit(merged, root, mode="overwrite")
+
+    last_err = None
+    for _ in range(max_retries + 1):
+        read_v = latest_version(root)
+        if read_v is None:
+            raise FileNotFoundError(f"no committed versions under {root}")
+        manifest = _read_manifest(root, read_v)
+        stats = manifest.get("stats") or {}
+        touched, untouched = [], []
+        for d in manifest["dirs"]:
+            s = (stats.get(d) or {}).get(key)
+            if (
+                s is not None
+                and s[0] is not None
+                and kmin is not None
+                and (s[1] < kmin or s[0] > kmax)
+            ):
+                untouched.append(d)
+            else:
+                touched.append(d)
+
+        if touched:
+            affected = spark.read.parquet(*touched)
+            survivors = affected.join(c.select(key), key, "left_anti")
+            merged = survivors.unionByName(upserts)
+        else:
+            merged = upserts
+
+        import uuid
+
+        new_dir = os.path.join(
+            root, "data", f"v{read_v + 1}-merge-{uuid.uuid4().hex[:8]}"
+        )
+        merged.write.mode("error").parquet(new_dir)
+        new_stats = _column_stats(merged, [key]) if stats else None
+
+        def dirs_fn(prev, _u=untouched, _n=new_dir):
+            return _u + [_n]
+
+        def stats_fn(prev, _u=untouched, _n=new_dir, _s=new_stats):
+            carried = {d: stats[d] for d in _u if d in stats}
+            if _s is not None:
+                carried[_n] = _s
+            return carried
+
+        try:
+            return _claim_manifest(root, "merge", dirs_fn, stats_fn, read_v)
+        except ConflictError as e:
+            last_err = e  # rival commit landed; orphan dir awaits vacuum
+            continue
+    raise last_err
 
 
 def vacuum(
@@ -240,6 +377,75 @@ def txlog_time_travel(spark, sf_dir):
                 )
             )
         out = parts[0].unionAll(parts[1]).unionAll(parts[2])
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "txlog_merge_prune",
+    """
+    WITH mid AS (SELECT MAX(o_orderkey) // 2 AS m FROM orders),
+    changes AS (
+        SELECT o_orderkey,
+               o_totalprice * 2 AS o_totalprice,
+               (o_orderkey % 11 = 0) AS is_del
+        FROM orders, mid
+        WHERE o_orderkey >= mid.m AND o_orderkey % 7 = 0
+    ),
+    final AS (
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM orders o
+        WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM changes)
+        UNION ALL
+        SELECT o_orderkey, o_totalprice FROM changes WHERE NOT is_del
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_keys,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM final
+    """,
+)
+def txlog_merge_prune(spark, sf_dir):
+    """Pruned MERGE through the transaction log: orders committed as two
+    key-range-disjoint dirs with min/max stats, then a change batch
+    touching only the upper half merged in. The lower-half dir's stats
+    interval is disjoint from the change keys, so merge_into carries it
+    into the new manifest unrewritten (asserted — pruning is part of
+    the contract, not just the result), and the final snapshot must
+    equal the batch restatement of upsert+delete over the full table."""
+    import shutil
+    import tempfile
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mid = o.agg(F.max("o_orderkey")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="txlog_merge_")
+    try:
+        root = f"{tmp}/orders_tbl"
+        lower = o.filter(F.col("o_orderkey") < mid)
+        upper = o.filter(F.col("o_orderkey") >= mid)
+        commit(lower, root, stats_cols=["o_orderkey"])
+        commit(upper, root, stats_cols=["o_orderkey"])
+
+        changes = (
+            o.filter((F.col("o_orderkey") >= mid) & (F.col("o_orderkey") % 7 == 0))
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .withColumn("is_del", F.col("o_orderkey") % 11 == 0)
+        )
+        merge_into(spark, root, changes, key="o_orderkey", delete_col="is_del")
+
+        final = _read_manifest(root, latest_version(root))
+        lower_dir = _read_manifest(root, 0)["dirs"][0]
+        assert lower_dir in final["dirs"], "lower-half dir should be pruned, not rewritten"
+
+        snap = read_table(spark, root)
+        out = snap.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+        )
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

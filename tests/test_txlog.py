@@ -78,6 +78,90 @@ def test_merge_into_upsert_delete_and_history(spark, tmp_path):
     assert txlog.read_table(spark, root, version=0).count() == 10
 
 
+def test_merge_prunes_disjoint_dirs(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    low = spark.range(0, 50).withColumn("v", F.col("id"))
+    high = spark.range(100, 150).withColumn("v", F.col("id"))
+    txlog.commit(low, root, stats_cols=["id"])
+    txlog.commit(high, root, stats_cols=["id"])
+    low_dir = txlog._read_manifest(root, 0)["dirs"][0]
+
+    changes = spark.createDataFrame(
+        [(120, 999, False), (130, 0, True), (200, 1, False)],
+        "id long, v long, d boolean",
+    )
+    txlog.merge_into(spark, root, changes, key="id", delete_col="d")
+
+    final = txlog._read_manifest(root, txlog.latest_version(root))
+    # the low-range dir's [0,49] interval is disjoint from keys 120..200
+    assert low_dir in final["dirs"]
+    # and its stats are carried forward so the NEXT merge can prune too
+    assert final["stats"][low_dir]["id"] == [0, 49]
+
+    now = {r.id: r.v for r in txlog.read_table(spark, root).collect()}
+    assert now[120] == 999 and now[200] == 1 and 130 not in now
+    assert len(now) == 50 + 50 - 1 + 1
+
+
+def test_merge_without_stats_rewrites_everything_correctly(spark, tmp_path):
+    # dirs committed without stats_cols are conservatively rewritten
+    root = str(tmp_path / "tbl")
+    txlog.commit(spark.range(0, 10).withColumn("v", F.lit(0)), root)
+    changes = spark.createDataFrame([(3, 7, False)], "id long, v long, d boolean")
+    txlog.merge_into(spark, root, changes, key="id", delete_col="d")
+    now = {r.id: r.v for r in txlog.read_table(spark, root).collect()}
+    assert now[3] == 7 and len(now) == 10
+
+
+def test_commit_expected_prev_detects_conflict(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    txlog.commit(spark.range(0, 5), root)
+    read_v = txlog.latest_version(root)
+    txlog.commit(spark.range(5, 10), root)  # rival lands first
+    with pytest.raises(txlog.ConflictError):
+        txlog.commit(spark.range(10, 15), root, expected_prev=read_v)
+    # without expected_prev the blind-retry semantics are unchanged
+    assert txlog.commit(spark.range(10, 15), root) == 2
+
+
+def test_merge_retries_on_conflict_and_serializes(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "tbl")
+    txlog.commit(spark.range(0, 10).withColumn("v", F.lit(0)), root)
+
+    # rival append sneaks in after the merge reads its snapshot: fire it
+    # from inside the first _claim_manifest call, then let the real
+    # claim see the moved version and raise ConflictError -> retry
+    real_claim = txlog._claim_manifest
+    fired = {"done": False}
+
+    def racing_claim(rt, op, dirs_fn, stats_fn, expected_prev):
+        if not fired["done"] and op == "merge":
+            fired["done"] = True
+            txlog.commit(spark.range(50, 55).withColumn("v", F.lit(9)), root)
+        return real_claim(rt, op, dirs_fn, stats_fn, expected_prev)
+
+    monkeypatch.setattr(txlog, "_claim_manifest", racing_claim)
+    changes = spark.createDataFrame([(3, 7, False)], "id long, v long, d boolean")
+    txlog.merge_into(spark, root, changes, key="id", delete_col="d")
+
+    now = {r.id: r.v for r in txlog.read_table(spark, root).collect()}
+    # merge retried against the post-rival snapshot: both effects present
+    assert now[3] == 7 and now[50] == 9 and len(now) == 15
+
+
+def test_merge_conflict_exhausts_retries(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "tbl")
+    txlog.commit(spark.range(0, 5).withColumn("v", F.lit(0)), root)
+
+    def always_conflict(rt, op, dirs_fn, stats_fn, expected_prev):
+        raise txlog.ConflictError("rival")
+
+    monkeypatch.setattr(txlog, "_claim_manifest", always_conflict)
+    changes = spark.createDataFrame([(1, 2, False)], "id long, v long, d boolean")
+    with pytest.raises(txlog.ConflictError):
+        txlog.merge_into(spark, root, changes, key="id", delete_col="d", max_retries=1)
+
+
 def test_vacuum_retains_window(spark, tmp_path):
     root = str(tmp_path / "tbl")
     txlog.commit(spark.range(0, 5), root)
