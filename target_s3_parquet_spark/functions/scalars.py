@@ -401,3 +401,37 @@ def limit_offset_pagination(spark, sf_dir):
         .limit(25)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "scalar_regexp",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+           regexp_extract(text, '[0-9]+') AS first_num,
+           substring(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 40)
+             AS masked_prefix,
+           regexp_matches(text, 'data') AS mentions_data
+    FROM documents
+    """,
+)
+def scalar_regexp(spark, sf_dir):
+    """Regexp scalar family: extract-all (+ count), first-match
+    extract, global replace, and boolean match. Patterns stay in the
+    RE2-compatible common subset (character classes, no backrefs or
+    lookaround) so Java regex (Spark) and RE2 (DuckDB/many engines)
+    agree; Spark's regexp_replace is global by default where DuckDB
+    needs the 'g' flag. All JVM-side codegen — a regex over 100 TB of
+    text is scan-bound, not Python-bound."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[A-Za-z]+"), 0))
+        .cast("long")
+        .alias("n_words"),
+        F.regexp_extract("text", "[0-9]+", 0).alias("first_num"),
+        F.substring(
+            F.regexp_replace("text", "[0-9]+", "#"), 1, 40
+        ).alias("masked_prefix"),
+        F.col("text").rlike("data").alias("mentions_data"),
+    )

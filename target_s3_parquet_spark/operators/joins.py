@@ -614,3 +614,105 @@ def join_asof_partitioned(spark, sf_dir):
         scan,
         schema="purchase_id long, user_id long, view_id long, view_ts timestamp",
     )
+
+
+@query(
+    "join_interval_overlap",
+    """
+    WITH sessions AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+    wins AS (
+      SELECT day AS w_day, 'morning' AS label,
+             day + INTERVAL 8 HOUR AS w_start,
+             day + INTERVAL 12 HOUR AS w_end FROM days
+      UNION ALL
+      SELECT day, 'afternoon', day + INTERVAL 14 HOUR,
+             day + INTERVAL 20 HOUR FROM days
+      UNION ALL
+      SELECT day, 'overnight', day + INTERVAL 20 HOUR,
+             day + INTERVAL 28 HOUR FROM days
+    )
+    SELECT w.w_day, w.label,
+           COUNT(*) AS n_sessions,
+           COUNT(DISTINCT s.user_id) AS n_users
+    FROM sessions s
+    JOIN wins w ON s.s_start < w.w_end AND w.w_start < s.s_end
+    GROUP BY w.w_day, w.label
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (two sets of [start, end) intervals, pairs
+    that intersect) via grid-cell decomposition — the general form of
+    the banded range join.
+
+    The naive plan for `A JOIN B ON a.start < b.end AND b.start <
+    a.end` is a nested-loop product. Decomposing both sides onto a
+    covering grid (here: calendar days) turns it into an EQUI join:
+    each interval explodes into the cells it touches (`sequence` —
+    the overnight window spans two), candidates equi-join on the cell,
+    and the exact overlap predicate filters residually. Two
+    overlapping intervals always share a covering cell, so recall is
+    exact; a pair sharing multiple cells would dup, which the
+    day-contained session side rules out here (the general case adds
+    a `distinct` on the pair key). At 100 TB the cell width tunes
+    candidate volume exactly like LSH band width — the join is a
+    shuffle on cell, never a product."""
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts")
+    sessions = e.groupBy("user_id", day.alias("day")).agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    days = e.select(day.alias("day")).distinct()
+    wins = days.select(
+        F.col("day").alias("w_day"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("morning").alias("label"),
+                    F.lit(8).alias("h0"),
+                    F.lit(12).alias("h1"),
+                ),
+                F.struct(
+                    F.lit("afternoon").alias("label"),
+                    F.lit(14).alias("h0"),
+                    F.lit(20).alias("h1"),
+                ),
+                F.struct(
+                    F.lit("overnight").alias("label"),
+                    F.lit(20).alias("h0"),
+                    F.lit(28).alias("h1"),
+                ),
+            )
+        ).alias("w"),
+    ).select(
+        "w_day",
+        F.col("w.label").alias("label"),
+        (F.col("w_day") + F.col("w.h0") * F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        (F.col("w_day") + F.col("w.h1") * F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    # windows explode into the day cells they cover (overnight -> 2)
+    cells = wins.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", "w_start"),
+                F.date_trunc("day", "w_end"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ),
+    )
+    return (
+        sessions.join(F.broadcast(cells), sessions.day == cells.cell)
+        .filter(
+            (F.col("s_start") < F.col("w_end")) & (F.col("w_start") < F.col("s_end"))
+        )
+        .groupBy("w_day", "label")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -714,3 +714,40 @@ def data_quality_checks(spark, sf_dir):
     for part in (nn, fk, qty, disc):
         out = out.unionAll(part)
     return out
+
+
+@query(
+    "sample_stratified_exact",
+    """
+    SELECT doc_id, lang, rn
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 5
+    """,
+)
+def sample_stratified_exact(spark, sf_dir):
+    """Exact-n stratified sample: precisely 5 documents per language,
+    chosen by ranking each stratum on a cryptographic hash of the key
+    — deterministic on any cluster size/partitioning (`df.sampleBy` is
+    fraction-based and seed/partitioning-dependent, so it can't promise
+    an exact per-stratum count or reproducibility across repartitions).
+
+    One shuffle on the stratum key; the per-stratum sort is bounded by
+    stratum size. At 100 TB with heavy strata, swap ROW_NUMBER for the
+    two-phase top-k (per-partition `limit 5` then global re-rank —
+    `window_topk_per_group` shows the shape); the hash-order contract
+    is unchanged."""
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )

@@ -323,3 +323,112 @@ def incremental_rollup_merge(spark, sf_dir):
             F.sum("pv").cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    """
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS day_value
+      FROM events WHERE user_id < 8
+      GROUP BY user_id, date_trunc('day', ts)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY user_id
+    ),
+    grid AS (
+      SELECT b.user_id, g.d AS day
+      FROM bounds b, LATERAL (
+        SELECT UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS d) g
+    ),
+    joined AS (
+      SELECT g.user_id, g.day, d.day_value,
+             COUNT(d.day_value) OVER (PARTITION BY g.user_id ORDER BY g.day)
+               AS gp,
+             COUNT(d.day_value) OVER (PARTITION BY g.user_id ORDER BY g.day DESC)
+               AS gn
+      FROM grid g LEFT JOIN daily d
+        ON d.user_id = g.user_id AND d.day = g.day
+    ),
+    anchored AS (
+      SELECT user_id, day, day_value,
+             MAX(day_value) OVER (PARTITION BY user_id, gp) AS prev_v,
+             MAX(CASE WHEN day_value IS NOT NULL THEN day END)
+               OVER (PARTITION BY user_id, gp) AS prev_day,
+             MAX(day_value) OVER (PARTITION BY user_id, gn) AS next_v,
+             MAX(CASE WHEN day_value IS NOT NULL THEN day END)
+               OVER (PARTITION BY user_id, gn) AS next_day
+      FROM joined
+    )
+    SELECT user_id, day,
+           CASE WHEN day_value IS NOT NULL THEN day_value
+                ELSE prev_v + (next_v - prev_v)
+                     * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                        / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+           END AS value_interp,
+           day_value IS NOT NULL AS observed
+    FROM anchored
+    """,
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Gap-fill with LINEAR interpolation (the other half of the
+    hypertable densification story next to `gapfill_locf`): missing
+    grid days get `prev + (next - prev) * elapsed/gap` between their
+    bracketing observations.
+
+    Same scale shape as LOCF: generated per-user day grid (never a
+    cross join), one shuffle on user_id shared by the grid join and
+    BOTH window passes (forward anchor via last-ignore-nulls over
+    unbounded-preceding, backward anchor via first-ignore-nulls over
+    unbounded-following — two sorts, one exchange). Grid bounds come
+    from observed days, so every gap row is bracketed and the formula
+    is total. Interpolation arithmetic is plain IEEE double on both
+    engines with an identical expression tree, so the driver's value
+    hash matches bit-for-bit; the daily aggregate underneath is
+    decimal-exact per the float discipline."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    daily = e.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(dec(F.col("value"))).cast("double").alias("day_value")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    anchored = joined.select(
+        "user_id",
+        "day",
+        "day_value",
+        F.last("day_value", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_day"),
+        F.first("day_value", ignorenulls=True).over(wn).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("next_day"),
+    )
+    frac = F.datediff("day", "prev_day").cast("double") / F.datediff(
+        "next_day", "prev_day"
+    ).cast("double")
+    return anchored.select(
+        "user_id",
+        "day",
+        F.when(F.col("day_value").isNotNull(), F.col("day_value"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        )
+        .alias("value_interp"),
+        F.col("day_value").isNotNull().alias("observed"),
+    )

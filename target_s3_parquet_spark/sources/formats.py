@@ -61,6 +61,9 @@ def _roundtrip(spark, sf_dir, fmt: str):
     if fmt == "csv":
         writer.option("header", "true").csv(path)
         return spark.read.schema(_SCHEMA).option("header", "true").csv(path)
+    if fmt == "orc":
+        writer.orc(path)
+        return spark.read.schema(_SCHEMA).orc(path)
     writer.json(path)
     return spark.read.schema(_SCHEMA).json(path)
 
@@ -80,6 +83,17 @@ def scan_json_roundtrip(spark, sf_dir):
     landing format half of all taps emit. Field order in JSON is
     irrelevant; the schema projects by name."""
     return _roundtrip(spark, sf_dir, "json")
+
+
+@query("scan_orc_roundtrip", _ORACLE)
+def scan_orc_roundtrip(spark, sf_dir):
+    """ORC write→read identity — the other columnar format the Hadoop
+    ecosystem lands (Hive-native warehouses in particular). Spark's ORC
+    source is built in and supports the same predicate pushdown /
+    column pruning / vectorized read path as parquet, so a user whose
+    upstream produces ORC queries it through the identical DataFrame
+    surface; only the codec under the scan changes."""
+    return _roundtrip(spark, sf_dir, "orc")
 
 
 @query(
@@ -158,4 +172,59 @@ def scan_merge_schema(spark, sf_dir):
     )
     return merged.select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+
+
+@query(
+    "join_dpp_pruned",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             substr(event_type, 1, 1) AS category
+      FROM events
+    )
+    SELECT e.event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events e
+    JOIN dim d ON e.event_type = d.event_type
+    WHERE d.category = 'p'
+    GROUP BY e.event_type
+    """,
+)
+def join_dpp_pruned(spark, sf_dir):
+    """Dynamic partition pruning: the selective filter lives on the DIM
+    side (`category = 'p'`), not on the fact's partition column, yet
+    the fact scan must still skip unselected partition directories.
+    Catalyst inserts a `dynamicpruningexpression` subquery into the
+    fact's PartitionFilters: the dim side is evaluated first, its
+    surviving join keys are broadcast, and only matching partitions of
+    the partitioned fact are listed/read. At 100 TB this is the star-
+    schema workhorse — a date-dim filter prunes a date-partitioned
+    fact without anyone spelling the partition predicate by hand.
+    Plan contract (asserted in tests/test_plans.py): the scan shows
+    `dynamicpruningexpression`, not a full-table read."""
+    path = os.path.join(
+        _SCRATCH, f"events_part_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+    e = spark.read.parquet(path)
+    # dim derives from the same table's partition values (a pure
+    # partition-listing scan — no data files read to build it)
+    dim = (
+        e.select("event_type")
+        .distinct()
+        .withColumn("category", F.substring("event_type", 1, 1))
+    )
+    return (
+        e.join(F.broadcast(dim.filter(F.col("category") == "p")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
     )

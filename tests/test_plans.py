@@ -86,6 +86,21 @@ def test_partition_pruned_scan_filters_directories(spark):
     ) or ("event_type" in plan.split("PartitionFilters", 1)[1][:200])
 
 
+def test_dpp_join_prunes_fact_partitions(spark):
+    # the filter lives on the dim side; the partitioned fact scan must
+    # still receive a dynamic pruning subquery in its PartitionFilters
+    plan = _plan(_q("join_dpp_pruned", spark))
+    assert "dynamicpruning" in plan.lower(), plan
+    assert "PartitionFilters" in plan
+
+
+def test_interval_overlap_is_equi_not_product(spark):
+    plan = _plan(_q("join_interval_overlap", spark))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_registry_oracle_coverage():
     # Every key has an oracle unless it is one of the two documented
     # rows-only exceptions — a new key silently missing its oracle (or
