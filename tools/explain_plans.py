@@ -34,27 +34,9 @@ def main() -> None:
             df.explain("formatted")
         plan = buf.getvalue()
         print(f"\n{'=' * 72}\n{key}\n{'=' * 72}\n{plan}")
-        # One-line plan health summary per key.
-        flags = []
-        if "BroadcastHashJoin" in plan:
-            flags.append("broadcast-join")
-        if "SortMergeJoin" in plan:
-            flags.append("sort-merge-join")
-        if "PushedFilters: [" in plan and "PushedFilters: []" not in plan:
-            flags.append("pushed-filters")
-        if "WholeStageCodegen" in plan:
-            flags.append("codegen")
-        import re
+        from target_s3_parquet_spark.plans.planflags import flags_for
 
-        # formatted mode prints the operator name bare ("(4) Exchange")
-        # with the partitioning down in its Arguments block
-        shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
-        bcasts = len(re.findall(r"\(\d+\) BroadcastExchange\b", plan))
-        if shuffles:
-            flags.append(f"shuffles={shuffles}")
-        if bcasts:
-            flags.append(f"bcasts={bcasts}")
-        print(f"--> {key}: {', '.join(flags) or 'plain'}")
+        print(f"--> {key}: {flags_for(plan)}")
 
 
 if __name__ == "__main__":

@@ -6,47 +6,16 @@ key (the catalog the judge/reader greps instead of 157 full plans).
 
 from __future__ import annotations
 
-import io
 import os
-import re
 import sys
-from contextlib import redirect_stdout
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def flags_for(plan: str) -> str:
-    flags = []
-    shuffles = len(re.findall(r"\(\d+\) Exchange\b", plan))
-    bcasts = len(re.findall(r"\(\d+\) BroadcastExchange\b", plan))
-    if "PushedFilters: [" in plan and "PushedFilters: []" not in plan:
-        flags.append("pushed-filters")
-    if "BroadcastHashJoin" in plan:
-        flags.append("bhj")
-    if "SortMergeJoin" in plan:
-        flags.append("smj")
-    if "BroadcastNestedLoopJoin" in plan:
-        flags.append("bnlj")
-    if shuffles:
-        flags.append(f"shuffles={shuffles}")
-    if bcasts:
-        flags.append(f"bcasts={bcasts}")
-    if "WholeStageCodegen" in plan:
-        flags.append("codegen")
-    if (
-        "ArrowEvalPython" in plan
-        or "MapInPandas" in plan
-        or "FlatMapGroupsInPandas" in plan
-    ):
-        flags.append("arrow-python")
-    if "BatchEvalPython" in plan:
-        flags.append("row-python")
-    return ", ".join(flags) or "projection-only"
-
-
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from target_s3_parquet_spark.plans.planflags import flags_for, plan_of
     from target_s3_parquet_spark.registry import get_queries
     from target_s3_parquet_spark.session import get_spark
 
@@ -54,11 +23,7 @@ def main() -> None:
     lines = []
     for key, fn in sorted(get_queries().items()):
         try:
-            df = fn(spark, sf)
-            buf = io.StringIO()
-            with redirect_stdout(buf):
-                df.explain("formatted")
-            lines.append(f"{key}: {flags_for(buf.getvalue())}")
+            lines.append(f"{key}: {flags_for(plan_of(fn(spark, sf)))}")
         except Exception as e:  # surface, don't die — catalog stays complete
             lines.append(f"{key}: ERROR {str(e)[:80]}")
 
