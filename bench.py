@@ -80,6 +80,31 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # Measured scale evidence beyond the headline queries (small sizes —
+    # the point is the recorded ratio/rate per round, not a stress run):
+    # skew strategies on a 90%-hot-key join, and streaming Singer ingest
+    # throughput from the engine's own progress events. Failures here
+    # must never sink the headline bench line.
+    extras: dict = {}
+    try:
+        from tools.bench_skew import run_skew
+
+        s = run_skew(spark, n=4_000_000)
+        extras["skew_join_sec"] = {
+            k: v for k, v in s.items() if k != "n_fact_rows"
+        }
+        print(f"# skew_join(4M rows): {extras['skew_join_sec']}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["skew_join_error"] = str(e)[:120]
+    try:
+        from tools.bench_stream import run_stream
+
+        st = run_stream(spark, n=50_000, n_files=4)
+        extras["stream_ingest_rps"] = st["value"]
+        print(f"# stream_ingest: {st['value']} rec/s", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["stream_ingest_error"] = str(e)[:120]
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -89,6 +114,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **extras,
             }
         )
     )

@@ -3,6 +3,9 @@ job over a generated N-record log and report per-epoch and end-to-end
 rates from the engine's own progress events (StreamingQueryListener).
 
     python tools/bench_stream.py [n_records] [n_files]   # 200_000, 8
+
+`run_stream(spark, n, n_files)` is the embeddable form `bench.py` folds
+into the per-round bench JSON.
 """
 
 from __future__ import annotations
@@ -30,18 +33,16 @@ SCHEMA = {
 }
 
 
-def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-
+def run_stream(spark, n: int = 200_000, n_files: int = 8) -> dict:
+    """Generate an n-record Singer log split over n_files, ingest it
+    through the checkpointed streaming job (1 file per trigger), and
+    return end-to-end + per-epoch throughput measured by the engine's
+    own StreamingQueryListener."""
     from pyspark.sql import functions as F
     from pyspark.sql.streaming import StreamingQueryListener
 
-    from target_s3_parquet_spark.session import get_spark
     from target_s3_parquet_spark.sources.singer import StreamPlan
     from target_s3_parquet_spark.streaming.singer_stream import SingerStreamJob
-
-    spark = get_spark("bench_stream")
 
     class Progress(StreamingQueryListener):
         def __init__(self):
@@ -120,23 +121,29 @@ def main() -> None:
         out_rows = spark.read.parquet(os.path.join(tmp, "out")).count()
         assert out_rows == n, f"{out_rows} != {n}"
         epochs = [e for e in listener.epochs if e["rows"]]
-        print(
-            json.dumps(
-                {
-                    "metric": "singer_stream_throughput",
-                    "value": round(n / wall, 1),
-                    "unit": "records/sec",
-                    "records": n,
-                    "wall_sec": round(wall, 2),
-                    "epochs": len(epochs),
-                    "epoch_rows": [e["rows"] for e in epochs],
-                    "epoch_ms": [e["duration_ms"] for e in epochs],
-                }
-            )
-        )
+        return {
+            "metric": "singer_stream_throughput",
+            "value": round(n / wall, 1),
+            "unit": "records/sec",
+            "records": n,
+            "wall_sec": round(wall, 2),
+            "epochs": len(epochs),
+            "epoch_rows": [e["rows"] for e in epochs],
+            "epoch_ms": [e["duration_ms"] for e in epochs],
+        }
     finally:
         spark.streams.removeListener(listener)
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from target_s3_parquet_spark.session import get_spark
+
+    spark = get_spark("bench_stream")
+    print(json.dumps(run_stream(spark, n, n_files)))
 
 
 if __name__ == "__main__":
