@@ -594,3 +594,54 @@ def agg_bool_and_or(spark, sf_dir):
         F.bool_or(F.col("o_totalprice") > 400000.0).alias("any_over_400k"),
         F.count("*").alias("n"),
     )
+
+
+@query(
+    "agg_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events WHERE user_id < 50
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_start) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def agg_session_window(spark, sf_dir):
+    """Batch `session_window` aggregation — Spark's built-in dynamic
+    session grouping (the same operator Structured Streaming uses for
+    `stream_window_session`, here on bounded data). Each user's events
+    merge into sessions separated by >30min silence; the window's end
+    is last-event + gap by definition. One shuffle on (user_id,
+    session); contrast `sessionize_events`, which builds the same
+    sessions by hand with gaps-and-islands windows — the built-in form
+    is what you reach for first, the manual form is the shape you need
+    when the session rule outgrows a single gap parameter. The oracle
+    IS the gaps-and-islands restatement, proving they agree."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

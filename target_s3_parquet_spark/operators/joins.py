@@ -716,3 +716,83 @@ def join_interval_overlap(spark, sf_dir):
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "join_asof_arrow",
+    """
+    SELECT purchase_id, user_id, view_id, view_ts FROM (
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             v.event_id AS view_id, v.ts AS view_ts,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'view') v
+        ON v.user_id = p.user_id AND v.ts <= p.ts)
+    WHERE rn = 1
+    """,
+)
+def join_asof_arrow(spark, sf_dir):
+    """As-of join, Arrow-native physical strategy: the same
+    hash-partition + partition-local-sort + two-pointer carry as
+    `join_asof_partitioned`, but through `mapInArrow` — the carry
+    scans raw Arrow record batches and emits Arrow arrays directly,
+    skipping the Arrow→pandas→Arrow conversion that is the pandas
+    variant's dominant overhead (ROADMAP #1 round-2 note; same DuckDB
+    oracle as both other as-of forms, proving all three strategies
+    agree). Partition-local state only (one dict entry per user seen
+    in the task's partition) — no global state, any executor count."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("side"), "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    tagged = (
+        views.unionAll(purchases)
+        .repartition(32, "user_id")
+        .sortWithinPartitions("user_id", "ts", "side", "event_id")
+    )
+
+    out_type = pa.timestamp("us", tz="UTC")
+
+    def scan(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        last_view: dict = {}  # user_id -> (view_id, view_ts_us)
+        for b in batches:
+            idx = {n: j for j, n in enumerate(b.schema.names)}
+            users = b.column(idx["user_id"]).to_pylist()
+            # epoch-µs ints: integer compare/carry, no datetime objects
+            tss = b.column(idx["ts"]).cast(pa.int64()).to_pylist()
+            sides = b.column(idx["side"]).to_pylist()
+            eids = b.column(idx["event_id"]).to_pylist()
+            pid, pu, vid, vts = [], [], [], []
+            for user, ts_us, side, eid in zip(users, tss, sides, eids):
+                if side == 0:
+                    last_view[user] = (eid, ts_us)
+                else:
+                    v = last_view.get(user)
+                    pid.append(eid)
+                    pu.append(user)
+                    vid.append(v[0] if v else None)
+                    vts.append(v[1] if v else None)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(pid, pa.int64()),
+                    pa.array(pu, pa.int64()),
+                    pa.array(vid, pa.int64()),
+                    pa.array(vts, out_type),
+                ],
+                names=["purchase_id", "user_id", "view_id", "view_ts"],
+            )
+
+    return tagged.mapInArrow(
+        scan,
+        schema="purchase_id long, user_id long, view_id long, view_ts timestamp",
+    )

@@ -751,3 +751,68 @@ def sample_stratified_exact(spark, sf_dir):
         d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 5)
     )
+
+
+@query(
+    "cdc_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER w AS prev_prio,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate
+      FROM ordered
+      WHERE rn = 1 OR o_orderpriority <> prev_prio
+    )
+    SELECT o_custkey AS custkey,
+           o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+           ) AS valid_to,
+           LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+           ) IS NULL AS is_current
+    FROM changes
+    """,
+)
+def cdc_scd2_history(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: collapse an entity's
+    change stream into contiguous validity intervals
+    (valid_from/valid_to, open interval = current row) for the tracked
+    attribute — the dimension-history table every warehouse maintains
+    beside the CDC-upsert snapshot (`merge_upsert_cdc`).
+
+    Two window passes over ONE shuffle on the entity key (both windows
+    share the partitioning; the second ordering is a partition-local
+    sort): (1) lag-dedup drops rows where the attribute didn't change,
+    (2) lead assigns each surviving change's valid_to from the next
+    change's timestamp. No self-join against the history table — the
+    incremental variant at 100 TB unions the prior OPEN rows with the
+    new batch and reruns the same two windows on the touched entities
+    only."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        F.lag("o_orderpriority").over(w).alias("prev_prio"),
+        F.row_number().over(w).alias("rn"),
+    )
+    changes = ordered.filter(
+        (F.col("rn") == 1) | (F.col("o_orderpriority") != F.col("prev_prio"))
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    valid_to = F.lead("o_orderdate").over(w2)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
