@@ -435,3 +435,45 @@ def scalar_regexp(spark, sf_dir):
         ).alias("masked_prefix"),
         F.col("text").rlike("data").alias("mentions_data"),
     )
+
+
+@query(
+    "scalar_url_parse",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&v=2' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS lang_param,
+           regexp_extract(url, '^([a-z]+)://', 1) AS protocol
+    FROM u
+    """,
+)
+def scalar_url_parse(spark, sf_dir):
+    """URL decomposition with the built-in `parse_url` — host, path,
+    query, a single query parameter, protocol — over URLs synthesized
+    from document metadata (the log-parsing staple: clickstreams,
+    referrer analysis, CDN logs). JVM-side and codegen'd; the DuckDB
+    oracle restates each component as an anchored regexp, pinning the
+    exact semantics (no decoding, query excludes '?', path starts at
+    first '/')."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id"), F.lit("?lang="), F.col("lang"), F.lit("&v=2"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
+    )

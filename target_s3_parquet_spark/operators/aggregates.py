@@ -10,9 +10,10 @@ handling and two-phase `spark.sql.aggregate` paths apply unchanged.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from target_s3_parquet_spark.operators._util import davg, dsum, sql_davg, sql_dsum, t
+from target_s3_parquet_spark.operators._util import davg, dec, dsum, sql_davg, sql_dsum, t
 from target_s3_parquet_spark.registry import query
 
 
@@ -644,4 +645,130 @@ def agg_session_window(spark, sf_dir):
             F.col("sw.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+@query(
+    "agg_mode_median",
+    """
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, l_quantity) AS rn
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    med AS (
+      SELECT l_returnflag, MEDIAN(l_quantity) AS median_qty
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT c.l_returnflag, c.l_quantity AS mode_qty, m.median_qty
+    FROM counts c JOIN med m ON c.l_returnflag = m.l_returnflag
+    WHERE c.rn = 1
+    """,
+)
+def agg_mode_median(spark, sf_dir):
+    """Statistical mode + median per group. Median is the built-in
+    `F.median` (exact percentile_0.5; even-count groups average the
+    two middle values identically in both engines — quantities are
+    small integers, exact in double). Mode is built BY HAND as
+    count + row_number with an explicit smallest-value tiebreak
+    instead of `F.mode`, whose tie choice is engine-dependent —
+    cross-engine determinism requires the tie rule in the plan. Two
+    shuffles on the group key (count-per-value, then per-group top-1);
+    partial aggregation makes the first map-side combining, so at
+    100 TB the shuffle carries at most |groups|x|distinct values|
+    rows, not the raw table."""
+    li = t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.col("l_quantity")
+    )
+    mode = (
+        li.groupBy("l_returnflag", "l_quantity")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("median_qty")
+    )
+    return mode.join(med, "l_returnflag")
+
+
+@query(
+    "agg_hll_sketch_merge",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_nd,
+           TRUE AS est_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_hll_sketch_merge(spark, sf_dir):
+    """Mergeable HyperLogLog sketches — THE cardinality pattern at
+    100 TB: build an `hll_sketch_agg` per fine partition (here per
+    (returnflag, linestatus)), then `hll_union_agg` the opaque
+    sketches up to the coarse grain and estimate once. Sketch merge is
+    associative/commutative, so rollups, incremental refresh, and
+    cross-day unions never rescan raw data — this is what replaces
+    COUNT(DISTINCT) when the distinct set no longer fits a shuffle.
+    The estimate is deterministic for fixed input (HLL has no RNG),
+    but its exact value is library-specific, so the driver-checked
+    contract is the PROPERTY: the two-phase estimate lands within
+    HLL's error envelope (<5% here, vs ~1.6% theoretical for the
+    default lgK=12) of the exact count, which the oracle computes
+    exactly. Columns: exact count + the property bit."""
+    li = t(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sk")
+    )
+    coarse = fine.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_nd")
+    )
+    return exact.join(coarse, "l_returnflag").select(
+        "l_returnflag",
+        "exact_nd",
+        (
+            F.abs(F.col("est") - F.col("exact_nd"))
+            < 0.05 * F.col("exact_nd")
+        ).alias("est_ok"),
+    )
+
+
+@query(
+    "agg_weighted_stats",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6)))
+                AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             AS wmean_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_weight,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_stats(spark, sf_dir):
+    """Weight-aware aggregation: quantity-weighted mean price per
+    flag. The per-row product `price * qty` is exact in double (2
+    decimal digits x small integer stays on the representable grid),
+    then both the weighted sum and the weight total go through the
+    DECIMAL(38,6) exact-sum channel, so the single final division is
+    the only float op — order-independent on any partitioning. One
+    map-side-combinable shuffle; this is the template every
+    importance-weighted corpus statistic (sampling weights, dedup
+    multiplicities) follows at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    wsum = F.sum(dec(F.col("l_extendedprice") * F.col("l_quantity"))).cast(
+        "double"
+    )
+    tw = F.sum(dec("l_quantity")).cast("double")
+    return li.groupBy("l_returnflag").agg(
+        (wsum / tw).alias("wmean_price"),
+        tw.alias("total_weight"),
+        F.count(F.lit(1)).alias("n"),
     )

@@ -29,6 +29,30 @@ from target_s3_parquet_spark.registry import query
 
 _GRID = 1099511627776.0  # 2^40
 
+# Shared trade-graph CTEs (oracle side): directed weighted edges
+# nation -> nation (customers of src bought from suppliers of dst),
+# plus the sparsified undirected form used by components/triangles —
+# keep a pair (a<b) iff its total weight beats 1.5x the mean pair
+# weight, tested in INTEGER arithmetic (2*n*w > 3*S) so both engines
+# decide every boundary identically.
+_EDGES_CTE = """
+    edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    pairs AS (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(w) AS s FROM pairs),
+    strong AS (
+      SELECT a, b FROM pairs, tot WHERE 2 * tot.n * pairs.w > 3 * tot.s
+    )"""
+
 # One SQL iteration: ranks `prev` -> next rank table. Teleport uses the
 # TPC-H-fixed 25-nation node count (1/25 = 0.04, 0.15/25 = 0.006 —
 # written as literals so both engines parse the same double).
@@ -131,4 +155,152 @@ def graph_pagerank(spark, sf_dir):
         )
     return ranks.select(
         F.col("node").alias("nationkey"), F.col("pr").alias("pagerank")
+    )
+
+
+def _strong_pairs(spark, sf_dir):
+    """Sparsified undirected trade graph: pair (a<b) kept iff its total
+    weight beats 1.5x the mean pair weight. The threshold test runs in
+    integer arithmetic (``2*n*w > 3*S``) — exact, so Spark and DuckDB
+    classify every boundary pair identically. The mean is a 1-row
+    aggregate broadcast onto the pair list (no second shuffle)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pairs = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    tot = pairs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("n") * F.col("w") > 3 * F.col("s"))
+        .select("a", "b")
+    )
+
+
+@query(
+    "graph_connected_components",
+    "WITH RECURSIVE "
+    + _EDGES_CTE
+    + """,
+    und AS (
+      SELECT a AS src, b AS dst FROM strong
+      UNION ALL SELECT b, a FROM strong
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    reach(node, lab) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN und e ON e.src = r.node
+    )
+    SELECT node AS nationkey, MIN(lab) AS component FROM reach GROUP BY node
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components by min-label propagation, run to FIXPOINT:
+    every node starts labeled with itself; each round a node takes the
+    minimum of its own and its neighbors' labels; stop when no label
+    changed. Convergence needs diameter-many rounds, so the driver
+    loop checks a 1-row changed-count per round (control plane only —
+    labels and edges stay distributed; this is the same loop
+    `text_dedup_clusters` bounds statically for the dedup-cluster
+    case). At 100 TB graphs the identical program runs with edges and
+    labels co-partitioned on node — or switches to the large-star/
+    small-star contraction of Kiveris et al. for poly-log rounds. The
+    oracle is DuckDB's WITH RECURSIVE min-reachable-label restated."""
+    n = t(spark, sf_dir, "nation")
+    pairs = _strong_pairs(spark, sf_dir)
+    und = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    und = und.cache()
+
+    labels = n.select(
+        F.col("n_nationkey").alias("node"),
+        F.col("n_nationkey").alias("lab"),
+    ).cache()
+    while True:
+        neigh = (
+            und.join(
+                labels.withColumnRenamed("node", "src").withColumnRenamed(
+                    "lab", "nlab"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("nlab").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    "lab", F.coalesce("nmin", F.col("lab"))
+                ).alias("lab"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), "node")
+            .filter(F.col("x.lab") != F.col("y.lab"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("nationkey"), F.col("lab").alias("component")
+    )
+
+
+@query(
+    "graph_triangle_count",
+    "WITH "
+    + _EDGES_CTE
+    + """
+    SELECT COUNT(*) AS n_triangles
+    FROM strong e1
+    JOIN strong e2 ON e2.a = e1.b
+    JOIN strong e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting on the sparsified undirected trade graph via
+    the ordered-wedge join: with every edge stored once as (a<b), a
+    triangle a<b<c is counted exactly once by joining wedge
+    (a,b)+(b,c) against closing edge (a,c). Two self-joins on the
+    deduplicated edge list — the standard distributed formulation
+    (node-iterator over ordered adjacency); at web-graph scale the
+    same plan runs with the edge list hash-partitioned on the join key
+    and high-degree hubs handled by AQE skew splitting. Both engines
+    run the identical integer-only SQL shape."""
+    pairs = _strong_pairs(spark, sf_dir).cache()
+    e1 = pairs.select(F.col("a").alias("e1a"), F.col("b").alias("e1b"))
+    e2 = pairs.select(F.col("a").alias("e2a"), F.col("b").alias("e2b"))
+    e3 = pairs.select(F.col("a").alias("e3a"), F.col("b").alias("e3b"))
+    return (
+        e1.join(e2, F.col("e2a") == F.col("e1b"))
+        .join(
+            e3,
+            (F.col("e3a") == F.col("e1a")) & (F.col("e3b") == F.col("e2b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )

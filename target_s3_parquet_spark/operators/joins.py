@@ -796,3 +796,36 @@ def join_asof_arrow(spark, sf_dir):
         scan,
         schema="purchase_id long, user_id long, view_id long, view_ts timestamp",
     )
+
+
+@query(
+    "join_lateral_topn",
+    """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+    """,
+)
+def join_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL join — top-3 customers per nation expressed
+    as a per-row subquery, the SQL shape analysts write before anyone
+    teaches them window functions. Spark's Catalyst DECORRELATES it
+    (DecorrelateInnerQuery): the executed plan is the same
+    rank-filter-join as `window_topk_per_group` — one shuffle on the
+    correlation key, no per-row execution — which is exactly why the
+    lateral form is safe at 100 TB: it's sugar, not a nested loop.
+    Registered through the SQL API because lateral has no DataFrame
+    equivalent; the oracle is the identical query text."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, c.c_acctbal
+        FROM nation_lat n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM customer_lat
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
+        """
+    )

@@ -432,3 +432,45 @@ def ts_interpolate_linear(spark, sf_dir):
         .alias("value_interp"),
         F.col("day_value").isNotNull().alias("observed"),
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    """
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           arg_min(value, printf('%020d_%012d', epoch_us(ts), event_id))
+             AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, printf('%020d_%012d', epoch_us(ts), event_id))
+             AS close,
+           COUNT(*) AS n_obs
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """Downsample to OHLC bars (open/high/low/close per type per day)
+    — the canonical market-data resample, and more generally the
+    first/last-in-bucket pattern every telemetry rollup needs. One
+    map-side-combinable aggregation: `min_by`/`max_by` carry the
+    value at the earliest/latest timestamp, keyed on a zero-padded
+    (epoch_us, event_id) string so ties at the same microsecond
+    resolve identically in both engines and on any partitioning (a
+    struct ordering key would work in Spark but DuckDB's arg_min
+    needs a scalar — the padded string is the portable total order).
+    No window, no sort: at 100 TB this is a single shuffle of one
+    partial state row per (type, day), and with the table
+    date-partitioned the shuffle prunes to the touched days."""
+    e = t(spark, sf_dir, "events")
+    okey = F.format_string("%020d_%012d", F.unix_micros("ts"), "event_id")
+    return e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.min_by("value", okey).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", okey).alias("close"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

@@ -239,3 +239,88 @@ def window_ignore_nulls(spark, sf_dir):
         F.last("v", ignorenulls=True).over(w).alias("last_known"),
         F.first("v", ignorenulls=True).over(w2).alias("first_known"),
     )
+
+
+@query(
+    "window_ntile",
+    """
+    WITH deciled AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM deciled GROUP BY decile
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """Equi-depth bucketing with `ntile(10)` over a TOTAL order
+    (tiebreak on the key makes the bucket assignment deterministic),
+    then per-decile stats — the profile you feed a histogram or a
+    range-partitioner. The global ORDER BY window is the one window
+    shape that single-partitions at scale; Spark's plan here is one
+    sort into ONE task, fine at sf but the 100 TB version replaces it
+    with `approxQuantile`-derived cut points (or a
+    RangePartitioner pass) and a broadcast bucket lookup — same
+    output contract, no global sort. Registered in this exact-ntile
+    form because the equi-depth CONTRACT (bucket sizes differ by at
+    most 1) is what the oracle can verify bit-exactly."""
+    o = t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@query(
+    "window_running_distinct",
+    """
+    WITH firsts AS (
+      SELECT event_type, user_id,
+             MIN(date_trunc('day', ts)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    daily AS (
+      SELECT event_type, CAST(first_day AS TIMESTAMP) AS day,
+             COUNT(*) AS new_users
+      FROM firsts GROUP BY 1, 2
+    )
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (
+             PARTITION BY event_type ORDER BY day
+           ) AS BIGINT) AS cum_distinct_users
+    FROM daily
+    """,
+)
+def window_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT) over time — the metric SQL windows
+    can't express directly (DISTINCT isn't a window aggregate in
+    either engine). The scalable rewrite: attribute each user to
+    their FIRST day (one groupBy), count new users per day, then a
+    plain cumulative SUM. Two narrow shuffles — (type, user) then
+    (type, day) — instead of a per-day re-scan of history; the
+    running-sum window partitions by type, so no global sort. This is
+    the standard cumulative-uniques shape (DAU→cumulative-users) at
+    any scale; the windowed SUM is CAST to BIGINT in the oracle
+    because DuckDB widens windowed integer sums to HUGEINT."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("event_type", "user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("first_day")
+    )
+    daily = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("new_users"))
+    w = W.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_distinct_users"),
+    )

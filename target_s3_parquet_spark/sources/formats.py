@@ -228,3 +228,28 @@ def join_dpp_pruned(spark, sf_dir):
             .alias("total_value"),
         )
     )
+
+
+@query("scan_text_roundtrip", _ORACLE)
+def scan_text_roundtrip(spark, sf_dir):
+    """Plain-text-lines write→read: rows serialized as one delimited
+    string column through the `text` source (the format of raw logs
+    before any structure is imposed), then re-parsed with split+cast.
+    Doubles survive the string trip via Spark's shortest-repr float
+    formatting. The parse is all codegen'd built-ins — this is the
+    scale shape for reading arbitrary line-oriented logs: text scan →
+    split → cast, never a per-row Python tokenizer."""
+    path = os.path.join(
+        _SCRATCH, f"orders_text_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    out = _export(spark, sf_dir).select(
+        F.concat_ws("\t", "key", "status", "price", "odate").alias("value")
+    )
+    out.write.mode("overwrite").text(path)
+    s = F.split("value", "\t")
+    return spark.read.text(path).select(
+        s[0].cast("long").alias("key"),
+        s[1].alias("status"),
+        s[2].cast("double").alias("price"),
+        s[3].alias("odate"),
+    )
