@@ -22,17 +22,45 @@ from target_s3_parquet_spark.registry import query
 # (1-based list indexing in DuckDB).
 _DOT_SQL = "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
 
+# All embedding vectors in the testdata schema are this width; the
+# Spark-side dot product is unrolled to that length (see _dot).
+_EMB_DIM = 64
+
 
 def _vec_d(col):
-    """Cast float vector to double elementwise (both engines do the same
-    widening, so products match bit-for-bit)."""
-    return F.transform(col, lambda x: x.cast("double"))
+    """Cast float vector to double elementwise. A plain array cast is a
+    native (whole-stage-codegen) elementwise widening — bit-identical
+    to the oracle's per-element CAST, without an interpreted
+    higher-order `transform` node in the hot path."""
+    return col.cast("array<double>")
 
 
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
+def _dot(a, b, dim: int = _EMB_DIM):
+    """Unrolled left-associated dot product: a[0]*b[0] + a[1]*b[1] + …
+
+    Equivalent bit-for-bit to a sequential `aggregate` fold with 0.0
+    seed (0.0 + t0 == t0 in IEEE-754, and both associate strictly left
+    to right, matching the oracle's `list_sum(list_transform(...))`
+    fold) — but unlike `aggregate`/`zip_with`, plain getItem/multiply/
+    add chains stay inside whole-stage codegen, which is worth ~10× on
+    the LSH verify step where this runs once per candidate pair.
+
+    Built as ONE parsed SQL expression (not 64 chained Column ops) so
+    plan construction is a single py4j round trip."""
+    an, bn = _expr_name(a), _expr_name(b)
+    terms = " + ".join(f"({an})[{i}] * ({bn})[{i}]" for i in range(dim))
+    return F.expr(terms)
+
+
+def _expr_name(c) -> str:
+    """SQL text of a Column that is either a plain column reference or
+    was produced by F.expr/F.col — used to splice it into a generated
+    expression string."""
+    if isinstance(c, str):
+        return c
+    # Column's __repr__ is "Column<'...sql...'>"
+    s = repr(c)
+    return s[len("Column<'") : -len("'>")]
 
 
 @query(
@@ -200,19 +228,27 @@ def _band_key_sql(b: int, rows_per_band: int = _LSH_R) -> str:
 
 
 def _sign_col(v, p: int):
-    """Spark twin of :func:`_sign_sql` — identical left-to-right fold.
-    (±1.0 multiplies are IEEE-exact sign flips, so this equals the
-    add/subtract formulation bit-for-bit while keeping the plan to one
-    aggregate node per plane instead of 64 chained adds.)"""
+    """Spark twin of :func:`_sign_sql` — identical left-to-right fold
+    (±1.0 multiplies are IEEE-exact sign flips). Deliberately the
+    interpreted `aggregate` fold, NOT an unrolled arithmetic chain:
+    this runs only inside the one-time cached signature projection in
+    :func:`_lsh_vectors`, where 32 planes × 64 unrolled terms in one
+    projection blows past Janino's method limits and every execution
+    pays a failed-codegen attempt. The small HOF tree skips codegen
+    cleanly and evaluates once per vector, then the cache serves every
+    downstream band join."""
     w = F.array(*[F.lit(float(x)) for x in _W[p]])
-    acc = _dot(v, w)
+    acc = F.aggregate(
+        F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
+    )
     return F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0"))
 
 
-def _band_key_col(v, b: int, rows_per_band: int = _LSH_R):
-    return F.concat(
-        *[_sign_col(v, b * rows_per_band + r) for r in range(rows_per_band)]
-    )
+def _band_key_col(bits, b: int, rows_per_band: int = _LSH_R):
+    """Band key = R consecutive chars of the precomputed sign bit-string
+    (substring is 1-based). Plane p of band b is bit b*R+r, exactly the
+    concat order of the oracle's `_band_key_sql`."""
+    return F.substring(bits, b * rows_per_band + 1, rows_per_band)
 
 
 def _lsh_band_rows_ctes(
@@ -268,26 +304,49 @@ def _lsh_vectors(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_d(F.col("embedding")).alias("v")
     )
-    # The cached (v, nrm) table feeds band generation and the verify
-    # join without recomputing the parquet scan + casts.
-    return e.select(
-        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
-    ).cache()
+    # The cached (v, nrm, bits) table feeds band generation and the
+    # verify join without recomputing the parquet scan + casts. ALL
+    # sign bits (max planes, covering every registered profile) are
+    # computed here exactly once per vector — the expensive hyperplane
+    # projections never re-run per band join side or per profile, and
+    # the logical-plan cache makes every LSH key share one
+    # materialization per session.
+    bits = F.concat(*[_sign_col(F.col("v"), p) for p in range(_LSH_MAX_PLANES)])
+    # Repartition before caching: the sf0.1 table is one parquet file →
+    # one partition, and every downstream stage (band join, map-side
+    # verify) inherits the cache's partitioning — without this the
+    # whole broadcast-join pipeline would run as a single task. On a
+    # real cluster the scan arrives already split; this keeps local
+    # behavior shaped the same way.
+    return (
+        e.select(
+            "vec_id",
+            "v",
+            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+            bits.alias("bits"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
 
 
-def _lsh_candidates(e, bands: int = _LSH_B, rows_per_band: int = _LSH_R):
-    """Candidate pairs for one (B, R) profile. All B band keys in one
-    projection + posexplode — one pass over the vectors instead of B
-    unioned scans."""
+def _lsh_candidates(
+    e, bands: int = _LSH_B, rows_per_band: int = _LSH_R, dedup: bool = True
+):
+    """Candidate pairs for one (B, R) profile. All B band keys are
+    cheap substrings of the cached sign bit-string — one pass over the
+    vectors instead of B unioned scans, and zero numeric work.
+    ``dedup=False`` skips the distinct for consumers that dedup after
+    a selective downstream filter (see `_lsh_verified`)."""
     band_arr = F.array(
-        *[_band_key_col(F.col("v"), b, rows_per_band) for b in range(bands)]
+        *[_band_key_col(F.col("bits"), b, rows_per_band) for b in range(bands)]
     )
     band_rows = e.select(
         "vec_id", F.posexplode(band_arr).alias("band_no", "band_key")
     )
     x = band_rows.alias("x")
     y = band_rows.alias("y")
-    return (
+    pairs = (
         x.join(
             y,
             (F.col("x.band_no") == F.col("y.band_no"))
@@ -295,15 +354,28 @@ def _lsh_candidates(e, bands: int = _LSH_B, rows_per_band: int = _LSH_R):
             & (F.col("x.vec_id") < F.col("y.vec_id")),
         )
         .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
-        .distinct()
     )
+    return pairs.distinct() if dedup else pairs
 
 
 def _lsh_verified(
-    spark, sf_dir, bands: int = _LSH_B, rows_per_band: int = _LSH_R
+    spark,
+    sf_dir,
+    bands: int = _LSH_B,
+    rows_per_band: int = _LSH_R,
+    tau: float = _LSH_TAU,
 ):
+    """Verified LSH pairs with cosine ≥ tau, deduplicated.
+
+    Plan shape: the candidate stream is NOT deduplicated before the
+    verify — the vector table broadcasts into the candidate join, so
+    verify is map-side and a pair colliding in k bands just pays k
+    cheap dot products; the distinct runs on the tiny post-threshold
+    survivor set instead of the full candidate volume. That removes
+    the one wide shuffle (distinct over ~n²/2^R pair rows) the
+    dedup-first formulation carries at scale."""
     e = _lsh_vectors(spark, sf_dir)
-    cand = _lsh_candidates(e, bands, rows_per_band)
+    cand = _lsh_candidates(e, bands, rows_per_band, dedup=False)
     a = e.select(F.col("vec_id").alias("a_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     b_ = e.select(F.col("vec_id").alias("b_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     return (
@@ -316,6 +388,8 @@ def _lsh_verified(
                 "cosine"
             ),
         )
+        .filter(F.col("cosine") >= tau)
+        .distinct()
     )
 
 
@@ -348,7 +422,7 @@ def sim_lsh_bucketed(spark, sf_dir):
     and per-bucket candidate lists that stay bounded as n grows —
     `sim_lsh_bucketed_prod` IS that profile, and `lsh_candidate_stats`
     pins the candidate-volume collapse as an oracle-checked result."""
-    return _lsh_verified(spark, sf_dir).filter(F.col("cosine") >= _LSH_TAU)
+    return _lsh_verified(spark, sf_dir)
 
 
 @query(
@@ -365,9 +439,7 @@ def sim_lsh_bucketed_prod(spark, sf_dir):
     per-key lists bounded as the corpus grows. Recall at the low demo
     threshold τ=0.40 drops accordingly (8 agreeing sign bits ≈ 0.63^8);
     production uses this R at τ≥0.9 where per-bit agreement is ~0.86."""
-    return _lsh_verified(
-        spark, sf_dir, _LSH_PROD_B, _LSH_PROD_R
-    ).filter(F.col("cosine") >= _LSH_TAU)
+    return _lsh_verified(spark, sf_dir, _LSH_PROD_B, _LSH_PROD_R)
 
 
 @query(
@@ -453,8 +525,7 @@ def emb_near_dup_cosine(spark, sf_dir):
     (keep-first policy). Survivors = corpus minus the dominated set -
     a left-anti join against the verified pair list, so the dedup is
     one candidate join + one anti join at any scale."""
-    verified = _lsh_verified(spark, sf_dir)
-    dominated = verified.filter(F.col("cosine") >= _LSH_TAU).select(
+    dominated = _lsh_verified(spark, sf_dir).select(
         F.col("id_b").alias("vec_id")
     )
     e = t(spark, sf_dir, "embeddings").select("vec_id")

@@ -59,6 +59,7 @@ def load_all() -> None:
     from target_s3_parquet_spark.operators import (  # noqa: F401
         aggregates,
         dedup,
+        extensions,
         graph,
         joins,
         pipeline,

@@ -152,6 +152,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     # to match the DuckDB oracle on a non-UTC host.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # µs parquet timestamps without isAdjustedToUTC would load as
+    # TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ default, which
+    # (a) breaks instant-typed operators (unix_micros, watermarks) and
+    # (b) would force a post-scan cast that kills parquet predicate
+    # pushdown on date columns. Reading them as TIMESTAMP_LTZ with the
+    # session pinned to UTC yields the same wall-clock values the
+    # DuckDB oracle sees for the same naive µs column, and keeps
+    # pushdown native.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(table_path(sf_dir, name))
     for field in df.schema.fields:
         meta = field.metadata or {}
@@ -163,5 +172,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn(
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+            )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # Defensive twin of the conf above for sessions where the
+            # first read happened before the conf landed (cached file
+            # index): reinterpret the wall-clock as a UTC instant.
+            df = df.withColumn(
+                field.name, F.col(field.name).cast(T.TimestampType())
             )
     return df

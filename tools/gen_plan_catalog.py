@@ -23,6 +23,12 @@ def main() -> None:
     lines = []
     for key, fn in sorted(get_queries().items()):
         try:
+            # Materialized caches swap a key's lineage for an
+            # InMemoryTableScan in explain output, so flags would
+            # depend on which keys ran earlier; clearing makes every
+            # flag line a function of the key alone (mirrored in
+            # tests/test_plans.py::test_full_catalog_plan_flags_in_sync).
+            spark.catalog.clearCache()
             lines.append(f"{key}: {flags_for(plan_of(fn(spark, sf)))}")
         except Exception as e:  # surface, don't die — catalog stays complete
             lines.append(f"{key}: ERROR {str(e)[:80]}")
