@@ -471,3 +471,112 @@ def text_bigram_lm_score(spark, sf_dir):
             F.sum(F.col("p").cast(DEC)).cast("double").alias("sum_p"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# argmax/argmin aggregation (max_by / min_by)
+# ---------------------------------------------------------------------------
+@query(
+    "agg_max_by_min_by",
+    """
+    SELECT event_type,
+           arg_max(user_id, CAST(FLOOR(value * 1000) AS BIGINT) * 1000000
+                            + user_id) AS top_user,
+           arg_min(user_id, CAST(FLOOR(value * 1000) AS BIGINT) * 1000000
+                            + user_id) AS bottom_user,
+           CAST(FLOOR(MAX(value) * 1000) AS BIGINT) AS max_value_milli
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_max_by_min_by(spark, sf_dir):
+    """Argmax/argmin aggregation (`max_by`/`min_by`): the user behind
+    each event type's highest/lowest value — one partial-aggregated
+    hash agg, no window or self-join. The ordering key folds user_id
+    into the low bits so ties are impossible: cross-engine argmax is
+    only deterministic when the ordering key is unique (FLOOR rather
+    than a bigint cast because DuckDB's cast rounds while Spark's
+    truncates)."""
+    e = t(spark, sf_dir, "events")
+    ord_key = (
+        F.floor(F.col("value") * 1000).cast("bigint") * 1000000
+        + F.col("user_id")
+    )
+    return e.groupBy("event_type").agg(
+        F.max_by("user_id", ord_key).alias("top_user"),
+        F.min_by("user_id", ord_key).alias("bottom_user"),
+        F.floor(F.max("value") * 1000).cast("bigint").alias("max_value_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Error-safe arithmetic (try_* family)
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_try_arithmetic",
+    """
+    SELECT event_id,
+           CASE WHEN user_id % 5 = 0 THEN NULL
+                ELSE value / (user_id % 5) END AS safe_div,
+           CASE WHEN user_id % 3 = 0 THEN NULL
+                ELSE CAST(event_id % 100 AS BIGINT) % (user_id % 3)
+           END AS safe_mod,
+           TRY_CAST(substr(event_type, 1, 1) AS INTEGER) AS not_a_number
+    FROM events
+    WHERE event_id % 11 = 0
+    """,
+)
+def scalar_try_arithmetic(spark, sf_dir):
+    """ANSI-mode error-safe arithmetic: `try_divide`/`try_mod`/
+    `try_cast` return NULL where strict ANSI evaluation would abort
+    the job (divide-by-zero, bad casts) — the row-level quarantine
+    discipline for dirty data at scale, where one poisoned row must
+    not kill a 100 TB pass. The oracle spells out the same semantics
+    with CASE guards."""
+    e = t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return e.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("user_id") % 5).alias("safe_div"),
+        F.try_mod(
+            (F.col("event_id") % 100).cast("bigint"), F.col("user_id") % 3
+        ).alias("safe_mod"),
+        F.expr("TRY_CAST(substr(event_type, 1, 1) AS INT)").alias(
+            "not_a_number"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffled-hash join strategy
+# ---------------------------------------------------------------------------
+@query(
+    "join_shuffled_hash",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_shuffled_hash(spark, sf_dir):
+    """Shuffled-hash join, explicitly hinted: both sides shuffle on the
+    key but the smaller side builds an in-memory hash table per
+    partition instead of both sides sorting (SMJ). The right strategy
+    when the build side fits per-partition memory but is too big to
+    broadcast — it skips two sorts, and unlike SMJ keeps no sort-order
+    contract downstream. At 100 TB: pick SHJ for fact-to-mid-dim joins
+    where AQE's stats show a small-but-not-broadcastable side; keep
+    SMJ where spill-safety matters more than the sort cost."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").hint("shuffle_hash")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias(
+                "total_qty"
+            ),
+        )
+    )

@@ -34,6 +34,8 @@ def flags_for(plan: str) -> str:
         flags.append("bhj")
     if "SortMergeJoin" in plan:
         flags.append("smj")
+    if "ShuffledHashJoin" in plan:
+        flags.append("shj")
     if "BroadcastNestedLoopJoin" in plan:
         flags.append("bnlj")
     if shuffles:
