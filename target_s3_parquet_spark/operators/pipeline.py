@@ -764,7 +764,7 @@ def sample_stratified_exact(spark, sf_dir):
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     ),
     changes AS (
-      SELECT o_custkey, o_orderpriority, o_orderdate
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
       FROM ordered
       WHERE rn = 1 OR o_orderpriority <> prev_prio
     )
@@ -772,10 +772,10 @@ def sample_stratified_exact(spark, sf_dir):
            o_orderpriority AS priority,
            o_orderdate AS valid_from,
            LEAD(o_orderdate) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ) AS valid_to,
            LEAD(o_orderdate) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
            ) IS NULL AS is_current
     FROM changes
     """,
@@ -801,13 +801,17 @@ def cdc_scd2_history(spark, sf_dir):
         "o_custkey",
         "o_orderpriority",
         "o_orderdate",
+        "o_orderkey",
         F.lag("o_orderpriority").over(w).alias("prev_prio"),
         F.row_number().over(w).alias("rn"),
     )
     changes = ordered.filter(
         (F.col("rn") == 1) | (F.col("o_orderpriority") != F.col("prev_prio"))
     )
-    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate")
+    # same-date changes are possible (two orders, one day, different
+    # priorities), so the lead ordering must include the key tiebreak
+    # or valid_to is engine/partitioning-dependent
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     valid_to = F.lead("o_orderdate").over(w2)
     return changes.select(
         F.col("o_custkey").alias("custkey"),

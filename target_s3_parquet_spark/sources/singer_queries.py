@@ -206,3 +206,69 @@ def singer_validate_quarantine(spark, sf_dir):
     return flat.select(
         F.col("id").cast("long").alias("id"), "_validation_error"
     )
+
+
+@query(
+    "singer_python_datasource",
+    """
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           o_totalprice AS price
+    FROM orders
+    """,
+)
+def singer_python_datasource(spark, sf_dir):
+    """Singer log read through the Spark 4 Python DataSource API
+    (`sources/pyds.py`): the orders table is serialized to Singer
+    RECORD JSONL files (executor-side `to_json`), then read back with
+    `spark.read.format("singer_jsonl")` — a registered custom source
+    whose planner fans out one task per log file — and re-typed with
+    `from_json`. The oracle is the source table itself, so envelope
+    parsing, record canonicalization, and float round-tripping are all
+    under the hash. The reference only ever consumes this format via
+    a single-process stdin pipe (reference `__init__.py:352`)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import types as T
+
+    from target_s3_parquet_spark.sources.pyds import register
+
+    scratch = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".roundtrip",
+        f"singer_pyds_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    o = t(spark, sf_dir, "orders")
+    record = F.struct(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    lines = o.select(
+        F.to_json(
+            F.struct(
+                F.lit("RECORD").alias("type"),
+                F.lit("orders").alias("stream"),
+                record.alias("record"),
+            )
+        ).alias("value")
+    )
+    lines.coalesce(4).write.mode("overwrite").text(scratch)
+
+    register(spark)
+    raw = spark.read.format("singer_jsonl").load(scratch)
+    rec_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+        ]
+    )
+    return (
+        raw.filter(
+            (F.col("msg_type") == "RECORD") & (F.col("stream") == "orders")
+        )
+        .select(F.from_json("record", rec_schema).alias("r"))
+        .select("r.id", "r.status", "r.price")
+    )

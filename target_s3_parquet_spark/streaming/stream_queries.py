@@ -714,3 +714,108 @@ def stream_available_now(spark, sf_dir):
         return spark.createDataFrame(rows.collect(), rows.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_python_datasource",
+    """
+    SELECT o_orderstatus AS status, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    """
+    + "GROUP BY o_orderstatus",
+)
+def stream_python_datasource(spark, sf_dir):
+    """Streaming read through the Spark 4 Python DataSource API
+    (`sources/pyds.py` SimpleDataSourceStreamReader): the orders table
+    is serialized to three Singer JSONL chunk files, the custom source
+    tails the directory (offset = files ingested, replayable between
+    offsets for exactly-once restart), and the typed micro-batch
+    aggregate at termination must equal the batch aggregate the oracle
+    computes straight from the table."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from target_s3_parquet_spark.sources.pyds import register
+
+    o = t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="pyds_stream_")
+    name = "sink_" + uuid.uuid4().hex[:12]
+    try:
+        log_dir = os.path.join(tmp, "log")
+        os.makedirs(log_dir)
+        record = F.struct(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        lines = o.select(
+            F.to_json(
+                F.struct(
+                    F.lit("RECORD").alias("type"),
+                    F.lit("orders").alias("stream"),
+                    record.alias("record"),
+                )
+            ).alias("value"),
+            (F.col("o_orderkey") % 3).alias("chunk"),
+        )
+        for i in range(3):
+            part = os.path.join(tmp, f"part{i}")
+            lines.filter(F.col("chunk") == i).select("value").coalesce(
+                1
+            ).write.mode("overwrite").text(part)
+            src = [
+                f
+                for f in os.listdir(part)
+                if f.startswith("part-") and f.endswith(".txt")
+            ][0]
+            shutil.move(
+                os.path.join(part, src), os.path.join(log_dir, f"{i:03d}.jsonl")
+            )
+
+        register(spark)
+        raw = spark.readStream.format("singer_jsonl").load(log_dir)
+        rec_schema = T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField("status", T.StringType()),
+                T.StructField("price", T.DoubleType()),
+            ]
+        )
+        agg = (
+            raw.filter(F.col("msg_type") == "RECORD")
+            .select(F.from_json("record", rec_schema).alias("r"))
+            .groupBy(F.col("r.status").alias("status"))
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(dec(F.col("r.price"))).cast("double").alias(
+                    "total_price"
+                ),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation", os.path.join(tmp, "ckpt")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.table(name)
+            .select("status", "n_orders", "total_price")
+            .localCheckpoint()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
