@@ -97,6 +97,14 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         extras["skew_join_error"] = str(e)[:120]
     try:
+        from tools.bench_scale import run_scale
+
+        sc = run_scale(spark, sf_dir, factor=10)
+        extras["scale10"] = sc
+        print(f"# scale10: {sc}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["scale10_error"] = str(e)[:120]
+    try:
         from tools.bench_stream import run_stream
 
         st = run_stream(spark, n=50_000, n_files=4)
