@@ -227,21 +227,63 @@ def _band_key_sql(b: int, rows_per_band: int = _LSH_R) -> str:
     )
 
 
-def _sign_col(v, p: int):
-    """Spark twin of :func:`_sign_sql` — identical left-to-right fold
-    (±1.0 multiplies are IEEE-exact sign flips). Deliberately the
-    interpreted `aggregate` fold, NOT an unrolled arithmetic chain:
-    this runs only inside the one-time cached signature projection in
-    :func:`_lsh_vectors`, where 32 planes × 64 unrolled terms in one
-    projection blows past Janino's method limits and every execution
-    pays a failed-codegen attempt. The small HOF tree skips codegen
-    cleanly and evaluates once per vector, then the cache serves every
-    downstream band join."""
-    w = F.array(*[F.lit(float(x)) for x in _W[p]])
-    acc = F.aggregate(
-        F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
-    )
-    return F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0"))
+def _signature_batches(batches):
+    """Arrow-batched signature generator for :func:`_lsh_vectors`:
+    per input batch emit (vec_id, v float64[64], nrm, bits) where bits
+    holds ALL `_LSH_MAX_PLANES` sign bits as a '0'/'1' string.
+
+    Bit-exactness contract: every accumulation loops SEQUENTIALLY over
+    the 64 dimensions with vectorized float64 adds — per element this
+    is the identical left-associated IEEE fold the DuckDB oracle's
+    `list_sum(list_transform(...))` computes, so signs and norms match
+    the SQL twin bit for bit (a numpy `dot`/`matmul` would not: BLAS
+    uses pairwise/blocked summation). float32→float64 `astype` is the
+    same exact widening as the engines' element casts.
+
+    This runs once per vector per session (the output is cached): 32
+    interpreted Catalyst `aggregate` folds per row became ~2k
+    vectorized C loops per batch, which is what keeps the signature
+    pass scan-bound at corpus scale."""
+    import numpy as np
+    import pyarrow as pa
+
+    wm = np.array(_W, dtype=np.float64)  # planes × dim
+    n_planes = wm.shape[0]
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
+            continue
+        emb = batch.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        lengths = np.diff(emb.offsets.to_numpy())
+        if not (lengths == _LSH_DIM).all():
+            raise ValueError("embeddings must be fixed-width "
+                             f"{_LSH_DIM}-d vectors")
+        v = (
+            emb.values.to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(n, _LSH_DIM)
+        )
+        acc = np.zeros((n, n_planes), dtype=np.float64)
+        nrm2 = np.zeros(n, dtype=np.float64)
+        for i in range(_LSH_DIM):  # sequential: exact left fold
+            acc += v[:, i : i + 1] * wm[None, :, i]
+            nrm2 += v[:, i] * v[:, i]
+        bit_bytes = (acc >= 0).astype(np.uint8) + ord("0")
+        bits = [row.tobytes().decode("ascii") for row in bit_bytes]
+        offsets = pa.array(
+            np.arange(n + 1, dtype=np.int32) * _LSH_DIM, type=pa.int32()
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("vec_id"),
+                pa.ListArray.from_arrays(offsets, pa.array(v.ravel())),
+                pa.array(np.sqrt(nrm2)),
+                pa.array(bits),
+            ],
+            names=["vec_id", "v", "nrm", "bits"],
+        )
 
 
 def _band_key_col(bits, b: int, rows_per_band: int = _LSH_R):
@@ -301,31 +343,27 @@ def _lsh_core_sql(bands: int = _LSH_B, rows_per_band: int = _LSH_R) -> str:
 
 
 def _lsh_vectors(spark, sf_dir):
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec_d(F.col("embedding")).alias("v")
-    )
     # The cached (v, nrm, bits) table feeds band generation and the
     # verify join without recomputing the parquet scan + casts. ALL
     # sign bits (max planes, covering every registered profile) are
-    # computed here exactly once per vector — the expensive hyperplane
-    # projections never re-run per band join side or per profile, and
-    # the logical-plan cache makes every LSH key share one
-    # materialization per session.
-    bits = F.concat(*[_sign_col(F.col("v"), p) for p in range(_LSH_MAX_PLANES)])
-    # Repartition before caching: the sf0.1 table is one parquet file →
-    # one partition, and every downstream stage (band join, map-side
-    # verify) inherits the cache's partitioning — without this the
-    # whole broadcast-join pipeline would run as a single task. On a
-    # real cluster the scan arrives already split; this keeps local
+    # computed here exactly once per vector by the Arrow-batched exact
+    # fold (`_signature_batches`) — the hyperplane projections never
+    # re-run per band join side or per profile, and the logical-plan
+    # cache makes every LSH key share one materialization per session.
+    #
+    # Repartition before the map: the sf0.1 table is one parquet file →
+    # one partition, and every downstream stage (signature pass, band
+    # join, map-side verify) inherits that partitioning — without this
+    # the whole broadcast-join pipeline would run as a single task. On
+    # a real cluster the scan arrives already split; this keeps local
     # behavior shaped the same way.
+    raw = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return (
-        e.select(
-            "vec_id",
-            "v",
-            F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
-            bits.alias("bits"),
+        raw.repartition(spark.sparkContext.defaultParallelism)
+        .mapInArrow(
+            _signature_batches,
+            "vec_id long, v array<double>, nrm double, bits string",
         )
-        .repartition(spark.sparkContext.defaultParallelism)
         .cache()
     )
 
