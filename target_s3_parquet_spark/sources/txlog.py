@@ -321,6 +321,47 @@ def vacuum(
     return removed
 
 
+def optimize_compact(
+    spark: SparkSession,
+    root: str,
+    target_partitions: int = 1,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """OPTIMIZE: rewrite the current snapshot's (possibly many small)
+    data dirs into ``target_partitions`` compacted files and publish
+    the rewrite as a new version — logically a no-op (same rows), so
+    readers pinned to older versions keep working and the audit log
+    records op='optimize'. The small-file problem is THE read-side
+    killer at 100 TB (a dir per micro-append ⇒ footer-fetch storms and
+    task-per-tiny-file scheduling); compaction restores scan-sized
+    files without blocking writers — a concurrent append between our
+    read and our claim raises ConflictError (serializable), leaving
+    the log consistent for a retry.
+    """
+    read_v = latest_version(root)
+    if read_v is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    snap = read_table(spark, root, version=read_v)
+
+    import uuid
+
+    data_dir = os.path.join(root, "data", f"opt-{uuid.uuid4().hex[:8]}")
+    snap.coalesce(target_partitions).write.mode("error").parquet(data_dir)
+    new_stats = (
+        _column_stats(spark.read.parquet(data_dir), stats_cols)
+        if stats_cols
+        else None
+    )
+
+    return _claim_manifest(
+        root,
+        "optimize",
+        lambda prev: [data_dir],
+        lambda prev: {data_dir: new_stats} if new_stats else {},
+        expected_prev=read_v,
+    )
+
+
 # -- registered query key -----------------------------------------------
 
 from pyspark.sql import functions as F  # noqa: E402
@@ -446,6 +487,62 @@ def txlog_merge_prune(spark, sf_dir):
             .cast("double")
             .alias("total"),
         )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "txlog_optimize_compact",
+    """
+    SELECT 'pre' AS phase, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           4 AS n_dirs
+    FROM orders
+    UNION ALL
+    SELECT 'post', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE),
+           1
+    FROM orders
+    """,
+)
+def txlog_optimize_compact(spark, sf_dir):
+    """OPTIMIZE end-to-end: four micro-appends fragment the table into
+    four data dirs (the streaming small-file pathology), compaction
+    rewrites the snapshot into one dir and publishes it as a new
+    version. The oracle pins BOTH that the rewrite is logically a
+    no-op (pre/post aggregates equal the source table) and the
+    physical dir counts (4 → 1) read from the manifests."""
+    import shutil
+    import tempfile
+
+    o = t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="txlog_opt_")
+    try:
+        root = f"{tmp}/orders_tbl"
+        for i in range(4):
+            commit(o.filter(F.col("o_orderkey") % 4 == i), root)
+        pre_v = latest_version(root)
+        pre_dirs = len(_read_manifest(root, pre_v)["dirs"])
+        pre = read_table(spark, root).agg(
+            F.lit("pre").alias("phase"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+            F.lit(pre_dirs).alias("n_dirs"),
+        )
+        opt_v = optimize_compact(spark, root, target_partitions=1)
+        post_dirs = len(_read_manifest(root, opt_v)["dirs"])
+        post = read_table(spark, root).agg(
+            F.lit("post").alias("phase"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+            F.lit(post_dirs).alias("n_dirs"),
+        )
+        out = pre.unionAll(post)
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

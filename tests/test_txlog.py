@@ -185,3 +185,48 @@ def test_vacuum_retains_window(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         txlog._read_manifest(root, 0)
+
+
+def test_optimize_compact_protocol(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    for lo, hi in [(0, 5), (5, 9), (9, 12)]:
+        txlog.commit(spark.range(lo, hi), root)
+    import os
+
+    assert len(txlog._read_manifest(root, 2)["dirs"]) == 3
+
+    v = txlog.optimize_compact(spark, root, target_partitions=1, stats_cols=["id"])
+    assert v == 3
+    m = txlog._read_manifest(root, v)
+    assert m["op"] == "optimize"
+    assert len(m["dirs"]) == 1
+    # logically a no-op at the new version…
+    assert sorted(r.id for r in txlog.read_table(spark, root).collect()) == list(
+        range(12)
+    )
+    # …and one compacted file inside the single dir
+    files = [
+        f for f in os.listdir(m["dirs"][0]) if f.endswith(".parquet")
+    ]
+    assert len(files) == 1
+    # stats carried for merge pruning
+    assert m["stats"][m["dirs"][0]]["id"] == [0, 11]
+    # time travel to the fragmented version still works
+    assert txlog.read_table(spark, root, version=1).count() == 9
+    # serializable: a rival commit landing between optimize's snapshot
+    # read and its manifest claim must conflict, not be clobbered
+    import pytest as _pytest
+
+    real_claim = txlog._claim_manifest
+
+    def rival_then_claim(r, op, dirs_fn, stats_fn, expected_prev):
+        txlog._claim_manifest = real_claim  # rival commits normally
+        txlog.commit(spark.range(100, 101), r)
+        return real_claim(r, op, dirs_fn, stats_fn, expected_prev)
+
+    txlog._claim_manifest = rival_then_claim
+    try:
+        with _pytest.raises(txlog.ConflictError):
+            txlog.optimize_compact(spark, root)
+    finally:
+        txlog._claim_manifest = real_claim
