@@ -220,13 +220,28 @@ def stream_dedup(spark, sf_dir):
     )
 
 
-@query("stream_watermark_late")  # rows-only: drop count depends on arrival order
+@query(
+    "stream_watermark_late",
+    """
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
 def stream_watermark_late(spark, sf_dir):
     """Late-data handling: a 30-minute watermark over event time with
     append output — only windows the watermark has passed are emitted;
-    the trailing open window is withheld. Chunk order follows ts so the
-    watermark advances deterministically, but the exact emitted set is
-    an arrival-order property, not a relational one → rows-only check."""
+    the trailing open windows are withheld. Because the replay chunks
+    by ts order, no row is ever late and the final watermark is
+    max(ts) − 30 min exactly, so the emitted set IS relational: all
+    windows with end ≤ that watermark (the closing no-data micro-batch
+    flushes everything the last batch's watermark passed). The oracle
+    reproduces the watermark arithmetic in SQL — upgraded from the
+    round-1/2 rows-only check."""
     events = t(spark, sf_dir, "events")
 
     def build(stream):
