@@ -580,3 +580,62 @@ def join_shuffled_hash(spark, sf_dir):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated n-gram spans (exact-substring dedup primitive)
+# ---------------------------------------------------------------------------
+_SPAN_N = 5  # demo span length; the published policy dedups ~50-token repeats
+
+
+@query(
+    "text_repeated_ngram_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(ws, i, i + {_SPAN_N - 1}), ' ') AS gram
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws) - {_SPAN_N - 2})) AS i) t
+      WHERE len(ws) >= {_SPAN_N}
+    )
+    SELECT gram, COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM g
+    GROUP BY gram
+    HAVING COUNT(*) >= 2
+    """,
+)
+def text_repeated_ngram_spans(spark, sf_dir):
+    """Cross-document repeated-span detection — the discovery pass of
+    exact-substring dedup (the 'dedup 50-token repeats' policy from
+    the published training-data dedup literature, N=5 words here so
+    the synthetic corpus produces spans): every word n-gram occurring
+    in ≥2 distinct documents, with its spread. Plan shape at 100 TB:
+    one map-side distinct-shingle projection, one hash shuffle on the
+    gram — bodies never move, and the output is bounded by the
+    repeated-span vocabulary, not the corpus. The removal pass (cut
+    the span from all but one doc) is a join of these spans back
+    against the shingle stream."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    grams = F.when(
+        F.size(words) >= _SPAN_N,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - _SPAN_N),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, _SPAN_N)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
