@@ -1,0 +1,58 @@
+"""Python DataSource (sources/pyds.py) unit coverage beyond the two
+oracle-checked keys: partition fan-out, corrupt-line quarantine, and
+stream-offset bookkeeping."""
+
+import json
+import os
+
+from target_s3_parquet_spark.sources.pyds import (
+    SingerJsonlStreamReader,
+    register,
+)
+
+
+def _write_log(d, name, lines):
+    with open(os.path.join(d, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def _mk_logs(tmp_path):
+    d = str(tmp_path / "log")
+    os.makedirs(d)
+    rec = {"type": "RECORD", "stream": "s", "record": {"id": 1}}
+    _write_log(d, "000.jsonl", [json.dumps(rec), "not json at all"])
+    _write_log(d, "001.jsonl", [json.dumps({**rec, "record": {"id": 2}}), "42"])
+    _write_log(d, "_SUCCESS", [""])  # must be ignored
+    return d
+
+
+def test_batch_reader_partitions_and_quarantine(spark, tmp_path):
+    d = _mk_logs(tmp_path)
+    register(spark)
+    df = spark.read.format("singer_jsonl").load(d)
+    # one task per log file (the scale contract), _-prefixed skipped
+    assert df.rdd.getNumPartitions() == 2
+    rows = {(r.msg_type, r.src_file) for r in df.collect()}
+    assert ("RECORD", "000.jsonl") in rows
+    assert ("CORRUPT", "000.jsonl") in rows  # non-JSON line
+    assert ("CORRUPT", "001.jsonl") in rows  # JSON but not an envelope
+    recs = df.filter("msg_type = 'RECORD'").collect()
+    assert sorted(json.loads(r.record)["id"] for r in recs) == [1, 2]
+
+
+def test_stream_reader_offsets(tmp_path):
+    d = _mk_logs(tmp_path)
+    r = SingerJsonlStreamReader({"path": d})
+    assert r.initialOffset() == {"n_files": 0}
+    rows, end = r.read({"n_files": 0})
+    assert end == {"n_files": 2}
+    assert len(list(rows)) == 4
+    # replay between offsets is exact (exactly-once restart contract)
+    replay = list(r.readBetweenOffsets({"n_files": 1}, {"n_files": 2}))
+    assert len(replay) == 2
+    # a file landing later is picked up from the committed offset
+    _write_log(d, "002.jsonl", [json.dumps({"type": "STATE", "value": {}})])
+    rows2, end2 = r.read(end)
+    assert end2 == {"n_files": 3}
+    got = list(rows2)
+    assert len(got) == 1 and got[0][1] == "STATE"
