@@ -173,14 +173,26 @@ def commit(
 
 
 def read_table(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
-    """Snapshot read of the table at ``version`` (default: latest)."""
+    """Snapshot read of the table at ``version`` (default: latest).
+
+    ``merge_schema=True`` unions the column sets of every live dir
+    (Delta-style additive schema evolution: an append that introduced
+    new columns widens the table; older dirs surface NULLs for the
+    columns they predate). Off by default — schema merging pays a
+    footer read per file at planning."""
     v = latest_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed versions under {root}")
     manifest = _read_manifest(root, v)
-    return spark.read.parquet(*manifest["dirs"])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*manifest["dirs"])
 
 
 def history(root: str) -> list[dict]:
@@ -544,5 +556,53 @@ def txlog_optimize_compact(spark, sf_dir):
         )
         out = pre.unionAll(post)
         return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "txlog_schema_evolution",
+    """
+    SELECT o_orderkey AS id, o_orderstatus AS status,
+           CAST(NULL AS DOUBLE) AS price
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def txlog_schema_evolution(spark, sf_dir):
+    """Additive schema evolution through the transaction log: commit 0
+    lands (id, status), commit 1 appends the same entity shape WITH a
+    new `price` column; a merge-schema snapshot read widens the table
+    and surfaces NULL price for the pre-evolution rows — Delta's
+    mergeSchema contract on plain parquet + manifests. The oracle
+    reproduces the union of the two column sets relationally."""
+    import shutil
+    import tempfile
+
+    o = t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="txlog_evo_")
+    try:
+        root = f"{tmp}/orders_tbl"
+        commit(
+            o.filter(F.col("o_orderkey") % 2 == 0).select(
+                F.col("o_orderkey").alias("id"),
+                F.col("o_orderstatus").alias("status"),
+            ),
+            root,
+        )
+        commit(
+            o.filter(F.col("o_orderkey") % 2 == 1).select(
+                F.col("o_orderkey").alias("id"),
+                F.col("o_orderstatus").alias("status"),
+                F.col("o_totalprice").alias("price"),
+            ),
+            root,
+        )
+        snap = read_table(spark, root, merge_schema=True).select(
+            "id", "status", "price"
+        )
+        return spark.createDataFrame(snap.collect(), snap.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
