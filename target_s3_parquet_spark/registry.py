@@ -126,13 +126,72 @@ _FAMILY_ORDER = (
 )
 
 
+# Keys the round-2 driver gate verified (CORRECTNESS_r02.json): these
+# plus _R1_DRIVER_VERIFIED sort LAST so a sampling driver reaches the
+# never-yet-driver-checked keys first each round.
+_R2_DRIVER_VERIFIED = {
+    "q1_pricing_summary",
+    "singer_ingest_flatten",
+    "singer_ingest_flatten_compat",
+    "sql_api_pricing_summary",
+    "stream_activate_version",
+    "stream_available_now",
+    "stream_dedup",
+    "stream_foreachbatch_upsert",
+    "stream_join_static",
+    "stream_quarantine_sink",
+    "stream_singer_ingest",
+    "stream_stateful_running",
+    "stream_stream_join",
+    "stream_watermark_late",
+    "stream_window_session",
+    "stream_window_sliding",
+    "stream_window_tumbling",
+    "subquery_exists",
+    "subquery_not_in",
+    "subquery_scalar_correlated",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_by_lateness",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q20_excess_stock",
+    "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_priority_count",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "window_analytic",
+    "window_distribution",
+    "window_frame_agg",
+    "window_ignore_nulls",
+    "window_ntile",
+    "window_range_frame",
+    "window_rank",
+    "window_running_distinct",
+    "window_topk_per_group",
+}
+
+
 def _sample_priority(name: str) -> tuple[int, int]:
+    if name in _R2_DRIVER_VERIFIED:
+        return (len(_FAMILY_ORDER) + 3, 0)
     if name in _R1_DRIVER_VERIFIED:
         return (len(_FAMILY_ORDER) + 2, 0)
     for i, prefixes in enumerate(_FAMILY_ORDER):
         if name.startswith(prefixes):
             return (i, 0)
-    return (len(_FAMILY_ORDER) + 1, 0)  # unmatched new keys: before r1-green
+    return (0, 0)  # new / never-sampled keys surface first
 
 
 def get_queries() -> dict[str, QueryFn]:
