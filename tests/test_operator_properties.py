@@ -89,3 +89,57 @@ def test_asof_join_matches_naive_reference(spark, raw):
         for r in carried.filter(F.col("side") == 1).collect()
     )
     assert got == _naive_asof(purchases, views)
+
+
+def test_lsh_output_is_exact_subset_of_brute_force(spark):
+    """Sign-LSH soundness: every emitted pair must (a) appear in the
+    brute-force all-pairs ≥ τ set and (b) carry the bit-identical
+    cosine — LSH is allowed to MISS pairs (recall < 1), never to
+    invent or misscore one."""
+    from tests.conftest import SF_SMALL
+
+    from target_s3_parquet_spark.operators import similarity as S
+
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.sim_lsh_bucketed(spark, SF_SMALL).collect()
+    }
+
+    e = S._lsh_vectors(spark, SF_SMALL)
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    brute = {
+        (r.id_a, r.id_b): r.cosine
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (S._dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= S._LSH_TAU)
+        .collect()
+    }
+    assert set(got) <= set(brute)
+    for pair, cos in got.items():
+        assert cos == brute[pair]  # bit-identical, not approximately
+    # the demo profile on this corpus finds a meaningful fraction
+    assert len(got) >= 0.3 * len(brute)
+
+
+def test_lsh_prod_profile_prunes_candidates(spark):
+    """Candidate volume must collapse ~2^(R_prod-R_demo)× — the scaling
+    property SCALE.md's R-growth rule rests on."""
+    from tests.conftest import SF_SMALL
+
+    from target_s3_parquet_spark.operators import similarity as S
+
+    e = S._lsh_vectors(spark, SF_SMALL)
+    demo = S._lsh_candidates(e, S._LSH_B, S._LSH_R).count()
+    prod = S._lsh_candidates(e, S._LSH_PROD_B, S._LSH_PROD_R).count()
+    assert prod < demo / 4
