@@ -639,3 +639,94 @@ def text_repeated_ngram_spans(spark, sf_dir):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware string comparison (Spark 4 collations)
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_string_collation",
+    """
+    SELECT lower(o_orderpriority) AS priority_ci,
+           COUNT(*) AS n,
+           MIN(o_orderpriority) AS sample_raw
+    FROM orders
+    GROUP BY lower(o_orderpriority)
+    """,
+)
+def scalar_string_collation(spark, sf_dir):
+    """Spark 4 collation surface: `collate(col, 'UNICODE_CI')` makes
+    comparisons/grouping case-insensitive AT THE TYPE LEVEL — the
+    engine-native form of the lower()-normalization the oracle spells
+    out (same groups, same counts; the output key is lowercased so
+    both engines emit identical group labels). At scale the collated
+    comparison avoids materializing a normalized copy of the column
+    and keeps pushdown-friendly semantics."""
+    o = t(spark, sf_dir, "orders")
+    ci = F.collate(F.col("o_orderpriority"), "UNICODE_CI")
+    return (
+        o.groupBy(ci.alias("g"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_orderpriority").alias("sample_raw"),
+        )
+        .select(
+            F.lower(F.col("g").cast("string")).alias("priority_ci"),
+            "n",
+            "sample_raw",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order map functions
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_map_higher_order",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events
+      WHERE user_id % 17 = 0
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(n * 2 AS VARCHAR), '|'
+                      ORDER BY event_type) AS doubled_counts
+    FROM counts
+    GROUP BY user_id
+    """,
+)
+def scalar_map_higher_order(spark, sf_dir):
+    """Map-typed higher-order functions end-to-end: per-user event
+    counts become a MAP via `map_from_entries(array_sort(...))`,
+    `transform_values` doubles each count map-side, and `map_entries`
+    + `transform` serialize the result deterministically. The map is a
+    first-class columnar value between the two aggregations — no
+    explode/re-group round trip — and the oracle reproduces the final
+    serialized form relationally (map ops must be a lossless detour)."""
+    e = t(spark, sf_dir, "events").filter(F.col("user_id") % 17 == 0)
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    as_map = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "n"))
+            )
+        ).alias("m")
+    )
+    doubled = as_map.select(
+        "user_id",
+        F.transform_values(F.col("m"), lambda k, v: v * 2).alias("m2"),
+    )
+    return doubled.select(
+        "user_id",
+        F.array_join(
+            F.transform(
+                F.map_entries("m2"),
+                lambda kv: F.concat_ws(
+                    ":", kv["key"], kv["value"].cast("string")
+                ),
+            ),
+            "|",
+        ).alias("doubled_counts"),
+    )
