@@ -922,3 +922,69 @@ def stream_transform_with_state(spark, sf_dir):
         (F.max("emit_total").cast("double") / 1_000_000).alias("total_value"),
         F.max("emit_types").alias("n_types"),
     )
+
+
+@query(
+    "stream_txlog_sink",
+    """
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_txlog_sink(spark, sf_dir):
+    """Streaming into the transaction-log table format: each
+    micro-batch lands as one serializable txlog commit
+    (`expected_prev` chained batch-to-batch inside foreachBatch), so
+    the lakehouse table gains one atomic version per epoch — readers
+    never see a torn batch, failed epochs leave no visible data, and
+    the version history IS the ingest audit log. The final snapshot
+    aggregate must equal the batch aggregate over the source (the
+    oracle). At 100 TB this is the standard 'streaming upsert into
+    Delta' topology with the commit protocol spelled out."""
+    import os
+    import shutil
+    import tempfile
+
+    from target_s3_parquet_spark.sources import txlog
+
+    events = t(spark, sf_dir, "events").select("event_id", "event_type", "value", "ts")
+    tmp = tempfile.mkdtemp(prefix="stream_txlog_")
+    try:
+        stream_dir = os.path.join(tmp, "stream")
+        for i in range(3):
+            events.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(stream_dir)
+        root = os.path.join(tmp, "tbl")
+
+        def commit_batch(batch, batch_id):
+            prev = txlog.latest_version(root)
+            txlog.commit(batch, root, expected_prev=prev)
+
+        q = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        assert txlog.latest_version(root) == 2  # one version per epoch
+        snap = (
+            txlog.read_table(spark, root)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(dec("value")).cast("double").alias("total_value"),
+            )
+        )
+        return spark.createDataFrame(snap.collect(), snap.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
