@@ -730,3 +730,51 @@ def scalar_map_higher_order(spark, sf_dir):
             "|",
         ).alias("doubled_counts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Array set algebra (union / intersect / except, distinct semantics)
+# ---------------------------------------------------------------------------
+@query(
+    "scalar_array_setops",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 8 AND doc_id % 13 = 0
+    ),
+    ab AS (
+      SELECT doc_id, ws[1:5] AS a, ws[3:8] AS b FROM w
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(list_cat(a, b))), ',')
+             AS union_sorted,
+           array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> list_contains(b, x)))), ',') AS intersect_sorted,
+           array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), ',') AS except_sorted
+    FROM ab
+    """,
+)
+def scalar_array_setops(spark, sf_dir):
+    """Array set algebra on token arrays: union/intersect/except with
+    DISTINCT semantics (Spark's array_* set functions dedup; the
+    oracle spells the same algebra out with list_filter/list_distinct).
+    Results are sorted + serialized so output is independent of the
+    engines' internal element order. All map-side — the shuffle-free
+    building block the n-gram/Jaccard operators compose."""
+    d = t(spark, sf_dir, "documents").filter(
+        (F.size(F.split(F.col("text"), " ")) >= 8) & (F.col("doc_id") % 13 == 0)
+    )
+    ws = F.split(F.lower(F.col("text")), " ")
+    ab = d.select(
+        "doc_id",
+        F.slice(ws, 1, 5).alias("a"),
+        F.slice(ws, 3, 6).alias("b"),
+    )
+    ser = lambda c: F.array_join(F.array_sort(c), ",")  # noqa: E731
+    return ab.select(
+        "doc_id",
+        ser(F.array_union("a", "b")).alias("union_sorted"),
+        ser(F.array_intersect("a", "b")).alias("intersect_sorted"),
+        ser(F.array_except("a", "b")).alias("except_sorted"),
+    )
