@@ -746,12 +746,14 @@ def scalar_map_higher_order(spark, sf_dir):
       SELECT doc_id, ws[1:5] AS a, ws[3:8] AS b FROM w
     )
     SELECT doc_id,
-           array_to_string(list_sort(list_distinct(list_cat(a, b))), ',')
-             AS union_sorted,
-           array_to_string(list_sort(list_distinct(
-             list_filter(a, x -> list_contains(b, x)))), ',') AS intersect_sorted,
-           array_to_string(list_sort(list_distinct(
-             list_filter(a, x -> NOT list_contains(b, x)))), ',') AS except_sorted
+           COALESCE(array_to_string(list_sort(list_distinct(list_cat(a, b))),
+                    ','), '') AS union_sorted,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> list_contains(b, x)))), ','), '')
+             AS intersect_sorted,
+           COALESCE(array_to_string(list_sort(list_distinct(
+             list_filter(a, x -> NOT list_contains(b, x)))), ','), '')
+             AS except_sorted
     FROM ab
     """,
 )
@@ -760,7 +762,9 @@ def scalar_array_setops(spark, sf_dir):
     DISTINCT semantics (Spark's array_* set functions dedup; the
     oracle spells the same algebra out with list_filter/list_distinct).
     Results are sorted + serialized so output is independent of the
-    engines' internal element order. All map-side — the shuffle-free
+    engines' internal element order (COALESCE on the oracle side:
+    DuckDB's array_to_string of an empty list is NULL where Spark's
+    array_join is '' — caught by the sf0.1 gate). All map-side — the shuffle-free
     building block the n-gram/Jaccard operators compose."""
     d = t(spark, sf_dir, "documents").filter(
         (F.size(F.split(F.col("text"), " ")) >= 8) & (F.col("doc_id") % 13 == 0)
