@@ -772,3 +772,40 @@ def agg_weighted_stats(spark, sf_dir):
         tw.alias("total_weight"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "agg_approx_top_k",
+    """
+    SELECT item, cnt FROM (
+      SELECT o_orderpriority AS item, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderpriority)
+    WHERE rn <= 3
+    """,
+)
+def agg_approx_top_k(spark, sf_dir):
+    """Heavy-hitter detection via the Spark 4 `approx_top_k` sketch
+    (DataSketches frequent-items under the hood): one map-side
+    combinable aggregate tracking up to `maxItemsTracked` candidates,
+    merged across partitions -- sub-linear space where a full groupBy
+    would shuffle every distinct key. At 100 TB this is how you find
+    the top domains/languages/templates in a corpus without paying a
+    full-cardinality shuffle.
+
+    Correctness contract: with maxItemsTracked (100) >= the column's
+    true cardinality (5) the sketch's counts are EXACT, so the exact
+    top-3 oracle hash-matches (tie at the boundary is absent in this
+    data; both engines tiebreak by item for determinism).
+    """
+    o = t(spark, sf_dir, "orders")
+    tk = o.agg(
+        F.expr("approx_top_k(o_orderpriority, 3, 100)").alias("tk")
+    )
+    return (
+        tk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("cnt"),
+        )
+    )

@@ -706,3 +706,91 @@ def dedup_incremental_registry(spark, sf_dir):
         (F.lit(n_batch) - F.count("*")).alias("n"),
     )
     return accepted.unionAll(rejected)
+
+
+@query(
+    "docs_line_dedup",
+    """
+    WITH b AS (
+      SELECT doc_id, block_no,
+             array_to_string(words[block_no*3+1 : block_no*3+3], ' ')
+               AS block_text
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               UNNEST(range(0, CAST(CEIL(len(string_split(text, ' ')) / 3.0)
+                                    AS BIGINT))) AS block_no
+        FROM documents)
+    ),
+    k AS (
+      SELECT doc_id, block_no, block_text,
+             MIN(doc_id * 1000000 + block_no)
+               OVER (PARTITION BY block_text) AS keeper
+      FROM b
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN doc_id * 1000000 + block_no = keeper
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(
+             CASE WHEN doc_id * 1000000 + block_no = keeper
+                  THEN block_text END, ' ' ORDER BY block_no), '')
+             AS cleaned_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def docs_line_dedup(spark, sf_dir):
+    """Cross-document line-level dedup (the CCNet / RefinedWeb
+    boilerplate-removal pass): documents are cut into fixed 3-word
+    blocks (standing in for lines -- the synthetic corpus has no
+    newlines), every block that appears anywhere else in the corpus
+    survives only at its first occurrence (min (doc_id, block_no)),
+    and each document is reassembled from its surviving blocks.
+
+    Scale shape: explode to one row per block (pure map-side), ONE
+    shuffle on block_text for the global first-occurrence window, one
+    shuffle back on doc_id for reassembly. No pairwise comparisons --
+    cost is O(total blocks), the same two-exchange plan at 100 TB. In
+    production the block key would be a hash (shuffle 8-byte keys,
+    not text); the text key here keeps the oracle readable."""
+    bs = 3
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    blocks = d.select(
+        "doc_id",
+        words.alias("w"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(words) / F.lit(float(bs))).cast("int") - 1,
+            )
+        ).alias("block_no"),
+    ).select(
+        "doc_id",
+        "block_no",
+        F.array_join(
+            F.slice(F.col("w"), F.col("block_no") * bs + 1, bs), " "
+        ).alias("block_text"),
+    )
+    from pyspark.sql import Window as W
+
+    key = F.col("doc_id") * 1000000 + F.col("block_no")
+    keeper = F.min(key).over(W.partitionBy("block_text"))
+    k = blocks.select(
+        "doc_id", "block_no", "block_text", keeper.alias("keeper"),
+        key.alias("key"),
+    )
+    kept_struct = F.when(
+        F.col("key") == F.col("keeper"),
+        F.struct("block_no", "block_text"),
+    )
+    return k.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum((F.col("key") == F.col("keeper")).cast("int")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)),
+                lambda x: x.block_text,
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from target_s3_parquet_spark.operators._util import dsum, sql_dsum, t
+from target_s3_parquet_spark.operators._util import dec, dsum, sql_dsum, t
 from target_s3_parquet_spark.registry import query
 
 
@@ -828,4 +828,55 @@ def join_lateral_topn(spark, sf_dir):
           WHERE c_nationkey = n.n_nationkey
           ORDER BY c_acctbal DESC, c_custkey LIMIT 3) c
         """
+    )
+
+
+@query(
+    "join_bloom_semi_reduction",
+    """
+    SELECT l.l_orderkey, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS order_revenue
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_orderkey
+    """,
+)
+def join_bloom_semi_reduction(spark, sf_dir):
+    """Semi-join reduction: the fact scan is pre-filtered down to keys
+    that survive the dim-side predicate BEFORE the expensive shuffle
+    join — the manual, exact form of Spark's runtime bloom filter
+    (`spark.sql.optimizer.runtime.bloomFilter.*`, which injects
+    `bloom_filter_agg`/`might_contain` around exactly this shape; see
+    `tests/test_plan_bloom.py` for the native injection demonstrated
+    under production thresholds).
+
+    Here the reduction is a broadcast LEFT SEMI on the filtered order
+    keys: ~20% of orders survive the priority predicate, so ~80% of
+    lineitem rows are dropped map-side and never shuffle. At 100 TB
+    the explicit semi stays correct at any dim size (AQE picks
+    broadcast vs shuffled semi), while the native bloom variant trades
+    exactness for a fixed 8 MB filter — both plans shuffle only the
+    reduced fact. The final join then aggregates revenue per surviving
+    order."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    keys = o.select("o_orderkey").distinct()
+    # No pinned broadcast: the key set is sf-proportional (~20% of
+    # orders), so the hint that is safe at sf0.1 would OOM at 100 TB.
+    # AQE picks broadcast-semi while the set fits and degrades to a
+    # shuffled semi beyond that — the bloom variant exists precisely
+    # for the regime where even the key set is too big to broadcast.
+    reduced = li.join(
+        keys,
+        li.l_orderkey == keys.o_orderkey,
+        "left_semi",
+    )
+    joined = reduced.join(o, reduced.l_orderkey == o.o_orderkey)
+    return joined.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("order_revenue"),
     )

@@ -474,3 +474,71 @@ def ts_resample_ohlc(spark, sf_dir):
         F.max_by("value", okey).alias("close"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+@query(
+    "ts_zscore_anomaly",
+    """
+    WITH hist AS (
+      SELECT event_id, event_type, value,
+             COUNT(value) OVER w AS n_hist,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+               AS s2
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, value, n_hist,
+           (value - s1 / n_hist)
+             / SQRT((s2 - s1 * s1 / n_hist) / (n_hist - 1)) AS zscore
+    FROM hist
+    WHERE n_hist >= 10
+      AND (s2 - s1 * s1 / n_hist) / (n_hist - 1) > 0
+      AND ABS((value - s1 / n_hist)
+              / SQRT((s2 - s1 * s1 / n_hist) / (n_hist - 1))) > 2.5
+    """,
+)
+def ts_zscore_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event is scored against
+    the trailing 20 observations of its own event type (current row
+    EXCLUDED -- scoring against history, the streaming-friendly form),
+    and |z| > 2.5 flags the anomaly. The moment sums S1/S2 go through
+    the DECIMAL(38,6) exact-sum channel so mean/variance are
+    order-independent bit-for-bit; the only float ops are the final
+    mean/var/z expressions, written identically in both engines.
+
+    Plan shape: ONE window (single hash-partition shuffle on
+    event_type + partition-local sort) computes count/S1/S2 together;
+    the filter is a stateless projection on top. At 100 TB this is the
+    telemetry-scale anomaly sweep: shuffle is one row per event, no
+    self-join, and with the table time-partitioned the sort is
+    within-partition. The same frame logic ports to Structured
+    Streaming via transformWithState when scoring must be online."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    s1 = F.sum(dec("value")).over(w).cast("double")
+    s2 = F.sum(dec(F.col("value") * F.col("value"))).over(w).cast("double")
+    n = F.count("value").over(w)
+    hist = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        n.alias("n_hist"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_hist")) / (
+        F.col("n_hist") - 1
+    )
+    z = (F.col("value") - F.col("s1") / F.col("n_hist")) / F.sqrt(var)
+    return (
+        hist.filter(F.col("n_hist") >= 10)
+        .filter(var > 0)
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", "n_hist", z.alias("zscore"))
+    )

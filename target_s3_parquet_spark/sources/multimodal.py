@@ -225,3 +225,64 @@ def multimodal_resize(spark, sf_dir):
     return d.mapInPandas(
         run, schema="doc_id long, resized_md5 string, n_resized_bytes long"
     )
+
+
+def phash_stub(payload: bytes) -> str:
+    """STUB perceptual hash — a real implementation downscales the
+    decoded image and hashes the DCT sign pattern (pHash). The
+    deterministic fake keeps the testable contract (equal/near-equal
+    payloads collide, distinct payloads don't): md5 over the
+    every-8th-byte downsample of the raw payload."""
+    import hashlib
+
+    return hashlib.md5(payload[::8]).hexdigest()
+
+
+@query(
+    "multimodal_phash_dedup",
+    """
+    SELECT phash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_items
+    FROM (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_transform(range(1, LENGTH(text) + 1, 8),
+                              i -> substring(text, i, 1)), '')) AS phash
+      FROM documents)
+    GROUP BY phash
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """Perceptual-hash dedup over binary media payloads: every payload
+    is reduced to a tiny fingerprint map-side (here the stubbed
+    `phash_stub`; swap in a real pHash and nothing else changes), then
+    ONE groupBy on the 16-byte hash picks the keeper per perceptual
+    bucket (min doc_id) and counts duplicates. The payload bytes never
+    shuffle — only (phash, doc_id) pairs do, which is what makes
+    image-level dedup tractable at 100 TB of media.
+
+    The Arrow-batched `mapInPandas` stage is the real distributed
+    plumbing (binary column in, typed fingerprint out); the oracle
+    replays the stub's downsample-then-md5 arithmetic in SQL (ASCII
+    payloads: byte positions == char positions)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pdf["payload"].map(
+                        lambda p: phash_stub(bytes(p))
+                    ),
+                }
+            )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    fp = d.mapInPandas(run, schema="doc_id long, phash string")
+    return fp.groupBy("phash").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
