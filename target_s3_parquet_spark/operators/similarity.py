@@ -815,3 +815,234 @@ def sim_ann_recall_eval(spark, sf_dir):
             "recall_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed spherical k-means (Lloyd) for IVF centroid training
+# ---------------------------------------------------------------------------
+_KM_K = 8  # cells
+_KM_ITERS = 2  # Lloyd iterations (unrolled identically in the oracle)
+_KM_NQ = 4  # query vectors for the trained-index search
+_KM_NPROBE = 2
+_KM_TOPK = 5
+
+
+def _km_assign_sql(vtab: str, ctab: str) -> str:
+    """DuckDB argmax-cosine assignment of ``vtab`` rows to ``ctab``
+    centroids (deterministic tiebreak on cid)."""
+    return f"""
+      SELECT vec_id, cid FROM (
+        SELECT {vtab}.vec_id, {ctab}.cid,
+               ROW_NUMBER() OVER (PARTITION BY {vtab}.vec_id
+                 ORDER BY {_cos_sql(f'{vtab}.v', f'{ctab}.cv')} DESC,
+                          {ctab}.cid) AS rn
+        FROM {vtab}, {ctab}) WHERE rn = 1"""
+
+
+def _km_update_sql(atab: str) -> str:
+    """DuckDB centroid update: per-(cell, dim) exact integer-grid mean.
+
+    Elements are quantized by TRUNCATION at 1e-9 before summing:
+    trunc is tie-free (unlike a double->decimal cast, whose
+    round-half step can land on an exact .5 for low-mantissa floats
+    and then differ between engines' rounding modes), the truncated
+    value is an exact integer < 2^53, and the BIGINT sum is exact and
+    order-independent. One observed tie at sf0.1 motivated this."""
+    return f"""
+      SELECT a.cid, gs.i,
+             CAST(CAST(SUM(CAST(TRUNC(v.v[gs.i] * 1000000000.0) AS BIGINT))
+                       AS BIGINT) AS DOUBLE)
+               / 1000000000.0 / COUNT(*) AS c_val,
+             COUNT(*) AS n_members
+      FROM {atab} a JOIN v ON v.vec_id = a.vec_id
+      CROSS JOIN (SELECT UNNEST(range(1, {_EMB_DIM} + 1)) AS i) gs
+      GROUP BY a.cid, gs.i"""
+
+
+_KM_TRAIN_CTES = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {_KM_K}),
+    a1 AS ({_km_assign_sql('v', 'c0')}),
+    m1 AS ({_km_update_sql('a1')}),
+    c1 AS (SELECT cid, list(c_val ORDER BY i) AS cv FROM m1 GROUP BY cid),
+    a2 AS ({_km_assign_sql('v', 'c1')}),
+    m2 AS ({_km_update_sql('a2')}),
+    c2 AS (SELECT cid, list(c_val ORDER BY i) AS cv FROM m2 GROUP BY cid)
+"""
+
+
+def _km_train(spark, sf_dir):
+    """Spark-side Lloyd loop. Returns (centroid DF [cid, cv], last
+    per-(cid, dim) stats DF [cid, i, c_val, n_members]); the plan is
+    built lazily — no driver-side actions inside the loop."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    cents = v.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    m = None
+    for _ in range(_KM_ITERS):
+        w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+        assign = (
+            v.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "cid",
+                _cos_col(F.col("v"), F.col("cv")).alias("cos"),
+                "v",
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "v")
+        )
+        dims = assign.select(
+            "cid", F.posexplode("v").alias("i0", "x")
+        ).select("cid", (F.col("i0") + 1).alias("i"), "x")
+        # Truncation-quantized exact mean — see _km_update_sql for why
+        # trunc-to-integer-grid beats a decimal cast here (tie-free).
+        # Spark's double->long cast truncates toward zero, which is
+        # exactly DuckDB's TRUNC-then-cast.
+        q = F.expr("CAST(x * 1000000000.0 AS BIGINT)")
+        m = dims.groupBy("cid", "i").agg(
+            (
+                F.sum(q).cast("double") / F.lit(1000000000.0) / F.count("x")
+            ).alias("c_val"),
+            F.count("x").alias("n_members"),
+        )
+        cents = m.groupBy("cid").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "c_val"))),
+                lambda s: s.c_val,
+            ).alias("cv")
+        )
+    return cents, m
+
+
+@query(
+    "ivf_kmeans_train",
+    _KM_TRAIN_CTES
+    + """
+    SELECT cid, i AS dim_i, c_val, n_members FROM m2
+    """,
+)
+def ivf_kmeans_train(spark, sf_dir):
+    """Distributed spherical k-means (Lloyd) training for the IVF
+    codebook — the real replacement for `sim_ann_ivf`'s first-K
+    seeding. Two unrolled iterations, each one:
+
+    1. assignment: K centroids BROADCAST (bounded by construction:
+       K rows, an aggregate subtree) against every vector, cell =
+       argmax cosine — map-side compute + one row_number window per
+       vector, the corpus itself never shuffles its payload;
+    2. update: posexplode to (cell, dim, x) and ONE groupBy(cell, dim)
+       mean — shuffle carries 8-byte values, map-side partial
+       aggregation halves it.
+
+    Determinism across engines and partitionings: dim sums go through
+    DECIMAL(38,9) (exact, order-independent); assignment ties break on
+    cid. The oracle unrolls the identical two iterations in SQL, so
+    training itself is value-verified — not just the downstream
+    search. At 100 TB you train on a sample with the same plan and a
+    few more iterations; the per-iteration cost stays 2 shuffles of
+    (id, cell) pairs + K-row broadcasts."""
+    _, m = _km_train(spark, sf_dir)
+    return m.select(
+        "cid", F.col("i").alias("dim_i"), "c_val", "n_members"
+    )
+
+
+@query(
+    "sim_ann_ivf_trained",
+    _KM_TRAIN_CTES
+    + f""",
+    assign AS ({_km_assign_sql('v', 'c2')}),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v
+          WHERE vec_id < {_KM_NQ}),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c2.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_cos_sql('q.qv', 'c2.cv')} DESC, c2.cid) AS rn
+        FROM q, c2) WHERE rn <= {_KM_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             {_cos_sql('q.qv', 'n.v')} AS cosine
+      FROM probe p
+      JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.query_id
+      JOIN q ON q.query_id = p.query_id
+      JOIN v n ON n.vec_id = a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= {_KM_TOPK}
+    """,
+)
+def sim_ann_ivf_trained(spark, sf_dir):
+    """IVF search over the k-means-TRAINED codebook (vs `sim_ann_ivf`'s
+    seeded cells): assignment, probing (nprobe=2) and exact rescoring
+    run against the 2-iteration Lloyd centroids from
+    `ivf_kmeans_train`, end-to-end in one lazy plan — train and serve
+    without materializing an index outside the engine. Same scale
+    shape as `sim_ann_ivf`: centroids broadcast everywhere, the corpus
+    is filtered to probed cells before any pairwise cosine, top-k per
+    query by window. The oracle replays training + search in SQL, so
+    the full pipeline is value-verified."""
+    cents, _ = _km_train(spark, sf_dir)
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cid")
+    )
+    assign = (
+        v.join(F.broadcast(cents))
+        .select(
+            "vec_id", "cid", _cos_col(F.col("v"), F.col("cv")).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    q = v.filter(F.col("vec_id") < _KM_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_probe = W.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("cid")
+    )
+    probe = (
+        q.join(F.broadcast(cents))
+        .select(
+            "query_id", "cid", _cos_col(F.col("qv"), F.col("cv")).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _KM_NPROBE)
+        .select("query_id", "cid")
+    )
+    scored = (
+        F.broadcast(probe)
+        .join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .join(v.select(F.col("vec_id"), F.col("v").alias("nv")), "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cos_col(F.col("qv"), F.col("nv")).alias("cosine"),
+        )
+    )
+    w_top = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _KM_TOPK)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -103,6 +103,12 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     failures = []
+    # Per-key runtime budget: the gate's wall-clock is an operational
+    # cost every round, and a disproportionately slow DuckDB oracle
+    # (the LSH unrolls dominate) deserves a visible flag, not silent
+    # drag. Budget is per side (spark / oracle), seconds.
+    budget = float(os.environ.get("GATE_KEY_BUDGET_SEC", "20"))
+    timings: list[tuple[str, float, float]] = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -128,10 +134,13 @@ def main() -> int:
             failures.append(name)
             n_fail += 1
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
-            print(f"rows-only {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+            print(f"rows-only {name}: {len(spdf)} rows ({t_spark:.1f}s)")
+            timings.append((name, t_spark, 0.0))
             n_rows_only += 1
             continue
+        t1 = time.time()
         try:
             dpdf = con.sql(oracles[name]).df()
             dcols = list(dpdf.columns)
@@ -141,6 +150,8 @@ def main() -> int:
             failures.append(name)
             n_fail += 1
             continue
+        t_oracle = time.time() - t1
+        timings.append((name, t_spark, t_oracle))
         problems = []
         if len(spdf) != len(dpdf):
             problems.append(f"rowcount spark={len(spdf)} duck={len(dpdf)}")
@@ -177,6 +188,28 @@ def main() -> int:
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
     if failures:
         print("failures:", " ".join(failures))
+    if timings:
+        total_s = sum(ts for _, ts, _ in timings)
+        total_o = sum(to for _, _, to in timings)
+        print(
+            f"gate wall-clock: spark {total_s:.0f}s + oracle {total_o:.0f}s"
+            f" over {len(timings)} keys"
+        )
+        slowest = sorted(timings, key=lambda x: -(x[1] + x[2]))[:8]
+        for name, ts, to in slowest:
+            print(f"  slow: {name} spark={ts:.1f}s oracle={to:.1f}s")
+        over = [
+            (n, ts, to)
+            for n, ts, to in timings
+            if ts > budget or to > budget
+        ]
+        for n, ts, to in over:
+            side = "oracle" if to > budget else "spark"
+            print(
+                f"OVER-BUDGET {n}: {side} side exceeds {budget:.0f}s "
+                f"(spark={ts:.1f}s oracle={to:.1f}s) — simplify the "
+                "oracle or shrink the key's working set"
+            )
     return 1 if n_fail else 0
 
 
