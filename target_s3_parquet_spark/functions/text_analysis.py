@@ -535,3 +535,78 @@ def fuzzy_match_levenshtein(spark, sf_dir):
             F.levenshtein(F.col("probe_name"), F.col("c_name")).cast("long").alias("dist"),
         )
     )
+
+
+@query(
+    "text_ngram_novelty",
+    """
+    WITH g AS (
+      SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i + 1] || ' ' || words[i + 2] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents)
+      CROSS JOIN UNNEST(range(1, len(words) - 1)) AS t(i)
+    ),
+    first_seen AS (
+      SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty_ratio
+    FROM g JOIN first_seen f ON f.gram = g.gram
+    GROUP BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the share of a document's distinct
+    word trigrams that appear in NO earlier document (ordered by
+    doc_id — ingestion order standing in for crawl time). Low novelty
+    flags near-boilerplate and heavily templated pages; the signal
+    complements near-dup detection because a document can be globally
+    unique while 90% of its trigrams are recycled.
+
+    Scale shape: explode to distinct (doc, gram) pairs map-side, ONE
+    groupBy(gram) for global first-occurrence, one equi-join back (AQE
+    handles the skewed head grams), one groupBy(doc). Cost is linear
+    in total grams — the same two-shuffle plan as line-dedup, and in
+    production the gram key is hashed before it ever shuffles."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    # Docs with <3 words have no trigrams; filter BEFORE the sequence
+    # because Spark's sequence(1, n) with n < 1 counts DOWN (a
+    # descending range), unlike DuckDB's empty range.
+    g = (
+        d.select("doc_id", words.alias("w"))
+        .filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            "w",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i")),
+                F.element_at("w", F.col("i") + 1),
+                F.element_at("w", F.col("i") + 2),
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        g.join(first_seen, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias(
+                "novelty_ratio"
+            ),
+        )
+    )

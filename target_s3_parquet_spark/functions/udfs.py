@@ -184,3 +184,52 @@ def udaf_grouped_map(spark, sf_dir):
     return o.groupBy("o_orderpriority").applyInPandas(
         scale, schema="o_orderkey long, o_orderpriority string, price_scaled double"
     )
+
+
+@query(
+    "udtf_python_class",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, i - 1 AS pos, words[i] AS token,
+           CASE WHEN i < len(words)
+                THEN words[i] || '_' || words[i + 1] END AS bigram
+    FROM w CROSS JOIN UNNEST(range(1, len(words) + 1)) AS t(i)
+    """,
+)
+def udtf_python_class(spark, sf_dir):
+    """Class-based Python UDTF (the Spark 3.5+/4 `@udtf` decorator):
+    one input row fans out to one row per token with its position and
+    trailing bigram — the genuinely user-defined table function
+    surface, complementing the engine-side explode
+    (`udtf_explode_native`) and the Arrow-batch form
+    (`udtf_map_in_pandas`).
+
+    Scale note: a UDTF runs Python per input row, so it belongs on
+    DATA-REDUCED or bounded inputs (here: 50 docs); the same fan-out
+    over a full corpus should be the native explode, which stays in
+    codegen. The UDTF is registered for the lateral-join SQL shape —
+    Catalyst plans it as a generator, partition-parallel, no
+    shuffle."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, bigram string")
+    class Tokenize:
+        def eval(self, text: str):
+            words = text.split(" ")
+            n = len(words)
+            for i, w in enumerate(words):
+                bigram = f"{w}_{words[i + 1]}" if i + 1 < n else None
+                yield i, w, bigram
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("docs_udtf_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, tk.pos, tk.token, tk.bigram
+        FROM docs_udtf_in d, LATERAL tokenize_udtf(d.text) tk
+        """
+    )

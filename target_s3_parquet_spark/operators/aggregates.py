@@ -809,3 +809,197 @@ def agg_approx_top_k(spark, sf_dir):
             F.col("e.count").alias("cnt"),
         )
     )
+
+
+@query(
+    "agg_linear_regression",
+    """
+    WITH s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(date_part('doy', ts)) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(date_part('doy', ts) * value AS DECIMAL(38,6)))
+                  AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(date_part('doy', ts) * date_part('doy', ts))
+                       AS BIGINT) AS DOUBLE) AS sxx
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS intercept
+    FROM s
+    """,
+)
+def agg_linear_regression(spark, sf_dir):
+    """Least-squares trend per event type (value regressed on
+    day-of-year) from the four classic moment sums — the distributed
+    form of `regr_slope`/`regr_intercept`, rebuilt on exact channels
+    because the built-ins sum doubles in partition order (fine on one
+    machine, nondeterministic across cluster partitionings AND
+    engines).
+
+    Sx/Sxx are integer sums (exact); Sy/Sxy go through DECIMAL(38,6)
+    (exact: day-of-year times a 2-decimal value stays on the decimal
+    grid). The slope/intercept formulas are then pure double
+    arithmetic on identical inputs, written identically in both
+    engines. ONE map-side-combinable shuffle carrying 5 numbers per
+    group — the same cost as a plain groupBy-sum at 100 TB, which is
+    the entire point of moment-sum regression."""
+    e = t(spark, sf_dir, "events")
+    x = F.dayofyear("ts")
+    s = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(dec("value")).cast("double").alias("sy"),
+        F.sum(dec(x * F.col("value"))).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+
+
+@query(
+    "detect_outliers_mad",
+    """
+    WITH cents AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, MEDIAN(c) AS med_c FROM cents GROUP BY event_type
+    ),
+    dev AS (
+      SELECT cents.event_type, c, med_c, ABS(c - med_c) AS adev
+      FROM cents JOIN med ON med.event_type = cents.event_type
+    ),
+    mad AS (
+      SELECT event_type, MEDIAN(adev) AS mad_c FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           MIN(dev.med_c) / 100 AS median_value,
+           MIN(mad.mad_c) / 100 AS mad_value,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN ABS(c - dev.med_c) > 3 * 1.4826 * mad.mad_c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    GROUP BY dev.event_type
+    """,
+)
+def detect_outliers_mad(spark, sf_dir):
+    """Robust outlier detection via MAD (median absolute deviation) —
+    the estimator that, unlike the z-score pair, is not itself dragged
+    by the outliers it hunts. Two exact-median passes per group
+    (median of values, then median of absolute deviations), then the
+    standard 3·1.4826·MAD cut.
+
+    Cross-engine exactness: values are lifted to integer CENTS first
+    (2-decimal data; round of a near-integer double can never hit a
+    tie), so every median interpolation averages two integers — exact
+    in double in both engines — and deviations are integer arithmetic.
+    Scale shape: exact per-group medians need a sort per group (Spark
+    plans percentile as a full-group aggregate); at 100 TB the
+    drop-in is approx_percentile on the same cents column with
+    everything else unchanged."""
+    e = t(spark, sf_dir, "events")
+    cents = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("c"),
+    )
+    med = cents.groupBy("event_type").agg(F.median("c").alias("med_c"))
+    dev = cents.join(F.broadcast(med), "event_type").select(
+        "event_type", "c", "med_c", F.abs(F.col("c") - F.col("med_c")).alias("adev")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_c"))
+    j = dev.join(F.broadcast(mad), "event_type")
+    flag = (
+        F.abs(F.col("c") - F.col("med_c"))
+        > 3 * 1.4826 * F.col("mad_c")
+    ).cast("int")
+    return j.groupBy("event_type").agg(
+        (F.min("med_c") / 100).alias("median_value"),
+        (F.min("mad_c") / 100).alias("mad_value"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(flag).alias("n_outliers"),
+    )
+
+
+@query(
+    "agg_higher_moments",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                       AS BIGINT) AS DOUBLE) AS s2,
+             CAST(CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) AS s3,
+             CAST(CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                           * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                       AS BIGINT) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    m AS (
+      SELECT l_returnflag, n,
+             s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n)
+               + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n)
+               + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT l_returnflag, n, mean,
+           m3 / (m2 * SQRT(m2)) AS skewness,
+           m4 / (m2 * m2) - 3 AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_higher_moments(spark, sf_dir):
+    """Distribution-shape statistics (skewness, excess kurtosis) from
+    raw power sums — the one-pass, mergeable form, rebuilt instead of
+    `F.skewness`/`F.kurtosis` because the built-ins sum doubles in
+    partition order (nondeterministic across partitionings and
+    engines). Quantities are small integers, so S1..S4 are EXACT
+    BIGINT sums; the central-moment and shape formulas are then pure
+    double arithmetic on identical inputs (m2^1.5 spelled m2*sqrt(m2)
+    in both engines — POWER() implementations differ in the last
+    ulp). One map-side-combinable shuffle carrying 5 numbers per
+    group, same cost as a plain sum at any scale."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    m2 = F.col("s2") / n - mean * mean
+    m3 = F.col("s3") / n - 3 * mean * (F.col("s2") / n) + 2 * mean * mean * mean
+    m4 = (
+        F.col("s4") / n
+        - 4 * mean * (F.col("s3") / n)
+        + 6 * mean * mean * (F.col("s2") / n)
+        - 3 * mean * mean * mean * mean
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        mean.alias("mean"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
+    )

@@ -820,3 +820,243 @@ def cdc_scd2_history(spark, sf_dir):
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@query(
+    "privacy_kanonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+           COUNT(*) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) < 5
+    """,
+)
+def privacy_kanonymity_audit(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (nation, market
+    segment, coarsened account-balance bucket): any combination shared
+    by fewer than k=5 individuals re-identifies them, so the audit
+    returns exactly those risky groups — the governance gate a
+    training-data pipeline runs before releasing user-derived tables.
+
+    One map-side-combinable groupBy; the HAVING filter prunes on the
+    aggregated count, so output is only the risk surface. Bucketing
+    uses FLOOR (tie-free across engines, unlike round-half on .5) —
+    the same generalization step a k-anonymizer would iterate on
+    (widen buckets until the risky set is empty). At 100 TB: one
+    shuffle of the quasi-identifier tuple, no row data movement."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias(
+                "bal_bucket"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < 5)
+    )
+
+
+@query(
+    "market_basket_pairs",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    brand_n AS (
+      SELECT p_brand, COUNT(*) AS n_br FROM ob GROUP BY p_brand
+    ),
+    n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n_ord FROM ob
+    ),
+    pair_n AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             COUNT(*) AS support
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, support,
+           CAST(n_ord AS DOUBLE) * support
+             / (CAST(na.n_br AS DOUBLE) * nb.n_br) AS lift
+    FROM pair_n
+    JOIN brand_n na ON na.p_brand = brand_a
+    JOIN brand_n nb ON nb.p_brand = brand_b
+    CROSS JOIN n_orders
+    WHERE CAST(n_ord AS DOUBLE) * support
+            / (CAST(na.n_br AS DOUBLE) * nb.n_br) > 1.02
+    """,
+)
+def market_basket_pairs(spark, sf_dir):
+    """Market-basket 2-itemset mining (the A-Priori candidate pass):
+    brand co-occurrence within orders, scored by LIFT
+    (P(a,b)/P(a)P(b)) and filtered to positively-associated pairs.
+
+    Scale shape: dedup to (order, brand) first — the fan-in that keeps
+    the self-join linear in basket size, not lineitem count; the pair
+    self-join is equi on the order key (one shuffle, co-partitioned);
+    brand marginals are an aggregate (25 rows) and the order count a
+    scalar, both broadcast into the final scoring. No all-pairs brand
+    product anywhere. At 100 TB this exact plan is the first pass of
+    association-rule mining; higher-order itemsets iterate the same
+    join against the surviving pairs."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    ob = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    brand_n = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_br"))
+    n_ord = ob.agg(
+        F.countDistinct("l_orderkey").alias("n_ord")
+    )
+    a = ob.select(
+        F.col("l_orderkey"), F.col("p_brand").alias("brand_a")
+    )
+    b = ob.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("p_brand").alias("brand_b")
+    )
+    pair_n = (
+        a.join(
+            b,
+            (a.l_orderkey == b.ok_b) & (F.col("brand_a") < F.col("brand_b")),
+        )
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    na = F.broadcast(
+        brand_n.select(
+            F.col("p_brand").alias("brand_a"), F.col("n_br").alias("na")
+        )
+    )
+    nb = F.broadcast(
+        brand_n.select(
+            F.col("p_brand").alias("brand_b"), F.col("n_br").alias("nb")
+        )
+    )
+    lift = (
+        F.col("n_ord").cast("double")
+        * F.col("support")
+        / (F.col("na").cast("double") * F.col("nb"))
+    )
+    return (
+        pair_n.join(na, "brand_a")
+        .join(nb, "brand_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select("brand_a", "brand_b", "support", lift.alias("lift"))
+        .filter(F.col("lift") > 1.02)
+    )
+
+
+@query(
+    "corpus_domain_cap",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:' || doc_id), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def corpus_domain_cap(spark, sf_dir):
+    """Per-domain document cap — the corpus-balancing pass that stops
+    one crawl domain from dominating the training mixture: every
+    source keeps at most 20 documents, chosen by a KEYED-HASH priority
+    (md5 of the doc key), not by sample(): the selection is a pure
+    function of the document identity, so re-runs and incremental
+    appends keep exactly the same survivors (new docs compete by hash,
+    never displacing the decision rule). Complements
+    `corpus_mixture_sample` (rate-based) with the cap-based form.
+
+    One window per source (single shuffle of (source, hash, id)
+    triples — never the text). At 100 TB, heavy-hitter domains make
+    this window skewed; the production variant pre-filters with an
+    approximate per-domain count and samples only over-cap domains —
+    same decision rule, bounded partitions."""
+    d = t(spark, sf_dir, "documents")
+    pri = F.md5(F.concat(F.lit("cap:"), F.col("doc_id")))
+    w = W.partitionBy("source").orderBy(pri, F.col("doc_id"))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS c_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT c_custkey, frequency, monetary,
+             NTILE(5) OVER (ORDER BY last_order, c_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, c_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, c_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT c_custkey, frequency, monetary, r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation — recency / frequency / monetary quintiles per
+    customer, combined into lifecycle segments (champion / at-risk /
+    new / regular): the workhorse customer-analytics query. Phase 1 is
+    one map-side-combinable groupBy over orders; phase 2 ranks the
+    AGGREGATED table (one row per customer) with three NTILE windows.
+
+    Scale note: the windows are global (unpartitioned ORDER BY), which
+    is fine because they run on the aggregate, not the fact table —
+    but at true 100 TB customer counts the quintile boundaries would
+    come from approx percentiles (one pass) and a map-side bucket
+    lookup instead of a global sort; the NTILE form is the exact
+    reference that bucketing must reproduce. Full tiebreak on the
+    customer key makes every quintile assignment deterministic in both
+    engines."""
+    o = t(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("monetary"),
+    )
+    r = F.ntile(5).over(W.orderBy("last_order", "c_custkey"))
+    f_ = F.ntile(5).over(W.orderBy("frequency", "c_custkey"))
+    m = F.ntile(5).over(W.orderBy("monetary", "c_custkey"))
+    scored = rfm.select(
+        "c_custkey",
+        "frequency",
+        "monetary",
+        r.alias("r_score"),
+        f_.alias("f_score"),
+        m.alias("m_score"),
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion"
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .otherwise("regular")
+    )
+    return scored.withColumn("segment", seg)

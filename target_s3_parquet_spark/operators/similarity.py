@@ -1046,3 +1046,42 @@ def sim_ann_ivf_trained(spark, sf_dir):
         .filter(F.col("rn") <= _KM_TOPK)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+@query(
+    "emb_matryoshka_truncate",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id,
+           SQRT(list_sum(list_transform(range(1, 17), i -> v[i] * v[i])))
+             AS prefix_norm,
+           list_sum(list_transform(range(1, 17), i -> v[i] * v[i]))
+             / list_sum(list_transform(range(1, {_EMB_DIM} + 1),
+                                       i -> v[i] * v[i]))
+             AS energy_ratio
+    FROM v
+    """,
+)
+def emb_matryoshka_truncate(spark, sf_dir):
+    """Matryoshka-style embedding truncation: keep the first 16 of 64
+    dims and measure what survives — the prefix L2 norm (the
+    renormalization constant a truncated index needs) and the retained
+    energy ratio ||v[:16]||² / ||v||² (the quality signal that decides
+    how far an MRL-trained embedding can be cut). Pure map-side
+    projection, no shuffle at all: truncation is how an ANN index
+    shrinks its memory 4× before any clustering, and at 100 TB it
+    costs one codegen'd pass over the vectors. Dot products are the
+    same strict left-to-right folds both engines share."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    prefix = _dot(F.col("v"), F.col("v"), dim=16)
+    full = _dot(F.col("v"), F.col("v"))
+    return v.select(
+        "vec_id",
+        F.sqrt(prefix).alias("prefix_norm"),
+        (prefix / full).alias("energy_ratio"),
+    )

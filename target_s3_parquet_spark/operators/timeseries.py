@@ -542,3 +542,45 @@ def ts_zscore_anomaly(spark, sf_dir):
         .filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", "value", "n_hist", z.alias("zscore"))
     )
+
+
+@query(
+    "ts_period_growth",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+    FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, revenue,
+           (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w AS growth
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def ts_period_growth(spark, sf_dir):
+    """Period-over-period growth per event type (day granularity — the
+    synthetic stream spans one month) — the reporting staple: one
+    decimal-exact daily rollup (map-side-combinable shuffle on
+    (type, day)), then a LAG window over the AGGREGATE (one row per
+    type-day, so the second exchange is trivially small at any
+    scale). First period of each series yields NULL growth, as it
+    should. Days surface as formatted strings so both engines'
+    pandas materializations agree; the growth ratio divides two
+    identical exact-decimal-derived doubles."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(dec("value")).cast("double").alias("revenue")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    prev = F.lag("revenue").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "revenue",
+        ((F.col("revenue") - prev) / prev).alias("growth"),
+    )

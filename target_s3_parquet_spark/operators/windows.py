@@ -324,3 +324,57 @@ def window_running_distinct(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_distinct_users"),
     )
+
+
+@query(
+    "window_gap_islands",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    tagged AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    )
+    SELECT user_id,
+           strftime(MIN(d), '%Y-%m-%d') AS island_start,
+           strftime(MAX(d), '%Y-%m-%d') AS island_end,
+           COUNT(*) AS n_days
+    FROM tagged
+    GROUP BY user_id, anchor
+    HAVING COUNT(*) >= 3
+    """,
+)
+def window_gap_islands(spark, sf_dir):
+    """Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    user (3+ days long) — the classic streak/retention primitive, via
+    the date-minus-row_number trick: within a user, consecutive dates
+    share `d - row_number()`, so one window + one groupBy finds every
+    island with no self-join and no iteration.
+
+    Scale shape: dedup to (user, day) first (shuffle shrinks to one
+    row per active day), then a single hash-partition window on
+    user_id; both exchanges carry 12-byte rows regardless of event
+    volume. Dates surface as formatted strings so the engines'
+    date/timestamp pandas materializations can't drift."""
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    tagged = days.select(
+        "user_id", "d", F.date_sub("d", rn.cast("int")).alias("anchor")
+    )
+    return (
+        tagged.groupBy("user_id", "anchor")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("island_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("island_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 3)
+        .drop("anchor")
+    )

@@ -253,3 +253,76 @@ def scan_text_roundtrip(spark, sf_dir):
         s[2].cast("double").alias("price"),
         s[3].alias("odate"),
     )
+
+
+@query(
+    "scan_csv_badrecords",
+    """
+    SELECT COUNT(*) FILTER (WHERE o_orderkey % 50 <> 0) AS n_good,
+           COUNT(*) FILTER (WHERE o_orderkey % 50 = 0) AS n_corrupt,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 50 <> 0
+                              THEN o_totalprice END AS DECIMAL(38,6)))
+                AS DOUBLE) AS good_total
+    FROM orders
+    """,
+)
+def scan_csv_badrecords(spark, sf_dir):
+    """Malformed-CSV quarantine (PERMISSIVE mode + corrupt-record
+    column) — the file-format twin of the Singer JSON quarantine path:
+    a landing CSV where every 50th row carries an unparseable price is
+    read under an explicit schema, bad rows surface in
+    `_corrupt_record` instead of failing the job, and the aggregate
+    splits good/corrupt counts plus the decimal-exact sum over rows
+    that parsed.
+
+    The corrupt file is synthesized in-engine from `orders` (write
+    text, re-read as CSV), so the oracle can restate the expected
+    split directly from the table. At 100 TB this is the ingest
+    contract that keeps one bad upstream file from killing a
+    1000-executor job: parse errors become data (routable to a
+    quarantine sink), and the scan stays a plain schema-pinned
+    vectorized CSV read."""
+    import shutil
+    import tempfile
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    price_str = F.when(
+        F.col("o_orderkey") % 50 == 0,
+        F.concat(F.lit("x"), F.col("o_totalprice").cast("string")),
+    ).otherwise(F.col("o_totalprice").cast("string"))
+    lines = o.select(
+        F.concat_ws(
+            ",", F.col("o_orderkey").cast("string"), price_str
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_bad_")
+    try:
+        path = f"{tmp}/landing"
+        lines.write.mode("overwrite").text(path)
+        schema = (
+            "o_orderkey LONG, o_totalprice DOUBLE, _corrupt_record STRING"
+        )
+        back = (
+            spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .csv(path)
+        )
+        out = back.agg(
+            F.count(
+                F.when(F.col("_corrupt_record").isNull(), F.lit(1))
+            ).alias("n_good"),
+            F.count(
+                F.when(F.col("_corrupt_record").isNotNull(), F.lit(1))
+            ).alias("n_corrupt"),
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(), F.col("o_totalprice")
+                ).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("good_total"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

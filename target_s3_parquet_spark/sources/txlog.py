@@ -606,3 +606,107 @@ def txlog_schema_evolution(spark, sf_dir):
         return spark.createDataFrame(snap.collect(), snap.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "txlog_changes_between",
+    """
+    WITH mid AS (SELECT MAX(o_orderkey) // 2 AS m FROM orders),
+    v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders, mid
+      WHERE o_orderkey % 2 = 1 AND o_orderkey < mid.m
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+      WHERE o_orderkey % 3 = 0
+    ),
+    classified AS (
+      SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+             CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+                  WHEN v2.o_orderkey IS NULL THEN 'delete'
+                  WHEN v1.o_totalprice <> v2.o_totalprice THEN 'update'
+                  ELSE 'unchanged' END AS op,
+             COALESCE(v2.o_totalprice, 0) - COALESCE(v1.o_totalprice, 0)
+               AS delta
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT op, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(delta AS DECIMAL(38,6))) AS DOUBLE) AS price_delta
+    FROM classified
+    WHERE op <> 'unchanged'
+    GROUP BY op
+    """,
+)
+def txlog_changes_between(spark, sf_dir):
+    """Incremental change feed between two table versions (the Delta
+    CDF / Iceberg incremental-read shape): two snapshot reads of the
+    SAME transaction-log table at pinned versions, full-outer-joined
+    on the key and classified into insert / delete / update with the
+    net price delta per class.
+
+    The committed history: v0 = even keys, v1 = v0 + lower-half odd
+    keys (append), v2 = keys divisible by 3 at doubled price
+    (overwrite). Diffing v1→v2 exercises all three change classes
+    against the snapshot-isolation guarantee, and the oracle restates
+    both versions set-theoretically from `orders` — so the change feed
+    itself is value-verified. At 100 TB a real CDF avoids the
+    two-snapshot join by reading only the delta files of the versions
+    in between; the join form here is the correctness reference that
+    any file-level shortcut must reproduce."""
+    import shutil
+    import tempfile
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mid_v = o.agg(F.max("o_orderkey")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="txlog_cdf_")
+    try:
+        root = f"{tmp}/orders_tbl"
+        commit(o.filter(F.col("o_orderkey") % 2 == 0), root)
+        commit(
+            o.filter(
+                (F.col("o_orderkey") % 2 == 1)
+                & (F.col("o_orderkey") < mid_v)
+            ),
+            root,
+        )
+        commit(
+            o.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+                "o_totalprice", F.col("o_totalprice") * 2
+            ),
+            root,
+            mode="overwrite",
+        )
+
+        v1 = read_table(spark, root, version=1).alias("a")
+        v2 = read_table(spark, root, version=2).alias("b")
+        j = v1.join(
+            v2, F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+        )
+        op = (
+            F.when(F.col("a.o_orderkey").isNull(), "insert")
+            .when(F.col("b.o_orderkey").isNull(), "delete")
+            .when(
+                F.col("a.o_totalprice") != F.col("b.o_totalprice"), "update"
+            )
+            .otherwise("unchanged")
+        )
+        delta = F.coalesce(F.col("b.o_totalprice"), F.lit(0.0)) - F.coalesce(
+            F.col("a.o_totalprice"), F.lit(0.0)
+        )
+        out = (
+            j.select(op.alias("op"), delta.alias("delta"))
+            .filter(F.col("op") != "unchanged")
+            .groupBy("op")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("delta").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("price_delta"),
+            )
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
