@@ -304,3 +304,84 @@ def graph_triangle_count(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+@query(
+    "graph_degree_stats",
+    """
+    WITH edges AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    outd AS (
+      SELECT src AS node, COUNT(*) AS out_degree,
+             CAST(SUM(w) AS BIGINT) AS out_strength
+      FROM edges GROUP BY src
+    ),
+    ind AS (
+      SELECT dst AS node, COUNT(*) AS in_degree,
+             CAST(SUM(w) AS BIGINT) AS in_strength
+      FROM edges GROUP BY dst
+    )
+    SELECT n.n_nationkey AS node,
+           COALESCE(o.out_degree, 0) AS out_degree,
+           COALESCE(o.out_strength, 0) AS out_strength,
+           COALESCE(i.in_degree, 0) AS in_degree,
+           COALESCE(i.in_strength, 0) AS in_strength
+    FROM nation n
+    LEFT JOIN outd o ON o.node = n.n_nationkey
+    LEFT JOIN ind i ON i.node = n.n_nationkey
+    """,
+)
+def graph_degree_stats(spark, sf_dir):
+    """Degree/strength profile of the trade graph (same edge build as
+    `graph_pagerank`): per nation, distinct out/in neighbor counts and
+    total edge weight both ways — the first thing you compute on any
+    graph before choosing partitioning (degree skew decides whether
+    vertex-cut or salting is needed for the iterative ops).
+
+    The edge aggregation is the only fact-scale work; degrees are two
+    25-row aggregates over it, stitched to the node table with
+    broadcast left joins so isolated nodes surface with zeros. At a
+    billion-node graph the same plan holds with the degree tables
+    hash-partitioned — it is a plain groupBy, not a traversal."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree"),
+        F.sum("w").alias("out_strength"),
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).alias("in_degree"),
+        F.sum("w").alias("in_strength"),
+    )
+    return (
+        n.select(F.col("n_nationkey").alias("node"))
+        .join(F.broadcast(outd), "node", "left")
+        .join(F.broadcast(ind), "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("out_strength", F.lit(0)).alias("out_strength"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("in_strength", F.lit(0)).alias("in_strength"),
+        )
+    )

@@ -1060,3 +1060,70 @@ def customer_rfm_segments(spark, sf_dir):
         .otherwise("regular")
     )
     return scored.withColumn("segment", seg)
+
+
+@query(
+    "pareto_revenue_share",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue_dec
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c_custkey, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue_dec DESC, c_custkey)
+               AS rnk,
+             CAST(SUM(revenue_dec) OVER (ORDER BY revenue_dec DESC,
+                                         c_custkey
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE)
+               / CAST((SELECT SUM(revenue_dec) FROM cust) AS DOUBLE)
+               AS cum_share
+      FROM cust
+    )
+    SELECT c_custkey, revenue, rnk, cum_share
+    FROM ranked WHERE cum_share <= 0.5
+    """,
+)
+def pareto_revenue_share(spark, sf_dir):
+    """Pareto / revenue-concentration analysis: which customers make up
+    the first 50% of total revenue, with their rank and cumulative
+    share — the 80/20 question every account team asks. Phase 1 is a
+    map-side-combinable revenue rollup; phase 2 ranks the AGGREGATE
+    (one row per customer) with a running decimal-exact sum divided by
+    the exact total, so every cumulative share is bit-identical across
+    engines and partitionings (ranking ties break on the key; the
+    running sum is decimal until the final division).
+
+    The global window runs on the aggregate, not the fact table; at
+    true 100 TB customer counts the cut-line would come from a
+    percentile-of-cumulative sketch, with this exact form as its
+    correctness reference."""
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+            "revenue_dec"
+        )
+    )
+    w = W.orderBy(F.col("revenue_dec").desc(), F.col("c_custkey"))
+    total = cust.agg(
+        F.sum("revenue_dec").cast("double").alias("total")
+    )
+    ranked = (
+        cust.crossJoin(F.broadcast(total))
+        .select(
+            "c_custkey",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            F.row_number().over(w).alias("rnk"),
+            (
+                F.sum("revenue_dec")
+                .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                .cast("double")
+                / F.col("total")
+            ).alias("cum_share"),
+        )
+    )
+    return ranked.filter(F.col("cum_share") <= 0.5)

@@ -286,3 +286,64 @@ def multimodal_phash_dedup(spark, sf_dir):
         F.min("doc_id").alias("keep_doc_id"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "multimodal_audio_energy",
+    """
+    WITH pcm AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(text, ''),
+                            ch -> ord(ch) * ord(ch)) AS sq
+      FROM documents
+    )
+    SELECT doc_id, frame_no,
+           LEAST(100, len(sq) - frame_no * 100) AS n_samples,
+           CAST(list_sum(sq[frame_no * 100 + 1 : frame_no * 100 + 100])
+                AS BIGINT) AS energy
+    FROM (
+      SELECT doc_id, sq,
+             UNNEST(range(0, CAST(CEIL(len(sq) / 100.0) AS BIGINT)))
+               AS frame_no
+      FROM pcm)
+    """,
+)
+def multimodal_audio_energy(spark, sf_dir):
+    """Windowed audio energy over opaque PCM payloads: the payload is
+    treated as a stream of unsigned 8-bit samples, cut into 100-sample
+    frames, and each frame's energy (sum of squared amplitudes) is
+    emitted — the first stage of any VAD / silence-trim / loudness
+    pipeline, and the audio twin of `multimodal_frame_sample`.
+
+    The `mapInPandas` stage is the real distributed plumbing: Arrow
+    batches in, numpy vectorized square-sums per frame, typed rows
+    out; fan-out happens inside the batch, partitioning is inherited,
+    no shuffle — linear in payload bytes at 100 TB. Energies are exact
+    integers (ASCII payloads stand in for PCM), so the oracle replays
+    the arithmetic in SQL and the whole path is value-verified."""
+    import numpy as np
+
+    frame = 100
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_no": [], "n_samples": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(bytes(payload), dtype=np.uint8)
+                sq = samples.astype(np.int64) ** 2
+                n = len(samples)
+                for fno in range(0, (n + frame - 1) // frame):
+                    seg = sq[fno * frame : (fno + 1) * frame]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_no"].append(fno)
+                    rows["n_samples"].append(len(seg))
+                    rows["energy"].append(int(seg.sum()))
+            yield pd.DataFrame(rows)
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, frame_no long, n_samples long, energy long",
+    )

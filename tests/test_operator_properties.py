@@ -143,3 +143,53 @@ def test_lsh_prod_profile_prunes_candidates(spark):
     demo = S._lsh_candidates(e, S._LSH_B, S._LSH_R).count()
     prod = S._lsh_candidates(e, S._LSH_PROD_B, S._LSH_PROD_R).count()
     assert prod < demo / 4
+
+
+def test_kmeans_training_improves_within_cluster_cosine(spark):
+    """Lloyd iterations must not make the codebook worse: the mean
+    member-to-centroid cosine after 2 training iterations is at least
+    the seeded (first-K) codebook's — the monotone-improvement
+    property that justifies replacing `sim_ann_ivf`'s seeding with
+    `ivf_kmeans_train`'s trained centroids."""
+    import pyspark.sql.functions as F
+
+    from target_s3_parquet_spark.operators.similarity import (
+        _cos_col,
+        _km_train,
+        _KM_K,
+        _vec_d,
+    )
+    from target_s3_parquet_spark.operators._util import t
+    from tests.conftest import SF_SMALL
+
+    v = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+
+    def mean_assignment_cosine(cents):
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("cid")
+        )
+        best = (
+            v.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "cid",
+                _cos_col(F.col("v"), F.col("cv")).alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        return best.agg(F.avg("cos")).collect()[0][0]
+
+    seeded = v.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    trained, _ = _km_train(spark, SF_SMALL)
+    q0 = mean_assignment_cosine(seeded)
+    q2 = mean_assignment_cosine(trained)
+    assert q2 >= q0 - 1e-9, f"training degraded the codebook: {q0} -> {q2}"
+    # and training actually moved the needle on this corpus
+    assert q2 > q0, f"no improvement recorded: {q0} -> {q2}"
