@@ -233,3 +233,43 @@ def udtf_python_class(spark, sf_dir):
         FROM docs_udtf_in d, LATERAL tokenize_udtf(d.text) tk
         """
     )
+
+
+@query(
+    "udf_sql_declarative",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS disc_revenue,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_sql_declarative(spark, sf_dir):
+    """SQL-declared scalar UDF (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`): the user-defined-function SURFACE with none of the UDF
+    COST — the body is a SQL expression, so Catalyst inlines it at
+    resolution and the call compiles into whole-stage codegen exactly
+    like writing the expression inline (no Python worker, no Arrow
+    hop, full pushdown through it). This is the right default for
+    shared business logic at 100 TB; the Python/pandas UDF keys exist
+    for logic SQL genuinely cannot express.
+
+    The oracle restates the inlined expression, proving the function
+    boundary is semantically transparent."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE)
+        RETURNS DOUBLE RETURN p * (1.0 - d)
+        """
+    )
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(disc_price(l_extendedprice, l_discount)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS disc_revenue,
+               COUNT(*) AS n
+        FROM lineitem_sqludf GROUP BY l_returnflag
+        """
+    )

@@ -277,3 +277,37 @@ def union_by_name(spark, sf_dir):
         F.col("r_name").alias("name"), F.col("r_regionkey").alias("k")
     )
     return n.unionByName(r)
+
+
+@query(
+    "sql_parameterized_query",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total
+    FROM orders
+    WHERE o_totalprice >= 1000.0 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized_query(spark, sf_dir):
+    """Named-parameter SQL (`spark.sql(query, args={...})`, Spark 3.4+):
+    parameter markers bind as LITERALS in the parse tree — injection-
+    safe by construction AND fully optimizable (the bound values
+    constant-fold and push down to the parquet scan like any literal,
+    unlike string-concatenated SQL which risks injection, or driver-
+    side f-strings which defeat plan caching by making every query
+    text unique). The shape every reporting service should use against
+    the engine. Oracle inlines the same bindings."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_param")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total
+        FROM orders_param
+        WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"min_price": 1000.0, "status": "F"},
+    )

@@ -1085,3 +1085,70 @@ def emb_matryoshka_truncate(spark, sf_dir):
         F.sqrt(prefix).alias("prefix_norm"),
         (prefix / full).alias("energy_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed sign codes + Hamming distance (binary embedding compression)
+# ---------------------------------------------------------------------------
+_HP_N = 48  # bounded all-pairs slice (the bucketed form is sign-LSH above)
+
+_HP_H1_SQL = "CAST((CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) + (CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END) + (CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END) + (CASE WHEN v[9] >= 0 THEN 256 ELSE 0 END) + (CASE WHEN v[10] >= 0 THEN 512 ELSE 0 END) + (CASE WHEN v[11] >= 0 THEN 1024 ELSE 0 END) + (CASE WHEN v[12] >= 0 THEN 2048 ELSE 0 END) + (CASE WHEN v[13] >= 0 THEN 4096 ELSE 0 END) + (CASE WHEN v[14] >= 0 THEN 8192 ELSE 0 END) + (CASE WHEN v[15] >= 0 THEN 16384 ELSE 0 END) + (CASE WHEN v[16] >= 0 THEN 32768 ELSE 0 END) + (CASE WHEN v[17] >= 0 THEN 65536 ELSE 0 END) + (CASE WHEN v[18] >= 0 THEN 131072 ELSE 0 END) + (CASE WHEN v[19] >= 0 THEN 262144 ELSE 0 END) + (CASE WHEN v[20] >= 0 THEN 524288 ELSE 0 END) + (CASE WHEN v[21] >= 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v[22] >= 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v[23] >= 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v[24] >= 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v[25] >= 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v[26] >= 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v[27] >= 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v[28] >= 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v[29] >= 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v[30] >= 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v[31] >= 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v[32] >= 0 THEN 2147483648 ELSE 0 END) AS BIGINT)"
+_HP_H2_SQL = "CAST((CASE WHEN v[33] >= 0 THEN 1 ELSE 0 END) + (CASE WHEN v[34] >= 0 THEN 2 ELSE 0 END) + (CASE WHEN v[35] >= 0 THEN 4 ELSE 0 END) + (CASE WHEN v[36] >= 0 THEN 8 ELSE 0 END) + (CASE WHEN v[37] >= 0 THEN 16 ELSE 0 END) + (CASE WHEN v[38] >= 0 THEN 32 ELSE 0 END) + (CASE WHEN v[39] >= 0 THEN 64 ELSE 0 END) + (CASE WHEN v[40] >= 0 THEN 128 ELSE 0 END) + (CASE WHEN v[41] >= 0 THEN 256 ELSE 0 END) + (CASE WHEN v[42] >= 0 THEN 512 ELSE 0 END) + (CASE WHEN v[43] >= 0 THEN 1024 ELSE 0 END) + (CASE WHEN v[44] >= 0 THEN 2048 ELSE 0 END) + (CASE WHEN v[45] >= 0 THEN 4096 ELSE 0 END) + (CASE WHEN v[46] >= 0 THEN 8192 ELSE 0 END) + (CASE WHEN v[47] >= 0 THEN 16384 ELSE 0 END) + (CASE WHEN v[48] >= 0 THEN 32768 ELSE 0 END) + (CASE WHEN v[49] >= 0 THEN 65536 ELSE 0 END) + (CASE WHEN v[50] >= 0 THEN 131072 ELSE 0 END) + (CASE WHEN v[51] >= 0 THEN 262144 ELSE 0 END) + (CASE WHEN v[52] >= 0 THEN 524288 ELSE 0 END) + (CASE WHEN v[53] >= 0 THEN 1048576 ELSE 0 END) + (CASE WHEN v[54] >= 0 THEN 2097152 ELSE 0 END) + (CASE WHEN v[55] >= 0 THEN 4194304 ELSE 0 END) + (CASE WHEN v[56] >= 0 THEN 8388608 ELSE 0 END) + (CASE WHEN v[57] >= 0 THEN 16777216 ELSE 0 END) + (CASE WHEN v[58] >= 0 THEN 33554432 ELSE 0 END) + (CASE WHEN v[59] >= 0 THEN 67108864 ELSE 0 END) + (CASE WHEN v[60] >= 0 THEN 134217728 ELSE 0 END) + (CASE WHEN v[61] >= 0 THEN 268435456 ELSE 0 END) + (CASE WHEN v[62] >= 0 THEN 536870912 ELSE 0 END) + (CASE WHEN v[63] >= 0 THEN 1073741824 ELSE 0 END) + (CASE WHEN v[64] >= 0 THEN 2147483648 ELSE 0 END) AS BIGINT)"
+
+
+@query(
+    "emb_hamming_pack",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < {_HP_N}
+    ),
+    packed AS (
+      SELECT vec_id, {_HP_H1_SQL} AS h1, {_HP_H2_SQL} AS h2 FROM v
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+             AS hamming
+    FROM packed a JOIN packed b ON a.vec_id < b.vec_id
+    """,
+)
+def emb_hamming_pack(spark, sf_dir):
+    """Binary embedding compression: each 64-dim float vector packs to
+    TWO BIGINT words of sign bits (512 bytes -> 16: a 32x memory cut),
+    and similarity becomes XOR + popcount — the cheapest candidate
+    scorer there is, and the standard first stage of a binary-code ANN
+    index (sign-LSH's codes, kept whole instead of banded). The pack
+    is one codegen'd projection; Hamming on a pair costs two ALU ops.
+
+    The all-pairs slice here is BOUNDED ({_HP_N} vectors) as the
+    correctness surface; at corpus scale the packed codes feed the
+    banded LSH join (`sim_lsh_bucketed`) — same bits, bucketed — or a
+    multi-index Hamming search. Exactness is trivial: sign bits and
+    popcounts are integers in both engines."""
+    v = t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _HP_N
+    ).select("vec_id", _vec_d(F.col("embedding")).alias("v"))
+    h1 = F.expr("CAST((CASE WHEN v[0] >= 0 THEN 1L ELSE 0L END) + (CASE WHEN v[1] >= 0 THEN 2L ELSE 0L END) + (CASE WHEN v[2] >= 0 THEN 4L ELSE 0L END) + (CASE WHEN v[3] >= 0 THEN 8L ELSE 0L END) + (CASE WHEN v[4] >= 0 THEN 16L ELSE 0L END) + (CASE WHEN v[5] >= 0 THEN 32L ELSE 0L END) + (CASE WHEN v[6] >= 0 THEN 64L ELSE 0L END) + (CASE WHEN v[7] >= 0 THEN 128L ELSE 0L END) + (CASE WHEN v[8] >= 0 THEN 256L ELSE 0L END) + (CASE WHEN v[9] >= 0 THEN 512L ELSE 0L END) + (CASE WHEN v[10] >= 0 THEN 1024L ELSE 0L END) + (CASE WHEN v[11] >= 0 THEN 2048L ELSE 0L END) + (CASE WHEN v[12] >= 0 THEN 4096L ELSE 0L END) + (CASE WHEN v[13] >= 0 THEN 8192L ELSE 0L END) + (CASE WHEN v[14] >= 0 THEN 16384L ELSE 0L END) + (CASE WHEN v[15] >= 0 THEN 32768L ELSE 0L END) + (CASE WHEN v[16] >= 0 THEN 65536L ELSE 0L END) + (CASE WHEN v[17] >= 0 THEN 131072L ELSE 0L END) + (CASE WHEN v[18] >= 0 THEN 262144L ELSE 0L END) + (CASE WHEN v[19] >= 0 THEN 524288L ELSE 0L END) + (CASE WHEN v[20] >= 0 THEN 1048576L ELSE 0L END) + (CASE WHEN v[21] >= 0 THEN 2097152L ELSE 0L END) + (CASE WHEN v[22] >= 0 THEN 4194304L ELSE 0L END) + (CASE WHEN v[23] >= 0 THEN 8388608L ELSE 0L END) + (CASE WHEN v[24] >= 0 THEN 16777216L ELSE 0L END) + (CASE WHEN v[25] >= 0 THEN 33554432L ELSE 0L END) + (CASE WHEN v[26] >= 0 THEN 67108864L ELSE 0L END) + (CASE WHEN v[27] >= 0 THEN 134217728L ELSE 0L END) + (CASE WHEN v[28] >= 0 THEN 268435456L ELSE 0L END) + (CASE WHEN v[29] >= 0 THEN 536870912L ELSE 0L END) + (CASE WHEN v[30] >= 0 THEN 1073741824L ELSE 0L END) + (CASE WHEN v[31] >= 0 THEN 2147483648L ELSE 0L END) AS BIGINT)")
+    h2 = F.expr("CAST((CASE WHEN v[32] >= 0 THEN 1L ELSE 0L END) + (CASE WHEN v[33] >= 0 THEN 2L ELSE 0L END) + (CASE WHEN v[34] >= 0 THEN 4L ELSE 0L END) + (CASE WHEN v[35] >= 0 THEN 8L ELSE 0L END) + (CASE WHEN v[36] >= 0 THEN 16L ELSE 0L END) + (CASE WHEN v[37] >= 0 THEN 32L ELSE 0L END) + (CASE WHEN v[38] >= 0 THEN 64L ELSE 0L END) + (CASE WHEN v[39] >= 0 THEN 128L ELSE 0L END) + (CASE WHEN v[40] >= 0 THEN 256L ELSE 0L END) + (CASE WHEN v[41] >= 0 THEN 512L ELSE 0L END) + (CASE WHEN v[42] >= 0 THEN 1024L ELSE 0L END) + (CASE WHEN v[43] >= 0 THEN 2048L ELSE 0L END) + (CASE WHEN v[44] >= 0 THEN 4096L ELSE 0L END) + (CASE WHEN v[45] >= 0 THEN 8192L ELSE 0L END) + (CASE WHEN v[46] >= 0 THEN 16384L ELSE 0L END) + (CASE WHEN v[47] >= 0 THEN 32768L ELSE 0L END) + (CASE WHEN v[48] >= 0 THEN 65536L ELSE 0L END) + (CASE WHEN v[49] >= 0 THEN 131072L ELSE 0L END) + (CASE WHEN v[50] >= 0 THEN 262144L ELSE 0L END) + (CASE WHEN v[51] >= 0 THEN 524288L ELSE 0L END) + (CASE WHEN v[52] >= 0 THEN 1048576L ELSE 0L END) + (CASE WHEN v[53] >= 0 THEN 2097152L ELSE 0L END) + (CASE WHEN v[54] >= 0 THEN 4194304L ELSE 0L END) + (CASE WHEN v[55] >= 0 THEN 8388608L ELSE 0L END) + (CASE WHEN v[56] >= 0 THEN 16777216L ELSE 0L END) + (CASE WHEN v[57] >= 0 THEN 33554432L ELSE 0L END) + (CASE WHEN v[58] >= 0 THEN 67108864L ELSE 0L END) + (CASE WHEN v[59] >= 0 THEN 134217728L ELSE 0L END) + (CASE WHEN v[60] >= 0 THEN 268435456L ELSE 0L END) + (CASE WHEN v[61] >= 0 THEN 536870912L ELSE 0L END) + (CASE WHEN v[62] >= 0 THEN 1073741824L ELSE 0L END) + (CASE WHEN v[63] >= 0 THEN 2147483648L ELSE 0L END) AS BIGINT)")
+    packed = v.select("vec_id", h1.alias("h1"), h2.alias("h2"))
+    a = packed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("h1").alias("h1a"),
+        F.col("h2").alias("h2a"),
+    )
+    b = packed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("h1").alias("h1b"),
+        F.col("h2").alias("h2b"),
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.expr("h1a ^ h1b"))
+                + F.bit_count(F.expr("h2a ^ h2b"))
+            ).alias("hamming"),
+        )
+    )

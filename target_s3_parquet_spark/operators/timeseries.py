@@ -584,3 +584,55 @@ def ts_period_growth(spark, sf_dir):
         "revenue",
         ((F.col("revenue") - prev) / prev).alias("growth"),
     )
+
+
+@query(
+    "ts_rolling_wau",
+    """
+    WITH active AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    all_days AS (SELECT DISTINCT d FROM active),
+    hits AS (
+      SELECT w.d AS wnd, a.user_id
+      FROM active a JOIN all_days w
+        ON a.d <= w.d AND a.d >= w.d - 6
+    )
+    SELECT strftime(wnd, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS wau
+    FROM hits GROUP BY wnd
+    """,
+)
+def ts_rolling_wau(spark, sf_dir):
+    """Rolling 7-day active users (WAU) per day — the engagement
+    metric every product dashboard needs, and a genuinely hard window:
+    COUNT(DISTINCT) over a sliding frame is not expressible as a
+    window function in Spark, so the plan reshapes it:
+
+    1. dedup to (day, user) map-side — the fan-in that makes
+       everything after it independent of raw event volume,
+    2. band-join each active day to the ≤7 window days it serves
+       (equi-join on nothing sf-dependent: the day dimension is
+       |days| rows, broadcast),
+    3. ONE groupBy(window_day) count-distinct.
+
+    At 100 TB the (day, user) table is the small derived aggregate
+    (|days| × active users/day), and the 7× fan-out stays linear; for
+    wider windows (rolling MAU/365) the same shape swaps exact
+    count-distinct for mergeable HLL sketches unioned over the window
+    days. Days surface as strings so engine date materializations
+    can't drift."""
+    e = t(spark, sf_dir, "events")
+    active = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("d"), "user_id"
+    ).distinct()
+    all_days = active.select("d").distinct().select(F.col("d").alias("wnd"))
+    hits = active.join(
+        F.broadcast(all_days),
+        (F.col("d") <= F.col("wnd"))
+        & (F.col("d") >= F.date_sub(F.col("wnd"), 6)),
+    )
+    return hits.groupBy(
+        F.date_format("wnd", "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("wau"))

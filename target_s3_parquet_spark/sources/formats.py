@@ -64,6 +64,14 @@ def _roundtrip(spark, sf_dir, fmt: str):
     if fmt == "orc":
         writer.orc(path)
         return spark.read.schema(_SCHEMA).orc(path)
+    if fmt == "xml":
+        writer.format("xml").option("rowTag", "row").save(path)
+        return (
+            spark.read.schema(_SCHEMA)
+            .format("xml")
+            .option("rowTag", "row")
+            .load(path)
+        )
     writer.json(path)
     return spark.read.schema(_SCHEMA).json(path)
 
@@ -326,3 +334,15 @@ def scan_csv_badrecords(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query("scan_xml_roundtrip", _ORACLE)
+def scan_xml_roundtrip(spark, sf_dir):
+    """XML write→read identity via the Spark 4 built-in XML source
+    (rowTag-delimited row elements, explicit schema on read — never
+    inference at scale). XML is the remaining enterprise landing
+    format (SOAP feeds, legacy exports); the same DataFrame surface
+    queries it, only the codec under the scan changes. Doubles survive
+    because the writer emits round-trippable shortest-repr floats —
+    same contract as the CSV/JSON twins."""
+    return _roundtrip(spark, sf_dir, "xml")
