@@ -86,6 +86,34 @@ def main() -> None:
     # throughput from the engine's own progress events. Failures here
     # must never sink the headline bench line.
     extras: dict = {}
+    # Round-3 second-sweep operators, timed OUTSIDE the headline total
+    # so the headline stays comparable across rounds (same 24-key set
+    # since r2). min-of-2 steady state, same protocol.
+    SWEEP = [
+        "ivf_kmeans_train",
+        "docs_line_dedup",
+        "text_ngram_novelty",
+        "ts_rolling_wau",
+        "emb_hamming_pack",
+        "market_basket_pairs",
+        "detect_outliers_mad",
+    ]
+    sweep_t: dict[str, float] = {}
+    for name in SWEEP:
+        try:
+            fn = queries[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            sweep_t[name] = round(best, 3)
+            print(f"# sweep {name}: {sweep_t[name]}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            sweep_t[name] = -1.0
+            print(f"# sweep {name} FAILED: {e}", file=sys.stderr)
+    extras["second_sweep_sec"] = sweep_t
     try:
         from tools.bench_skew import run_skew
 

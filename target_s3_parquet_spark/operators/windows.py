@@ -378,3 +378,74 @@ def window_gap_islands(spark, sf_dir):
         .filter(F.col("n_days") >= 3)
         .drop("anchor")
     )
+
+
+@query(
+    "window_first_touch_attribution",
+    """
+    WITH tagged AS (
+      SELECT event_id, user_id, event_type,
+             epoch_us(ts) AS us,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                           || '_' ||
+                           lpad(CAST(event_id AS VARCHAR), 12, '0') END)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 259200000000 PRECEDING
+                           AND 1 PRECEDING) AS first_view_key
+      FROM events
+    )
+    -- NULLIF: DuckDB's split_part maps NULL input to '' (Spark's
+    -- split keeps NULL), so the unattributed case must be re-nulled
+    SELECT event_id AS purchase_id, user_id,
+           CAST(NULLIF(split_part(first_view_key, '_', 2), '') AS BIGINT)
+             AS attributed_view_id,
+           us - CAST(NULLIF(split_part(first_view_key, '_', 1), '')
+                     AS BIGINT) AS gap_us
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+)
+def window_first_touch_attribution(spark, sf_dir):
+    """First-touch marketing attribution: every purchase is credited
+    to the EARLIEST view by the same user within the trailing 3 days
+    (purchases with no view in window surface with NULL — unattributed
+    conversions are a metric, not an error).
+
+    One RANGE-framed window over microsecond offsets does the whole
+    lookback — no self-join of purchases against views, so cost is a
+    single user-key shuffle + per-user sort at any event volume
+    (contrast the naive time-range join, which explodes with fan-out).
+    The frame's upper bound is -1 µs, excluding same-instant events
+    identically in both engines; the min is over a zero-padded
+    (ts, event_id) string so ties resolve deterministically. This is
+    the backward-looking twin of `join_asof` (last-touch ≈ as-of
+    backward; first-touch needs the frame MIN instead)."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    okey = F.format_string("%020d_%012d", us, "event_id")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3 * 86400 * 1_000_000, -1)
+    )
+    first_view = F.min(
+        F.when(F.col("event_type") == "view", okey)
+    ).over(w)
+    tagged = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        first_view.alias("first_view_key"),
+    )
+    return tagged.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.split("first_view_key", "_").getItem(1).cast("long").alias(
+            "attributed_view_id"
+        ),
+        (
+            F.col("us")
+            - F.split("first_view_key", "_").getItem(0).cast("long")
+        ).alias("gap_us"),
+    )

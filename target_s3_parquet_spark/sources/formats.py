@@ -346,3 +346,49 @@ def scan_xml_roundtrip(spark, sf_dir):
     because the writer emits round-trippable shortest-repr floats —
     same contract as the CSV/JSON twins."""
     return _roundtrip(spark, sf_dir, "xml")
+
+
+@query(
+    "scan_observe_metrics",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total_price,
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS null_status
+    FROM orders WHERE o_totalprice >= 500.0
+    """,
+)
+def scan_observe_metrics(spark, sf_dir):
+    """Query-attached observability (`df.observe` + `Observation`):
+    data-quality metrics — row count, exact revenue total, null
+    counter — computed INSIDE the same job that does the work, as an
+    accumulator-style side channel with zero extra passes over the
+    data. This is the circuit-breaker pattern for production
+    pipelines: every batch (or `foreachBatch` epoch) publishes its
+    observed metrics, and a guard aborts downstream publication when
+    they breach contract — without paying a second scan at 100 TB.
+
+    The key materializes the observed values as a one-row result so
+    the metrics themselves are oracle-verified against a direct
+    recomputation."""
+    from pyspark.sql import Observation
+
+    obs = Observation("quality")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 500.0)
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_price"),
+        F.sum(F.col("o_orderstatus").isNull().cast("int"))
+        .cast("long")
+        .alias("null_status"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_price"], m["null_status"])],
+        "n_rows long, total_price double, null_status long",
+    )

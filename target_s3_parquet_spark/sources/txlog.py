@@ -710,3 +710,99 @@ def txlog_changes_between(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def clone_table(src_root: str, dst_root: str) -> int:
+    """SHALLOW CLONE: publish a new table whose v0 manifest references
+    the SOURCE's current data dirs — zero data copied, instant at any
+    table size (the Delta `CREATE TABLE ... SHALLOW CLONE` shape).
+    The clone is immediately independent: later commits to either side
+    write their own manifests (and their own data dirs), so the clone
+    is a true snapshot fork — the dev/test-against-prod-data pattern.
+    Source vacuums are the one coupling (they can delete dirs a clone
+    still references — same caveat Delta documents); a promotion to
+    deep clone copies dirs lazily."""
+    src_v = latest_version(src_root)
+    if src_v is None:
+        raise FileNotFoundError(f"no committed versions under {src_root}")
+    src_manifest = _read_manifest(src_root, src_v)
+    os.makedirs(_log_dir(dst_root), exist_ok=True)
+    return _claim_manifest(
+        dst_root,
+        f"clone:{src_root}@{src_v}",
+        lambda prev: list(src_manifest["dirs"]),
+        lambda prev: src_manifest.get("stats", {}),
+        expected_prev=None,
+    )
+
+
+@query(
+    "txlog_clone_shallow",
+    """
+    WITH mid AS (SELECT MAX(o_orderkey) // 2 AS m FROM orders),
+    v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders, mid
+      WHERE o_orderkey % 2 = 1 AND o_orderkey < mid.m
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT 'source_after_overwrite' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM v2
+    UNION ALL
+    SELECT 'clone', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+    FROM v1
+    """,
+)
+def txlog_clone_shallow(spark, sf_dir):
+    """Shallow-clone isolation, end to end: a table built in two
+    commits is cloned (zero bytes copied — the clone's manifest points
+    at the source's data dirs), the SOURCE is then overwritten, and
+    the key reads both: the source shows the overwrite, the clone
+    still shows the pre-overwrite snapshot. That pair of rows IS the
+    isolation guarantee — a fork, not a reference; the oracle restates
+    both table states from `orders`. At 100 TB the clone costs one
+    manifest PUT regardless of table size."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mid_v = o.agg(FF.max("o_orderkey")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="txlog_clone_")
+    try:
+        src = f"{tmp}/src_tbl"
+        dst = f"{tmp}/clone_tbl"
+        commit(o.filter(FF.col("o_orderkey") % 2 == 0), src)
+        commit(
+            o.filter(
+                (FF.col("o_orderkey") % 2 == 1)
+                & (FF.col("o_orderkey") < mid_v)
+            ),
+            src,
+        )
+        clone_table(src, dst)
+        commit(
+            o.filter(FF.col("o_orderkey") % 3 == 0), src, mode="overwrite"
+        )
+
+        def stats(df, label):
+            return df.agg(
+                FF.lit(label).alias("snapshot"),
+                FF.count("*").alias("n_rows"),
+                FF.sum(FF.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+
+        out = stats(read_table(spark, src), "source_after_overwrite").unionAll(
+            stats(read_table(spark, dst), "clone")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
