@@ -610,3 +610,102 @@ def text_ngram_novelty(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "text_bpe_merge_step",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    bg1 AS (
+      SELECT words[i] || ' ' || words[i + 1] AS bigram, COUNT(*) AS c
+      FROM w CROSS JOIN UNNEST(range(1, len(words))) AS t(i)
+      GROUP BY 1
+    ),
+    top1 AS (
+      SELECT bigram FROM bg1 ORDER BY c DESC, bigram LIMIT 1
+    ),
+    merged AS (
+      SELECT trim(replace(' ' || text || ' ',
+                          ' ' || (SELECT bigram FROM top1) || ' ',
+                          ' ' || replace((SELECT bigram FROM top1), ' ', '_')
+                              || ' ')) AS text
+      FROM documents
+    ),
+    w2 AS (SELECT string_split(text, ' ') AS words FROM merged),
+    bg2 AS (
+      SELECT words[i] || ' ' || words[i + 1] AS bigram, COUNT(*) AS c
+      FROM w2 CROSS JOIN UNNEST(range(1, len(words))) AS t(i)
+      GROUP BY 1
+    )
+    SELECT bigram, c AS n_occurrences FROM (
+      SELECT bigram, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, bigram) AS rn
+      FROM bg2)
+    WHERE rn <= 5
+    """,
+)
+def text_bpe_merge_step(spark, sf_dir):
+    """One merge iteration of pair-encoding tokenizer training (the
+    word2phrase / word-level-BPE step): count all adjacent word pairs
+    corpus-wide, merge the most frequent pair into a single token
+    everywhere (deterministic tiebreak on the pair string), recount,
+    and return the next top-5 candidates — which now include bigrams
+    THROUGH the merged token, exactly how the next iteration's
+    candidates should look.
+
+    Distributed shape per iteration: one map-side bigram explode + one
+    combinable groupBy (shuffle carries (pair, partial count)); the
+    winning pair is a 1-row aggregate broadcast into a pure map-side
+    corpus rewrite. That is the entire data motion of real BPE
+    training at corpus scale — N iterations = N such passes, with the
+    pair-count table kept incrementally in production (only counts
+    touching the merged pair change). The space-padded string replace
+    is word-boundary-safe and scans left-to-right non-overlapping
+    identically in both engines."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+
+    def bigram_counts(df):
+        ws = F.split(F.col("text"), " ")
+        b = df.select(
+            ws.alias("w"),
+            F.explode(F.sequence(F.lit(1), F.size(ws) - 1)).alias("i"),
+        ).filter(F.size("w") >= 2).select(
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("i")),
+                F.element_at("w", F.col("i") + 1),
+            ).alias("bigram")
+        )
+        return b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+
+    top1 = (
+        bigram_counts(d.select("text"))
+        .orderBy(F.col("c").desc(), "bigram")
+        .limit(1)
+        .select("bigram")
+    )
+    merged = d.crossJoin(F.broadcast(top1)).select(
+        F.trim(
+            F.replace(
+                F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("bigram"), F.lit(" ")),
+                F.concat(
+                    F.lit(" "),
+                    F.replace(F.col("bigram"), F.lit(" "), F.lit("_")),
+                    F.lit(" "),
+                ),
+            )
+        ).alias("text")
+    )
+    bg2 = bigram_counts(merged)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("c").desc(), "bigram")
+    return (
+        bg2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("bigram", F.col("c").alias("n_occurrences"))
+    )
