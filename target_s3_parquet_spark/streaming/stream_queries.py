@@ -988,3 +988,96 @@ def stream_txlog_sink(spark, sf_dir):
         return spark.createDataFrame(snap.collect(), snap.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_epoch_metrics",
+    """
+    WITH chunked AS (
+      SELECT CAST(NTILE(3) OVER (ORDER BY ts, event_id) - 1 AS BIGINT)
+               AS epoch,
+             event_id, value
+      FROM events
+    )
+    SELECT epoch, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+           MIN(event_id) AS min_event_id,
+           MAX(event_id) AS max_event_id
+    FROM chunked GROUP BY epoch
+    """,
+)
+def stream_epoch_metrics(spark, sf_dir):
+    """Per-micro-batch pipeline observability: every epoch publishes
+    its own quality metrics (row count, decimal-exact value total,
+    id bounds) from INSIDE the foreachBatch hook — the streaming twin
+    of `scan_observe_metrics`, and the hook where a production
+    circuit-breaker aborts the epoch commit when a metric breaches
+    contract. Metrics are per-epoch rows, so the run's health history
+    is itself a queryable table.
+
+    Determinism: the replayed log is chunked by NTILE(3) over
+    (ts, event_id) and one file maps to one micro-batch (mtime-ordered
+    file source, maxFilesPerTrigger=1), so epoch membership — and
+    therefore every metric row — is exactly restatable by the batch
+    oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    events = t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="epoch_obs_")
+    try:
+        stream_dir = os.path.join(tmp, "stream")
+        chunked = events.withColumn(
+            "_chunk", F.ntile(3).over(W.orderBy("ts", "event_id")) - 1
+        ).cache()
+        for i in range(3):
+            chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(
+                1
+            ).write.mode("append").parquet(stream_dir)
+        chunked.unpersist()
+
+        metrics: list[tuple] = []
+
+        def observe_epoch(batch, batch_id):
+            row = batch.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("value").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total_value"),
+                F.min("event_id").alias("min_event_id"),
+                F.max("event_id").alias("max_event_id"),
+            ).collect()[0]
+            metrics.append(
+                (
+                    int(batch_id),
+                    row["n_rows"],
+                    row["total_value"],
+                    row["min_event_id"],
+                    row["max_event_id"],
+                )
+            )
+
+        reader = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            reader.writeStream.foreachBatch(observe_epoch)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.createDataFrame(
+            metrics,
+            "epoch long, n_rows long, total_value double,"
+            " min_event_id long, max_event_id long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
