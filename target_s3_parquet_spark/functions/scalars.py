@@ -477,3 +477,37 @@ def scalar_url_parse(spark, sf_dir):
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
         F.parse_url("url", F.lit("PROTOCOL")).alias("protocol"),
     )
+
+
+@query(
+    "search_multi_term_rank",
+    """
+    WITH scored AS (
+      SELECT p_partkey, p_name,
+             (CASE WHEN p_name LIKE '%small%' THEN 1 ELSE 0 END
+              + CASE WHEN p_name LIKE '%gear%' THEN 1 ELSE 0 END
+              + CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END)
+               AS n_terms
+      FROM part
+    )
+    SELECT p_partkey, p_name, n_terms FROM scored WHERE n_terms >= 2
+    """,
+)
+def search_multi_term_rank(spark, sf_dir):
+    """Multi-term keyword search with match-count ranking — the
+    LIKE-based retrieval baseline (each term is a pushdown-friendly
+    contains; the score is how many matched, filtered to ≥2). The scan
+    evaluates all terms in one codegen'd pass with no shuffle; at
+    100 TB this shape is what a search over a token-inverted index
+    must beat, and the engine-side fallback when no index exists.
+    Scoring by term count (not position) keeps it exactly restatable;
+    the TF-IDF key covers weighted relevance."""
+    p = t(spark, sf_dir, "part")
+    score = sum(
+        F.col("p_name").contains(term).cast("int")
+        for term in ("small", "gear", "red")
+    )
+    return (
+        p.select("p_partkey", "p_name", score.alias("n_terms"))
+        .filter(F.col("n_terms") >= 2)
+    )

@@ -636,3 +636,51 @@ def ts_rolling_wau(spark, sf_dir):
     return hits.groupBy(
         F.date_format("wnd", "yyyy-MM-dd").alias("day")
     ).agg(F.countDistinct("user_id").alias("wau"))
+
+
+@query(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    pairs AS (
+      SELECT cur, nxt, COUNT(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    totals AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS t FROM pairs GROUP BY cur)
+    SELECT p.cur, p.nxt, p.n,
+           CAST(p.n AS DOUBLE) / t.t AS prob
+    FROM pairs p JOIN totals t ON t.cur = p.cur
+    """,
+)
+def events_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), the sequence statistic
+    behind next-action prediction, anomalous-flow detection, and
+    funnel leak analysis. One LEAD window (single user-key shuffle +
+    sort — the same exchange sessionization uses), then a combinable
+    pair count; row probabilities divide two exact integers, so the
+    matrix is deterministic on any partitioning. At 100 TB the
+    transition counts are O(|types|²) rows out of an event-volume
+    shuffle — the reduction happens map-side."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    pairs = seq.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("t"))
+    return (
+        pairs.join(F.broadcast(totals), "cur")
+        .select(
+            "cur",
+            "nxt",
+            "n",
+            (F.col("n").cast("double") / F.col("t")).alias("prob"),
+        )
+    )
