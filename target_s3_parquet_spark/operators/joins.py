@@ -880,3 +880,74 @@ def join_bloom_semi_reduction(spark, sf_dir):
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(dec("l_extendedprice")).cast("double").alias("order_revenue"),
     )
+
+
+@query(
+    "data_skew_diagnostics",
+    """
+    WITH per_key AS (
+      SELECT l_orderkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+             CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) / COUNT(*) AS avg_cnt
+      FROM per_key
+    ),
+    topk AS (
+      SELECT k, cnt FROM (
+        SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rn
+        FROM per_key) WHERE rn <= 3
+    )
+    SELECT s.n_keys, s.max_cnt, s.avg_cnt,
+           CAST(s.max_cnt AS DOUBLE) / s.avg_cnt AS skew_ratio,
+           t.k AS hot_key, t.cnt AS hot_cnt
+    FROM stats s CROSS JOIN topk t
+    """,
+)
+def data_skew_diagnostics(spark, sf_dir):
+    """Join-key skew profiling — the diagnostic you run BEFORE picking
+    a join strategy at scale: per-key cardinality stats (distinct
+    keys, max/avg rows per key, skew ratio) plus the top hot keys.
+    A skew ratio near 1 says hash-partition freely; a heavy tail says
+    AQE skew-split or explicit salting (`join_skew_salted`), and the
+    hot-key list is exactly the salting candidate set.
+
+    One map-side-combinable count per key, then two tiny aggregates
+    over the per-key table — at 100 TB this is the same cost as any
+    groupBy on the join key, and in practice it runs on a sample or
+    is maintained incrementally as table stats. (The synthetic
+    lineitem is deliberately uniform — skew_ratio ~2 — while
+    `tools/bench_skew.py` measures the 90%-hot-key regime this
+    diagnostic exists to catch.)"""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_cnt"),
+    )
+    w = W.orderBy(F.col("cnt").desc(), F.col("k"))
+    topk = (
+        per_key.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("k").alias("hot_key"), F.col("cnt").alias("hot_cnt"))
+    )
+    return (
+        F.broadcast(stats)
+        .crossJoin(topk)
+        .select(
+            "n_keys",
+            "max_cnt",
+            "avg_cnt",
+            (F.col("max_cnt").cast("double") / F.col("avg_cnt")).alias(
+                "skew_ratio"
+            ),
+            "hot_key",
+            "hot_cnt",
+        )
+    )

@@ -1127,3 +1127,86 @@ def pareto_revenue_share(spark, sf_dir):
         )
     )
     return ranked.filter(F.col("cum_share") <= 0.5)
+
+
+@query(
+    "rlhf_preference_pairs",
+    """
+    WITH scored AS (
+      SELECT doc_id, source,
+             LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS n_spaces,
+             n_chars
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn_top,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id) AS rn_bot
+      FROM scored
+    )
+    SELECT t.source,
+           t.doc_id AS chosen_doc,
+           b.doc_id AS rejected_doc,
+           t.n_chars - b.n_chars AS quality_gap
+    FROM ranked t JOIN ranked b
+      ON t.source = b.source AND t.rn_top = b.rn_bot AND t.rn_top <= 5
+    WHERE t.doc_id <> b.doc_id
+    """,
+)
+def rlhf_preference_pairs(spark, sf_dir):
+    """Preference-pair construction for reward-model / DPO training
+    data: within each source, the top-k documents by a quality signal
+    (n_chars standing in for a learned scorer) are paired against the
+    bottom-k (rank i from the top with rank i from the bottom), with
+    the score gap carried as the pair's margin. Deterministic ranks
+    (full tiebreak on doc_id) make the dataset reproducible — the
+    property preference data MUST have, since a re-run that pairs
+    differently silently changes the training distribution.
+
+    Shape: two rank windows over ONE shuffle on source (same
+    partitioning, shared exchange), then a self-join on (source, rank)
+    — rank is unique within source, so the join is 1:1, k rows per
+    source. At 100 TB with a model-based scorer, the scorer is a
+    batch-inference column feeding these exact windows."""
+    d = t(spark, sf_dir, "documents")
+    w_top = W.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    w_bot = W.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(w_top).alias("rn_top"),
+        F.row_number().over(w_bot).alias("rn_bot"),
+    )
+    top = ranked.filter(F.col("rn_top") <= 5).select(
+        "source",
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("n_chars").alias("c_chars"),
+        F.col("rn_top").alias("rank"),
+    )
+    bot = ranked.select(
+        F.col("source").alias("b_source"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("n_chars").alias("b_chars"),
+        F.col("rn_bot").alias("b_rank"),
+    )
+    return (
+        top.join(
+            bot,
+            (F.col("source") == F.col("b_source"))
+            & (F.col("rank") == F.col("b_rank")),
+        )
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "source",
+            "chosen_doc",
+            "rejected_doc",
+            (F.col("c_chars") - F.col("b_chars")).alias("quality_gap"),
+        )
+    )

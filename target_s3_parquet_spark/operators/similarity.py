@@ -1152,3 +1152,69 @@ def emb_hamming_pack(spark, sf_dir):
             ).alias("hamming"),
         )
     )
+
+
+@query(
+    "emb_centroid_assign_drift",
+    _KM_TRAIN_CTES
+    + """,
+    a_seed AS ("""
+    + _km_assign_sql("v", "c0")
+    + """),
+    a_trained AS ("""
+    + _km_assign_sql("v", "c2")
+    + """)
+    SELECT COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN s.cid <> t.cid THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved,
+           CAST(SUM(CASE WHEN s.cid <> t.cid THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS moved_frac
+    FROM a_seed s JOIN a_trained t ON t.vec_id = s.vec_id
+    """,
+)
+def emb_centroid_assign_drift(spark, sf_dir):
+    """Index-rebuild impact analysis: how many vectors change cells
+    when the IVF codebook is retrained (seeded first-K centroids vs
+    the 2-iteration Lloyd codebook)? The moved fraction is the metric
+    that decides whether an index rebuild forces a full re-shard of
+    the posting lists or an incremental patch — at 100 TB, re-sharding
+    a corpus is the expensive step, not training.
+
+    Both assignments are one broadcast-K map-side pass each, joined on
+    vec_id (co-partitioned) and reduced to a single summary row; the
+    oracle replays seed-assign, train, train-assign end to end."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    seeded = v.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    trained, _ = _km_train(spark, sf_dir)
+
+    def assign(cents, out):
+        w = W.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("cid")
+        )
+        return (
+            v.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "cid",
+                _cos_col(F.col("v"), F.col("cv")).alias("cos"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").alias(out))
+        )
+
+    j = assign(seeded, "cid_seed").join(
+        assign(trained, "cid_trained"), "vec_id"
+    )
+    moved = (F.col("cid_seed") != F.col("cid_trained")).cast("int")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(moved).alias("n_moved"),
+        (F.sum(moved).cast("double") / F.count(F.lit(1))).alias(
+            "moved_frac"
+        ),
+    )
