@@ -1081,3 +1081,54 @@ def stream_epoch_metrics(spark, sf_dir):
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_update_mode",
+    """
+    WITH numbered AS (
+      SELECT event_type,
+             CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY event_id) - 1) * 3.0
+                        / (COUNT(*) OVER ())) AS BIGINT) AS chunk
+      FROM events
+    ),
+    epochs AS (SELECT UNNEST([0, 1, 2]) AS e)
+    SELECT n.event_type, COUNT(*) AS n_events
+    FROM epochs
+    JOIN numbered n ON n.chunk <= epochs.e
+    WHERE n.event_type IN (
+      SELECT DISTINCT event_type FROM numbered u WHERE u.chunk = epochs.e
+    )
+    GROUP BY epochs.e, n.event_type
+    """,
+)
+def stream_update_mode(spark, sf_dir):
+    """UPDATE output mode — the third streaming output semantics
+    (complete and append are covered by the window keys): each
+    micro-batch emits ONLY the aggregate rows that changed in that
+    epoch, so the sink receives a changelog of per-type counts — one
+    row per (epoch, updated type) carrying the cumulative count at
+    that epoch. This is the mode that feeds incremental-refresh
+    serving tables without re-emitting the whole state every trigger
+    (complete) and without waiting for watermark finalization
+    (append).
+
+    The memory sink accumulates the changelog; the oracle restates it
+    exactly: for every epoch, the types present in that chunk paired
+    with their running totals over chunks ≤ epoch (deterministic
+    chunking shared with the replay helper — same floor arithmetic,
+    same unique order key)."""
+    events = t(spark, sf_dir, "events")
+
+    def build(stream):
+        return stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+
+    return replay_stream(
+        spark,
+        events,
+        build,
+        output_mode="update",
+        order_col="event_id",
+    )
