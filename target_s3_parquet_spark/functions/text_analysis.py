@@ -709,3 +709,39 @@ def text_bpe_merge_step(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("bigram", F.col("c").alias("n_occurrences"))
     )
+
+
+@query(
+    "text_length_log_histogram",
+    """
+    SELECT LENGTH(bin(n_chars)) AS log2_bin,
+           CAST(POWER(2, LENGTH(bin(n_chars)) - 1) AS BIGINT) AS bin_floor,
+           COUNT(*) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def text_length_log_histogram(spark, sf_dir):
+    """Log2-binned document-length histogram — the heavy-tailed
+    distribution view every corpus report needs (linear bins hide the
+    tail). The bin index is EXACT integer arithmetic: floor(log2 n)+1
+    computed as the LENGTH OF THE BINARY STRING representation, not a
+    floating log2 whose boundary values (exact powers of two) round
+    differently across libm implementations. bin_floor = 2^(k-1) is
+    exact in double for these magnitudes.
+
+    One map-side projection + a tiny groupBy; at 100 TB the histogram
+    is the first gate of length-based quality filtering (both tails
+    get cut), and this exact binning makes the filter reproducible."""
+    d = t(spark, sf_dir, "documents")
+    log2_bin = F.length(F.bin("n_chars"))
+    return d.groupBy(
+        log2_bin.alias("log2_bin"),
+        F.pow(F.lit(2), log2_bin - 1).cast("long").alias("bin_floor"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -273,3 +273,36 @@ def udf_sql_declarative(spark, sf_dir):
         FROM lineitem_sqludf GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "udf_arrow_scalar",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000.0 THEN 'platinum'
+                WHEN o_totalprice >= 150000.0 THEN 'gold'
+                ELSE 'standard' END AS tier
+    FROM orders
+    """,
+)
+def udf_arrow_scalar(spark, sf_dir):
+    """Arrow-optimized Python UDF (`@udf(useArrow=True)`, Spark 3.5+/4):
+    the same row-level function signature as the classic pickled UDF
+    (`udf_python`) but with Arrow columnar transfer under it — the
+    migration path that speeds up existing row-at-a-time UDF code
+    without rewriting it into pandas-Series form (`udf_pandas_scalar`
+    remains the fully-vectorized top gear; this key completes the
+    three-tier UDF surface: pickled row → Arrow row → pandas batch).
+    Same oracle as the pickled twin, proving the transport change is
+    semantics-free."""
+
+    @F.udf("string", useArrow=True)
+    def tier(price: float) -> str:
+        if price >= 300000.0:
+            return "platinum"
+        if price >= 150000.0:
+            return "gold"
+        return "standard"
+
+    o = t(spark, sf_dir, "orders")
+    return o.select("o_orderkey", tier("o_totalprice").alias("tier"))

@@ -1003,3 +1003,93 @@ def agg_higher_moments(spark, sf_dir):
         (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         (m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "ab_test_ttest",
+    """
+    WITH assigned AS (
+      SELECT CASE WHEN CAST(('0x' || substring(md5('ab:' || user_id), 1, 8))
+                       AS BIGINT) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+      FROM assigned GROUP BY arm
+    ),
+    stats AS (
+      SELECT arm, n, s1 / n AS mean,
+             (s2 - s1 * s1 / n) / (n - 1) AS var
+      FROM arms
+    )
+    SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+           a.mean - b.mean AS lift,
+           (a.mean - b.mean) / SQRT(a.var / a.n + b.var / b.n) AS t_stat
+    FROM stats a JOIN stats b ON a.arm = 'A' AND b.arm = 'B'
+    """,
+)
+def ab_test_ttest(spark, sf_dir):
+    """Experimentation analysis: users are hash-assigned to arms (the
+    same keyed-hash determinism the corpus splits use — assignment is
+    reproducible and join-free), and Welch's t-statistic for the
+    purchase-value lift comes from exact moment sums: S1/S2 through
+    the decimal channel, then mean/variance/t as pure double
+    arithmetic written identically in both engines.
+
+    Shape at scale: ONE map-side-combinable groupBy over the exposed
+    events (two partial-state rows total), then a 2×2 self-join of a
+    2-row aggregate — experiment readouts cost the same as a count at
+    100 TB, which is why every metrics platform computes them from
+    moment sums exactly like this. (Significance thresholding happens
+    downstream against the t-distribution; the engine's job is the
+    exact statistic.)"""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    assigned = e.select(
+        F.when(bucket == 0, "A").otherwise("B").alias("arm"), "value"
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("s1"),
+        F.sum(dec(F.col("value") * F.col("value"))).cast("double").alias(
+            "s2"
+        ),
+    )
+    stats = arms.select(
+        "arm",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = stats.filter(F.col("arm") == "A").alias("a")
+    b = stats.filter(F.col("arm") == "B").alias("b")
+    return a.crossJoin(b).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("a.mean").alias("mean_a"),
+        F.col("b.mean").alias("mean_b"),
+        (F.col("a.mean") - F.col("b.mean")).alias("lift"),
+        (
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(
+                F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+            )
+        ).alias("t_stat"),
+    )
