@@ -306,3 +306,53 @@ def udf_arrow_scalar(spark, sf_dir):
 
     o = t(spark, sf_dir, "orders")
     return o.select("o_orderkey", tier("o_totalprice").alias("tier"))
+
+
+@query(
+    "udaf_grouped_arrow",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT))
+                - MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS span_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_grouped_arrow(spark, sf_dir):
+    """Arrow-native grouped map (`groupBy().applyInArrow`, Spark 4):
+    each group arrives as ONE pyarrow.Table and the function returns a
+    Table — no pandas materialization at all, which matters when the
+    per-group payload is large binary/tensor data that pandas would
+    copy (the pandas twin is `udaf_grouped_map`). Values are lifted to
+    integer cents BEFORE the Python boundary (codegen projection), so
+    the Arrow-side max-min span is exact integer arithmetic and the
+    oracle restates it directly.
+
+    Scale: one shuffle on the group key; each task streams its groups
+    through Arrow batches — the grouped-inference shape (per-group
+    model scoring / feature extraction) at its cheapest transport."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def span(table: pa.Table) -> pa.Table:
+        c = table.column("cents")
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [table.column("event_type")[0].as_py()], type=pa.string()
+                ),
+                "n": pa.array([table.num_rows], type=pa.int64()),
+                "span_cents": pa.array(
+                    [pc.max(c).as_py() - pc.min(c).as_py()], type=pa.int64()
+                ),
+            }
+        )
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return e.groupBy("event_type").applyInArrow(
+        span, schema="event_type string, n long, span_cents long"
+    )

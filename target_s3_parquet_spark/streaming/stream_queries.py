@@ -1132,3 +1132,65 @@ def stream_update_mode(spark, sf_dir):
         output_mode="update",
         order_col="event_id",
     )
+
+
+@query(
+    "stream_session_dynamic_gap",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase'
+                  THEN 3600000000 ELSE 1800000000 END AS gap_us
+      FROM events
+    ),
+    flags AS (
+      SELECT user_id, ts, us,
+             CASE WHEN MAX(us + gap_us) OVER (
+                    PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > us
+                  THEN 0 ELSE 1 END AS new_s
+      FROM g
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS sid
+      FROM flags
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic_gap(spark, sf_dir):
+    """Session windows with a DYNAMIC, per-event gap (Spark's
+    `session_window(ts, gap_expr)`): purchases hold the session open
+    for 60 minutes, everything else 30 — the engagement-modeling shape
+    where high-intent actions extend the session. Each event
+    contributes a window [ts, ts+gap) and overlapping windows merge.
+
+    The oracle is an independent relational derivation of exactly that
+    merge rule: an event starts a new session iff the running MAX of
+    predecessors' (ts + gap) does not strictly exceed its own ts —
+    the half-open-interval semantics pinned cross-engine at
+    microsecond precision. Complete output mode ⇒ final state equals
+    the batch statement regardless of chunking."""
+    events = t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", "60 minutes"
+    ).otherwise("30 minutes")
+
+    def build(stream):
+        return (
+            stream.groupBy(
+                F.session_window("ts", gap).alias("w"), "user_id"
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("w.start").alias("session_start"),
+                "n_events",
+            )
+        )
+
+    return replay_stream(spark, events, build, output_mode="complete")
