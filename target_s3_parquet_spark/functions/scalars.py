@@ -511,3 +511,38 @@ def search_multi_term_rank(spark, sf_dir):
         p.select("p_partkey", "p_name", score.alias("n_terms"))
         .filter(F.col("n_terms") >= 2)
     )
+
+
+@query(
+    "scalar_csv_parse",
+    """
+    SELECT o_orderkey,
+           o_orderkey AS parsed_key,
+           o_orderstatus AS parsed_status,
+           o_totalprice AS parsed_price
+    FROM orders
+    """,
+)
+def scalar_csv_parse(spark, sf_dir):
+    """Embedded-CSV parsing (`to_csv`/`from_csv` as SCALAR functions,
+    not file I/O): each row is serialized to a CSV line and parsed
+    back under an explicit schema inside one projection — the shape
+    for CSV-in-a-column payloads (message queues and log envelopes
+    love them). Round-trip identity is the oracle: parsing recovers
+    exactly the source columns, proving the codec pair is lossless
+    for these types (doubles survive via shortest-repr, same contract
+    as the file-level `scan_csv_roundtrip`). Pure codegen, no
+    shuffle, no Python."""
+    o = t(spark, sf_dir, "orders")
+    line = F.to_csv(
+        F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    parsed = F.from_csv(
+        line, "k LONG, s STRING, p DOUBLE"
+    )
+    return o.select(
+        "o_orderkey",
+        parsed.getField("k").alias("parsed_key"),
+        parsed.getField("s").alias("parsed_status"),
+        parsed.getField("p").alias("parsed_price"),
+    )

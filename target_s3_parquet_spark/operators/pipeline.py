@@ -1210,3 +1210,52 @@ def rlhf_preference_pairs(spark, sf_dir):
             (F.col("c_chars") - F.col("b_chars")).alias("quality_gap"),
         )
     )
+
+
+@query(
+    "corpus_temperature_weights",
+    """
+    WITH src AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    w AS (
+      -- TRUNC before the cast: DuckDB's double->BIGINT cast rounds,
+      -- Spark's truncates (same divergence the k-means fix covers)
+      SELECT source, n_docs,
+             CAST(TRUNC(SQRT(CAST(n_docs AS DOUBLE)) * 1000000000.0)
+                  AS BIGINT) AS w_q
+      FROM src
+    ),
+    tot AS (SELECT CAST(SUM(w_q) AS BIGINT) AS t FROM w)
+    SELECT source, n_docs,
+           CAST(w_q AS DOUBLE) / 1000000000.0 AS weight,
+           CAST(w_q AS DOUBLE) / t AS sample_prob
+    FROM w CROSS JOIN tot
+    """,
+)
+def corpus_temperature_weights(spark, sf_dir):
+    """Temperature-based mixture reweighting (the mC4 / XLM-R
+    multilingual sampling rule, T=2 ⇒ p_i ∝ n_i^(1/2)): raw source
+    sizes are compressed toward uniform so low-resource sources are
+    upsampled relative to their share. Output is the per-source
+    sampling probability table that `corpus_mixture_sample`-style
+    keyed-hash filters then consume as their rates.
+
+    Exactness: sqrt(n) of an integer is deterministic IEEE, but the
+    SUM of 20 such doubles is partition-order-dependent — so weights
+    are truncation-quantized to a 1e-9 integer grid first (tie-free,
+    exact BIGINT total), and probabilities divide two exact integers.
+    One tiny aggregate over a groupBy — free at any corpus size."""
+    d = t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w_q = F.expr(
+        "CAST(SQRT(CAST(n_docs AS DOUBLE)) * 1000000000.0 AS BIGINT)"
+    )
+    w = src.select("source", "n_docs", w_q.alias("w_q"))
+    tot = w.agg(F.sum("w_q").alias("t"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("w_q").cast("double") / F.lit(1000000000.0)).alias("weight"),
+        (F.col("w_q").cast("double") / F.col("t")).alias("sample_prob"),
+    )

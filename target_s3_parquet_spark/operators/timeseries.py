@@ -684,3 +684,47 @@ def events_transition_matrix(spark, sf_dir):
             (F.col("n").cast("double") / F.col("t")).alias("prob"),
         )
     )
+
+
+@query(
+    "ts_interarrival_stats",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(gap_us) AS n_gaps,
+           CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) / COUNT(gap_us)
+             AS mean_gap_us,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_interarrival_stats(spark, sf_dir):
+    """Inter-arrival time profile per event type — the first
+    diagnostic for rate modeling, anomaly thresholds, and watermark
+    sizing (a stream's watermark delay should dominate the observed
+    gap tail, and this table is the evidence). One LAG window on the
+    (type, time) sort, then exact integer-microsecond aggregates: the
+    mean divides two exact integers, so the profile is deterministic
+    on any partitioning. Same single-exchange shape as every other
+    per-key window in the catalog."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count("gap_us")).alias(
+            "mean_gap_us"
+        ),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
