@@ -193,3 +193,71 @@ def test_kmeans_training_improves_within_cluster_cosine(spark):
     assert q2 >= q0 - 1e-9, f"training degraded the codebook: {q0} -> {q2}"
     # and training actually moved the needle on this corpus
     assert q2 > q0, f"no improvement recorded: {q0} -> {q2}"
+
+
+def test_line_dedup_keeps_each_distinct_block_exactly_once(spark):
+    """docs_line_dedup's keep-first rule means the cleaned corpus
+    contains every distinct block exactly once: sum(n_kept) over all
+    docs == global distinct block count, and no doc keeps more than it
+    had."""
+    import pyspark.sql.functions as F
+
+    from target_s3_parquet_spark.registry import get_queries
+    from tests.conftest import SF_SMALL
+
+    out = get_queries()["docs_line_dedup"](spark, SF_SMALL).cache()
+    assert out.filter(F.col("n_kept") > F.col("n_blocks")).count() == 0
+    kept_total = out.agg(F.sum("n_kept")).collect()[0][0]
+    # recompute the distinct block count independently
+    d = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    words = F.split("text", " ")
+    blocks = d.select(
+        words.alias("w"),
+        F.explode(
+            F.sequence(
+                F.lit(0), F.ceil(F.size(words) / F.lit(3.0)).cast("int") - 1
+            )
+        ).alias("i"),
+    ).select(
+        F.array_join(
+            F.slice(F.col("w"), F.col("i") * 3 + 1, 3), " "
+        ).alias("bt")
+    )
+    n_distinct = blocks.distinct().count()
+    out.unpersist()
+    assert kept_total == n_distinct, (kept_total, n_distinct)
+
+
+def test_rolling_wau_dominates_dau_and_respects_user_total(spark):
+    """For every day: DAU <= WAU(7d) <= total distinct users — the
+    sandwich any correct sliding-distinct implementation must satisfy
+    (equality cases define the boundaries)."""
+    import pyspark.sql.functions as F
+
+    from target_s3_parquet_spark.registry import get_queries
+    from tests.conftest import SF_SMALL
+
+    wau = get_queries()["ts_rolling_wau"](spark, SF_SMALL)
+    e = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    dau = e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    total_users = e.select("user_id").distinct().count()
+    j = wau.join(dau, "day").collect()
+    assert j, "no days joined"
+    for row in j:
+        assert row["dau"] <= row["wau"] <= total_users, row
+
+
+def test_preference_pairs_have_nonnegative_margin(spark):
+    """rlhf_preference_pairs pairs rank-i-from-top with rank-i-from-
+    bottom; for k << group size the chosen side always scores at least
+    the rejected side, so every margin is non-negative (a negative gap
+    would mean the ranking or the join is wrong)."""
+    import pyspark.sql.functions as F
+
+    from target_s3_parquet_spark.registry import get_queries
+    from tests.conftest import SF_SMALL
+
+    out = get_queries()["rlhf_preference_pairs"](spark, SF_SMALL)
+    assert out.filter(F.col("quality_gap") < 0).count() == 0
