@@ -1093,3 +1093,44 @@ def ab_test_ttest(spark, sf_dir):
             )
         ).alias("t_stat"),
     )
+
+
+@query(
+    "agg_bitmap_exact_distinct",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_nd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_exact_distinct(spark, sf_dir):
+    """EXACT mergeable distinct counting via bitmaps (Spark 3.5+
+    `bitmap_construct_agg` / `bitmap_or_agg` / `bitmap_count`): keys
+    are bucketed into fixed 32k-bit bitmap segments, per-(group,
+    bucket) bitmaps build map-side, OR-merge across any
+    partitioning/sub-grouping, and the distinct count is the summed
+    popcount — the exact twin of the HLL sketch path
+    (`agg_hll_sketch_merge`): same mergeable-state algebra, zero
+    error, memory proportional to the key range instead of constant.
+
+    This is how incremental pipelines maintain exact NDV at 100 TB:
+    store the per-partition bitmaps, OR in each new batch, never
+    re-shuffle history. The merge step here is real (per-linestatus
+    bitmaps OR-merged up to the flag level); the oracle is the plain
+    COUNT(DISTINCT) the bitmap algebra must reproduce bit-exactly."""
+    li = t(spark, sf_dir, "lineitem")
+    fine = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("bitmap_bucket_number(l_orderkey)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(l_orderkey))"
+        ).alias("bm")
+    )
+    merged = fine.groupBy("l_returnflag", "bucket").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return merged.groupBy("l_returnflag").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("exact_nd")
+    )
