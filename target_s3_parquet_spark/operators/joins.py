@@ -951,3 +951,86 @@ def data_skew_diagnostics(spark, sf_dir):
             "hot_cnt",
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    """
+    SELECT purchase_id, user_id, view_id, direction, gap_us FROM (
+      SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+             v.event_id AS view_id,
+             CASE WHEN v.event_id IS NULL THEN NULL
+                  WHEN epoch_us(v.ts) <= epoch_us(p.ts) THEN 'back'
+                  ELSE 'fwd' END AS direction,
+             ABS(epoch_us(v.ts) - epoch_us(p.ts)) AS gap_us,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY ABS(epoch_us(v.ts) - epoch_us(p.ts)),
+                        CASE WHEN epoch_us(v.ts) <= epoch_us(p.ts)
+                             THEN 0 ELSE 1 END,
+                        CASE WHEN epoch_us(v.ts) <= epoch_us(p.ts)
+                             THEN -v.event_id ELSE v.event_id END) AS rn
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'view') v
+        ON v.user_id = p.user_id)
+    WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest-neighbor as-of join (either direction): each purchase
+    matches the view with the SMALLEST absolute time distance by the
+    same user — ties prefer the backward match (the causal one), then
+    the deterministic event-id rule each direction's carry implies.
+    Completes the as-of family: backward (`join_asof`), forward
+    (`join_asof_forward`), tolerance-bounded (`join_asof_tolerance`),
+    and nearest — the sensor-fusion/alignment default.
+
+    Plan: the SAME single union shuffle as the other as-of forms, with
+    TWO carries over one partition sort — `last(view) ignoreNulls`
+    looking back and `first(view) ignoreNulls` looking forward — then
+    a stateless projection picks the closer side. Cost stays
+    |views| + |purchases| rows through one exchange, independent of
+    fan-out; the quadratic per-user product exists only in the
+    oracle."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.lit(0).alias("side"), "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    tagged = views.unionAll(purchases)
+    base = W.partitionBy("user_id").orderBy("ts", "side", "event_id")
+    w_back = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_fwd = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    view_struct = F.when(
+        F.col("side") == 0,
+        F.struct(F.col("event_id"), F.unix_micros("ts").alias("us")),
+    )
+    carried = tagged.withColumn(
+        "back", F.last(view_struct, ignorenulls=True).over(w_back)
+    ).withColumn(
+        "fwd", F.first(view_struct, ignorenulls=True).over(w_fwd)
+    )
+    p_us = F.unix_micros("ts")
+    gap_back = p_us - F.col("back.us")
+    gap_fwd = F.col("fwd.us") - p_us
+    choose_back = F.col("back").isNotNull() & (
+        F.col("fwd").isNull() | (gap_back <= gap_fwd)
+    )
+    return carried.filter(F.col("side") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(choose_back, F.col("back.event_id"))
+        .otherwise(F.col("fwd.event_id"))
+        .alias("view_id"),
+        F.when(F.col("back").isNull() & F.col("fwd").isNull(), F.lit(None))
+        .when(choose_back, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+        .alias("direction"),
+        F.when(choose_back, gap_back).otherwise(gap_fwd).alias("gap_us"),
+    )
