@@ -392,3 +392,45 @@ def scan_observe_metrics(spark, sf_dir):
         [(m["n_rows"], m["total_price"], m["null_status"])],
         "n_rows long, total_price double, null_status long",
     )
+
+
+@query(
+    "scan_parquet_bloom_point_lookup",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE event_id IN (7, 2323, 5055)
+    """,
+)
+def scan_parquet_bloom_point_lookup(spark, sf_dir):
+    """Parquet column BLOOM FILTERS for point lookups: the table is
+    written with `parquet.bloom.filter.enabled#event_id`, so every row
+    group's footer carries a bloom over the event ids it contains, and
+    a point predicate can skip row groups whose bloom says "definitely
+    absent" WITHOUT decoding any data pages — the layout feature that
+    makes needle-in-haystack lookups on a non-sort-key column cheap at
+    100 TB (min/max stats can't prune a high-cardinality column that
+    isn't clustered; blooms can). `tests/test_parquet_bloom.py`
+    asserts the bloom actually lands in the file footers.
+
+    The query itself is the standard point-IN scan + aggregate; its
+    results are layout-independent, which is exactly the contract —
+    blooms change cost, never answers (the oracle proves it)."""
+    path = os.path.join(
+        _SCRATCH,
+        f"events_bloom_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            t(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#event_id", "true")
+            .option(
+                "parquet.bloom.filter.expected.ndv#event_id", "100000"
+            )
+            .parquet(path)
+        )
+    e = spark.read.parquet(path)
+    return e.filter(F.col("event_id").isin(7, 2323, 5055)).select(
+        "event_id", "user_id", "event_type", "value"
+    )
