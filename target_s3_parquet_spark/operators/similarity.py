@@ -1218,3 +1218,136 @@ def emb_centroid_assign_drift(spark, sf_dir):
             "moved_frac"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication via k-means cluster partitioning
+# ---------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.9  # cosine threshold for "semantic duplicate"
+
+
+@query(
+    "sim_semdedup",
+    _KM_TRAIN_CTES
+    + f""",
+    ac AS (
+      SELECT vec_id, cid, cos_c FROM (
+        SELECT v.vec_id, c2.cid,
+               {_cos_sql('v.v', 'c2.cv')} AS cos_c,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                 ORDER BY {_cos_sql('v.v', 'c2.cv')} DESC, c2.cid) AS rn
+        FROM v, c2) WHERE rn = 1
+    ),
+    r AS (
+      SELECT vec_id, cid, cos_c,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY cos_c, vec_id) AS keep_rank
+      FROM ac
+    ),
+    p AS (
+      SELECT a.vec_id,
+             MAX({_cos_sql('va.v', 'vb.v')}) AS max_prior_sim
+      FROM r a
+      JOIN r b ON a.cid = b.cid AND b.keep_rank < a.keep_rank
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      GROUP BY a.vec_id
+    )
+    SELECT r.vec_id, r.cid, r.keep_rank, p.max_prior_sim,
+           COALESCE(p.max_prior_sim >= {_SEMDEDUP_TAU}, FALSE) AS is_dup
+    FROM r LEFT JOIN p ON p.vec_id = r.vec_id
+    """,
+)
+def sim_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning where the pairwise scan is bounded by
+    CLUSTERING, not hashing. Pipeline:
+
+    1. k-means codebook (the verified 2-iteration Lloyd loop from
+       `ivf_kmeans_train` — centroids are an aggregate subtree,
+       BROADCAST at every use);
+    2. assignment: argmax-cosine cell per vector, map-side against the
+       broadcast codebook;
+    3. keep-order: within each cluster, rank by cosine-to-centroid
+       ASCENDING (SemDeDup's keep rule — the paper found keeping the
+       LOW-centroid-similarity exemplars best preserves diversity),
+       vec_id tiebreak;
+    4. duplicate test: a vector is dropped iff some earlier-ranked
+       member of ITS OWN cluster has cosine >= tau with it — the join
+       is cluster-local, so total pair work is sum(|c|^2) over
+       clusters, never n^2.
+
+    Returns one row per vector: its cell, keep rank, max similarity to
+    any earlier-ranked cluster-mate (NULL for each cluster's first
+    exemplar), and the drop flag at tau=0.9 (the synthetic embeddings
+    are near-orthogonal, so flags are all false here — the VALUES
+    being hash-verified is the point).
+
+    Scale: K grows with the corpus so |cluster| stays ~constant
+    (the paper runs K=50k over 600M docs): assignment stays a
+    broadcast-map, ranking shuffles only (vec_id, cid, cos_c), and
+    the pairwise step shuffles each cluster to one task. Skewed cells
+    are split by AQE; an oversized cell can additionally be
+    sub-sampled by keep_rank bound without changing the keep rule.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    cents, _ = _km_train(spark, sf_dir)
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    w_assign = W.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("cid")
+    )
+    ac = (
+        v.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            _cos_col(F.col("v"), F.col("cv")).alias("cos_c"),
+            "v",
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_keep = W.partitionBy("cid").orderBy("cos_c", "vec_id")
+    # Cached: the Lloyd-train + assignment subtree feeds three
+    # consumers (rank side, pair side, final join) — one materialized
+    # (vec_id, cid, cos_c, v) pass instead of three recomputes.
+    r = ac.withColumn(
+        "keep_rank", F.row_number().over(w_keep).cast("long")
+    ).cache()
+    a = r.select("vec_id", "cid", "keep_rank", F.col("v").alias("va"))
+    b = r.select(
+        F.col("cid").alias("cid_b"),
+        F.col("keep_rank").alias("rank_b"),
+        F.col("v").alias("vb"),
+    )
+    p = (
+        a.join(
+            b,
+            (F.col("cid") == F.col("cid_b"))
+            & (F.col("rank_b") < F.col("keep_rank")),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max(_cos_col(F.col("va"), F.col("vb"))).alias(
+                "max_prior_sim"
+            )
+        )
+    )
+    return (
+        r.join(p, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            "keep_rank",
+            "max_prior_sim",
+            F.coalesce(
+                F.col("max_prior_sim") >= F.lit(_SEMDEDUP_TAU),
+                F.lit(False),
+            ).alias("is_dup"),
+        )
+    )
