@@ -745,3 +745,109 @@ def text_length_log_histogram(spark, sf_dir):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-iteration BPE merge loop (unrolled identically in the oracle)
+# ---------------------------------------------------------------------------
+_BPE_ITERS = 3
+
+
+def _bpe_loop_sql(n: int = _BPE_ITERS) -> str:
+    """Unrolled n-iteration pair-merge chain: t0 is the raw corpus;
+    each step counts bigrams of t{i-1}, takes the top pair, and
+    rewrites into t{i}. Emitting the merge table from the same CTEs
+    guarantees the oracle replays EXACTLY the Spark unroll."""
+    ctes = ["t0 AS (SELECT text FROM documents)"]
+    outs = []
+    for i in range(1, n + 1):
+        prev, bg, top, cur = f"t{i - 1}", f"bg{i}", f"top{i}", f"t{i}"
+        ctes.append(f"""
+    {bg} AS (
+      SELECT words[j] || ' ' || words[j + 1] AS bigram, COUNT(*) AS c
+      FROM (SELECT string_split(text, ' ') AS words FROM {prev})
+      CROSS JOIN UNNEST(range(1, len(words))) AS u(j)
+      GROUP BY 1
+    )""")
+        ctes.append(
+            f"{top} AS (SELECT bigram, c FROM {bg} "
+            f"ORDER BY c DESC, bigram LIMIT 1)"
+        )
+        ctes.append(f"""
+    {cur} AS (
+      SELECT trim(replace(' ' || text || ' ',
+                          ' ' || (SELECT bigram FROM {top}) || ' ',
+                          ' ' || replace((SELECT bigram FROM {top}),
+                                         ' ', '_') || ' ')) AS text
+      FROM {prev}
+    )""")
+        outs.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, bigram AS merged_pair,"
+            f" c AS pair_count FROM {top}"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(outs)
+
+
+@query("text_bpe_merge_loop", _bpe_loop_sql())
+def text_bpe_merge_loop(spark, sf_dir):
+    """Pair-encoding tokenizer TRAINING LOOP: `text_bpe_merge_step`'s
+    single iteration unrolled 3 times, returning the learned merge
+    table (step, winning pair, corpus-wide count at merge time) — the
+    artifact real BPE training produces, with later steps free to pick
+    pairs THROUGH tokens merged earlier.
+
+    Each iteration is the same bounded data motion: one map-side
+    bigram explode into a combinable groupBy (shuffle carries
+    (pair, partial count)), a 1-row top-pair aggregate BROADCAST into
+    a pure map-side corpus rewrite. The corpus is never collected and
+    never shuffles its text payload; N iterations = N such passes.
+    Each 1-row winner is cached so the rewrite chain and the merge
+    table share one computation of it, keeping total work linear in N
+    (an uncached unroll re-derives earlier winners quadratically).
+    At production scale the pair-count table is maintained
+    incrementally across iterations (only counts touching the merged
+    pair change); the per-iteration plan here is that pipeline's
+    full-recount form."""
+    cur = t(spark, sf_dir, "documents").select("text")
+    out = None
+    for step in range(1, _BPE_ITERS + 1):
+        ws = F.split(F.col("text"), " ")
+        bg = (
+            cur.select(
+                ws.alias("w"),
+                F.explode(F.sequence(F.lit(1), F.size(ws) - 1)).alias("j"),
+            )
+            .filter(F.size("w") >= 2)
+            .select(
+                F.concat_ws(
+                    " ",
+                    F.element_at("w", F.col("j")),
+                    F.element_at("w", F.col("j") + 1),
+                ).alias("bigram")
+            )
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = (
+            bg.orderBy(F.col("c").desc(), "bigram").limit(1).cache()
+        )
+        row = top.select(
+            F.lit(step).cast("long").alias("step"),
+            F.col("bigram").alias("merged_pair"),
+            F.col("c").alias("pair_count"),
+        )
+        out = row if out is None else out.unionAll(row)
+        cur = cur.crossJoin(F.broadcast(top.select("bigram"))).select(
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("bigram"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("bigram"), F.lit(" "), F.lit("_")),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("text")
+        )
+    return out
