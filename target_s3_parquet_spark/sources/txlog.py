@@ -806,3 +806,125 @@ def txlog_clone_shallow(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def deepen_clone(root: str) -> int:
+    """DEEP-CLONE promotion: copy every data dir the current manifest
+    references from OUTSIDE this table's own data root into it, then
+    commit a `deepen` manifest referencing the local copies (per-dir
+    stats carried under the new paths). Closes the one coupling a
+    shallow clone has — after promotion, source-side VACUUMs can no
+    longer delete dirs this table reads. Idempotent: with nothing
+    external referenced, no copy and no new version. The copy is
+    file-level (no decode/rewrite) and per-dir parallelizable; time
+    travel to pre-deepen versions still reads source dirs and is
+    subject to the old caveat — vacuum here removes those manifests
+    normally."""
+    import shutil
+    import uuid
+
+    v = latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no committed versions under {root}")
+    man = _read_manifest(root, v)
+    data_root = os.path.join(root, "data")
+    os.makedirs(data_root, exist_ok=True)
+    mapping: dict[str, str] = {}
+    for d in man["dirs"]:
+        if os.path.commonpath([os.path.abspath(d), os.path.abspath(data_root)]) == os.path.abspath(data_root):
+            continue  # already local
+        local = os.path.join(
+            data_root, f"deep-{uuid.uuid4().hex[:8]}-{os.path.basename(d)}"
+        )
+        shutil.copytree(d, local)
+        mapping[d] = local
+    if not mapping:
+        return v
+    new_dirs = [mapping.get(d, d) for d in man["dirs"]]
+    old_stats = man.get("stats") or {}
+    new_stats = {mapping.get(d, d): s for d, s in old_stats.items()}
+    return _claim_manifest(
+        root,
+        "deepen",
+        lambda prev: new_dirs,
+        lambda prev: new_stats,
+        expected_prev=v,
+    )
+
+
+@query(
+    "txlog_clone_deep",
+    """
+    WITH mid AS (SELECT MAX(o_orderkey) // 2 AS m FROM orders),
+    v1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice FROM orders, mid
+      WHERE o_orderkey % 2 = 1 AND o_orderkey < mid.m
+    ),
+    v2 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT 'source_after_vacuum' AS snapshot, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM v2
+    UNION ALL
+    SELECT 'deep_clone_after_source_vacuum', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+    FROM v1
+    """,
+)
+def txlog_clone_deep(spark, sf_dir):
+    """Deep-clone survival, end to end: source table (2 commits) →
+    shallow clone → `deepen_clone` promotion (dirs copied into the
+    clone's own data root) → source OVERWRITTEN and then VACUUMED with
+    zero retention, physically deleting every pre-overwrite data dir
+    the shallow clone used to reference. The clone still reads its
+    full pre-overwrite snapshot — the exact failure mode
+    `txlog_clone_shallow` documents as the shallow caveat, closed.
+    The oracle restates both end states from `orders`; vacuum
+    correctness is what the clone row proves (an un-promoted clone
+    would raise on read here)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as FF
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mid_v = o.agg(FF.max("o_orderkey")).collect()[0][0] // 2
+    tmp = tempfile.mkdtemp(prefix="txlog_deep_")
+    try:
+        src = f"{tmp}/src_tbl"
+        dst = f"{tmp}/clone_tbl"
+        commit(o.filter(FF.col("o_orderkey") % 2 == 0), src)
+        commit(
+            o.filter(
+                (FF.col("o_orderkey") % 2 == 1)
+                & (FF.col("o_orderkey") < mid_v)
+            ),
+            src,
+        )
+        clone_table(src, dst)
+        deepen_clone(dst)
+        commit(
+            o.filter(FF.col("o_orderkey") % 3 == 0), src, mode="overwrite"
+        )
+        # single-writer test harness: zero retention is safe here and
+        # makes the deletion of the clone's former source dirs certain
+        vacuum(src, retain_versions=1, retention_seconds=0)
+
+        def stats(df, label):
+            return df.agg(
+                FF.lit(label).alias("snapshot"),
+                FF.count("*").alias("n_rows"),
+                FF.sum(FF.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total"),
+            )
+
+        out = stats(read_table(spark, src), "source_after_vacuum").unionAll(
+            stats(read_table(spark, dst), "deep_clone_after_source_vacuum")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -230,3 +230,45 @@ def test_optimize_compact_protocol(spark, tmp_path):
             txlog.optimize_compact(spark, root)
     finally:
         txlog._claim_manifest = real_claim
+
+
+def test_deepen_clone_survives_source_vacuum(spark, tmp_path):
+    src = str(tmp_path / "src")
+    shallow = str(tmp_path / "shallow")
+    deep = str(tmp_path / "deep")
+    txlog.commit(spark.range(0, 40), src)
+    txlog.commit(spark.range(40, 60), src)
+    txlog.clone_table(src, shallow)
+    txlog.clone_table(src, deep)
+    v = txlog.deepen_clone(deep)
+    assert v == 1  # promotion commits a new version
+    assert [m["op"] for m in txlog.history(deep)][-1] == "deepen"
+    # all deep-clone dirs now live under its own data root
+    last = txlog._read_manifest(deep, v)
+    assert all(d.startswith(os.path.join(deep, "data")) for d in last["dirs"])
+
+    # destroy the source's pre-overwrite dirs
+    txlog.commit(spark.range(0, 5), src, mode="overwrite")
+    txlog.vacuum(src, retain_versions=1, retention_seconds=0)
+
+    # un-promoted shallow clone now dangles (the documented caveat)...
+    with pytest.raises(Exception):
+        txlog.read_table(spark, shallow).count()
+    # ...while the deepened clone still reads the full snapshot
+    assert txlog.read_table(spark, deep).count() == 60
+    # and deepen is idempotent once everything is local
+    assert txlog.deepen_clone(deep) == v
+
+
+def test_deepen_clone_remaps_stats_for_pruning(spark, tmp_path):
+    src = str(tmp_path / "src")
+    deep = str(tmp_path / "deep")
+    txlog.commit(spark.range(0, 30).withColumnRenamed("id", "k"), src,
+                 stats_cols=["k"])
+    txlog.clone_table(src, deep)
+    v = txlog.deepen_clone(deep)
+    stats = txlog._read_manifest(deep, v).get("stats") or {}
+    assert stats, "per-dir stats must survive promotion"
+    assert all(
+        d.startswith(os.path.join(deep, "data")) for d in stats
+    ), "stats keys must be remapped to the copied dirs"
