@@ -851,3 +851,76 @@ def text_bpe_merge_loop(spark, sf_dir):
             ).alias("text")
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Linear quality-model inference (broadcast weights, map-side scoring)
+# ---------------------------------------------------------------------------
+_QM_STOPWORDS = "'the','a','an','and','or','of','to','in','is','it'"
+
+
+def _qm_score_sql(size_fn: str, filter_fn: str, split_fn: str,
+                  re_flags: str) -> tuple[str, str]:
+    """(numerator, denominator) of the quality logit as EXACT BIGINT
+    expressions, one template per engine dialect.
+
+    The model is logit = -2 + nc/2000 + 3*nw/1000 - 4*np/nc + 2*ns/nw
+    (nc chars, nw words, np punct chars, ns stopwords; rational
+    weights as plan literals). Cleared of denominators by
+    D = 2000*nc*nw > 0:
+
+      L = nc^2*nw + 6*nc*nw^2 - 8000*np*nw + 4000*ns*nc - 4000*nc*nw
+
+    Every term is exact 64-bit integer arithmetic, so acceptance
+    (L > 0) and the reported score CAST(L AS DOUBLE)/CAST(D AS DOUBLE)
+    (ONE correctly-rounded float op) are bit-identical across engines
+    — no ulp drift, no quantization grid to straddle."""
+    nw = (f"CAST({size_fn}({split_fn}(text, ' ')) AS BIGINT)")
+    ns = (f"CAST({size_fn}({filter_fn}({split_fn}(text, ' '), "
+          f"w -> lower(w) IN ({_QM_STOPWORDS}))) AS BIGINT)")
+    np_ = (f"CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', ''"
+           f"{re_flags})) AS BIGINT)")
+    nc = "n_chars"
+    num = (f"({nc} * {nc} * {nw} + 6 * {nc} * {nw} * {nw} "
+           f"- 8000 * {np_} * {nw} + 4000 * {ns} * {nc} "
+           f"- 4000 * {nc} * {nw})")
+    den = f"(2000 * {nc} * {nw})"
+    return num, den
+
+
+_QM_DUCK = _qm_score_sql("len", "list_filter", "string_split", ", 'g'")
+
+
+@query(
+    "docs_quality_model_score",
+    f"""
+    SELECT doc_id,
+           CAST({_QM_DUCK[0]} AS DOUBLE) / CAST({_QM_DUCK[1]} AS DOUBLE)
+             AS logit,
+           {_QM_DUCK[0]} > 0 AS accepted
+    FROM documents
+    """,
+)
+def docs_quality_model_score(spark, sf_dir):
+    """Model-based quality scoring as map-side inference: a trained
+    linear classifier's weights (bias + length, word-count,
+    punct-ratio, stopword-ratio coefficients — the fastText/C4-style
+    quality feature set) are PLAN LITERALS, so scoring 100 TB is a
+    pure projection: no shuffle, no UDF, whole-stage-codegen end to
+    end. Swapping in retrained weights is a literal change — or a
+    1-row broadcast join if weights must stay data.
+
+    Exactness: the rational-weight logit is evaluated as an exact
+    BIGINT numerator/denominator (see `_qm_score_sql`) with a single
+    final float division — the sigmoid is deliberately NOT applied
+    (exp() bits differ across libm builds; the logit is monotone in
+    the probability, so thresholding is equivalent)."""
+    d = t(spark, sf_dir, "documents")
+    num, den = _qm_score_sql("size", "filter", "split", "")
+    return d.select(
+        "doc_id",
+        (F.expr(num).cast("double") / F.expr(den).cast("double")).alias(
+            "logit"
+        ),
+        (F.expr(num) > 0).alias("accepted"),
+    )

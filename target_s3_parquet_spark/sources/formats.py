@@ -434,3 +434,56 @@ def scan_parquet_bloom_point_lookup(spark, sf_dir):
     return e.filter(F.col("event_id").isin(7, 2323, 5055)).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+@query(
+    "scan_binaryfile",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) + 1 AS n_bytes,
+           md5(text || chr(10)) AS content_md5
+    FROM documents WHERE doc_id < 64
+    """,
+)
+def scan_binaryfile(spark, sf_dir):
+    """`binaryFile` source scan — the real ingestion path for media
+    corpora (images/audio land as opaque files; Spark lists them and
+    hands each file's bytes + metadata to the plan, which is exactly
+    what `sources/multimodal.py` consumes downstream). Fixture: 64
+    documents written one-file-per-doc via a Hive-partitioned text
+    sink; the scan reads them back with `recursiveFileLookup` (which
+    disables partition inference — the doc id is recovered from the
+    path, as real media pipelines do) and proves byte fidelity with
+    octet length + content hash against the source rows (the text sink
+    appends one newline per row — accounted in the oracle).
+
+    Scale: listing parallelizes across executors and each file is one
+    task input — reading millions of images is this exact plan plus a
+    `mapInPandas` decode; `pathGlobFilter` prunes non-payload files at
+    the LISTING, before any bytes move."""
+    path = os.path.join(
+        _SCRATCH, f"docs_bin_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id", "text")  # text sink: one value column + keys
+        .repartition(1)  # fixture-bounded (64 rows): one file per dir
+        .write.mode("overwrite")
+        .partitionBy("doc_id")
+        .option("compression", "none")
+        .text(path)
+    )
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "part-*")
+        .load(path)
+        .select(
+            F.regexp_extract("path", r"doc_id=(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.octet_length("content").cast("long").alias("n_bytes"),
+            F.md5("content").alias("content_md5"),
+        )
+    )
