@@ -1259,3 +1259,65 @@ def corpus_temperature_weights(spark, sf_dir):
         (F.col("w_q").cast("double") / F.lit(1000000000.0)).alias("weight"),
         (F.col("w_q").cast("double") / F.col("t")).alias("sample_prob"),
     )
+
+
+@query(
+    "ids_dense_assign",
+    """
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS dense_id
+    FROM documents
+    """,
+)
+def ids_dense_assign(spark, sf_dir):
+    """Contiguous 0..n-1 id assignment in total `doc_id` order — the
+    vocabulary-index / embedding-row-id primitive — WITHOUT the naive
+    `ROW_NUMBER() OVER (ORDER BY ...)` whose empty PARTITION BY drags
+    the whole table into ONE task (the single plan shape that can
+    never scale). The distributed form:
+
+    1. `repartitionByRange` on the order key — one range shuffle;
+       partition p holds keys strictly below partition p+1 (boundary
+       SAMPLING may place them unevenly, but placement only affects
+       balance, never the result);
+    2. per-partition local `row_number` — partition-local sort, no
+       cross-partition data motion;
+    3. per-partition COUNTS (a num-partitions-row aggregate) cumsum'd
+       into starting offsets and BROADCAST back;
+    4. dense_id = offset[pid] + local_rn - 1.
+
+    The only global coordination is the tiny offset table — the
+    DataFrame twin of RDD zipWithIndex. The oracle states the
+    semantics as the naive global window."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    nparts = 8
+    local = (
+        d.repartitionByRange(nparts, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_rn",
+            F.row_number().over(
+                W.partitionBy("pid").orderBy("doc_id")
+            ),
+        )
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    W.orderBy("pid").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    return local.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        (F.col("offset") + F.col("local_rn") - 1).alias("dense_id"),
+    )

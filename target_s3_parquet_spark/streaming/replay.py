@@ -29,6 +29,7 @@ def replay_stream(
     n_chunks: int = 3,
     one_file_per_trigger: bool = True,
     order_col: str | None = None,
+    tail_chunks: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Write ``source`` as ``n_chunks`` parquet files, stream them
     through ``build``, return the materialized sink contents.
@@ -36,6 +37,13 @@ def replay_stream(
     ``order_col``: chunk boundaries follow this column's sort order so
     event-time progresses monotonically across micro-batches (what a
     replayed log would do) — required for watermark-sensitive ops.
+
+    ``tail_chunks``: extra DataFrames written as their OWN files after
+    the main chunks, so each becomes its own trailing micro-batch —
+    end-of-log sentinels for operators (outer joins) whose final
+    results only emit in a batch that runs AFTER the watermark has
+    passed them (`processAllAvailable` does not wait for no-data
+    batches, so the flush must ride an ordinary data batch).
     """
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -57,6 +65,8 @@ def replay_stream(
             chunk = numbered.filter(F.col("_chunk") == i).drop("_chunk")
             chunk.coalesce(1).write.mode("append").parquet(stream_dir)
         numbered.unpersist()
+        for extra in tail_chunks or []:
+            extra.coalesce(1).write.mode("append").parquet(stream_dir)
 
         reader = (
             spark.readStream.schema(source.schema)

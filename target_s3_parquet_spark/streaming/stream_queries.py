@@ -1194,3 +1194,129 @@ def stream_session_dynamic_gap(spark, sf_dir):
         )
 
     return replay_stream(spark, events, build, output_mode="complete")
+
+
+@query(
+    "stream_dedup_within_watermark",
+    """
+    SELECT event_id, ts, event_type, value FROM events
+    """,
+)
+def stream_dedup_within_watermark(spark, sf_dir):
+    """`dropDuplicatesWithinWatermark`: key-only dedup with BOUNDED
+    state. Plain `dropDuplicates(["event_id"])` keeps every key's
+    state forever unless the event-time column is part of the dedup
+    key — but real duplicates (retried producers, at-least-once
+    sources) arrive with DIFFERENT timestamps, so keying on ts would
+    not dedup them at all. The within-watermark variant dedups on the
+    key alone and still evicts each key's state once the watermark
+    passes its first sighting + delay — the only shape whose state is
+    O(keys per watermark window), not O(all keys ever).
+
+    Demo: every event re-arrives 5 minutes later (a retry with a new
+    timestamp, inside the 2-hour delay). Each first sighting is
+    emitted immediately in append mode; each retry is swallowed. The
+    oracle is simply the original events — WITH their timestamps,
+    proving the kept copy is the first arrival, not the retry."""
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    retries = events.withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
+    )
+    doubled = events.union(retries)
+
+    def build(stream):
+        return stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+    return replay_stream(
+        spark, doubled, build, output_mode="append", order_col="ts", n_chunks=4
+    )
+
+
+@query(
+    "stream_stream_join_outer",
+    """
+    SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+           p.user_id AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 10 MINUTE AND p.ts
+    """,
+)
+def stream_stream_join_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join: `stream_stream_join`
+    plus the rows that DIDN'T match — purchases with no same-user view
+    in the preceding 10 minutes emit with a NULL view id. The engine
+    can only declare "no match will ever come" once the watermark has
+    passed a purchase's full validity window, so outer results trail
+    the inner ones by watermark delay — correct and unavoidable in an
+    unbounded join.
+
+    The replay appends a far-future SENTINEL view (user_id -1, 12h
+    past the data's end) whose only job is to push the watermark past
+    every real purchase's window so the tail's outer rows flush before
+    the harness stops — the streaming twin of an end-of-log marker;
+    a no-data micro-batch after it emits the final NULLs. State story
+    is unchanged from the inner join: both sides evicted continuously,
+    the store holds minutes of events at any throughput."""
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    # One sentinel per SIDE and per WAVE: the global watermark is the
+    # MIN over all watermark operators (a view-only sentinel would
+    # leave the purchase side pinned at its last real event), and TWO
+    # waves in successive trailing micro-batches are needed — wave 1
+    # advances the watermark past every real window; wave 2 is the
+    # data batch DURING which that watermark evicts the remaining
+    # purchase state and emits its NULL rows.
+    def sentinel_wave(hours):
+        return events.groupBy().agg(
+            (F.max("ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts")
+        ).select(
+            F.explode(F.array(F.lit("view"), F.lit("purchase"))).alias(
+                "event_type"
+            ),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            "ts",
+        ).select(*events.columns)
+
+    def build(stream):
+        p = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "30 minutes")
+        )
+        v = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "30 minutes")
+        )
+        return p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "left_outer",
+        ).select("purchase_id", "view_id", "user_id")
+
+    # The sentinel purchases' own outer rows are dropped on the
+    # MATERIALIZED result — a filter inside the streaming plan would
+    # be pushed below the watermark operator and silently remove the
+    # sentinels from the watermark computation itself.
+    return replay_stream(
+        spark, events, build, output_mode="append", order_col="ts",
+        tail_chunks=[sentinel_wave(12), sentinel_wave(24)],
+    ).filter(F.col("purchase_id") >= 0)
