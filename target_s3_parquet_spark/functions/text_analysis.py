@@ -924,3 +924,102 @@ def docs_quality_model_score(spark, sf_dir):
         ),
         (F.expr(num) > 0).alias("accepted"),
     )
+
+
+def _bpe_apply_sql(n: int = _BPE_ITERS) -> str:
+    """Oracle for merge APPLICATION: the same n-step unroll as
+    `_bpe_loop_sql` but carrying (doc_id, n_tokens_before) through the
+    rewrite chain so the final select is per-document."""
+    ctes = ["t0 AS (SELECT doc_id, len(string_split(text, ' ')) "
+            "AS n_tokens_before, text FROM documents)"]
+    for i in range(1, n + 1):
+        prev, bg, top, cur = f"t{i - 1}", f"bg{i}", f"top{i}", f"t{i}"
+        ctes.append(f"""
+    {bg} AS (
+      SELECT words[j] || ' ' || words[j + 1] AS bigram, COUNT(*) AS c
+      FROM (SELECT string_split(text, ' ') AS words FROM {prev})
+      CROSS JOIN UNNEST(range(1, len(words))) AS u(j)
+      GROUP BY 1
+    )""")
+        ctes.append(
+            f"{top} AS (SELECT bigram, c FROM {bg} "
+            f"ORDER BY c DESC, bigram LIMIT 1)"
+        )
+        ctes.append(f"""
+    {cur} AS (
+      SELECT doc_id, n_tokens_before,
+             trim(replace(' ' || text || ' ',
+                          ' ' || (SELECT bigram FROM {top}) || ' ',
+                          ' ' || replace((SELECT bigram FROM {top}),
+                                         ' ', '_') || ' ')) AS text
+      FROM {prev}
+    )""")
+    return ("WITH " + ",".join(ctes)
+            + f"""
+    SELECT doc_id, n_tokens_before,
+           len(string_split(text, ' ')) AS n_tokens_after
+    FROM t{n}""")
+
+
+@query("text_bpe_apply", _bpe_apply_sql())
+def text_bpe_apply(spark, sf_dir):
+    """Tokenizer INFERENCE: apply the merge table `text_bpe_merge_loop`
+    learned to the corpus and report each document's token count
+    before/after — the compression the learned vocabulary buys,
+    per document. (Each merge replaces two tokens with one, so
+    n_before - n_after = merged-pair occurrences in that doc.)
+
+    Same data motion as training minus the recounts: the merge rules
+    ride the plan as 1-row broadcast aggregates and the rewrite is
+    pure map-side string work — applying a FROZEN tokenizer to 100 TB
+    is exactly this plan with the merge table as broadcast literals
+    (no per-iteration counting at all), i.e. shuffle-free."""
+    cur = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens_before"),
+        "text",
+    )
+    for _ in range(_BPE_ITERS):
+        ws = F.split(F.col("text"), " ")
+        bg = (
+            cur.select(
+                ws.alias("w"),
+                F.explode(F.sequence(F.lit(1), F.size(ws) - 1)).alias("j"),
+            )
+            .filter(F.size("w") >= 2)
+            .select(
+                F.concat_ws(
+                    " ",
+                    F.element_at("w", F.col("j")),
+                    F.element_at("w", F.col("j") + 1),
+                ).alias("bigram")
+            )
+            .groupBy("bigram")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        top = (
+            bg.orderBy(F.col("c").desc(), "bigram")
+            .limit(1)
+            .select("bigram")
+            .cache()
+        )
+        cur = cur.crossJoin(F.broadcast(top)).select(
+            "doc_id",
+            "n_tokens_before",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("bigram"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("bigram"), F.lit(" "), F.lit("_")),
+                        F.lit(" "),
+                    ),
+                )
+            ).alias("text"),
+        )
+    return cur.select(
+        "doc_id",
+        "n_tokens_before",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens_after"),
+    )

@@ -1321,3 +1321,54 @@ def ids_dense_assign(spark, sf_dir):
         "doc_id",
         (F.col("offset") + F.col("local_rn") - 1).alias("dense_id"),
     )
+
+
+@query(
+    "incremental_join_delta",
+    """
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def incremental_join_delta(spark, sf_dir):
+    """Incremental JOIN maintenance (delta propagation): with a
+    materialized J = A JOIN B and arriving deltas dA, dB, the refreshed
+    join is
+
+        J  UNION ALL  dA JOIN B  UNION ALL  A JOIN dB
+           UNION ALL  dA JOIN dB
+
+    — maintenance cost scales with |delta|, never |A| x |B|. Demo:
+    orders split 80/20 by key (base/late-arriving), customer split
+    90/10 (existing/new signups); the four terms are built explicitly
+    — base x base (the "already materialized" term), then three
+    delta terms whose SMALL sides Catalyst broadcasts — and the
+    aggregated result must equal the full recompute, which is exactly
+    what the oracle states. At 100 TB the base-side join state is the
+    pre-shuffled materialized table; each refresh touches only
+    delta-row-count inputs — the batch twin of the streaming
+    foreachBatch upsert."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    a0 = o.filter(F.col("o_orderkey") % 5 != 0)
+    da = o.filter(F.col("o_orderkey") % 5 == 0)
+    b0 = c.filter(F.col("c_custkey") % 10 != 0)
+    db = c.filter(F.col("c_custkey") % 10 == 0)
+    on = F.col("o_custkey") == F.col("c_custkey")
+    j = (
+        a0.join(b0, on)           # materialized base
+        .unionAll(da.join(b0, on))  # dA ⋈ B
+        .unionAll(a0.join(db, on))  # A ⋈ dB
+        .unionAll(da.join(db, on))  # dA ⋈ dB
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total"),
+    )
