@@ -76,6 +76,23 @@ def run_scale(spark, sf_dir: str, factor: int = 10) -> dict:
     li10 = replicate(li, "l_orderkey")
     o10 = replicate(o, "o_orderkey")
 
+    docs = t(spark, sf_dir, "documents")
+    # replicas keep the TEXT identical, so every duplicate-group grows
+    # by the factor — the realistic shape of dedup under corpus growth
+    docs10 = (
+        docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+        )
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * 10_000_000)
+        .drop("rep")
+    )
+
+    def dedup_shape(df):
+        return (
+            df.groupBy(F.sha2(F.col("text"), 256).alias("h"))
+            .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n"))
+        )
+
     # min-of-2 per point, same policy as the headline bench
     def best(mk):
         return min(_timed(mk()) for _ in range(2))
@@ -84,6 +101,8 @@ def run_scale(spark, sf_dir: str, factor: int = 10) -> dict:
     agg_10x = best(lambda: q1_shape(li10))
     join_1x = best(lambda: join_shape(li, o))
     join_10x = best(lambda: join_shape(li10, o10))
+    dedup_1x = best(lambda: dedup_shape(docs))
+    dedup_10x = best(lambda: dedup_shape(docs10))
 
     return {
         "factor": factor,
@@ -93,6 +112,9 @@ def run_scale(spark, sf_dir: str, factor: int = 10) -> dict:
         "join_1x_sec": join_1x,
         "join_10x_sec": join_10x,
         "join_ratio": round(join_10x / max(join_1x, 1e-9), 2),
+        "dedup_1x_sec": dedup_1x,
+        "dedup_10x_sec": dedup_10x,
+        "dedup_ratio": round(dedup_10x / max(dedup_1x, 1e-9), 2),
     }
 
 
