@@ -1289,15 +1289,25 @@ def ids_dense_assign(spark, sf_dir):
     The only global coordination is the tiny offset table — the
     DataFrame twin of RDD zipWithIndex. The oracle states the
     semantics as the naive global window."""
-    d = t(spark, sf_dir, "documents").select("doc_id")
-    nparts = 8
+    return assign_dense_ids(
+        t(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    ).select("doc_id", "dense_id")
+
+
+def assign_dense_ids(df, key_col: str, nparts: int = 8):
+    """Add ``dense_id`` = 0..n-1 in total ``key_col`` order (keys must
+    be distinct) — the distributed zipWithIndex described in
+    `ids_dense_assign`. The result is a pure function of the key set:
+    partition count and input partitioning only affect balance.
+    The offsets window orders a NUM-PARTITIONS-row aggregate (bounded
+    by construction), not the data."""
     local = (
-        d.repartitionByRange(nparts, "doc_id")
+        df.repartitionByRange(nparts, key_col)
         .withColumn("pid", F.spark_partition_id())
         .withColumn(
             "local_rn",
             F.row_number().over(
-                W.partitionBy("pid").orderBy("doc_id")
+                W.partitionBy("pid").orderBy(key_col)
             ),
         )
     )
@@ -1317,9 +1327,12 @@ def ids_dense_assign(spark, sf_dir):
         )
         .select("pid", "offset")
     )
-    return local.join(F.broadcast(offsets), "pid").select(
-        "doc_id",
-        (F.col("offset") + F.col("local_rn") - 1).alias("dense_id"),
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn(
+            "dense_id", F.col("offset") + F.col("local_rn") - 1
+        )
+        .drop("pid", "local_rn", "offset")
     )
 
 

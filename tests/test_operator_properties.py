@@ -261,3 +261,24 @@ def test_preference_pairs_have_nonnegative_margin(spark):
 
     out = get_queries()["rlhf_preference_pairs"](spark, SF_SMALL)
     assert out.filter(F.col("quality_gap") < 0).count() == 0
+
+
+@given(
+    st.sets(st.integers(min_value=-10**6, max_value=10**6), min_size=1, max_size=60),
+    st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=12, deadline=None)
+def test_dense_id_assignment_is_partitioning_invariant(spark, keys, nparts):
+    # dense ids must be a pure function of the KEY SET — any partition
+    # count and any input distribution yields rank-in-sorted-order
+    from target_s3_parquet_spark.operators.pipeline import assign_dense_ids
+
+    df = spark.createDataFrame(
+        [(k,) for k in keys], "k long"
+    ).repartition((nparts % 3) + 1)
+    got = {
+        r["k"]: r["dense_id"]
+        for r in assign_dense_ids(df, "k", nparts=nparts).collect()
+    }
+    want = {k: i for i, k in enumerate(sorted(keys))}
+    assert got == want
