@@ -79,15 +79,27 @@ def window_topk_per_group(spark, sf_dir):
            LAST_VALUE(l_quantity)  OVER w AS last_qty
     FROM lineitem
     WINDOW w AS (PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                          l_quantity)
     """,
 )
 def window_analytic(spark, sf_dir):
     """lag/lead/first/last over a per-supplier event-time ordering.
     Note LAST_VALUE uses the default frame (unbounded preceding →
     current row) in both engines, so it equals the current row's value —
-    kept deliberately to pin that semantic."""
-    w = W.partitionBy("l_suppkey").orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    kept deliberately to pin that semantic.
+
+    l_quantity closes the ordering: the synthetic lineitem carries
+    duplicate (l_orderkey, l_linenumber) pairs (118k at sf0.1), and
+    with TIED sort keys lag/lead are engine-nondeterministic — the
+    sf0.1 gate caught exactly one such tie flipping next_qty. With
+    every projected column in the sort, residual ties are whole-row
+    identical and therefore hash-invariant. The general rule: an
+    order-SENSITIVE window must totally order each partition (or tie
+    only on rows indistinguishable in the output)."""
+    w = W.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
+    )
     return (
         t(spark, sf_dir, "lineitem")
         .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
