@@ -664,43 +664,9 @@ def text_bpe_merge_step(spark, sf_dir):
     touching the merged pair change). The space-padded string replace
     is word-boundary-safe and scans left-to-right non-overlapping
     identically in both engines."""
-    d = t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-
-    def bigram_counts(df):
-        ws = F.split(F.col("text"), " ")
-        b = df.select(
-            ws.alias("w"),
-            F.explode(F.sequence(F.lit(1), F.size(ws) - 1)).alias("i"),
-        ).filter(F.size("w") >= 2).select(
-            F.concat_ws(
-                " ",
-                F.element_at("w", F.col("i")),
-                F.element_at("w", F.col("i") + 1),
-            ).alias("bigram")
-        )
-        return b.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
-
-    top1 = (
-        bigram_counts(d.select("text"))
-        .orderBy(F.col("c").desc(), "bigram")
-        .limit(1)
-        .select("bigram")
-    )
-    merged = d.crossJoin(F.broadcast(top1)).select(
-        F.trim(
-            F.replace(
-                F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
-                F.concat(F.lit(" "), F.col("bigram"), F.lit(" ")),
-                F.concat(
-                    F.lit(" "),
-                    F.replace(F.col("bigram"), F.lit(" "), F.lit("_")),
-                    F.lit(" "),
-                ),
-            )
-        ).alias("text")
-    )
-    bg2 = bigram_counts(merged)
+    d = t(spark, sf_dir, "documents").select("text")
+    merged = _bpe_rewrite(d, _bpe_top1(d))
+    bg2 = _bpe_bigram_counts(merged)
     from pyspark.sql import Window as W
 
     w = W.orderBy(F.col("c").desc(), "bigram")
@@ -748,18 +714,82 @@ def text_length_log_histogram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Multi-iteration BPE merge loop (unrolled identically in the oracle)
+# Pair-encoding (BPE) merge machinery — ONE definition of the bigram
+# count, the top-pair tiebreak, and the word-boundary-safe rewrite,
+# shared by the single step, the training loop, and merge application
+# (Spark side and oracle-CTE generation alike), so a semantics tweak
+# cannot silently diverge the engines or the keys.
 # ---------------------------------------------------------------------------
 _BPE_ITERS = 3
 
 
-def _bpe_loop_sql(n: int = _BPE_ITERS) -> str:
-    """Unrolled n-iteration pair-merge chain: t0 is the raw corpus;
-    each step counts bigrams of t{i-1}, takes the top pair, and
-    rewrites into t{i}. Emitting the merge table from the same CTEs
-    guarantees the oracle replays EXACTLY the Spark unroll."""
-    ctes = ["t0 AS (SELECT text FROM documents)"]
-    outs = []
+def _bpe_bigram_counts(df):
+    """Corpus-wide adjacent-pair counts for a DF with a `text` column:
+    map-side explode into a combinable groupBy — the shuffle carries
+    (pair, partial count)."""
+    ws = F.split(F.col("text"), " ")
+    return (
+        df.select(
+            ws.alias("w"),
+            F.explode(F.sequence(F.lit(1), F.size(ws) - 1)).alias("j"),
+        )
+        .filter(F.size("w") >= 2)
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at("w", F.col("j")),
+                F.element_at("w", F.col("j") + 1),
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def _bpe_top1(df):
+    """The winning pair (1 row, [bigram, c]) with the deterministic
+    tiebreak (count desc, pair string). Cached: the winner feeds both
+    the rewrite chain and any reporting projection."""
+    return (
+        _bpe_bigram_counts(df)
+        .orderBy(F.col("c").desc(), "bigram")
+        .limit(1)
+        .cache()
+    )
+
+
+def _bpe_rewrite(df, top):
+    """Merge the broadcast 1-row winner into `df.text` everywhere:
+    space-padded replace (word-boundary-safe, left-to-right
+    non-overlapping in both engines), merged token joined with '_'.
+    All other columns pass through."""
+    return (
+        df.crossJoin(F.broadcast(top.select("bigram")))
+        .withColumn(
+            "text",
+            F.trim(
+                F.replace(
+                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                    F.concat(F.lit(" "), F.col("bigram"), F.lit(" ")),
+                    F.concat(
+                        F.lit(" "),
+                        F.replace(F.col("bigram"), F.lit(" "), F.lit("_")),
+                        F.lit(" "),
+                    ),
+                )
+            ),
+        )
+        .drop("bigram")
+    )
+
+
+def _bpe_chain_ctes(n: int, t0_cols: str = "text", carry: str = "") -> str:
+    """The bg{i}/top{i}/t{i} CTE chain both oracles replay: t0 projects
+    ``t0_cols`` from documents; each step counts bigrams of t{i-1},
+    takes the top pair (same tiebreak as `_bpe_top1`), and rewrites
+    into t{i}, carrying ``carry`` columns through."""
+    carry_sel = f"{carry}, " if carry else ""
+    ctes = [f"t0 AS (SELECT {t0_cols} FROM documents)"]
     for i in range(1, n + 1):
         prev, bg, top, cur = f"t{i - 1}", f"bg{i}", f"top{i}", f"t{i}"
         ctes.append(f"""
@@ -775,17 +805,35 @@ def _bpe_loop_sql(n: int = _BPE_ITERS) -> str:
         )
         ctes.append(f"""
     {cur} AS (
-      SELECT trim(replace(' ' || text || ' ',
+      SELECT {carry_sel}trim(replace(' ' || text || ' ',
                           ' ' || (SELECT bigram FROM {top}) || ' ',
                           ' ' || replace((SELECT bigram FROM {top}),
                                          ' ', '_') || ' ')) AS text
       FROM {prev}
     )""")
-        outs.append(
-            f"SELECT CAST({i} AS BIGINT) AS step, bigram AS merged_pair,"
-            f" c AS pair_count FROM {top}"
-        )
-    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL ".join(outs)
+    return ",".join(ctes)
+
+
+def _bpe_loop_sql(n: int = _BPE_ITERS) -> str:
+    outs = [
+        f"SELECT CAST({i} AS BIGINT) AS step, bigram AS merged_pair,"
+        f" c AS pair_count FROM top{i}"
+        for i in range(1, n + 1)
+    ]
+    return ("WITH " + _bpe_chain_ctes(n) + "\n"
+            + "\nUNION ALL ".join(outs))
+
+
+def _bpe_apply_sql(n: int = _BPE_ITERS) -> str:
+    return ("WITH " + _bpe_chain_ctes(
+        n,
+        t0_cols="doc_id, len(string_split(text, ' ')) "
+                "AS n_tokens_before, text",
+        carry="doc_id, n_tokens_before",
+    ) + f"""
+    SELECT doc_id, n_tokens_before,
+           len(string_split(text, ' ')) AS n_tokens_after
+    FROM t{n}""")
 
 
 @query("text_bpe_merge_loop", _bpe_loop_sql())
@@ -811,46 +859,42 @@ def text_bpe_merge_loop(spark, sf_dir):
     cur = t(spark, sf_dir, "documents").select("text")
     out = None
     for step in range(1, _BPE_ITERS + 1):
-        ws = F.split(F.col("text"), " ")
-        bg = (
-            cur.select(
-                ws.alias("w"),
-                F.explode(F.sequence(F.lit(1), F.size(ws) - 1)).alias("j"),
-            )
-            .filter(F.size("w") >= 2)
-            .select(
-                F.concat_ws(
-                    " ",
-                    F.element_at("w", F.col("j")),
-                    F.element_at("w", F.col("j") + 1),
-                ).alias("bigram")
-            )
-            .groupBy("bigram")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        top = (
-            bg.orderBy(F.col("c").desc(), "bigram").limit(1).cache()
-        )
+        top = _bpe_top1(cur)
         row = top.select(
             F.lit(step).cast("long").alias("step"),
             F.col("bigram").alias("merged_pair"),
             F.col("c").alias("pair_count"),
         )
         out = row if out is None else out.unionAll(row)
-        cur = cur.crossJoin(F.broadcast(top.select("bigram"))).select(
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("bigram"), F.lit(" ")),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("bigram"), F.lit(" "), F.lit("_")),
-                        F.lit(" "),
-                    ),
-                )
-            ).alias("text")
-        )
+        cur = _bpe_rewrite(cur, top)
     return out
+
+
+@query("text_bpe_apply", _bpe_apply_sql())
+def text_bpe_apply(spark, sf_dir):
+    """Tokenizer INFERENCE: apply the merge table `text_bpe_merge_loop`
+    learned to the corpus and report each document's token count
+    before/after — the compression the learned vocabulary buys,
+    per document. (Each merge replaces two tokens with one, so
+    n_before - n_after = merged-pair occurrences in that doc.)
+
+    Same data motion as training minus the recounts: the merge rules
+    ride the plan as 1-row broadcast aggregates and the rewrite is
+    pure map-side string work — applying a FROZEN tokenizer to 100 TB
+    is exactly this plan with the merge table as broadcast literals
+    (no per-iteration counting at all), i.e. shuffle-free."""
+    cur = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens_before"),
+        "text",
+    )
+    for _ in range(_BPE_ITERS):
+        cur = _bpe_rewrite(cur, _bpe_top1(cur.select("text")))
+    return cur.select(
+        "doc_id",
+        "n_tokens_before",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens_after"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -875,12 +919,20 @@ def _qm_score_sql(size_fn: str, filter_fn: str, split_fn: str,
     (L > 0) and the reported score CAST(L AS DOUBLE)/CAST(D AS DOUBLE)
     (ONE correctly-rounded float op) are bit-identical across engines
     — no ulp drift, no quantization grid to straddle."""
-    nw = (f"CAST({size_fn}({split_fn}(text, ' ')) AS BIGINT)")
+    nw = (f"LEAST(CAST({size_fn}({split_fn}(text, ' ')) AS BIGINT),"
+          f" 100000)")
     ns = (f"CAST({size_fn}({filter_fn}({split_fn}(text, ' '), "
           f"w -> lower(w) IN ({_QM_STOPWORDS}))) AS BIGINT)")
     np_ = (f"CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', ''"
            f"{re_flags})) AS BIGINT)")
-    nc = "n_chars"
+    # Clamps keep every BIGINT product inside int64 for ARBITRARY
+    # documents (unclamped, nc²·nw overflows at a ~4 MB doc and the
+    # whole scoring job dies under ANSI mode): nc ≤ 1e6, nw ≤ 1e5
+    # bound the cubic term at 1e17 < 2^63, and np/ns stay ≤ their raw
+    # counts (a 10 GB single doc is the next overflow, beyond any
+    # sane ingest bound). Above the clamp the score saturates —
+    # monotone-capped, deterministic, and identical in both engines.
+    nc = "LEAST(n_chars, 1000000)"
     num = (f"({nc} * {nc} * {nw} + 6 * {nc} * {nw} * {nw} "
            f"- 8000 * {np_} * {nw} + 4000 * {ns} * {nc} "
            f"- 4000 * {nc} * {nw})")
@@ -926,100 +978,3 @@ def docs_quality_model_score(spark, sf_dir):
     )
 
 
-def _bpe_apply_sql(n: int = _BPE_ITERS) -> str:
-    """Oracle for merge APPLICATION: the same n-step unroll as
-    `_bpe_loop_sql` but carrying (doc_id, n_tokens_before) through the
-    rewrite chain so the final select is per-document."""
-    ctes = ["t0 AS (SELECT doc_id, len(string_split(text, ' ')) "
-            "AS n_tokens_before, text FROM documents)"]
-    for i in range(1, n + 1):
-        prev, bg, top, cur = f"t{i - 1}", f"bg{i}", f"top{i}", f"t{i}"
-        ctes.append(f"""
-    {bg} AS (
-      SELECT words[j] || ' ' || words[j + 1] AS bigram, COUNT(*) AS c
-      FROM (SELECT string_split(text, ' ') AS words FROM {prev})
-      CROSS JOIN UNNEST(range(1, len(words))) AS u(j)
-      GROUP BY 1
-    )""")
-        ctes.append(
-            f"{top} AS (SELECT bigram, c FROM {bg} "
-            f"ORDER BY c DESC, bigram LIMIT 1)"
-        )
-        ctes.append(f"""
-    {cur} AS (
-      SELECT doc_id, n_tokens_before,
-             trim(replace(' ' || text || ' ',
-                          ' ' || (SELECT bigram FROM {top}) || ' ',
-                          ' ' || replace((SELECT bigram FROM {top}),
-                                         ' ', '_') || ' ')) AS text
-      FROM {prev}
-    )""")
-    return ("WITH " + ",".join(ctes)
-            + f"""
-    SELECT doc_id, n_tokens_before,
-           len(string_split(text, ' ')) AS n_tokens_after
-    FROM t{n}""")
-
-
-@query("text_bpe_apply", _bpe_apply_sql())
-def text_bpe_apply(spark, sf_dir):
-    """Tokenizer INFERENCE: apply the merge table `text_bpe_merge_loop`
-    learned to the corpus and report each document's token count
-    before/after — the compression the learned vocabulary buys,
-    per document. (Each merge replaces two tokens with one, so
-    n_before - n_after = merged-pair occurrences in that doc.)
-
-    Same data motion as training minus the recounts: the merge rules
-    ride the plan as 1-row broadcast aggregates and the rewrite is
-    pure map-side string work — applying a FROZEN tokenizer to 100 TB
-    is exactly this plan with the merge table as broadcast literals
-    (no per-iteration counting at all), i.e. shuffle-free."""
-    cur = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens_before"),
-        "text",
-    )
-    for _ in range(_BPE_ITERS):
-        ws = F.split(F.col("text"), " ")
-        bg = (
-            cur.select(
-                ws.alias("w"),
-                F.explode(F.sequence(F.lit(1), F.size(ws) - 1)).alias("j"),
-            )
-            .filter(F.size("w") >= 2)
-            .select(
-                F.concat_ws(
-                    " ",
-                    F.element_at("w", F.col("j")),
-                    F.element_at("w", F.col("j") + 1),
-                ).alias("bigram")
-            )
-            .groupBy("bigram")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        top = (
-            bg.orderBy(F.col("c").desc(), "bigram")
-            .limit(1)
-            .select("bigram")
-            .cache()
-        )
-        cur = cur.crossJoin(F.broadcast(top)).select(
-            "doc_id",
-            "n_tokens_before",
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("bigram"), F.lit(" ")),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("bigram"), F.lit(" "), F.lit("_")),
-                        F.lit(" "),
-                    ),
-                )
-            ).alias("text"),
-        )
-    return cur.select(
-        "doc_id",
-        "n_tokens_before",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens_after"),
-    )

@@ -1300,7 +1300,15 @@ def assign_dense_ids(df, key_col: str, nparts: int = 8):
     `ids_dense_assign`. The result is a pure function of the key set:
     partition count and input partitioning only affect balance.
     The offsets window orders a NUM-PARTITIONS-row aggregate (bounded
-    by construction), not the data."""
+    by construction), not the data.
+
+    ``local`` is CACHED before fanning out to the offsets aggregate and
+    the final join: repartitionByRange samples its bounds (seeded per
+    RDD id), so two independent materializations of the subtree could
+    pick DIFFERENT ranges — offset[pid] would then disagree with the
+    pids under local_rn and ids would silently collide. Exchange reuse
+    usually dedups the two scans, but correctness must not hinge on a
+    plan-canonicalization optimization."""
     local = (
         df.repartitionByRange(nparts, key_col)
         .withColumn("pid", F.spark_partition_id())
@@ -1310,6 +1318,7 @@ def assign_dense_ids(df, key_col: str, nparts: int = 8):
                 W.partitionBy("pid").orderBy(key_col)
             ),
         )
+        .cache()
     )
     offsets = (
         local.groupBy("pid")

@@ -659,18 +659,7 @@ def sim_ann_ivf(spark, sf_dir):
     )
     corpus = v.filter(F.col("vec_id") >= _IVF_K)
 
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("cid")
-    )
-    assign = (
-        corpus.join(F.broadcast(c))
-        .select(
-            "vec_id", "cid", _cos_col(F.col("v"), F.col("cv")).alias("cos")
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    assign = _km_assign(corpus, c).select("vec_id", "cid")
 
     q = corpus.filter(F.col("vec_id") < _IVF_K + _IVF_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
@@ -874,6 +863,28 @@ _KM_TRAIN_CTES = f"""
 """
 
 
+def _km_assign(v, cents):
+    """Spark twin of `_km_assign_sql`: argmax-cosine cell per vector
+    against a BROADCAST centroid table (``cents``: [cid, cv]),
+    deterministic tiebreak on cid — the correctness-critical ordering
+    lives HERE, once, for every consumer (Lloyd update, trained
+    search, drift analysis, SemDeDup). Returns
+    [vec_id, cid, cos_c, v]; callers project what they need."""
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    return (
+        v.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cid",
+            _cos_col(F.col("v"), F.col("cv")).alias("cos_c"),
+            "v",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def _km_train(spark, sf_dir):
     """Spark-side Lloyd loop. Returns (centroid DF [cid, cv], last
     per-(cid, dim) stats DF [cid, i, c_val, n_members]); the plan is
@@ -886,19 +897,7 @@ def _km_train(spark, sf_dir):
     )
     m = None
     for _ in range(_KM_ITERS):
-        w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
-        assign = (
-            v.join(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "cid",
-                _cos_col(F.col("v"), F.col("cv")).alias("cos"),
-                "v",
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "v")
-        )
+        assign = _km_assign(v, cents).select("vec_id", "cid", "v")
         dims = assign.select(
             "cid", F.posexplode("v").alias("i0", "x")
         ).select("cid", (F.col("i0") + 1).alias("i"), "x")
@@ -999,18 +998,7 @@ def sim_ann_ivf_trained(spark, sf_dir):
     v = t(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_d(F.col("embedding")).alias("v")
     )
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("cid")
-    )
-    assign = (
-        v.join(F.broadcast(cents))
-        .select(
-            "vec_id", "cid", _cos_col(F.col("v"), F.col("cv")).alias("cos")
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid")
-    )
+    assign = _km_assign(v, cents).select("vec_id", "cid")
     q = v.filter(F.col("vec_id") < _KM_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -1192,19 +1180,8 @@ def emb_centroid_assign_drift(spark, sf_dir):
     trained, _ = _km_train(spark, sf_dir)
 
     def assign(cents, out):
-        w = W.partitionBy("vec_id").orderBy(
-            F.col("cos").desc(), F.col("cid")
-        )
-        return (
-            v.join(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "cid",
-                _cos_col(F.col("v"), F.col("cv")).alias("cos"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", F.col("cid").alias(out))
+        return _km_assign(v, cents).select(
+            "vec_id", F.col("cid").alias(out)
         )
 
     j = assign(seeded, "cid_seed").join(
@@ -1297,21 +1274,7 @@ def sim_semdedup(spark, sf_dir):
     v = t(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_d(F.col("embedding")).alias("v")
     )
-    w_assign = W.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("cid")
-    )
-    ac = (
-        v.join(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "cid",
-            _cos_col(F.col("v"), F.col("cv")).alias("cos_c"),
-            "v",
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    ac = _km_assign(v, cents)
     w_keep = W.partitionBy("cid").orderBy("cos_c", "vec_id")
     # Cached: the Lloyd-train + assignment subtree feeds three
     # consumers (rank side, pair side, final join) — one materialized

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
+import time
 import uuid
 from collections.abc import Callable
 
@@ -61,12 +62,31 @@ def replay_stream(
             "_chunk", ((F.row_number().over(w) - 1) * n_chunks / F.count(F.lit(1)).over(W.partitionBy())).cast("int")
         ).cache()
         stream_dir = os.path.join(tmp, "stream")
+
+        # The file source replays in MODIFICATION-TIME order; writes
+        # are sequential but fast enough that two chunks can land in
+        # the same mtime tick, and a tie would let a later chunk (or a
+        # watermark-advancing sentinel) process first. Pin an explicit
+        # +2s mtime ladder per chunk so replay order is a guarantee,
+        # not a race.
+        written: set[str] = set()
+        base = time.time()
+
+        def _stamp(step: int) -> None:
+            for f in os.listdir(stream_dir):
+                full = os.path.join(stream_dir, f)
+                if full not in written and f.endswith(".parquet"):
+                    os.utime(full, (base + 2 * step, base + 2 * step))
+                    written.add(full)
+
         for i in range(n_chunks):
             chunk = numbered.filter(F.col("_chunk") == i).drop("_chunk")
             chunk.coalesce(1).write.mode("append").parquet(stream_dir)
+            _stamp(i)
         numbered.unpersist()
-        for extra in tail_chunks or []:
+        for j, extra in enumerate(tail_chunks or []):
             extra.coalesce(1).write.mode("append").parquet(stream_dir)
+            _stamp(n_chunks + j)
 
         reader = (
             spark.readStream.schema(source.schema)

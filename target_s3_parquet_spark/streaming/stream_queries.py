@@ -1217,14 +1217,19 @@ def stream_dedup_within_watermark(spark, sf_dir):
     timestamp, inside the 2-hour delay). Each first sighting is
     emitted immediately in append mode; each retry is swallowed. The
     oracle is simply the original events — WITH their timestamps,
-    proving the kept copy is the first arrival, not the retry."""
+    proving the kept copy is the first arrival, not the retry.
+
+    The retries ride ``tail_chunks`` — a strictly LATER micro-batch
+    than every original — so "first arrival" is enforced by batch
+    boundaries, not by intra-batch row order (rows of one batch reach
+    the dedup state in shuffle-fetch order, which a split input file
+    would scramble)."""
     events = t(spark, sf_dir, "events").select(
         "event_id", "ts", "event_type", "value"
     )
     retries = events.withColumn(
         "ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES")
     )
-    doubled = events.union(retries)
 
     def build(stream):
         return stream.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
@@ -1232,7 +1237,8 @@ def stream_dedup_within_watermark(spark, sf_dir):
         )
 
     return replay_stream(
-        spark, doubled, build, output_mode="append", order_col="ts", n_chunks=4
+        spark, events, build, output_mode="append", order_col="ts",
+        n_chunks=3, tail_chunks=[retries],
     )
 
 
