@@ -978,3 +978,55 @@ def docs_quality_model_score(spark, sf_dir):
     )
 
 
+
+
+# DuckDB twin of Spark's luhn_check: standard Luhn mod-10 over the
+# digit string (1-indexed from the RIGHT; odd positions kept, even
+# positions doubled with 9-subtraction), spelled out as list algebra.
+_LUHN_SQL = """list_sum(list_transform(range(1, length({s}) + 1), i ->
+  CASE WHEN i % 2 = 1 THEN CAST(substr({s}, length({s}) - i + 1, 1) AS INT)
+       WHEN 2 * CAST(substr({s}, length({s}) - i + 1, 1) AS INT) > 9
+         THEN 2 * CAST(substr({s}, length({s}) - i + 1, 1) AS INT) - 9
+       ELSE 2 * CAST(substr({s}, length({s}) - i + 1, 1) AS INT)
+  END)) % 10 = 0"""
+
+
+@query(
+    "text_pii_luhn",
+    f"""
+    WITH cand AS (
+      SELECT lpad(CAST(o_orderkey AS VARCHAR), 16, '4') AS card_like
+      FROM orders
+    )
+    SELECT {_LUHN_SQL.format(s='card_like')} AS luhn_valid,
+           COUNT(*) AS n,
+           MIN(card_like) AS first_num
+    FROM cand GROUP BY 1
+    """,
+)
+def text_pii_luhn(spark, sf_dir):
+    """Checksum-validated PII number detection: the Luhn mod-10 test
+    that separates REAL payment-card numbers from arbitrary digit runs
+    — the step after regex candidate extraction that keeps a PII
+    scrubber's false-positive rate usable (random 16-digit strings
+    pass Luhn only ~10% of the time). Spark 4 ships it as the
+    `luhn_check` scalar — JVM codegen, shuffle-free over any corpus;
+    the oracle re-derives the checksum from first principles as list
+    algebra, so the builtin's semantics are value-verified, not
+    assumed. Candidates here are synthesized deterministically from
+    order keys (the corpus has no real PANs — by design); in the real
+    scrubber this composes with `text_pii_scrub`'s regex extraction:
+    extract digit runs, luhn_check them, redact only validated hits."""
+    cand = t(spark, sf_dir, "orders").select(
+        F.lpad(F.col("o_orderkey").cast("string"), 16, "4").alias(
+            "card_like"
+        )
+    )
+    return (
+        cand.withColumn("luhn_valid", F.expr("luhn_check(card_like)"))
+        .groupBy("luhn_valid")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("card_like").alias("first_num"),
+        )
+    )
