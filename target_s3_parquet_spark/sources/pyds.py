@@ -24,8 +24,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -54,6 +56,69 @@ class SingerJsonlDataSource(DataSource):
 
     def simpleStreamReader(self, schema):  # noqa: ARG002 - fixed schema
         return SingerJsonlStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return SingerJsonlWriter(self.options, schema, overwrite)
+
+
+class SingerJsonlWriter(DataSourceWriter):
+    """``df.write.format("singer_jsonl").save(dir)`` — the WRITE half
+    of the connector: every task serializes its partition as Singer
+    RECORD lines into a hidden temp file; the driver-side commit()
+    renames the reported temp files into place and abort() removes
+    them, so a failed/speculated task never leaves a half-written
+    visible file (the same publish-by-rename contract the txlog sink
+    uses). Input contract: a `stream` string column plus any other
+    columns, which become the RECORD body.
+
+    Scale shape: one output file per task, no driver data motion —
+    commit handles FILE NAMES only."""
+
+    def __init__(self, options, schema, overwrite):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("singer_jsonl writer requires a path")
+        self.fields = [f.name for f in schema.fields]
+        if "stream" not in self.fields:
+            raise ValueError("singer_jsonl writer requires a 'stream' column")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{_uuid.uuid4().hex}.jsonl"
+        tmp = os.path.join(self.path, "." + name + ".tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in iterator:
+                d = dict(zip(self.fields, row))
+                stream = d.pop("stream")
+                f.write(json.dumps(
+                    {"type": "RECORD", "stream": stream, "record": d},
+                    sort_keys=True, default=str,
+                ) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(tmp)  # empty partition: nothing to publish
+            return WriterCommitMessage()
+        return _SingerCommit(tmp, name)
+
+    def commit(self, messages):
+        for m in messages:
+            if isinstance(m, _SingerCommit):
+                os.replace(m.tmp, os.path.join(self.path, m.name))
+
+    def abort(self, messages):
+        for m in messages:
+            if isinstance(m, _SingerCommit) and os.path.exists(m.tmp):
+                os.remove(m.tmp)
+
+
+class _SingerCommit(WriterCommitMessage):
+    def __init__(self, tmp: str, name: str):
+        self.tmp = tmp
+        self.name = name
 
 
 class SingerJsonlReader(DataSourceReader):

@@ -272,3 +272,62 @@ def singer_python_datasource(spark, sf_dir):
         .select(F.from_json("record", rec_schema).alias("r"))
         .select("r.id", "r.status", "r.price")
     )
+
+
+@query(
+    "singer_pyds_write_roundtrip",
+    """
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           o_totalprice AS price
+    FROM orders
+    """,
+)
+def singer_pyds_write_roundtrip(spark, sf_dir):
+    """WRITE half of the Python DataSource connector
+    (`pyds.SingerJsonlWriter`): orders flow out through
+    ``df.write.format("singer_jsonl")`` — one task, one hidden temp
+    file, published by driver-side rename at commit (a failed or
+    speculated task never surfaces a partial file) — then back in
+    through the READ half of the same connector, re-typed with
+    `from_json`. The oracle is the source table, so the entire
+    out-and-back trip (task serialization, commit protocol, envelope
+    parse, float round-trip via shortest-repr JSON) sits under the
+    value hash. The reference has no write-side Singer surface at all
+    (it only consumes stdin); this makes the format symmetric."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from target_s3_parquet_spark.sources.pyds import register
+
+    register(spark)
+    tmp = tempfile.mkdtemp(prefix="singer_pyds_w_")
+    out = os.path.join(tmp, "log")
+    try:
+        o = t(spark, sf_dir, "orders").select(
+            F.lit("orders").alias("stream"),
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("price"),
+        )
+        o.write.format("singer_jsonl").mode("append").save(out)
+        raw = spark.read.format("singer_jsonl").load(out)
+        rec = F.from_json(
+            F.col("record"),
+            T.StructType()
+            .add("id", T.LongType())
+            .add("status", T.StringType())
+            .add("price", T.DoubleType()),
+        )
+        back = raw.filter(F.col("msg_type") == "RECORD").select(
+            rec["id"].alias("id"),
+            rec["status"].alias("status"),
+            rec["price"].alias("price"),
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

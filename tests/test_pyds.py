@@ -5,6 +5,8 @@ stream-offset bookkeeping."""
 import json
 import os
 
+import pytest
+
 from target_s3_parquet_spark.sources.pyds import (
     SingerJsonlStreamReader,
     register,
@@ -56,3 +58,41 @@ def test_stream_reader_offsets(tmp_path):
     assert end2 == {"n_files": 3}
     got = list(rows2)
     assert len(got) == 1 and got[0][1] == "STATE"
+
+
+def test_writer_publishes_by_rename_and_tmp_stays_invisible(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from target_s3_parquet_spark.sources.pyds import register
+
+    register(spark)
+    out = str(tmp_path / "log")
+    df = spark.range(0, 25).select(
+        F.lit("s1").alias("stream"),
+        F.col("id"),
+        (F.col("id") * 1.5).alias("x"),
+    )
+    df.write.format("singer_jsonl").mode("append").save(out)
+
+    names = sorted(os.listdir(out))
+    # publish-by-rename: no temp residue, only visible part files
+    assert names and all(n.startswith("part-") and n.endswith(".jsonl") for n in names)
+
+    # an in-flight (crashed writer's) temp file must be invisible to reads
+    with open(os.path.join(out, ".part-dead.jsonl.tmp"), "w") as f:
+        f.write('{"type":"RECORD","stream":"s1","record":{"id":999}}\n')
+    back = spark.read.format("singer_jsonl").load(out)
+    rows = back.filter(back.msg_type == "RECORD").collect()
+    assert len(rows) == 25
+    ids = sorted(json.loads(r["record"])["id"] for r in rows)
+    assert ids == list(range(25))
+
+
+def test_writer_requires_stream_column(spark, tmp_path):
+    from target_s3_parquet_spark.sources.pyds import register
+
+    register(spark)
+    with pytest.raises(Exception, match="stream"):
+        spark.range(3).write.format("singer_jsonl").mode("append").save(
+            str(tmp_path / "bad")
+        )
