@@ -79,6 +79,7 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        spark.catalog.clearCache()  # keys that cache must not leak across keys
 
     # Measured scale evidence beyond the headline queries (small sizes —
     # the point is the recorded ratio/rate per round, not a stress run):
@@ -110,6 +111,7 @@ def main() -> None:
                 best = elapsed if best is None else min(best, elapsed)
             sweep_t[name] = round(best, 3)
             print(f"# sweep {name}: {sweep_t[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001
             sweep_t[name] = -1.0
             print(f"# sweep {name} FAILED: {e}", file=sys.stderr)

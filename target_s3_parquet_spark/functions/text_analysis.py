@@ -665,7 +665,7 @@ def text_bpe_merge_step(spark, sf_dir):
     is word-boundary-safe and scans left-to-right non-overlapping
     identically in both engines."""
     d = t(spark, sf_dir, "documents").select("text")
-    merged = _bpe_rewrite(d, _bpe_top1(d))
+    merged = _bpe_rewrite(d, _bpe_top1(d)[0])
     bg2 = _bpe_bigram_counts(merged)
     from pyspark.sql import Window as W
 
@@ -746,40 +746,37 @@ def _bpe_bigram_counts(df):
     )
 
 
-def _bpe_top1(df):
-    """The winning pair (1 row, [bigram, c]) with the deterministic
-    tiebreak (count desc, pair string). Cached: the winner feeds both
-    the rewrite chain and any reporting projection."""
-    return (
+def _bpe_top1(df) -> tuple[str, int]:
+    """The winning pair ``(bigram, count)`` with the deterministic
+    tiebreak (count desc, pair string). EAGER: a 1-row distributed
+    aggregate collected to the driver — the BPE loop is driver-iterated
+    over distributed aggregates by design, and carrying the winner as a
+    plan literal (instead of a cached 1-row DataFrame) means nothing is
+    left pinned in executor memory after the query returns."""
+    row = (
         _bpe_bigram_counts(df)
         .orderBy(F.col("c").desc(), "bigram")
         .limit(1)
-        .cache()
+        .collect()[0]
     )
+    return row["bigram"], row["c"]
 
 
-def _bpe_rewrite(df, top):
-    """Merge the broadcast 1-row winner into `df.text` everywhere:
-    space-padded replace (word-boundary-safe, left-to-right
+def _bpe_rewrite(df, bigram: str):
+    """Merge the winning pair (a driver-side literal) into ``df.text``
+    everywhere: space-padded replace (word-boundary-safe, left-to-right
     non-overlapping in both engines), merged token joined with '_'.
+    Pure map-side — the rule rides the plan as string literals.
     All other columns pass through."""
-    return (
-        df.crossJoin(F.broadcast(top.select("bigram")))
-        .withColumn(
-            "text",
-            F.trim(
-                F.replace(
-                    F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
-                    F.concat(F.lit(" "), F.col("bigram"), F.lit(" ")),
-                    F.concat(
-                        F.lit(" "),
-                        F.replace(F.col("bigram"), F.lit(" "), F.lit("_")),
-                        F.lit(" "),
-                    ),
-                )
-            ),
-        )
-        .drop("bigram")
+    return df.withColumn(
+        "text",
+        F.trim(
+            F.replace(
+                F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                F.lit(" " + bigram + " "),
+                F.lit(" " + bigram.replace(" ", "_") + " "),
+            )
+        ),
     )
 
 
@@ -849,25 +846,23 @@ def text_bpe_merge_loop(spark, sf_dir):
     (pair, partial count)), a 1-row top-pair aggregate BROADCAST into
     a pure map-side corpus rewrite. The corpus is never collected and
     never shuffles its text payload; N iterations = N such passes.
-    Each 1-row winner is cached so the rewrite chain and the merge
-    table share one computation of it, keeping total work linear in N
-    (an uncached unroll re-derives earlier winners quadratically).
+    Each 1-row winner is COLLECTED (driver-iterated distributed
+    aggregate) and re-injected as plan literals, so the rewrite chain
+    and the merge table share one computation of it and nothing stays
+    pinned in executor memory after the query completes.
     At production scale the pair-count table is maintained
     incrementally across iterations (only counts touching the merged
     pair change); the per-iteration plan here is that pipeline's
     full-recount form."""
     cur = t(spark, sf_dir, "documents").select("text")
-    out = None
+    merges = []
     for step in range(1, _BPE_ITERS + 1):
-        top = _bpe_top1(cur)
-        row = top.select(
-            F.lit(step).cast("long").alias("step"),
-            F.col("bigram").alias("merged_pair"),
-            F.col("c").alias("pair_count"),
-        )
-        out = row if out is None else out.unionAll(row)
-        cur = _bpe_rewrite(cur, top)
-    return out
+        bigram, cnt = _bpe_top1(cur)
+        merges.append((step, bigram, cnt))
+        cur = _bpe_rewrite(cur, bigram)
+    return spark.createDataFrame(
+        merges, "step long, merged_pair string, pair_count long"
+    )
 
 
 @query("text_bpe_apply", _bpe_apply_sql())
@@ -889,7 +884,7 @@ def text_bpe_apply(spark, sf_dir):
         "text",
     )
     for _ in range(_BPE_ITERS):
-        cur = _bpe_rewrite(cur, _bpe_top1(cur.select("text")))
+        cur = _bpe_rewrite(cur, _bpe_top1(cur.select("text"))[0])
     return cur.select(
         "doc_id",
         "n_tokens_before",
@@ -921,17 +916,19 @@ def _qm_score_sql(size_fn: str, filter_fn: str, split_fn: str,
     — no ulp drift, no quantization grid to straddle."""
     nw = (f"LEAST(CAST({size_fn}({split_fn}(text, ' ')) AS BIGINT),"
           f" 100000)")
-    ns = (f"CAST({size_fn}({filter_fn}({split_fn}(text, ' '), "
-          f"w -> lower(w) IN ({_QM_STOPWORDS}))) AS BIGINT)")
-    np_ = (f"CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', ''"
-           f"{re_flags})) AS BIGINT)")
+    ns = (f"LEAST(CAST({size_fn}({filter_fn}({split_fn}(text, ' '), "
+          f"w -> lower(w) IN ({_QM_STOPWORDS}))) AS BIGINT), 100000)")
+    np_ = (f"LEAST(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', ''"
+           f"{re_flags})) AS BIGINT), 1000000)")
     # Clamps keep every BIGINT product inside int64 for ARBITRARY
     # documents (unclamped, nc²·nw overflows at a ~4 MB doc and the
-    # whole scoring job dies under ANSI mode): nc ≤ 1e6, nw ≤ 1e5
-    # bound the cubic term at 1e17 < 2^63, and np/ns stay ≤ their raw
-    # counts (a 10 GB single doc is the next overflow, beyond any
-    # sane ingest bound). Above the clamp the score saturates —
-    # monotone-capped, deterministic, and identical in both engines.
+    # whole scoring job dies under ANSI mode): nc ≤ 1e6, nw ≤ 1e5,
+    # np ≤ 1e6, ns ≤ 1e5 bound the cubic term at 1e17 < 2^63 and the
+    # cross terms at ≤ 8e14 — saturation is TOTAL, with no residual
+    # ingest-size assumption (an unclamped np/ns would wrap silently
+    # in non-ANSI Spark while DuckDB raises, diverging the engines).
+    # Above a clamp the score saturates — monotone-capped,
+    # deterministic, and identical in both engines.
     nc = "LEAST(n_chars, 1000000)"
     num = (f"({nc} * {nc} * {nw} + 6 * {nc} * {nw} * {nw} "
            f"- 8000 * {np_} * {nw} + 4000 * {ns} * {nc} "

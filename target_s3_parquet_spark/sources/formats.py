@@ -21,10 +21,26 @@ from pyspark.sql import types as T
 from target_s3_parquet_spark.operators._util import t
 from target_s3_parquet_spark.registry import query
 
+# Per-process scratch root: two concurrent gate/bench processes on the
+# same fixture must not race (one overwriting partition dirs while the
+# other's scan lists them), so the pid is part of the path and the
+# process removes its own tree at exit.
 _SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".roundtrip",
+    f"pid{os.getpid()}",
 )
+
+
+def _cleanup_scratch() -> None:
+    import shutil
+
+    shutil.rmtree(_SCRATCH, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_scratch)
 
 _SCHEMA = T.StructType(
     [

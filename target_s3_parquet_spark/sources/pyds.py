@@ -105,6 +105,14 @@ class SingerJsonlWriter(DataSourceWriter):
         return _SingerCommit(tmp, name)
 
     def commit(self, messages):
+        new = {m.name for m in messages if isinstance(m, _SingerCommit)}
+        if self.overwrite:
+            # mode('overwrite'): retire every previously-published file
+            # that is not part of this commit, atomically with publish —
+            # otherwise stale part files stay visible and reads double.
+            for f in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                if os.path.basename(f) not in new:
+                    os.remove(f)
         for m in messages:
             if isinstance(m, _SingerCommit):
                 os.replace(m.tmp, os.path.join(self.path, m.name))

@@ -88,6 +88,33 @@ def test_writer_publishes_by_rename_and_tmp_stays_invisible(spark, tmp_path):
     assert ids == list(range(25))
 
 
+def test_writer_overwrite_retires_stale_part_files(spark, tmp_path):
+    """mode('overwrite') must replace the directory's logical contents:
+    part files from earlier saves may not stay visible (they would make
+    reads return duplicates), while append keeps accumulating."""
+    from pyspark.sql import functions as F
+
+    register(spark)
+    out = str(tmp_path / "log")
+
+    def _save(lo, hi, mode):
+        df = spark.range(lo, hi).select(
+            F.lit("s1").alias("stream"), F.col("id")
+        )
+        df.write.format("singer_jsonl").mode(mode).save(out)
+
+    _save(0, 10, "append")
+    _save(10, 20, "append")
+    back = spark.read.format("singer_jsonl").load(out)
+    assert back.filter("msg_type = 'RECORD'").count() == 20
+
+    _save(100, 105, "overwrite")
+    back = spark.read.format("singer_jsonl").load(out)
+    rows = back.filter("msg_type = 'RECORD'").collect()
+    ids = sorted(json.loads(r["record"])["id"] for r in rows)
+    assert ids == list(range(100, 105))  # stale files gone, no dupes
+
+
 def test_writer_requires_stream_column(spark, tmp_path):
     from target_s3_parquet_spark.sources.pyds import register
 

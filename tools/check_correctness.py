@@ -128,6 +128,10 @@ def main() -> int:
                     n_fail += 1
                     continue
             spdf = sdf.toPandas()
+            # A few keys cache multi-consumer subtrees (sim_semdedup,
+            # assign_dense_ids); without this, cached relations pile up
+            # in executor memory across a full 286-key session.
+            spark.catalog.clearCache()
         except Exception:
             print(f"FAIL {name}: spark raised")
             traceback.print_exc()
