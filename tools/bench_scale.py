@@ -104,7 +104,61 @@ def run_scale(spark, sf_dir: str, factor: int = 10) -> dict:
     dedup_1x = best(lambda: dedup_shape(docs))
     dedup_10x = best(lambda: dedup_shape(docs10))
 
+    # Bucketed fact-fact join at 1x and factor-x: the repo's actual
+    # scale answer for repeated fact-fact joins (join_bucketed_colocated)
+    # measured under growth, not just argued. Both sides are written
+    # ONCE as bucketed datasets (one-time prep, deliberately untimed —
+    # at 100 TB that cost is paid once and amortized over every
+    # subsequent join); the timed shape is the exchange-free
+    # bucket-i-vs-bucket-i SMJ. The unbucketed join_ratio above is the
+    # shuffle shape's ratio; this one is what the shape a real
+    # deployment would use does under 10x growth.
+    import hashlib
+
+    tag = hashlib.md5(f"{sf_dir}:{factor}".encode()).hexdigest()[:8]
+    base = os.path.join(REPO, ".bucketed")
+
+    def ensure_bucketed(df, tname: str, key: str):
+        if not spark.catalog.tableExists(tname):
+            (
+                df.write.bucketBy(16, key)
+                .sortBy(key)
+                .option("path", os.path.join(base, tname))
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tname)
+            )
+        return spark.table(tname)
+
+    lb1 = ensure_bucketed(li, f"sc_li_1x_{tag}", "l_orderkey")
+    ob1 = ensure_bucketed(o, f"sc_o_1x_{tag}", "o_orderkey")
+    lbN = ensure_bucketed(
+        replicate(li, "l_orderkey"), f"sc_li_{factor}x_{tag}", "l_orderkey"
+    )
+    obN = ensure_bucketed(
+        replicate(o, "o_orderkey"), f"sc_o_{factor}x_{tag}", "o_orderkey"
+    )
+
+    def bkt_join_shape(l_df, o_df):
+        # merge hint pins SMJ (no broadcast degenerate at toy scale);
+        # same aggregate as join_shape so the two ratios are comparable
+        return (
+            o_df.hint("merge")
+            .join(l_df, l_df.l_orderkey == o_df.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.sum(dec("l_extendedprice")).alias("rev"),
+            )
+        )
+
+    bkt_1x = best(lambda: bkt_join_shape(lb1, ob1))
+    bkt_10x = best(lambda: bkt_join_shape(lbN, obN))
+
     return {
+        "join_bucketed_1x_sec": bkt_1x,
+        "join_bucketed_10x_sec": bkt_10x,
+        "join_bucketed_10x_ratio": round(bkt_10x / max(bkt_1x, 1e-9), 2),
         "factor": factor,
         "agg_1x_sec": agg_1x,
         "agg_10x_sec": agg_10x,
