@@ -19,7 +19,27 @@ import time
 import uuid
 from collections.abc import Callable
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextmanager
+def stream_conf(spark: SparkSession, partitions: int = 4):
+    """Scope ``spark.sql.shuffle.partitions`` down for a bounded-replay
+    streaming query. Stateful operators allocate one state store per
+    shuffle partition PER OPERATOR PER MICRO-BATCH; at the session's 32
+    partitions that fixed cost (store open/commit/snapshot × 32 ×
+    epochs) dwarfs the data at replay scale. The store count is pinned
+    at each query's FIRST batch from this conf (every replay uses a
+    fresh checkpoint, so it is free to choose); results never depend on
+    it. On a real deployment the knob stays at cluster scale."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def replay_stream(
@@ -94,17 +114,18 @@ def replay_stream(
             .parquet(stream_dir)
         )
         out = build(reader)
-        q = (
-            out.writeStream.outputMode(output_mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with stream_conf(spark):
+            q = (
+                out.writeStream.outputMode(output_mode)
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         # materialize before the temp dir vanishes
         rows = spark.table(name)
         rows = spark.createDataFrame(rows.collect(), rows.schema)

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from target_s3_parquet_spark.operators._util import dec, t
 from target_s3_parquet_spark.registry import query
-from target_s3_parquet_spark.streaming.replay import replay_stream
+from target_s3_parquet_spark.streaming.replay import replay_stream, stream_conf
 
 
 @query(
@@ -215,8 +215,10 @@ def stream_dedup(spark, sf_dir):
             .drop("ts")
         )
 
+    # 3 chunks: duplicates still straddle micro-batch boundaries (the
+    # cross-batch dedup being exercised) — the 4th epoch added only cost
     return replay_stream(
-        spark, doubled, build, output_mode="append", order_col="ts", n_chunks=4
+        spark, doubled, build, output_mode="append", order_col="ts", n_chunks=3
     )
 
 
@@ -256,8 +258,11 @@ def stream_watermark_late(spark, sf_dir):
             )
         )
 
+    # 3 chunks: append-mode windows still emit PROGRESSIVELY (watermark
+    # advances across ≥2 batch boundaries before the final flush); 5
+    # epochs tested the same semantics at nearly 2x the fixed cost
     return replay_stream(
-        spark, events, build, output_mode="append", order_col="ts", n_chunks=5
+        spark, events, build, output_mode="append", order_col="ts", n_chunks=3
     )
 
 
@@ -716,15 +721,16 @@ def stream_available_now(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.sum(dec(F.col("value"))).cast("double").alias("total_value"),
         )
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)  # AvailableNow terminates on its own
+        with stream_conf(spark):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)  # AvailableNow terminates on its own
         rows = spark.table(name)
         return spark.createDataFrame(rows.collect(), rows.schema)
     finally:
@@ -814,19 +820,20 @@ def stream_python_datasource(spark, sf_dir):
                 ),
             )
         )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option(
-                "checkpointLocation", os.path.join(tmp, "ckpt")
+        with stream_conf(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option(
+                    "checkpointLocation", os.path.join(tmp, "ckpt")
+                )
+                .start()
             )
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         return (
             spark.table(name)
             .select("status", "n_orders", "total_price")
@@ -1322,7 +1329,12 @@ def stream_stream_join_outer(spark, sf_dir):
     # MATERIALIZED result — a filter inside the streaming plan would
     # be pushed below the watermark operator and silently remove the
     # sentinels from the watermark computation itself.
+    # 2 data chunks (cross-batch buffering still exercised: batch-1
+    # purchases match batch-2 views) + the 2 sentinel waves = 4 epochs,
+    # the semantic minimum for an outer join whose NULLs flush only in
+    # a data batch after the watermark passes every real window.
     return replay_stream(
         spark, events, build, output_mode="append", order_col="ts",
+        n_chunks=2,
         tail_chunks=[sentinel_wave(12), sentinel_wave(24)],
     ).filter(F.col("purchase_id") >= 0)
