@@ -183,7 +183,35 @@ _R2_DRIVER_VERIFIED = {
 }
 
 
+# Keys the round-3 driver gate verified (CORRECTNESS_r03.json, 50/50
+# pass): sort last with the r1/r2 cohorts.
+_R3_DRIVER_VERIFIED = {
+    "agg_session_window", "agg_mode_median", "agg_hll_sketch_merge",
+    "agg_weighted_stats", "agg_approx_top_k", "agg_linear_regression",
+    "detect_outliers_mad", "agg_higher_moments", "ab_test_ttest",
+    "agg_bitmap_exact_distinct", "text_near_dedup_minhash_prod",
+    "minhash_candidate_stats", "docs_line_dedup",
+    "join_dynamic_range_prune", "docs_url_dedup", "corpus_decontam_ngram",
+    "emb_quantize_int8", "sql_pivot_unpivot", "join_asof_tolerance",
+    "text_bigram_lm_score", "agg_max_by_min_by", "join_shuffled_hash",
+    "text_repeated_ngram_spans", "graph_pagerank",
+    "graph_connected_components", "graph_triangle_count",
+    "graph_degree_stats", "join_interval_overlap", "join_asof_arrow",
+    "join_lateral_topn", "join_bloom_semi_reduction",
+    "data_skew_diagnostics", "join_asof_nearest", "pack_token_chunks",
+    "docs_chunk_overlap", "corpus_mixture_sample",
+    "gdpr_delete_propagation", "merge_upsert_cdc",
+    "corpus_contamination_check", "vocab_top_tokens", "e2e_corpus_build",
+    "events_wide_denorm", "data_quality_checks",
+    "sample_stratified_exact", "cdc_scd2_history",
+    "privacy_kanonymity_audit", "market_basket_pairs",
+    "corpus_domain_cap", "customer_rfm_segments", "pareto_revenue_share",
+}
+
+
 def _sample_priority(name: str) -> tuple[int, int]:
+    if name in _R3_DRIVER_VERIFIED:
+        return (len(_FAMILY_ORDER) + 4, 0)
     if name in _R2_DRIVER_VERIFIED:
         return (len(_FAMILY_ORDER) + 3, 0)
     if name in _R1_DRIVER_VERIFIED:

@@ -101,6 +101,24 @@ def test_interval_overlap_is_equi_not_product(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_knn_broadcasts_queries_and_limits_before_shuffle(spark):
+    """sim_knn_cosine's scale contract: the bounded QUERY side broadcasts
+    (corpus never shuffles for the join), the query-scan filter is pushed
+    to parquet, and the top-k is taken PARTIALLY per input partition
+    (WindowGroupLimit Partial) so only ≤k rows per query per partition
+    survive into the single rank shuffle."""
+    plan = _plan(_q("sim_knn_cosine", spark))
+    assert "BroadcastNestedLoopJoin" in plan and "BuildLeft" in plan
+    assert "LessThan(vec_id,8)" in plan  # query-side filter reaches scan
+    # partial + final group-limit straddle the one Exchange (formatted
+    # explain prints each node in the tree AND the detail section)
+    assert plan.count("WindowGroupLimit") == 4
+    assert "row_number(), 5, Partial" in plan
+    assert "row_number(), 5, Final" in plan
+    assert plan.count("hashpartitioning(") == 1  # the single rank shuffle
+    assert "SortMergeJoin" not in plan
+
+
 def test_registry_oracle_coverage():
     # Every key has an oracle unless it is the one documented rows-only
     # exception (pyspark.ml hashing is not SQL-reproducible) — a new
