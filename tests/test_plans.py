@@ -120,8 +120,9 @@ def test_knn_broadcasts_queries_and_limits_before_shuffle(spark):
 
 
 def test_registry_oracle_coverage():
-    # Every key has an oracle unless it is the one documented rows-only
-    # exception (pyspark.ml hashing is not SQL-reproducible) — a new
+    # EVERY key has an oracle (the last rows-only exception,
+    # text_ml_minhash_pipeline, was upgraded in r4 by verifying the ML
+    # route's bounded output against an exact-Jaccard oracle) — a new
     # key silently missing its oracle (or a regression dropping one)
     # fails here, not in the driver.
     from target_s3_parquet_spark.registry import get_oracles, get_queries
@@ -129,7 +130,7 @@ def test_registry_oracle_coverage():
     qs, os_ = set(get_queries()), set(get_oracles())
     assert os_ <= qs
     rows_only = qs - os_
-    assert rows_only == {"text_ml_minhash_pipeline"}, (
+    assert rows_only == set(), (
         f"unexpected rows-only keys: {sorted(rows_only)}"
     )
 
