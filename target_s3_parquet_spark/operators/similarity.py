@@ -1274,11 +1274,30 @@ def sim_semdedup(spark, sf_dir):
     v = t(spark, sf_dir, "embeddings").select(
         "vec_id", _vec_d(F.col("embedding")).alias("v")
     )
+    return semdedup_flags(v, cents)
+
+
+def semdedup_pairs(v, cents, rank_cap: int | None = None):
+    """The ranked assignment and cluster-local prior-pair relation of
+    SemDeDup, exposed for the oversized-cell guard.
+
+    ``rank_cap`` is the documented skew guard: each vector is compared
+    only against the FIRST ``rank_cap`` exemplars of its cluster (the
+    keep-rank prefix), so a pathological cell of size m costs at most
+    m·rank_cap comparisons instead of m², while the keep ORDER — and
+    therefore which vectors act as exemplars — is unchanged. With the
+    paper's keep rule this is the natural sub-sampling: the prefix IS
+    the retained set a later vector must differ from. ``None`` (the
+    default, used by the `sim_semdedup` key) compares against all
+    earlier-ranked members.
+
+    Returns ``(r, pairs)``: the ranked assignment (vec_id, cid, cos_c,
+    v, keep_rank) and the (vec_id, va, vb) prior-pair relation."""
     ac = _km_assign(v, cents)
     w_keep = W.partitionBy("cid").orderBy("cos_c", "vec_id")
-    # Cached: the Lloyd-train + assignment subtree feeds three
-    # consumers (rank side, pair side, final join) — one materialized
-    # (vec_id, cid, cos_c, v) pass instead of three recomputes.
+    # Cached: the assignment subtree feeds three consumers (rank side,
+    # pair side, final join) — one materialized (vec_id, cid, cos_c, v)
+    # pass instead of three recomputes. (Gate/bench clear per key.)
     r = ac.withColumn(
         "keep_rank", F.row_number().over(w_keep).cast("long")
     ).cache()
@@ -1288,18 +1307,23 @@ def sim_semdedup(spark, sf_dir):
         F.col("keep_rank").alias("rank_b"),
         F.col("v").alias("vb"),
     )
-    p = (
-        a.join(
-            b,
-            (F.col("cid") == F.col("cid_b"))
-            & (F.col("rank_b") < F.col("keep_rank")),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max(_cos_col(F.col("va"), F.col("vb"))).alias(
-                "max_prior_sim"
-            )
-        )
+    if rank_cap is not None:
+        b = b.filter(F.col("rank_b") <= rank_cap)
+    pairs = a.join(
+        b,
+        (F.col("cid") == F.col("cid_b"))
+        & (F.col("rank_b") < F.col("keep_rank")),
+    )
+    return r, pairs
+
+
+def semdedup_flags(v, cents, rank_cap: int | None = None):
+    """Full SemDeDup output (vec_id, cid, keep_rank, max_prior_sim,
+    is_dup) over a (vec_id, v) table and a (cid, cv) codebook; see
+    ``semdedup_pairs`` for the ``rank_cap`` skew guard."""
+    r, pairs = semdedup_pairs(v, cents, rank_cap)
+    p = pairs.groupBy("vec_id").agg(
+        F.max(_cos_col(F.col("va"), F.col("vb"))).alias("max_prior_sim")
     )
     return (
         r.join(p, "vec_id", "left")

@@ -282,3 +282,66 @@ def test_dense_id_assignment_is_partitioning_invariant(spark, keys, nparts):
     }
     want = {k: i for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+def test_semdedup_rank_cap_bounds_oversized_cell_pair_work(spark):
+    """The SemDeDup skew guard (VERDICT r3 #7): on a pathological cell
+    holding nearly the whole corpus, the documented keep_rank cap must
+    bound the pairwise stage's input to m*cap rows (vs m^2/2 uncapped)
+    WITHOUT changing the keep order, and capped duplicate flags must be
+    a subset of uncapped ones (capping can only lower max_prior_sim)."""
+    import math
+    import random
+
+    import pyspark.sql.functions as F
+
+    from target_s3_parquet_spark.operators.similarity import (
+        semdedup_flags,
+        semdedup_pairs,
+    )
+
+    dim, m, n_other, cap = 64, 120, 6, 8
+    rng = random.Random(7)
+
+    def unit(axis, jitter):
+        v = [0.0] * dim
+        v[axis] = 1.0
+        v = [x + rng.uniform(-jitter, jitter) for x in v]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # one dominant direction (axis 0) + a few strays on other axes
+    rows = [(i, unit(0, 0.2)) for i in range(m)]
+    rows += [(m + j, unit(1 + j % 3, 0.05)) for j in range(n_other)]
+    v = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = spark.createDataFrame(
+        [(c, unit(c, 0.0)) for c in range(4)], "cid long, cv array<double>"
+    )
+
+    r, pairs_uncapped = semdedup_pairs(v, cents)
+    sizes = {
+        row["cid"]: row["n"]
+        for row in r.groupBy("cid").agg(F.count("*").alias("n")).collect()
+    }
+    assert max(sizes.values()) >= m  # the dominant cell actually formed
+    want_uncapped = sum(s * (s - 1) // 2 for s in sizes.values())
+    assert pairs_uncapped.count() == want_uncapped
+
+    _, pairs_capped = semdedup_pairs(v, cents, rank_cap=cap)
+    n_capped = pairs_capped.count()
+    want_capped = sum(
+        min(k - 1, cap) for s in sizes.values() for k in range(1, s + 1)
+    )
+    assert n_capped == want_capped
+    assert n_capped <= (m + n_other) * cap  # the guard's task-input bound
+    assert n_capped < want_uncapped
+
+    full = semdedup_flags(v, cents).collect()
+    capped = semdedup_flags(v, cents, rank_cap=cap).collect()
+    rank_full = {x["vec_id"]: x["keep_rank"] for x in full}
+    rank_capped = {x["vec_id"]: x["keep_rank"] for x in capped}
+    assert rank_full == rank_capped  # keep ORDER unchanged by the cap
+    dups_full = {x["vec_id"] for x in full if x["is_dup"]}
+    dups_capped = {x["vec_id"] for x in capped if x["is_dup"]}
+    assert dups_capped <= dups_full  # one-sided: capping never adds dups
+    assert dups_full  # jittered same-axis vectors do exceed tau=0.9
