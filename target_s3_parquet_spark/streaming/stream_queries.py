@@ -786,18 +786,22 @@ def stream_python_datasource(spark, sf_dir):
             ).alias("value"),
             (F.col("o_orderkey") % 3).alias("chunk"),
         )
+        # one job, three chunk files: partitionBy writes every chunk in
+        # a single orders scan (the previous per-chunk filter+write
+        # re-scanned the table three times)
+        part = os.path.join(tmp, "chunks")
+        lines.repartition(1, "chunk").write.mode("overwrite").partitionBy(
+            "chunk"
+        ).text(part)
         for i in range(3):
-            part = os.path.join(tmp, f"part{i}")
-            lines.filter(F.col("chunk") == i).select("value").coalesce(
-                1
-            ).write.mode("overwrite").text(part)
+            cdir = os.path.join(part, f"chunk={i}")
             src = [
                 f
-                for f in os.listdir(part)
+                for f in os.listdir(cdir)
                 if f.startswith("part-") and f.endswith(".txt")
             ][0]
             shutil.move(
-                os.path.join(part, src), os.path.join(log_dir, f"{i:03d}.jsonl")
+                os.path.join(cdir, src), os.path.join(log_dir, f"{i:03d}.jsonl")
             )
 
         register(spark)
