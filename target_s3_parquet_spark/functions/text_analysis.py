@@ -1074,3 +1074,170 @@ def text_pii_luhn(spark, sf_dir):
             F.min("card_like").alias("first_num"),
         )
     )
+
+
+@query(
+    "docs_gopher_rules",
+    f"""
+    WITH g AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                                          s -> len(s))) AS BIGINT)
+               AS sum_len,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + length(text) - length(replace(text, '…', ''))
+                  AS BIGINT) AS n_sym,
+             CAST(len(list_distinct(list_filter(
+                    string_split(text, ' '),
+                    s -> lower(s) IN ({_QM_STOPWORDS})))) AS BIGINT)
+               AS n_stop_distinct,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  s -> regexp_matches(s, '[a-zA-Z]')))
+                  AS BIGINT) AS n_alpha
+      FROM documents
+    )
+    SELECT doc_id, nw,
+           nw BETWEEN 10 AND 100000            AS rule_word_count,
+           3 * nw <= sum_len AND sum_len <= 10 * nw
+                                               AS rule_mean_word_len,
+           10 * n_sym <= nw                    AS rule_symbol_ratio,
+           n_stop_distinct >= 2                AS rule_stopwords,
+           5 * n_alpha >= 4 * nw               AS rule_alpha_words,
+           (nw BETWEEN 10 AND 100000)
+             AND (3 * nw <= sum_len AND sum_len <= 10 * nw)
+             AND (10 * n_sym <= nw)
+             AND (n_stop_distinct >= 2)
+             AND (5 * n_alpha >= 4 * nw)       AS keep
+    FROM g
+    """,
+)
+def docs_gopher_rules(spark, sf_dir):
+    """Gopher-style rule-based quality filtering (Rae et al. 2021,
+    arXiv:2112.11446, Table A1): the five heuristics that production
+    LLM corpora apply before any model-based scoring — word-count
+    bounds, mean-word-length band [3,10], symbol-to-word ratio bound
+    (#/ellipsis), minimum distinct-stopword presence, and minimum
+    fraction of words containing an alphabetic character. One row per
+    document with each rule's verdict and the conjunctive keep flag,
+    so downstream can both filter AND attribute every rejection.
+
+    Every rule is evaluated as an EXACT integer comparison
+    (cross-multiplied rationals: mean length in [3,10] is
+    3·nw ≤ Σlen ≤ 10·nw; alpha fraction ≥ 0.8 is 5·n_alpha ≥ 4·nw), so
+    verdicts are bit-identical across engines with no float grids —
+    and the whole operator is one map-side projection over the corpus:
+    no shuffle, no UDF, trivially linear at 100 TB.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    nw = F.size(w).cast("long")
+    sum_len = F.aggregate(
+        F.transform(w, lambda s: F.length(s).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_sym = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+        + F.length("text") - F.length(F.replace(F.col("text"), F.lit("…")))
+    ).cast("long")
+    stop_list = [s.strip("'") for s in _QM_STOPWORDS.split(",")]
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(w, lambda s: F.lower(s).isin(stop_list))
+        )
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(w, lambda s: s.rlike("[a-zA-Z]"))
+    ).cast("long")
+    g = d.select(
+        "doc_id",
+        nw.alias("nw"),
+        sum_len.alias("sum_len"),
+        n_sym.alias("n_sym"),
+        n_stop.alias("n_stop_distinct"),
+        n_alpha.alias("n_alpha"),
+    )
+    r_wc = F.col("nw").between(10, 100000)
+    r_mwl = (3 * F.col("nw") <= F.col("sum_len")) & (
+        F.col("sum_len") <= 10 * F.col("nw")
+    )
+    r_sym = 10 * F.col("n_sym") <= F.col("nw")
+    r_stop = F.col("n_stop_distinct") >= 2
+    r_alpha = 5 * F.col("n_alpha") >= 4 * F.col("nw")
+    return g.select(
+        "doc_id",
+        "nw",
+        r_wc.alias("rule_word_count"),
+        r_mwl.alias("rule_mean_word_len"),
+        r_sym.alias("rule_symbol_ratio"),
+        r_stop.alias("rule_stopwords"),
+        r_alpha.alias("rule_alpha_words"),
+        (r_wc & r_mwl & r_sym & r_stop & r_alpha).alias("keep"),
+    )
+
+
+@query(
+    "text_char_stats",
+    """
+    WITH c AS (
+      SELECT doc_id, ch, COUNT(*) AS n
+      FROM (SELECT doc_id, UNNEST(string_split(text, '')) AS ch
+            FROM documents)
+      WHERE ch <> ' '
+      GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_distinct_chars,
+           CAST(SUM(n) AS BIGINT) AS n_nonspace_chars,
+           MAX(n) AS top_char_n,
+           CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+             AS top_char_frac,
+           5 * MAX(n) > SUM(n) AS is_junk
+    FROM c
+    GROUP BY doc_id
+    """,
+)
+def text_char_stats(spark, sf_dir):
+    """Character-composition junk filter: per-document non-space
+    character histogram reduced to distinct-char count, modal-char
+    count, and the modal fraction; a document whose single most common
+    character exceeds 20% of its non-space characters (exact integer
+    test 5·max > total) is flagged — the cheap screen for binary
+    spill, ASCII art, and run-on separator junk that character-entropy
+    filters target, WITHOUT the cross-engine-unmatchable log().
+
+    Distributed shape: the exploded (doc_id, char) stream feeds a
+    COMBINABLE two-level groupBy — partial maps emit at most
+    |alphabet| rows per document per partition, so the shuffle carries
+    bounded histograms, never raw characters; the top-char reduction
+    is a second map-side-combinable aggregate on those histograms. At
+    100 TB the same plan holds (alphabet-bounded partials), or the
+    histogram collapses into a single mapInPandas Counter pass when
+    the explode's row expansion isn't wanted.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    c = (
+        d.select(
+            "doc_id", F.explode(F.split("text", "")).alias("ch")
+        )
+        .filter(F.col("ch") != " ")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+        F.sum("n").alias("n_nonspace_chars"),
+        F.max("n").alias("top_char_n"),
+        (
+            F.max("n").cast("double") / F.sum("n").cast("double")
+        ).alias("top_char_frac"),
+        (5 * F.max("n") > F.sum("n")).alias("is_junk"),
+    )

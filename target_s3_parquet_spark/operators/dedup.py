@@ -794,3 +794,79 @@ def docs_line_dedup(spark, sf_dir):
             " ",
         ).alias("cleaned_text"),
     )
+
+
+_SPAN_W = 8  # words per window (the 50-token window of Lee et al. 2022,
+#              scaled to the fixture's ~50-word documents)
+
+
+@query(
+    "docs_substring_dedup_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id,
+             md5(array_to_string(w[i : i + {_SPAN_W - 1}], ' ')) AS win_hash
+      FROM w, UNNEST(range(1, len(w) - {_SPAN_W - 2})) AS u(i)
+      WHERE len(w) >= {_SPAN_W}
+    )
+    SELECT win_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences,
+           MIN(doc_id) AS first_doc_id
+    FROM win
+    GROUP BY win_hash
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def docs_substring_dedup_spans(spark, sf_dir):
+    """Cross-document repeated-substring detection — the primitive of
+    exact SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", arXiv:2107.06499): every
+    8-word window is hashed and windows occurring in MORE THAN ONE
+    document are reported (count of docs, total occurrences, lowest
+    containing doc). Complements document-level dedup: boilerplate,
+    licenses, and templated passages repeat across otherwise-distinct
+    documents, and span-level removal is what the paper shows matters.
+
+    Distributed shape: window extraction is a pure map-side
+    transform+posexplode (no suffix array needed — fixed-length window
+    hashing finds every duplicated span of >= w words, since any such
+    span contains a duplicated w-window); the ONLY shuffle carries
+    (win_hash, doc_id) pairs — never document text — into a combinable
+    groupBy. At 100 TB: w=50 tokens, i64 rolling hashes instead of md5
+    (md5 here because DuckDB replays it bit-for-bit), and the output
+    joins back to docs as span blocklist — the same one-shuffle shape.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    win = (
+        d.filter(F.size("w") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (_SPAN_W - 1)),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("w"), i, _SPAN_W), " ")
+                    ),
+                )
+            ).alias("win_hash"),
+        )
+    )
+    return (
+        win.groupBy("win_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1338,3 +1338,123 @@ def semdedup_flags(v, cents, rank_cap: int | None = None):
             ).alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the PQ half of IVF-PQ)
+# ---------------------------------------------------------------------------
+_PQ_M = 8       # subspaces
+_PQ_DSUB = 8    # dims per subspace (M * DSUB = _EMB_DIM)
+_PQ_K = 16      # codes per subspace (seeded codebook: first K vectors)
+
+
+def _pq_dist_sql(a: str, b: str) -> str:
+    """Unrolled left-associated squared-L2 over one subspace — the SQL
+    twin of the Spark expression (same op order → identical doubles)."""
+    terms = [
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+        for i in range(1, _PQ_DSUB + 1)
+    ]
+    out = terms[0]
+    for t_ in terms[1:]:
+        out = f"({out} + {t_})"
+    return out
+
+
+@query(
+    "emb_pq_codebook_assign",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (SELECT UNNEST(range(0, {_PQ_M})) AS sub),
+    corpus AS (
+      SELECT vec_id, sub, v[sub*{_PQ_DSUB}+1 : sub*{_PQ_DSUB}+{_PQ_DSUB}] AS sv
+      FROM v, s WHERE vec_id >= {_PQ_K}
+    ),
+    cb AS (
+      SELECT vec_id AS code, sub,
+             v[sub*{_PQ_DSUB}+1 : sub*{_PQ_DSUB}+{_PQ_DSUB}] AS cv
+      FROM v, s WHERE vec_id < {_PQ_K}
+    ),
+    d AS (
+      SELECT corpus.vec_id, corpus.sub, cb.code,
+             {_pq_dist_sql('sv', 'cv')} AS d
+      FROM corpus JOIN cb ON cb.sub = corpus.sub
+    ),
+    a AS (
+      SELECT vec_id, sub, code, d FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                     ORDER BY d, code) AS rn
+        FROM d) WHERE rn = 1
+    )
+    SELECT sub AS subspace, code,
+           COUNT(*) AS n_assigned,
+           CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE) AS sum_sq_err
+    FROM a GROUP BY sub, code
+    """,
+)
+def emb_pq_codebook_assign(spark, sf_dir):
+    """Product quantization (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search") — the PQ half of the IVF-PQ index
+    every billion-vector ANN deployment runs: the 64-dim space is split
+    into 8 orthogonal 8-dim subspaces, each with its own K=16 codebook
+    (seeded from the first K vectors, like the IVF keys' seeded
+    codebooks), and every corpus vector is encoded as its per-subspace
+    argmin-L2 code. Output is the codebook usage table: per (subspace,
+    code) assignment count and total squared reconstruction error —
+    the distortion diagnostics that decide codebook retraining.
+
+    Distributed shape: the codebook is O(M·K) rows and BROADCAST; each
+    vector's M sub-vectors are a map-side posexplode; the argmin is a
+    per-(vector, subspace) window over K broadcast candidates — so the
+    only wide shuffle carries (vec_id, sub) groups of K short rows,
+    and the final rollup is combinable. At 100 TB: identical plan —
+    assignment stays broadcast-bounded (M·K doubles ride every task),
+    and codes pack to M bytes/vector (the 64:1 compression that makes
+    exhaustive in-memory scans of billion-vector corpora possible).
+    Squared-L2 is unrolled left-associated on BOTH engines, so every
+    distance double is bit-identical; the DECIMAL(38,6) sum keeps the
+    error aggregate order-independent.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    subs = F.array(
+        *[F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)]
+    )
+    corpus = (
+        v.filter(F.col("vec_id") >= _PQ_K)
+        .select("vec_id", F.posexplode(subs))
+        .withColumnRenamed("pos", "sub")
+        .withColumnRenamed("col", "sv")
+    )
+    cb = (
+        v.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("code"), F.posexplode(subs))
+        .withColumnRenamed("pos", "sub")
+        .withColumnRenamed("col", "cv")
+    )
+
+    dist = None
+    for i in range(1, _PQ_DSUB + 1):
+        term = (
+            F.element_at("sv", i) - F.element_at("cv", i)
+        ) * (F.element_at("sv", i) - F.element_at("cv", i))
+        dist = term if dist is None else dist + term
+
+    j = corpus.join(F.broadcast(cb), "sub").withColumn("d", dist)
+    w = W.partitionBy("vec_id", "sub").orderBy("d", "code")
+    a = j.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return a.groupBy(
+        F.col("sub").cast("long").alias("subspace"), "code"
+    ).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum(F.col("d").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_sq_err"),
+    )
