@@ -546,3 +546,60 @@ def scalar_csv_parse(spark, sf_dir):
         parsed.getField("s").alias("parsed_status"),
         parsed.getField("p").alias("parsed_price"),
     )
+
+
+@query(
+    "search_inverted_index_build",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (SELECT doc_id,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    )
+    SELECT tok AS token,
+           COUNT(*) AS doc_freq,
+           array_to_string(list_sort(list(doc_id))[1:20], ',')
+             AS posting_head
+    FROM toks
+    GROUP BY tok
+    """,
+)
+def search_inverted_index_build(spark, sf_dir):
+    """Inverted-index CONSTRUCTION — the build side of the retrieval
+    story whose query side is `search_multi_term_rank`/TF-IDF: one
+    (token, doc_id) posting per distinct term occurrence, rolled up to
+    per-token document frequency plus the first 20 postings (sorted,
+    serialized — the comparator hashes strings, and a real index stores
+    heads inline with long tails spilled to posting shards anyway).
+
+    Distributed shape: tokenize map-side, ONE shuffle of (token,
+    doc_id) pairs into a combinable distinct+groupBy; document bodies
+    never move. Stop-word tokens are the classic hot keys — the cap on
+    the serialized head bounds the OUTPUT, and at 100 TB the posting
+    list itself shards as (token, bucket) exactly like the salted-join
+    pattern (`join_skew_salted`), keeping every task's postings
+    bounded. This build is the batch bootstrap; incremental appends
+    merge new postings with `dedup_incremental_registry`'s shape.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    return toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq"),
+        F.array_join(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
+        ).alias("posting_head"),
+    )
