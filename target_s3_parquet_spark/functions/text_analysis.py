@@ -553,7 +553,7 @@ def text_ml_minhash_pipeline(spark, sf_dir):
     FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 5) a
     JOIN customer b
       ON b.c_custkey <> a.c_custkey
-     AND levenshtein(a.c_name, b.c_name) <= 1
+     AND levenshtein(a.c_name, b.c_name) <= 2
     """,
 )
 def fuzzy_match_levenshtein(spark, sf_dir):

@@ -1458,3 +1458,135 @@ def emb_pq_codebook_assign(spark, sf_dir):
         .cast("double")
         .alias("sum_sq_err"),
     )
+
+
+@query(
+    "emb_pq_adc_search",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (SELECT UNNEST(range(0, {_PQ_M})) AS sub),
+    corpus AS (
+      SELECT vec_id, sub, v[sub*{_PQ_DSUB}+1 : sub*{_PQ_DSUB}+{_PQ_DSUB}] AS sv
+      FROM v, s WHERE vec_id >= {_PQ_K + 4}
+    ),
+    cb AS (
+      SELECT vec_id AS code, sub,
+             v[sub*{_PQ_DSUB}+1 : sub*{_PQ_DSUB}+{_PQ_DSUB}] AS cv
+      FROM v, s WHERE vec_id < {_PQ_K}
+    ),
+    assigned AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT corpus.vec_id, corpus.sub, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY corpus.vec_id, corpus.sub
+                 ORDER BY {_pq_dist_sql('sv', 'cv')}, cb.code) AS rn
+        FROM corpus JOIN cb ON cb.sub = corpus.sub) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, sub,
+             v[sub*{_PQ_DSUB}+1 : sub*{_PQ_DSUB}+{_PQ_DSUB}] AS qv
+      FROM v, s WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + 4}
+    ),
+    lut AS (
+      SELECT q.query_id, cb.sub, cb.code,
+             CAST({_pq_dist_sql('qv', 'cv')} AS DECIMAL(38,6)) AS pd
+      FROM q JOIN cb ON cb.sub = q.sub
+    ),
+    adc AS (
+      SELECT l.query_id, a.vec_id,
+             CAST(SUM(l.pd) AS DOUBLE) AS adc_dist
+      FROM assigned a
+      JOIN lut l ON l.sub = a.sub AND l.code = a.code
+      GROUP BY l.query_id, a.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) WHERE rn <= 5
+    """,
+)
+def emb_pq_adc_search(spark, sf_dir):
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the QUERY
+    half of IVF-PQ (Jégou et al. 2011 §III): corpus vectors exist only
+    as their per-subspace codes (`emb_pq_codebook_assign`), each query
+    precomputes an M×K lookup table of exact query-sub-vector-to-
+    codeword distances, and a candidate's approximate distance is the
+    SUM of M table lookups — no original corpus vector is ever touched
+    at query time. Queries are the 4 vectors after the codebook seed
+    range; top-5 by ADC distance with vec_id tiebreak.
+
+    Distributed shape: the codebook and the per-query LUT are O(M·K)
+    and O(Q·M·K) rows — both broadcast-sized; encoding is the assign
+    key's plan; the search itself is a broadcast-hash join from codes
+    to LUT entries plus a combinable per-(query, vector) sum and the
+    partial-ranked top-k window (`sim_knn_cosine`'s shape). At 100 TB
+    the scan reads M bytes of codes per vector instead of 4·D bytes of
+    floats — the 32:1 read reduction IS the operator. Per-subspace
+    LUT distances are truncated to DECIMAL(38,6) before the M-way sum
+    on BOTH engines, so the aggregate is order-independent and the
+    final double cast identical.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    subs = F.array(
+        *[F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)]
+    )
+
+    def sub_explode(df, id_alias, vec_alias):
+        return (
+            df.select(F.col("vec_id").alias(id_alias), F.posexplode(subs))
+            .withColumnRenamed("pos", "sub")
+            .withColumnRenamed("col", vec_alias)
+        )
+
+    corpus = sub_explode(v.filter(F.col("vec_id") >= _PQ_K + 4), "vec_id", "sv")
+    cb = sub_explode(v.filter(F.col("vec_id") < _PQ_K), "code", "cv")
+    q = sub_explode(
+        v.filter((F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + 4)),
+        "query_id",
+        "qv",
+    )
+
+    def l2(a, b):
+        d = None
+        for i in range(1, _PQ_DSUB + 1):
+            term = (F.element_at(a, i) - F.element_at(b, i)) * (
+                F.element_at(a, i) - F.element_at(b, i)
+            )
+            d = term if d is None else d + term
+        return d
+
+    w_assign = W.partitionBy("vec_id", "sub").orderBy("d", "code")
+    assigned = (
+        corpus.join(F.broadcast(cb), "sub")
+        .withColumn("d", l2("sv", "cv"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    lut = (
+        q.join(F.broadcast(cb), "sub")
+        .select(
+            "query_id",
+            "sub",
+            "code",
+            l2("qv", "cv").cast("decimal(38,6)").alias("pd"),
+        )
+    )
+    adc = (
+        assigned.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").cast("double").alias("adc_dist"))
+    )
+    w_top = W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist")
+    )
