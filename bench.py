@@ -116,6 +116,37 @@ def main() -> None:
             sweep_t[name] = -1.0
             print(f"# sweep {name} FAILED: {e}", file=sys.stderr)
     extras["second_sweep_sec"] = sweep_t
+    # Round-4 additions, timed the same way in their own bucket so the
+    # r2-era sweeps stay comparable across rounds.
+    SWEEP_R4 = [
+        "docs_substring_dedup_spans",
+        "er_blocked_fuzzy_join",
+        "emb_pq_codebook_assign",
+        "emb_pq_adc_search",
+        "docs_gopher_rules",
+        "text_char_stats",
+        "search_inverted_index_build",
+        "ts_ewma_halflife",
+        "corpus_filter_funnel",
+        "text_ml_minhash_pipeline",
+    ]
+    r4_t: dict[str, float] = {}
+    for name in SWEEP_R4:
+        try:
+            fn = queries[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            r4_t[name] = round(best, 3)
+            print(f"# r4 sweep {name}: {r4_t[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            r4_t[name] = -1.0
+            print(f"# r4 sweep {name} FAILED: {e}", file=sys.stderr)
+    extras["r4_sweep_sec"] = r4_t
     try:
         from tools.bench_skew import run_skew
 

@@ -1394,3 +1394,136 @@ def incremental_join_delta(spark, sf_dir):
         .cast("double")
         .alias("total"),
     )
+
+
+@query(
+    "corpus_filter_funnel",
+    """
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY md5(lower(trim(
+                      regexp_replace(text, '\\s+', ' ', 'g'))))
+                    ORDER BY doc_id) = 1
+                  THEN 1 ELSE 0 END AS keep_dedup,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                                          s -> len(s))) AS BIGINT)
+               AS sum_len,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                    s -> lower(s) IN ('the','a','an','and','or','of',
+                                      'to','in','is','it'))))
+                  AS BIGINT) AS n_stop
+      FROM documents
+    ),
+    g AS (
+      SELECT keep_dedup AS f1,
+             CASE WHEN keep_dedup = 1
+                   AND nw BETWEEN 10 AND 100000
+                   AND 3 * nw <= sum_len AND sum_len <= 10 * nw
+                  THEN 1 ELSE 0 END AS f2,
+             CASE WHEN keep_dedup = 1
+                   AND nw BETWEEN 10 AND 100000
+                   AND 3 * nw <= sum_len AND sum_len <= 10 * nw
+                   AND n_stop >= 2
+                  THEN 1 ELSE 0 END AS f3
+      FROM f
+    ),
+    c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(f1) AS BIGINT) AS n1,
+             CAST(SUM(f2) AS BIGINT) AS n2,
+             CAST(SUM(f3) AS BIGINT) AS n3
+      FROM g
+    )
+    SELECT '0_raw' AS stage, n0 AS n_in, n0 AS n_out,
+           CAST(0 AS BIGINT) AS n_dropped FROM c
+    UNION ALL SELECT '1_exact_dedup', n0, n1, n0 - n1 FROM c
+    UNION ALL SELECT '2_gopher_rules', n1, n2, n1 - n2 FROM c
+    UNION ALL SELECT '3_stopword_floor', n2, n3, n2 - n3 FROM c
+    """,
+)
+def corpus_filter_funnel(spark, sf_dir):
+    """The corpus-build ABLATION FUNNEL: per-stage survivor counts for
+    the standard filter chain (exact dedup on normalized-text md5 →
+    Gopher word-count + mean-word-length rules → stopword-presence
+    floor), reported as (stage, n_in, n_out, n_dropped) rows — the
+    attrition table every data-curation run publishes next to its
+    corpus, and the first thing reviewed when a pipeline change shifts
+    token counts. Stages compose SEQUENTIALLY (each applies to the
+    previous stage's survivors), matching how the build
+    (`e2e_corpus_build`) actually executes.
+
+    Distributed shape: ONE pass computes every stage's flag per
+    document (the dedup flag is the only shuffle — the same fingerprint
+    window the build uses), then a single combinable aggregate reduces
+    to four counters; the report rows are literals over that 1-row
+    aggregate. Cost at 100 TB: identical to one dedup pass — the funnel
+    is free relative to the build it audits.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))))
+    w = W.partitionBy("fp").orderBy("doc_id")
+    words = F.split("text", " ")
+    nw = F.size(words).cast("long")
+    sum_len = F.aggregate(
+        F.transform(words, lambda s: F.length(s).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_list = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+    n_stop = F.size(
+        F.array_distinct(F.filter(words, lambda s: F.lower(s).isin(stop_list)))
+    ).cast("long")
+    f = (
+        d.select("doc_id", fp.alias("fp"), nw.alias("nw"),
+                 sum_len.alias("sum_len"), n_stop.alias("n_stop"))
+        .withColumn(
+            "f1", (F.row_number().over(w) == 1).cast("int")
+        )
+    )
+    gopher = (
+        (F.col("nw") >= 10) & (F.col("nw") <= 100000)
+        & (3 * F.col("nw") <= F.col("sum_len"))
+        & (F.col("sum_len") <= 10 * F.col("nw"))
+    )
+    g = f.select(
+        "f1",
+        ((F.col("f1") == 1) & gopher).cast("int").alias("f2"),
+        ((F.col("f1") == 1) & gopher & (F.col("n_stop") >= 2))
+        .cast("int")
+        .alias("f3"),
+    )
+    c = g.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("f1").alias("n1"),
+        F.sum("f2").alias("n2"),
+        F.sum("f3").alias("n3"),
+    )
+    stagerow = lambda name, nin, nout: F.struct(  # noqa: E731
+        F.lit(name).alias("stage"),
+        F.col(nin).alias("n_in"),
+        F.col(nout).alias("n_out"),
+        (F.col(nin) - F.col(nout)).alias("n_dropped"),
+    )
+    return (
+        c.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("0_raw").alias("stage"),
+                        F.col("n0").alias("n_in"),
+                        F.col("n0").alias("n_out"),
+                        F.lit(0).cast("long").alias("n_dropped"),
+                    ),
+                    stagerow("1_exact_dedup", "n0", "n1"),
+                    stagerow("2_gopher_rules", "n1", "n2"),
+                    stagerow("3_stopword_floor", "n2", "n3"),
+                )
+            ).alias("s")
+        )
+        .select("s.stage", "s.n_in", "s.n_out", "s.n_dropped")
+    )
