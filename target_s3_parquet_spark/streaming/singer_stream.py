@@ -188,9 +188,12 @@ def run_singer_stream_to_completion(
         state_dir=state_dir,
         **job_kw,
     )
-    q = job.start(spark, log_dir)
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    from target_s3_parquet_spark.streaming.replay import stream_conf
+
+    with stream_conf(spark):
+        q = job.start(spark, log_dir)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.read.parquet(output_path), latest_state(state_dir)

@@ -75,11 +75,12 @@ def stream_singer_ingest(spark, sf_dir):
             output_path=f"{tmp}/out",
             checkpoint_path=f"{tmp}/ckpt",
         )
-        q = job.start(spark, f"{log_dir}/*", max_files_per_trigger=2)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with stream_conf(spark):
+            q = job.start(spark, f"{log_dir}/*", max_files_per_trigger=2)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         back = spark.read.parquet(f"{tmp}/out").withColumn(
             "id", F.col("id").cast("long")
         )
@@ -398,11 +399,12 @@ def stream_activate_version(spark, sf_dir):
             checkpoint_path=f"{tmp}/ckpt",
             activate_version=True,
         )
-        q = job.start(spark, f"{log_dir}/*", max_files_per_trigger=1)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with stream_conf(spark):
+            q = job.start(spark, f"{log_dir}/*", max_files_per_trigger=1)
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         back = (
             spark.read.parquet(f"{tmp}/out")
             .select(
