@@ -508,7 +508,7 @@ def text_ml_minhash_pipeline(spark, sf_dir):
     not SQL-replayable, but approxSimilarityJoin filters its candidates
     by the EXACT Jaccard distance over the hashed shingle sets — so the
     output equals the exact all-pairs shingle-Jaccard join whenever (a)
-    every qualifying pair shares ≥1 of the 4 minhash values (OR-
+    every qualifying pair shares ≥1 of the 8 minhash values (OR-
     amplified recall; misses are possible near the threshold in
     general) and (b) no two distinct shingles of a compared pair
     collide in the 2^18 HashingTF space. Both hold on the bounded
@@ -517,7 +517,14 @@ def text_ml_minhash_pipeline(spark, sf_dir):
     fixed seed keeps it deterministic. The bound also keeps the
     oracle's exact all-pairs join tractable; the SCALE path for
     unbounded corpora remains the banded md5 MinHash
-    (`text_near_dedup_minhash_prod`)."""
+    (`text_near_dedup_minhash_prod`).
+
+    DIAGNOSIS NOTE for a future fixture regen: if this key ever
+    hash-mismatches against the oracle while the md5-MinHash twins stay
+    green, suspect ORACLE FRAGILITY first — an LSH recall miss on a
+    near-threshold pair (condition (a)) or a HashingTF collision
+    (condition (b)) — not an operator bug. numHashTables=8 (raised
+    from 4, r5) buys recall margin against exactly that."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
     d = (
@@ -532,7 +539,7 @@ def text_ml_minhash_pipeline(spark, sf_dir):
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
     shingled = ng.transform(tok.transform(d))
     feats = tf.transform(shingled).filter(F.size("shingles") > 0)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", seed=42, numHashTables=4)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", seed=42, numHashTables=8)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.7, distCol="jaccard_dist")
     return (
@@ -800,13 +807,18 @@ def _bpe_top1(df) -> tuple[str, int]:
     over distributed aggregates by design, and carrying the winner as a
     plan literal (instead of a cached 1-row DataFrame) means nothing is
     left pinned in executor memory after the query returns."""
-    row = (
+    rows = (
         _bpe_bigram_counts(df)
         .orderBy(F.col("c").desc(), "bigram")
         .limit(1)
-        .collect()[0]
+        .collect()
     )
-    return row["bigram"], row["c"]
+    if not rows:
+        raise ValueError(
+            "BPE training corpus has no bigrams (every document is empty "
+            "or single-token) — nothing to merge"
+        )
+    return rows[0]["bigram"], rows[0]["c"]
 
 
 def _bpe_rewrite(df, bigram: str):

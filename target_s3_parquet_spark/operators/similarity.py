@@ -142,24 +142,32 @@ def sim_knn_cosine(spark, sf_dir):
 def sim_pairs_threshold(spark, sf_dir):
     """All-pairs cosine ≥ τ on a bounded slice (the unbounded version is
     the LSH-bucketed variant below — an open all-pairs product is not a
-    100 TB plan)."""
+    100 TB plan).
+
+    Norms are projected BEFORE the theta join: three unrolled 64-term
+    dots inside one BNLJ consume blow Janino's 64 KB method limit and
+    silently drop the pair filter to interpreted evaluation (observed
+    in the r4 gate log as ``ERROR CodeGenerator ... bnlj_doConsume_0``).
+    With per-side ``sqrt(v·v)`` computed in the scan projections, the
+    join body carries a single dot and stays inside whole-stage
+    codegen. ``sqrt`` before vs after the join is the same IEEE-754
+    fold, so the oracle SQL is unchanged bit-for-bit."""
     e = (
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 96)
         .select("vec_id", _vec_d(F.col("embedding")).alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
         "id_a",
         "id_b",
-        (
-            _dot(F.col("va"), F.col("vb"))
-            / (
-                F.sqrt(_dot(F.col("va"), F.col("va")))
-                * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-            )
-        ).alias("cosine"),
+        (_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
     )
     return pairs.filter(F.col("cosine") >= 0.35)
 

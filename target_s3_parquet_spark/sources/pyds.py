@@ -105,17 +105,23 @@ class SingerJsonlWriter(DataSourceWriter):
         return _SingerCommit(tmp, name)
 
     def commit(self, messages):
+        # Publish first, THEN retire: new part names are fresh UUIDs, so
+        # publishing before deleting stale files can't collide, and a
+        # concurrent reader never observes an empty directory (it sees
+        # old, old+new, or new — "old+new" is the unavoidable window of
+        # a non-transactional directory sink; a manifest/txlog sink is
+        # the isolation upgrade, see sources/txlog.py).
         new = {m.name for m in messages if isinstance(m, _SingerCommit)}
-        if self.overwrite:
-            # mode('overwrite'): retire every previously-published file
-            # that is not part of this commit, atomically with publish —
-            # otherwise stale part files stay visible and reads double.
-            for f in glob.glob(os.path.join(self.path, "part-*.jsonl")):
-                if os.path.basename(f) not in new:
-                    os.remove(f)
         for m in messages:
             if isinstance(m, _SingerCommit):
                 os.replace(m.tmp, os.path.join(self.path, m.name))
+        if self.overwrite:
+            # mode('overwrite'): retire every previously-published file
+            # that is not part of this commit — otherwise stale part
+            # files stay visible and reads double.
+            for f in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                if os.path.basename(f) not in new:
+                    os.remove(f)
 
     def abort(self, messages):
         for m in messages:
