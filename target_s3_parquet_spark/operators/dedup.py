@@ -870,3 +870,139 @@ def docs_substring_dedup_spans(spark, sf_dir):
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "docs_substring_dedup_apply",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id, i,
+             md5(array_to_string(w[i : i + {_SPAN_W - 1}], ' ')) AS win_hash
+      FROM w, UNNEST(range(1, len(w) - {_SPAN_W - 2})) AS u(i)
+      WHERE len(w) >= {_SPAN_W}
+    ),
+    dup AS (
+      SELECT win_hash, MIN(doc_id) AS first_doc_id
+      FROM win
+      GROUP BY win_hash
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    rm AS (
+      SELECT win.doc_id, win.i
+      FROM win JOIN dup USING (win_hash)
+      WHERE win.doc_id > dup.first_doc_id
+    ),
+    rmpos AS (
+      SELECT doc_id,
+             list_sort(list_distinct(flatten(list(range(i, i + {_SPAN_W})))))
+               AS rm
+      FROM rm
+      GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(COALESCE(len(list_filter(rmpos.rm,
+                  p -> NOT list_contains(rmpos.rm, p - 1))), 0) AS BIGINT)
+             AS n_spans_removed,
+           CAST(COALESCE(len(rmpos.rm), 0) AS BIGINT) AS n_words_removed,
+           COALESCE(array_to_string(
+             list_filter(w.w, (x, i) ->
+               rmpos.rm IS NULL OR NOT list_contains(rmpos.rm, i)),
+             ' '), '') AS cleaned_text
+    FROM w LEFT JOIN rmpos ON w.doc_id = rmpos.doc_id
+    """,
+)
+def docs_substring_dedup_apply(spark, sf_dir):
+    """Substring-dedup REMOVAL — the actual Lee et al. 2022
+    (arXiv:2107.06499) apply step that `docs_substring_dedup_spans`
+    only detects: every duplicated 8-word window is deleted from every
+    document EXCEPT the lowest-doc_id occurrence owner (keep-first, the
+    same deterministic rule as `text_exact_dedup`), overlapping windows
+    coalescing into maximal spans, and the cleaned corpus is emitted —
+    every document, with pass-through text when nothing was removed,
+    plus per-doc span/word removal counters.
+
+    Span merge WITHOUT interval arithmetic: the removal set is the
+    UNION of word positions covered by any removal window
+    (``flatten → distinct → sort`` over per-window position ranges), so
+    overlapping and adjacent windows merge for free; ``n_spans_removed``
+    recovers the maximal-span count as positions whose predecessor is
+    absent from the set. Cleaning is an index-aware ``filter`` lambda
+    over the word array — both engines support the (element, index)
+    form, 1-based via pos+1 on the Spark side.
+
+    Distributed shape: window extraction is map-side posexplode; shuffle
+    1 groups (win_hash, doc_id) to find duplicated hashes; shuffle 2 is
+    the equi-join of windows to the duplicated-hash list; shuffle 3
+    groups removal positions per doc; the final equi-join attaches the
+    bounded per-doc position array back to the corpus. Document text
+    crosses the wire once (the final join) — position sets, not spans of
+    text, flow through the dedup core, which is what keeps this viable
+    when the corpus is 100 TB but the duplicated-window table is not.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    win = (
+        d.filter(F.size("w") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (_SPAN_W - 1)),
+                    lambda i: F.md5(
+                        F.array_join(F.slice(F.col("w"), i, _SPAN_W), " ")
+                    ),
+                )
+            ).alias("pos0", "win_hash"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("i"), "win_hash")
+    )
+    dup = (
+        win.groupBy("win_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select("win_hash", "first_doc_id")
+    )
+    rm = win.join(dup, "win_hash").filter(
+        F.col("doc_id") > F.col("first_doc_id")
+    )
+    rmpos = rm.groupBy("doc_id").agg(
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.sequence(F.col("i"), F.col("i") + (_SPAN_W - 1)))
+                )
+            )
+        ).alias("rm")
+    )
+    out = d.join(rmpos, "doc_id", "left")
+    n_spans = F.size(
+        F.filter(
+            F.col("rm"),
+            lambda p: ~F.array_contains(F.col("rm"), p - 1),
+        )
+    )
+    cleaned = F.array_join(
+        F.filter(
+            F.col("w"),
+            lambda x, i: F.col("rm").isNull()
+            | ~F.array_contains(F.col("rm"), i + 1),
+        ),
+        " ",
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce(n_spans, F.lit(0)).cast("long").alias("n_spans_removed"),
+        F.coalesce(F.size("rm"), F.lit(0)).cast("long").alias("n_words_removed"),
+        cleaned.alias("cleaned_text"),
+    )

@@ -1356,12 +1356,12 @@ _PQ_DSUB = 8    # dims per subspace (M * DSUB = _EMB_DIM)
 _PQ_K = 16      # codes per subspace (seeded codebook: first K vectors)
 
 
-def _pq_dist_sql(a: str, b: str) -> str:
+def _pq_dist_sql(a: str, b: str, dsub: int = _PQ_DSUB) -> str:
     """Unrolled left-associated squared-L2 over one subspace — the SQL
     twin of the Spark expression (same op order → identical doubles)."""
     terms = [
         f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
-        for i in range(1, _PQ_DSUB + 1)
+        for i in range(1, dsub + 1)
     ]
     out = terms[0]
     for t_ in terms[1:]:
@@ -1597,4 +1597,352 @@ def emb_pq_adc_search(spark, sf_dir):
         adc.withColumn("rn", F.row_number().over(w_top))
         .filter(F.col("rn") <= 5)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: residual product quantization within coarse cells
+# (Jégou et al. 2011 §IV — the composition of the IVF and PQ halves)
+# ---------------------------------------------------------------------------
+_IPQ_NCELLS = 16  # coarse cells, seeded from the first 16 vectors
+_IPQ_NPROBE = 6
+_IPQ_NQ = 4  # queries: vec_id in [16, 20)
+_IPQ_CB_LO = 20  # residual-codebook seed range: corpus residuals [20, 148)
+_IPQ_CB_HI = 148  # K = 128 codes per subspace
+_IPQ_M = 32  # subspaces (finer than emb_pq_*'s 8: seeded — untrained —
+#              codebooks need narrow subspaces to keep distortion below
+#              candidate separation; trained codebooks would use M=8)
+_IPQ_DSUB = 2  # dims per subspace (M * DSUB = _EMB_DIM)
+_IPQ_TOPK = 5
+
+# Residual of a corpus vector w.r.t. its assigned centroid — elementwise
+# subtraction, exact in IEEE-754, so Spark's zip_with and DuckDB's
+# indexed list_transform produce identical doubles.
+_IPQ_RESID_SQL = (
+    f"list_transform(range(1, {_EMB_DIM} + 1), i -> v[i] - cv[i])"
+)
+
+
+def _l2_sql(a: str, b: str) -> str:
+    """Full-width squared-L2 as a sequential left-to-right fold — the
+    DuckDB twin of `_l2_col` (same op order → identical doubles)."""
+    return (
+        f"list_sum(list_transform(range(1, {_EMB_DIM} + 1),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+
+
+def _l2_col(a, b):
+    """Unrolled left-associated 64-dim squared-L2 — one parsed SQL
+    expression like `_dot`, and like `_dot` used at most ONCE per join
+    body (the 3×-unrolled form is what blew Janino's 64 KB method limit
+    in `sim_pairs_threshold` pre-r5)."""
+    an, bn = _expr_name(a), _expr_name(b)
+    terms = " + ".join(
+        f"(({an})[{i}] - ({bn})[{i}]) * (({an})[{i}] - ({bn})[{i}])"
+        for i in range(_EMB_DIM)
+    )
+    return F.expr(terms)
+
+_IVFPQ_CTES = f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {_IPQ_NCELLS}),
+    corpus AS (SELECT vec_id, v FROM v WHERE vec_id >= {_IPQ_CB_LO}),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT corpus.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY corpus.vec_id
+                 ORDER BY {_l2_sql('corpus.v', 'c.cv')}, c.cid) AS rn
+        FROM corpus, c) WHERE rn = 1
+    ),
+    resid AS (
+      SELECT corpus.vec_id, assign.cid, {_IPQ_RESID_SQL} AS r
+      FROM corpus
+      JOIN assign ON assign.vec_id = corpus.vec_id
+      JOIN c ON c.cid = assign.cid
+    ),
+    s AS (SELECT UNNEST(range(0, {_IPQ_M})) AS sub),
+    rsub AS (
+      SELECT vec_id, cid, sub,
+             r[sub*{_IPQ_DSUB}+1 : sub*{_IPQ_DSUB}+{_IPQ_DSUB}] AS rv
+      FROM resid, s
+    ),
+    cbsub AS (
+      SELECT vec_id AS code, sub, rv AS cv2 FROM rsub
+      WHERE vec_id >= {_IPQ_CB_LO} AND vec_id < {_IPQ_CB_HI}
+    ),
+    enc AS (
+      SELECT vec_id, cid, sub, code FROM (
+        SELECT rsub.vec_id, rsub.cid, rsub.sub, cbsub.code,
+               ROW_NUMBER() OVER (PARTITION BY rsub.vec_id, rsub.sub
+                 ORDER BY {_pq_dist_sql('rv', 'cv2', _IPQ_DSUB)}, cbsub.code) AS rn
+        FROM rsub JOIN cbsub ON cbsub.sub = rsub.sub) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v
+          WHERE vec_id >= {_IPQ_NCELLS} AND vec_id < {_IPQ_NCELLS + _IPQ_NQ}),
+    probe AS (
+      SELECT query_id, cid FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_l2_sql('q.qv', 'c.cv')}, c.cid) AS rn
+        FROM q, c) WHERE rn <= {_IPQ_NPROBE}
+    ),
+    qresid AS (
+      SELECT probe.query_id, probe.cid,
+             list_transform(range(1, {_EMB_DIM} + 1), i -> qv[i] - cv[i]) AS rq
+      FROM probe
+      JOIN q ON q.query_id = probe.query_id
+      JOIN c ON c.cid = probe.cid
+    ),
+    qlut AS (
+      SELECT qr.query_id, qr.cid, cbsub.sub, cbsub.code,
+             CAST({_pq_dist_sql('rqv', 'cv2', _IPQ_DSUB)} AS DECIMAL(38,6)) AS pd
+      FROM (SELECT query_id, cid, sub,
+                   rq[sub*{_IPQ_DSUB}+1 : sub*{_IPQ_DSUB}+{_IPQ_DSUB}] AS rqv
+            FROM qresid, s) qr
+      JOIN cbsub ON cbsub.sub = qr.sub
+    ),
+    adc AS (
+      SELECT l.query_id, e.vec_id,
+             CAST(SUM(l.pd) AS DOUBLE) AS adc_dist
+      FROM probe p
+      JOIN enc e ON e.cid = p.cid
+      JOIN qlut l ON l.query_id = p.query_id AND l.cid = e.cid
+                 AND l.sub = e.sub AND l.code = e.code
+      GROUP BY l.query_id, e.vec_id
+    ),
+    ivfpq_top AS (
+      SELECT query_id, vec_id AS neighbor_id, adc_dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist, vec_id) AS rn
+        FROM adc) WHERE rn <= {_IPQ_TOPK}
+    )
+"""
+
+
+def _ivfpq_search(spark, sf_dir):
+    """Spark twin of the `_IVFPQ_CTES` chain; returns the top-k DF
+    [query_id, neighbor_id, adc_dist]. Shared by the search key and the
+    recall key so the index construction exists exactly once."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    c = v.filter(F.col("vec_id") < _IPQ_NCELLS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    corpus = v.filter(F.col("vec_id") >= _IPQ_CB_LO)
+    w_assign = W.partitionBy("vec_id").orderBy("d2", "cid")
+    assign = (
+        corpus.join(F.broadcast(c))
+        .withColumn("d2", _l2_col(F.col("v"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "v")
+    )
+    resid = assign.join(F.broadcast(c), "cid").select(
+        "vec_id",
+        "cid",
+        F.zip_with("v", "cv", lambda x, cc: x - cc).alias("r"),
+    )
+
+    def _subs(col):
+        return F.array(
+            *[F.slice(col, s * _IPQ_DSUB + 1, _IPQ_DSUB) for s in range(_IPQ_M)]
+        )
+
+    rsub = (
+        resid.select("vec_id", "cid", F.posexplode(_subs("r")))
+        .withColumnRenamed("pos", "sub")
+        .withColumnRenamed("col", "rv")
+    )
+    cbsub = rsub.filter(
+        (F.col("vec_id") >= _IPQ_CB_LO) & (F.col("vec_id") < _IPQ_CB_HI)
+    ).select(F.col("vec_id").alias("code"), "sub", F.col("rv").alias("cv2"))
+
+    def l2(a, b):
+        d = None
+        for i in range(1, _IPQ_DSUB + 1):
+            term = (F.element_at(a, i) - F.element_at(b, i)) * (
+                F.element_at(a, i) - F.element_at(b, i)
+            )
+            d = term if d is None else d + term
+        return d
+
+    w_enc = W.partitionBy("vec_id", "sub").orderBy("d", "code")
+    enc = (
+        rsub.join(F.broadcast(cbsub), "sub")
+        .withColumn("d", l2("rv", "cv2"))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "sub", "code")
+    )
+
+    q = v.filter(
+        (F.col("vec_id") >= _IPQ_NCELLS) & (F.col("vec_id") < _IPQ_NCELLS + _IPQ_NQ)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    w_probe = W.partitionBy("query_id").orderBy("d2", "cid")
+    probe = (
+        q.join(F.broadcast(c))
+        .withColumn("d2", _l2_col(F.col("qv"), F.col("cv")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= _IPQ_NPROBE)
+        .select("query_id", "cid")
+    )
+    qresid = (
+        probe.join(F.broadcast(q), "query_id")
+        .join(F.broadcast(c), "cid")
+        .select(
+            "query_id",
+            "cid",
+            F.zip_with("qv", "cv", lambda x, cc: x - cc).alias("rq"),
+        )
+    )
+    qlut = (
+        qresid.select("query_id", "cid", F.posexplode(_subs("rq")))
+        .withColumnRenamed("pos", "sub")
+        .withColumnRenamed("col", "rqv")
+        .join(F.broadcast(cbsub), "sub")
+        .select(
+            "query_id",
+            "cid",
+            "sub",
+            "code",
+            l2("rqv", "cv2").cast("decimal(38,6)").alias("pd"),
+        )
+    )
+    adc = (
+        F.broadcast(probe)
+        .join(enc, "cid")
+        .join(F.broadcast(qlut), ["query_id", "cid", "sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").cast("double").alias("adc_dist"))
+    )
+    w_top = W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= _IPQ_TOPK)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist")
+    )
+
+
+@query(
+    "sim_ann_ivfpq_search",
+    _IVFPQ_CTES
+    + """
+    SELECT query_id, neighbor_id, adc_dist FROM ivfpq_top
+    """,
+)
+def sim_ann_ivfpq_search(spark, sf_dir):
+    """IVF-PQ — the COMPOSITION of the coarse inverted file
+    (`sim_ann_ivf`) and residual product quantization
+    (`emb_pq_codebook_assign` / `emb_pq_adc_search`) into the actual
+    billion-vector index of Jégou et al. 2011 §IV:
+
+    1. coarse: every corpus vector joins its argmin-L2 cell among
+       16 broadcast centroids (seeded, like the IVF keys) — the whole
+       index is L2 end-to-end, the paper's metric;
+    2. residual encode: the RESIDUAL v − centroid(cell) — not the raw
+       vector — is split into M=32 two-dim subspaces and each
+       sub-residual maps to its argmin-L2 code in a K=128-entry
+       broadcast codebook seeded from corpus residuals (what
+       PQ-on-residuals buys: residuals concentrate near 0, so the same
+       code budget quantizes finer);
+    3. query: probe the nprobe=6 nearest cells, compute the PER-CELL
+       query residual, build the per-(query, cell) M×K distance LUT,
+       and rank candidates in probed cells by the M-way LUT sum (ADC)
+       — original corpus vectors are never touched at query time.
+
+    Parameter note: production IVF-PQ uses TRAINED per-subspace
+    codebooks at M=8/dsub=8; with seeded (untrained) codewords that
+    coarse a subspace carries distortion above candidate separation and
+    recall@5 degenerates to 0 (measured during construction). Narrow
+    M=32/dsub=2 subspaces with K=128 compensate — quantization then
+    loses only ~2 of the 12 pruning-surviving true neighbors at
+    sf0.001 (see `sim_ann_ivfpq_recall`). Training the codebook with
+    the `ivf_kmeans_train` Lloyd pattern per subspace is the production
+    path back to M=8.
+
+    Distributed shape: centroids, residual codebook, probe list, and
+    LUTs are all broadcast-sized (O(K + M·K·nprobe·Q) rows); the corpus
+    flows map-side through assign → residual → encode with the only
+    per-vector shuffles being the two bounded (vec_id[, sub]) argmin
+    windows; search is broadcast joins into the code table plus a
+    combinable (query, vec) sum. At 100 TB the scan reads M bytes of
+    codes per vector within probed cells only — cell pruning × 8:1
+    payload compression (32 code bytes vs 256 float bytes) is the point
+    of the composition, and the trained-codebook M=8 profile takes the
+    same plan to 32:1. Per-subspace LUT distances truncate to
+    DECIMAL(38,6) before the M-way sum on both engines, keeping the
+    aggregate order-independent.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    return _ivfpq_search(spark, sf_dir)
+
+
+@query(
+    "sim_ann_ivfpq_recall",
+    _IVFPQ_CTES
+    + f""",
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_l2_sql('q.qv', 'n.v')}, n.vec_id) AS rn
+        FROM q JOIN corpus n ON n.vec_id <> q.query_id)
+      WHERE rn <= {_IPQ_TOPK}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           COUNT(a.neighbor_id) / {_IPQ_TOPK}.0 AS recall_at_{_IPQ_TOPK}
+    FROM exact e
+    LEFT JOIN ivfpq_top a ON a.query_id = e.query_id
+                         AND a.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def sim_ann_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of the IVF-PQ index against the EXACT L2 top-5 over
+    the same corpus/query split (`sim_ann_recall_eval`'s methodology,
+    applied to the composed index, in the index's own metric): per
+    query, how many of the true top-5 survive cell pruning + residual
+    quantization. The quantity a deployment tunes nprobe/M/K against —
+    kept as its own oracle-checked key so the accuracy cost of the
+    composition is a recorded number, not a claim. Exact side is a
+    brute-force broadcast scan (`sim_knn_cosine`'s plan shape, L2
+    ordering); the division by a literal 5 is exact in IEEE-754 for
+    the 0..5 hit counts."""
+    approx = _ivfpq_search(spark, sf_dir)
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    corpus = v.filter(F.col("vec_id") >= _IPQ_CB_LO)
+    q = v.filter(
+        (F.col("vec_id") >= _IPQ_NCELLS) & (F.col("vec_id") < _IPQ_NCELLS + _IPQ_NQ)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    w_ex = W.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        F.broadcast(q)
+        .join(corpus, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _l2_col(F.col("qv"), F.col("v")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w_ex))
+        .filter(F.col("rn") <= _IPQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    hits = exact.join(
+        approx.select("query_id", "neighbor_id").withColumn("hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy("query_id").agg(
+        F.count("hit").cast("long").alias("n_hits"),
+        (F.count("hit") / float(_IPQ_TOPK)).alias(f"recall_at_{_IPQ_TOPK}"),
     )

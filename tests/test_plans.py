@@ -205,7 +205,11 @@ _BNLJ_BOUNDED_OK = {
     "graph_connected_components", "graph_triangle_count",
     "ivf_kmeans_train", "join_cross_bounded", "join_dynamic_range_prune",
     "market_basket_pairs", "pareto_revenue_share", "sim_ann_ivf",
-    "sim_ann_ivf_trained", "sim_ann_recall_eval", "sim_knn_cosine",
+    "sim_ann_ivf_trained", "sim_ann_ivfpq_recall", "sim_ann_ivfpq_search",
+    "sim_ann_recall_eval",
+    "sim_knn_cosine",  # ivfpq_search: assign/probe cross vs 16 broadcast
+    #                    centroids (sim_ann_ivf's shape); ivfpq_recall
+    #                    adds the 4-broadcast-query exact scan (sim_knn's)
     "sim_pairs_threshold", "sim_semdedup", "text_bpe_apply",
     "text_bpe_merge_loop", "text_bpe_merge_step", "text_ngram_jaccard_dup",
     "text_tokenize_tfidf", "tpch_q11_important_stock",
