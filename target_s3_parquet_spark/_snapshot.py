@@ -1,0 +1,71 @@
+"""Materializing a result whose backing storage is about to disappear.
+
+Many streaming/transaction-log query keys run a pipeline inside a
+temporary directory (memory sink, foreachBatch state dir, txlog clone)
+that is torn down in a ``finally`` before the key returns — so the
+result DataFrame must be detached from that storage first. Two sanctioned
+ways, and ONLY these (a lint in ``tests/test_plans.py`` rejects raw
+``createDataFrame(x.collect(), ...)`` elsewhere):
+
+- :func:`snapshot_small` — round-trip through the driver, GUARDED by a
+  row cap. For aggregates whose size is fixed by construction (per-type
+  counts, per-window stats): the cap documents and enforces that claim.
+- :func:`snapshot_persisted` — copy to a session-scoped parquet location
+  outside the doomed temp dir and return a lazy scan of it. For
+  DATA-PROPORTIONAL results (e.g. one row per user), where a driver
+  round-trip would grow with the corpus. Cleaned at interpreter exit.
+
+At cluster scale the second form is simply "write the result where
+results live" (a real table/bucket path instead of a scratch dir); the
+driver never holds the rows either way.
+"""
+
+from __future__ import annotations
+
+import atexit
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame
+
+# Default cap for snapshot_small. Generous for every bounded-aggregate
+# key in the catalog (the largest is ~15k rows of per-key aggregates)
+# while catching anything that actually scales with the input.
+_SMALL_CAP = 100_000
+
+_persisted_dirs: list[str] = []
+
+
+def _cleanup_persisted() -> None:
+    for d in _persisted_dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+atexit.register(_cleanup_persisted)
+
+
+def snapshot_small(df: DataFrame, max_rows: int = _SMALL_CAP) -> DataFrame:
+    """Driver round-trip for a bounded-by-construction result.
+
+    Collects at most ``max_rows + 1`` rows and raises if the cap is
+    exceeded — a key whose result scales with the data must use
+    :func:`snapshot_persisted` instead of silently ballooning the
+    driver heap.
+    """
+    rows = df.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"snapshot_small: result exceeds {max_rows} rows — this "
+            "result is data-proportional; use snapshot_persisted"
+        )
+    return df.sparkSession.createDataFrame(rows, df.schema)
+
+
+def snapshot_persisted(df: DataFrame, name: str = "snap") -> DataFrame:
+    """Copy ``df`` to a session-scoped parquet dir (outside any caller
+    temp dir) and return a lazy reader over it — no rows ever pass
+    through the driver. The dir is removed at interpreter exit."""
+    out = tempfile.mkdtemp(prefix=f"spark_graft_{name}_")
+    _persisted_dirs.append(out)
+    df.write.mode("overwrite").parquet(out)
+    return df.sparkSession.read.parquet(out)

@@ -71,14 +71,22 @@ def main(argv: list[str] | None = None) -> int:
                 f.write(line)
         input_path = spool.name
 
-    from target_s3_parquet_spark.session import get_spark, s3a_conf_from_config
+    from target_s3_parquet_spark.session import (
+        get_spark,
+        runtime_conf_from_config,
+        s3a_conf_from_config,
+    )
     from target_s3_parquet_spark.sources.sink import (
         emit_state,
         run_singer_to_parquet,
     )
 
     spark = get_spark(
-        "target-s3-parquet-spark", extra_conf=s3a_conf_from_config(config)
+        "target-s3-parquet-spark",
+        extra_conf={
+            **s3a_conf_from_config(config),
+            **runtime_conf_from_config(config),
+        },
     )
     cfg = sink_config_from(config)
     _, state = run_singer_to_parquet(

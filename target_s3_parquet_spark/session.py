@@ -80,6 +80,27 @@ def s3a_conf_from_config(config: dict) -> dict[str, str]:
     return conf
 
 
+def runtime_conf_from_config(config: dict) -> dict[str, str]:
+    """Map the reference's runtime config keys onto Spark conf (L7):
+
+    - temp_dir (reference README.md:91, the commented legacy spool dir
+      at __init__.py:45-50 — "Directory of temporary CSV files with
+      RECORD messages") → ``spark.local.dir``, Spark's scratch space
+      for shuffle spill and block storage, the moral equivalent of the
+      reference's record-spool location. Expanded and created up front
+      exactly like the reference's ``os.makedirs(temp_dir,
+      exist_ok=True)``; note ``spark.local.dir`` is static conf — it
+      must reach the session BUILDER (cli.py does), a running session
+      won't re-home its spill dirs.
+    """
+    conf: dict[str, str] = {}
+    if config.get("temp_dir"):
+        temp_dir = os.path.expanduser(str(config["temp_dir"]))
+        os.makedirs(temp_dir, exist_ok=True)
+        conf["spark.local.dir"] = temp_dir
+    return conf
+
+
 def get_spark(
     app_name: str = "target_s3_parquet_spark",
     master: str | None = None,

@@ -16,6 +16,8 @@ import hashlib
 import os
 
 from pyspark.sql import functions as F
+
+from target_s3_parquet_spark._snapshot import snapshot_small
 from pyspark.sql import types as T
 
 from target_s3_parquet_spark.operators._util import t
@@ -347,7 +349,7 @@ def scan_csv_badrecords(spark, sf_dir):
             .cast("double")
             .alias("good_total"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return snapshot_small(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from target_s3_parquet_spark._snapshot import snapshot_small
+
 from target_s3_parquet_spark.operators._util import t
 from target_s3_parquet_spark.registry import query
 from target_s3_parquet_spark.sources.singer import (
@@ -328,6 +330,6 @@ def singer_pyds_write_roundtrip(spark, sf_dir):
             rec["status"].alias("status"),
             rec["price"].alias("price"),
         )
-        return spark.createDataFrame(back.collect(), back.schema)
+        return snapshot_small(back)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -42,6 +42,8 @@ PUT-if-absent (S3 conditional put / a DynamoDB-style log store).
 
 from __future__ import annotations
 
+from target_s3_parquet_spark._snapshot import snapshot_small
+
 import json
 import os
 
@@ -430,7 +432,7 @@ def txlog_time_travel(spark, sf_dir):
                 )
             )
         out = parts[0].unionAll(parts[1]).unionAll(parts[2])
-        return spark.createDataFrame(out.collect(), out.schema)
+        return snapshot_small(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -499,7 +501,7 @@ def txlog_merge_prune(spark, sf_dir):
             .cast("double")
             .alias("total"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return snapshot_small(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -555,7 +557,7 @@ def txlog_optimize_compact(spark, sf_dir):
             F.lit(post_dirs).alias("n_dirs"),
         )
         out = pre.unionAll(post)
-        return spark.createDataFrame(out.collect(), out.schema)
+        return snapshot_small(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -603,7 +605,7 @@ def txlog_schema_evolution(spark, sf_dir):
         snap = read_table(spark, root, merge_schema=True).select(
             "id", "status", "price"
         )
-        return spark.createDataFrame(snap.collect(), snap.schema)
+        return snapshot_small(snap)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -707,7 +709,7 @@ def txlog_changes_between(spark, sf_dir):
                 .alias("price_delta"),
             )
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return snapshot_small(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -803,7 +805,7 @@ def txlog_clone_shallow(spark, sf_dir):
         out = stats(read_table(spark, src), "source_after_overwrite").unionAll(
             stats(read_table(spark, dst), "clone")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return snapshot_small(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -925,6 +927,6 @@ def txlog_clone_deep(spark, sf_dir):
         out = stats(read_table(spark, src), "source_after_vacuum").unionAll(
             stats(read_table(spark, dst), "deep_clone_after_source_vacuum")
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return snapshot_small(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -12,6 +12,8 @@ everything downstream of ``readStream`` is identical.
 
 from __future__ import annotations
 
+from target_s3_parquet_spark._snapshot import snapshot_small
+
 import os
 import shutil
 import tempfile
@@ -128,7 +130,7 @@ def replay_stream(
                 q.stop()
         # materialize before the temp dir vanishes
         rows = spark.table(name)
-        rows = spark.createDataFrame(rows.collect(), rows.schema)
+        rows = snapshot_small(rows)
         return rows
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

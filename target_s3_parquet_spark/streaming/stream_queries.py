@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from target_s3_parquet_spark._snapshot import snapshot_persisted, snapshot_small
+
 from target_s3_parquet_spark.operators._util import dec, t
 from target_s3_parquet_spark.registry import query
 from target_s3_parquet_spark.streaming.replay import replay_stream, stream_conf
@@ -84,7 +86,7 @@ def stream_singer_ingest(spark, sf_dir):
         back = spark.read.parquet(f"{tmp}/out").withColumn(
             "id", F.col("id").cast("long")
         )
-        return spark.createDataFrame(back.collect(), back.schema)
+        return snapshot_small(back)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -413,7 +415,7 @@ def stream_activate_version(spark, sf_dir):
                 "_sdc_table_version",
             )
         )
-        return spark.createDataFrame(back.collect(), back.schema)
+        return snapshot_small(back)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -601,7 +603,10 @@ def stream_foreachbatch_upsert(spark, sf_dir):
             F.col("value").alias("last_value"),
             F.col("event_type").alias("last_event_type"),
         )
-        return spark.createDataFrame(snap.collect(), snap.schema)
+        # One row PER USER — data-proportional, so the snapshot goes
+        # executor-to-parquet (persisted copy), never through the
+        # driver (the r4 review's only data-proportional collect).
+        return snapshot_persisted(snap, "fb_upsert")
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -676,7 +681,7 @@ def stream_quarantine_sink(spark, sf_dir):
             F.count("*").alias("n_rows"),
             F.countDistinct("user_id").alias("n_users"),
         )
-        return spark.createDataFrame(out.collect(), out.schema)
+        return snapshot_small(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -734,7 +739,7 @@ def stream_available_now(spark, sf_dir):
             )
             q.awaitTermination(120)  # AvailableNow terminates on its own
         rows = spark.table(name)
-        return spark.createDataFrame(rows.collect(), rows.schema)
+        return snapshot_small(rows)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -998,7 +1003,7 @@ def stream_txlog_sink(spark, sf_dir):
                 F.sum(dec("value")).cast("double").alias("total_value"),
             )
         )
-        return spark.createDataFrame(snap.collect(), snap.schema)
+        return snapshot_small(snap)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -97,6 +97,20 @@ def test_s3a_conf_mapping():
         s3a_conf_from_config({"encryption_type": "sse-c"})
 
 
+def test_temp_dir_conf_mapping(tmp_path):
+    """Reference README.md:91 `temp_dir` (L7) → spark.local.dir, created
+    up front like the reference's makedirs(temp_dir, exist_ok=True)."""
+    from target_s3_parquet_spark.session import runtime_conf_from_config
+
+    target = tmp_path / "spool" / "deep"
+    conf = runtime_conf_from_config({"temp_dir": str(target)})
+    assert conf["spark.local.dir"] == str(target)
+    assert target.is_dir()  # created eagerly, reference contract
+
+    # absent key → no conf (Spark default scratch space)
+    assert runtime_conf_from_config({}) == {}
+
+
 def test_naming_convention_template():
     import datetime
 

@@ -243,3 +243,27 @@ def test_catalog_antipattern_lint():
                 f"side — bound it or whitelist it with a reason"
             )
         assert "ERROR" not in flags, f"{key}: catalog line records an error"
+
+
+def test_no_raw_collect_snapshot_sites():
+    """Every result that must outlive its temp-dir backing goes through
+    the guarded helpers in `_snapshot.py` (row-capped driver round-trip
+    or executor-side persisted copy) — a raw
+    ``createDataFrame(x.collect(), ...)`` hides an unbounded driver
+    materialization and is rejected outside the helper module."""
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "target_s3_parquet_spark")
+    pat = re.compile(r"createDataFrame\(\s*\w+\.collect\(\)")
+    offenders = []
+    for root, _, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py") or fn == "_snapshot.py":
+                continue
+            path = os.path.join(root, fn)
+            if pat.search(open(path).read()):
+                offenders.append(os.path.relpath(path, pkg))
+    assert not offenders, (
+        f"raw collect-snapshot outside _snapshot.py: {offenders}"
+    )
