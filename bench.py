@@ -147,6 +147,31 @@ def main() -> None:
             r4_t[name] = -1.0
             print(f"# r4 sweep {name} FAILED: {e}", file=sys.stderr)
     extras["r4_sweep_sec"] = r4_t
+    # Round-5 additions, same protocol, own bucket.
+    SWEEP_R5 = [
+        "docs_substring_dedup_apply",
+        "sim_ann_ivfpq_search",
+        "sim_ann_ivfpq_recall",
+        "er_blocked_multipass",
+        "er_multipass_recall_stats",
+    ]
+    r5_t: dict[str, float] = {}
+    for name in SWEEP_R5:
+        try:
+            fn = queries[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            r5_t[name] = round(best, 3)
+            print(f"# r5 sweep {name}: {r5_t[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            r5_t[name] = -1.0
+            print(f"# r5 sweep {name} FAILED: {e}", file=sys.stderr)
+    extras["r5_sweep_sec"] = r5_t
     try:
         from tools.bench_skew import run_skew
 
@@ -171,6 +196,24 @@ def main() -> None:
         st = run_stream(spark, n=50_000, n_files=4)
         extras["stream_ingest_rps"] = st["value"]
         print(f"# stream_ingest: {st['value']} rec/s", file=sys.stderr)
+        # The 12.5k-records/trigger number above is dominated by the
+        # per-epoch fixed cost (trigger planning + checkpoint commit,
+        # see BASELINE.md streaming section). The OPERATING-POINT
+        # measurement at the documented 50k-records/trigger setting
+        # amortizes that cost and is the round-over-round comparable.
+        st50 = run_stream(spark, n=200_000, n_files=4)
+        extras["stream_ingest_rps_50k_trigger"] = st50["value"]
+        peak = max(
+            (r / ms * 1000.0)
+            for r, ms in zip(st50["epoch_rows"], st50["epoch_ms"])
+            if ms
+        )
+        extras["stream_ingest_rps_peak_epoch"] = round(peak, 1)
+        print(
+            f"# stream_ingest@50k/trigger: {st50['value']} rec/s "
+            f"(peak epoch {extras['stream_ingest_rps_peak_epoch']})",
+            file=sys.stderr,
+        )
     except Exception as e:  # noqa: BLE001
         extras["stream_ingest_error"] = str(e)[:120]
 

@@ -1607,8 +1607,10 @@ def emb_pq_adc_search(spark, sf_dir):
 _IPQ_NCELLS = 16  # coarse cells, seeded from the first 16 vectors
 _IPQ_NPROBE = 6
 _IPQ_NQ = 4  # queries: vec_id in [16, 20)
-_IPQ_CB_LO = 20  # residual-codebook seed range: corpus residuals [20, 148)
-_IPQ_CB_HI = 148  # K = 128 codes per subspace
+_IPQ_CB_LO = 20  # residual-codebook seed range: corpus residuals [20, 84)
+_IPQ_CB_HI = 84  # K = 64 codes per subspace (measured: K=128 buys no
+#                  extra recall over K=64 at nprobe=6 on this corpus,
+#                  while doubling encode candidate volume)
 _IPQ_M = 32  # subspaces (finer than emb_pq_*'s 8: seeded — untrained —
 #              codebooks need narrow subspaces to keep distortion below
 #              candidate separation; trained codebooks would use M=8)
@@ -1734,13 +1736,20 @@ def _ivfpq_search(spark, sf_dir):
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     corpus = v.filter(F.col("vec_id") >= _IPQ_CB_LO)
-    w_assign = W.partitionBy("vec_id").orderBy("d2", "cid")
+    # argmin via min_by hash-agg, NOT a row_number window: the window
+    # form shuffles every (vector × centroid) candidate row; min_by
+    # partial-aggregates map-side so the shuffle carries ONE row per
+    # vector. Tie-break identical to the oracle's ORDER BY d2, cid
+    # (struct comparison is lexicographic). `first(v)` is safe: v is
+    # functionally determined by the vec_id group key.
     assign = (
         corpus.join(F.broadcast(c))
         .withColumn("d2", _l2_col(F.col("v"), F.col("cv")))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "v")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct("d2", "cid")).alias("cid"),
+            F.first("v").alias("v"),
+        )
     )
     resid = assign.join(F.broadcast(c), "cid").select(
         "vec_id",
@@ -1771,13 +1780,15 @@ def _ivfpq_search(spark, sf_dir):
             d = term if d is None else d + term
         return d
 
-    w_enc = W.partitionBy("vec_id", "sub").orderBy("d", "code")
+    # The encode argmin is the hot path (corpus × M subs × K codes
+    # candidate rows — 102M at sf0.1): min_by hash-agg with map-side
+    # combine shuffles one row per (vec, sub) group instead of K rows
+    # through a window sort. Same deterministic (d, code) tie-break.
     enc = (
         rsub.join(F.broadcast(cbsub), "sub")
         .withColumn("d", l2("rv", "cv2"))
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "sub", "code")
+        .groupBy("vec_id", "cid", "sub")
+        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
     )
 
     q = v.filter(
@@ -1846,7 +1857,7 @@ def sim_ann_ivfpq_search(spark, sf_dir):
        index is L2 end-to-end, the paper's metric;
     2. residual encode: the RESIDUAL v − centroid(cell) — not the raw
        vector — is split into M=32 two-dim subspaces and each
-       sub-residual maps to its argmin-L2 code in a K=128-entry
+       sub-residual maps to its argmin-L2 code in a K=64-entry
        broadcast codebook seeded from corpus residuals (what
        PQ-on-residuals buys: residuals concentrate near 0, so the same
        code budget quantizes finer);
@@ -1859,7 +1870,7 @@ def sim_ann_ivfpq_search(spark, sf_dir):
     codebooks at M=8/dsub=8; with seeded (untrained) codewords that
     coarse a subspace carries distortion above candidate separation and
     recall@5 degenerates to 0 (measured during construction). Narrow
-    M=32/dsub=2 subspaces with K=128 compensate — quantization then
+    M=32/dsub=2 subspaces with K=64 compensate — quantization then
     loses only ~2 of the 12 pruning-surviving true neighbors at
     sf0.001 (see `sim_ann_ivfpq_recall`). Training the codebook with
     the `ivf_kmeans_train` Lloyd pattern per subspace is the production
@@ -1867,10 +1878,13 @@ def sim_ann_ivfpq_search(spark, sf_dir):
 
     Distributed shape: centroids, residual codebook, probe list, and
     LUTs are all broadcast-sized (O(K + M·K·nprobe·Q) rows); the corpus
-    flows map-side through assign → residual → encode with the only
-    per-vector shuffles being the two bounded (vec_id[, sub]) argmin
-    windows; search is broadcast joins into the code table plus a
-    combinable (query, vec) sum. At 100 TB the scan reads M bytes of
+    flows map-side through assign → residual → encode, with both
+    argmins expressed as `min_by` HASH AGGREGATES (map-side combine
+    collapses the K broadcast candidates per row before any shuffle —
+    the row_number-window form would shuffle corpus × M × K candidate
+    rows, 102M at sf0.1, and measured slower); search is
+    broadcast joins into the code table plus a combinable (query, vec)
+    sum. At 100 TB the scan reads M bytes of
     codes per vector within probed cells only — cell pruning × 8:1
     payload compression (32 code bytes vs 256 float bytes) is the point
     of the composition, and the trained-codebook M=8 profile takes the
