@@ -35,8 +35,12 @@ _GRID = 1099511627776.0  # 2^40
 # keep a pair (a<b) iff its total weight beats 1.5x the mean pair
 # weight, tested in INTEGER arithmetic (2*n*w > 3*S) so both engines
 # decide every boundary identically.
+# MATERIALIZED hints: DuckDB inlines a CTE per reference, so a chain
+# referenced k times re-runs its whole upstream (the 4-way edges join)
+# exponentially — the triangle oracle took 168 s at sf0.1 before the
+# hints, 0.1 s after. Oracle-side only; Spark plans are unaffected.
 _EDGES_CTE = """
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
       FROM orders o
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -44,12 +48,12 @@ _EDGES_CTE = """
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY c.c_nationkey, s.s_nationkey
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
       FROM edges WHERE src <> dst GROUP BY 1, 2
     ),
     tot AS (SELECT COUNT(*) AS n, SUM(w) AS s FROM pairs),
-    strong AS (
+    strong AS MATERIALIZED (
       SELECT a, b FROM pairs, tot WHERE 2 * tot.n * pairs.w > 3 * tot.s
     )"""
 

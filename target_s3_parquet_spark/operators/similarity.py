@@ -313,8 +313,8 @@ def _lsh_band_rows_ctes(
         for b in range(bands)
     )
     return f"""
-    band_rows{sfx} AS ({band_rows}),
-    cand{sfx} AS (
+    band_rows{sfx} AS MATERIALIZED ({band_rows}),
+    cand{sfx} AS MATERIALIZED (
       SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
       FROM band_rows{sfx} x JOIN band_rows{sfx} y
         ON x.band_no = y.band_no AND x.band_key = y.band_key
@@ -322,8 +322,12 @@ def _lsh_band_rows_ctes(
     )"""
 
 
+# v is MATERIALIZED: DuckDB inlines CTEs per reference, and the LSH
+# oracles reference v from every band branch plus twice in the verify
+# join — re-running the 64-dim casts/norms per reference put the prod
+# profile's oracle at 25 s (sf0.1); materialized it is ~1 s.
 _LSH_V_CTE = f"""
-    v AS (
+    v AS MATERIALIZED (
       SELECT vec_id, v,
              SQRT(list_sum(list_transform(range(1, {_LSH_DIM} + 1),
                                           i -> v[i] * v[i]))) AS nrm
