@@ -1605,6 +1605,277 @@ def emb_pq_adc_search(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Trained PQ codebooks: per-subspace Lloyd (grouped k-means, sub as an
+# extra group key) — the production upgrade over the seeded emb_pq_*
+# codebooks, run as ONE grouped job for all M subspaces at once.
+# ---------------------------------------------------------------------------
+_PQT_ITERS = 2  # unrolled identically in the oracle
+
+
+def _pq_sub_assign_sql(svtab: str, cbtab: str) -> str:
+    """DuckDB argmin-L2 code per (vec, sub) against ``cbtab`` [sub,
+    code, cv] — the per-subspace twin of `_km_assign_sql`."""
+    return f"""
+      SELECT vec_id, sub, code FROM (
+        SELECT {svtab}.vec_id, {svtab}.sub, {cbtab}.code,
+               ROW_NUMBER() OVER (PARTITION BY {svtab}.vec_id, {svtab}.sub
+                 ORDER BY {_pq_dist_sql(f'{svtab}.sv', f'{cbtab}.cv')},
+                          {cbtab}.code) AS rn
+        FROM {svtab} JOIN {cbtab} ON {cbtab}.sub = {svtab}.sub)
+      WHERE rn = 1"""
+
+
+def _pq_sub_update_sql(atab: str) -> str:
+    """DuckDB per-(sub, code, dim) exact trunc-grid mean — the grouped
+    twin of `_km_update_sql` (same 1e-9 truncation rationale)."""
+    return f"""
+      SELECT a.sub, a.code, gs.i,
+             CAST(CAST(SUM(CAST(TRUNC(sv.sv[gs.i] * 1000000000.0) AS BIGINT))
+                       AS BIGINT) AS DOUBLE)
+               / 1000000000.0 / COUNT(*) AS c_val,
+             COUNT(*) AS n_members
+      FROM {atab} a JOIN sv ON sv.vec_id = a.vec_id AND sv.sub = a.sub
+      CROSS JOIN (SELECT UNNEST(range(1, {_PQ_DSUB} + 1)) AS i) gs
+      GROUP BY a.sub, a.code, gs.i"""
+
+
+_PQT_CTES = f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (SELECT UNNEST(range(0, {_PQ_M})) AS sub),
+    sv AS MATERIALIZED (
+      SELECT vec_id, sub,
+             v[sub*{_PQ_DSUB}+1 : sub*{_PQ_DSUB}+{_PQ_DSUB}] AS sv
+      FROM v, s
+    ),
+    cb0 AS (SELECT sub, vec_id AS code, sv AS cv FROM sv
+            WHERE vec_id < {_PQ_K}),
+    a1 AS MATERIALIZED ({_pq_sub_assign_sql('sv', 'cb0')}),
+    m1 AS MATERIALIZED ({_pq_sub_update_sql('a1')}),
+    c1 AS (SELECT sub, code, list(c_val ORDER BY i) AS cv FROM m1
+           GROUP BY sub, code),
+    a2 AS MATERIALIZED ({_pq_sub_assign_sql('sv', 'c1')}),
+    m2 AS MATERIALIZED ({_pq_sub_update_sql('a2')})
+"""
+
+
+def _pq_train(spark, sf_dir):
+    """Spark side of the grouped per-subspace Lloyd loop. Returns
+    (final per-(sub, code, dim) stats DF [sub, code, i, c_val,
+    n_members], final codebook DF [sub, code, cv]); the plan is lazy
+    end-to-end (no driver actions)."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    subs = F.array(
+        *[F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)]
+    )
+    sv = (
+        v.select("vec_id", F.posexplode(subs))
+        .withColumnRenamed("pos", "sub")
+        .withColumnRenamed("col", "sv")
+    )
+
+    def l2(a, b):
+        d = None
+        for i in range(1, _PQ_DSUB + 1):
+            term = (F.element_at(a, i) - F.element_at(b, i)) * (
+                F.element_at(a, i) - F.element_at(b, i)
+            )
+            d = term if d is None else d + term
+        return d
+
+    cb = sv.filter(F.col("vec_id") < _PQ_K).select(
+        "sub", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    m = None
+    # trunc-to-1e-9-grid exact mean (same rationale as _km_train):
+    # Spark's double->long cast truncates toward zero = DuckDB TRUNC.
+    q = F.expr("CAST(x * 1000000000.0 AS BIGINT)")
+    for _ in range(_PQT_ITERS):
+        # argmin as a min_by hash-agg (map-side combine collapses the K
+        # broadcast candidates per (vec, sub) before the shuffle — the
+        # window form shuffles corpus × M × K rows; see _ivfpq_search)
+        a = (
+            sv.join(F.broadcast(cb), "sub")
+            .withColumn("d", l2("sv", "cv"))
+            .groupBy("vec_id", "sub")
+            .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
+        )
+        dims = (
+            a.join(sv, ["vec_id", "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("i0", "x"))
+            .select("sub", "code", (F.col("i0") + 1).alias("i"), "x")
+        )
+        m = dims.groupBy("sub", "code", "i").agg(
+            (
+                F.sum(q).cast("double") / F.lit(1000000000.0) / F.count("x")
+            ).alias("c_val"),
+            F.count("x").alias("n_members"),
+        )
+        cb = m.groupBy("sub", "code").agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("i", "c_val"))),
+                lambda st: st.c_val,
+            ).alias("cv")
+        )
+    return m, cb
+
+
+@query(
+    "emb_pq_train_lloyd",
+    _PQT_CTES
+    + """
+    SELECT CAST(sub AS BIGINT) AS subspace, code,
+           CAST(i AS BIGINT) AS dim_i, c_val, n_members
+    FROM m2
+    """,
+)
+def emb_pq_train_lloyd(spark, sf_dir):
+    """TRAINED product-quantization codebooks — the Lloyd upgrade the
+    seeded `emb_pq_codebook_assign` and the IVF-PQ keys' docstrings
+    defer to (Jégou et al. 2011 §II trains each subspace's codebook
+    with k-means): all M=8 subspaces train simultaneously as ONE
+    grouped k-means, `sub` riding every stage as an extra group key —
+    no per-subspace driver loop, no M separate jobs.
+
+    Per iteration (2, unrolled identically in the oracle):
+    1. assignment: the M×K codebook BROADCASTS against the (vec, sub)
+       sub-vector table; argmin-L2 code via a `min_by` hash aggregate
+       (map-side combine — one shuffled row per (vec, sub), not K);
+    2. update: posexplode to (sub, code, dim, x) and ONE
+       groupBy(sub, code, dim) exact trunc-grid mean (the `_km_train`
+       1e-9 quantization — tie-free, order-independent, identical in
+       both engines).
+
+    Seeds are the first K=16 vectors' sub-vectors, so every code keeps
+    ≥1 member (its own seed) and no empty-cell repair is needed.
+    Output is the trained codebook with per-code population and
+    per-dim means — `n_members` exposes codebook utilization, THE
+    retraining diagnostic (dead codes waste index bits).
+
+    At 100 TB: train on a sample with the same plan — per iteration
+    cost is 2 combinable shuffles of (id, sub[, dim]) rows plus an
+    M·K-row broadcast, independent of corpus width. The oracle replays
+    both iterations in SQL (MATERIALIZED CTEs: each stage is
+    referenced by the next and would otherwise re-inline its whole
+    upstream), so training itself is value-verified, not just a
+    downstream search.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    m, _ = _pq_train(spark, sf_dir)
+    return m.select(
+        F.col("sub").cast("long").alias("subspace"),
+        "code",
+        F.col("i").cast("long").alias("dim_i"),
+        "c_val",
+        F.col("n_members").cast("long").alias("n_members"),
+    )
+
+
+@query(
+    "emb_pq_adc_search_trained",
+    _PQT_CTES
+    + f""",
+    c2 AS (SELECT sub, code, list(c_val ORDER BY i) AS cv FROM m2
+           GROUP BY sub, code),
+    corpus AS (SELECT vec_id, sub, sv FROM sv WHERE vec_id >= {_PQ_K + 4}),
+    assigned AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT corpus.vec_id, corpus.sub, c2.code,
+               ROW_NUMBER() OVER (PARTITION BY corpus.vec_id, corpus.sub
+                 ORDER BY {_pq_dist_sql('corpus.sv', 'c2.cv')}, c2.code) AS rn
+        FROM corpus JOIN c2 ON c2.sub = corpus.sub) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, sub, sv AS qv FROM sv
+          WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + 4}),
+    lut AS (
+      SELECT q.query_id, c2.sub, c2.code,
+             CAST({_pq_dist_sql('q.qv', 'c2.cv')} AS DECIMAL(38,6)) AS pd
+      FROM q JOIN c2 ON c2.sub = q.sub
+    ),
+    adc AS (
+      SELECT l.query_id, a.vec_id,
+             CAST(SUM(l.pd) AS DOUBLE) AS adc_dist
+      FROM assigned a
+      JOIN lut l ON l.sub = a.sub AND l.code = a.code
+      GROUP BY l.query_id, a.vec_id
+    )
+    SELECT query_id, vec_id AS neighbor_id, adc_dist FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY adc_dist, vec_id) AS rn
+      FROM adc) WHERE rn <= 5
+    """,
+)
+def emb_pq_adc_search_trained(spark, sf_dir):
+    """ADC top-k search over the TRAINED PQ codebook — the serve half
+    of `emb_pq_train_lloyd`, completing the train→encode→search loop
+    entirely in-engine (the trained twin of `emb_pq_adc_search`, same
+    query/corpus split, same broadcast-LUT plan): corpus vectors encode
+    against the Lloyd codebook via the min_by argmin aggregate, each
+    query precomputes its M×K LUT of exact sub-distances to the
+    trained codewords, candidates rank by the M-way LUT sum. Lower
+    quantization distortion (means instead of arbitrary seed vectors)
+    means ADC distances track true distances tighter at the SAME
+    M/K/bytes-per-vector budget — the reason production indexes always
+    train. Same 100 TB shape as the seeded key: codes are the only
+    per-vector scan payload; training adds nothing to query cost."""
+    _, cb = _pq_train(spark, sf_dir)
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    subs = F.array(
+        *[F.slice("v", s * _PQ_DSUB + 1, _PQ_DSUB) for s in range(_PQ_M)]
+    )
+    sv = (
+        v.select("vec_id", F.posexplode(subs))
+        .withColumnRenamed("pos", "sub")
+        .withColumnRenamed("col", "sv")
+    )
+
+    def l2(a, b):
+        d = None
+        for i in range(1, _PQ_DSUB + 1):
+            term = (F.element_at(a, i) - F.element_at(b, i)) * (
+                F.element_at(a, i) - F.element_at(b, i)
+            )
+            d = term if d is None else d + term
+        return d
+
+    corpus = sv.filter(F.col("vec_id") >= _PQ_K + 4)
+    assigned = (
+        corpus.join(F.broadcast(cb), "sub")
+        .withColumn("d", l2("sv", "cv"))
+        .groupBy("vec_id", "sub")
+        .agg(F.min_by("code", F.struct("d", "code")).alias("code"))
+    )
+    q = sv.filter(
+        (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + 4)
+    ).select(F.col("vec_id").alias("query_id"), "sub", F.col("sv").alias("qv"))
+    lut = q.join(F.broadcast(cb), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        l2("qv", "cv").cast("decimal(38,6)").alias("pd"),
+    )
+    adc = (
+        assigned.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("pd").cast("double").alias("adc_dist"))
+    )
+    w_top = W.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "adc_dist")
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ: residual product quantization within coarse cells
 # (Jégou et al. 2011 §IV — the composition of the IVF and PQ halves)
 # ---------------------------------------------------------------------------
