@@ -209,7 +209,46 @@ _R3_DRIVER_VERIFIED = {
 }
 
 
+# Keys the round-4 driver gate verified (CORRECTNESS_r04.json, 50/50
+# pass): sort last with the earlier cohorts.
+_R4_DRIVER_VERIFIED = {
+    "corpus_filter_funnel", "corpus_temperature_weights",
+    "docs_quality_filter", "docs_substring_dedup_spans",
+    "emb_centroid_assign_drift", "emb_hamming_pack",
+    "emb_matryoshka_truncate", "emb_near_dup_cosine",
+    "emb_norm_outliers", "emb_pq_adc_search", "emb_pq_codebook_assign",
+    "events_transition_matrix", "fuzzy_match_levenshtein",
+    "ids_dense_assign", "ivf_kmeans_train", "lsh_candidate_stats",
+    "rlhf_preference_pairs", "search_inverted_index_build",
+    "search_multi_term_rank", "sim_ann_ivf", "sim_ann_ivf_trained",
+    "sim_ann_recall_eval", "sim_knn_cosine", "sim_lsh_bucketed",
+    "sim_lsh_bucketed_prod", "sim_pairs_threshold", "sim_semdedup",
+    "sql_parameterized_query", "sql_recursive_cte",
+    "text_bpe_merge_loop", "text_bpe_merge_step", "text_fingerprint",
+    "text_lang_id", "text_length_log_histogram",
+    "text_ml_minhash_pipeline", "text_ngram_novelty", "text_pii_scrub",
+    "text_quality_score", "text_repetition_filter", "text_stats",
+    "text_token_count", "text_tokenize_tfidf", "text_winnow_fingerprint",
+    "ts_ewma_halflife", "ts_interarrival_stats", "ts_interpolate_linear",
+    "ts_period_growth", "ts_resample_ohlc", "ts_rolling_wau",
+    "ts_zscore_anomaly",
+}
+
+# Round-5 additions: no driver CORRECTNESS_r*.json record yet — lead
+# the sample ordering outright.
+_R5_NEW = {
+    "docs_substring_dedup_apply", "sim_ann_ivfpq_search",
+    "sim_ann_ivfpq_recall", "er_blocked_multipass",
+    "er_multipass_recall_stats", "emb_pq_train_lloyd",
+    "emb_pq_adc_search_trained",
+}
+
+
 def _sample_priority(name: str) -> tuple[int, int]:
+    if name in _R5_NEW:
+        return (-1, 0)  # never driver-recorded: sample these first
+    if name in _R4_DRIVER_VERIFIED:
+        return (len(_FAMILY_ORDER) + 5, 0)
     if name in _R3_DRIVER_VERIFIED:
         return (len(_FAMILY_ORDER) + 4, 0)
     if name in _R2_DRIVER_VERIFIED:
