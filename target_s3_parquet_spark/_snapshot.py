@@ -69,3 +69,17 @@ def snapshot_persisted(df: DataFrame, name: str = "snap") -> DataFrame:
     _persisted_dirs.append(out)
     df.write.mode("overwrite").parquet(out)
     return df.sparkSession.read.parquet(out)
+
+
+def snapshot(df: DataFrame, max_driver_rows: int = _SMALL_CAP) -> DataFrame:
+    """Size-routing snapshot for harness code that serves BOTH bounded
+    and data-proportional results (the generic streaming replay): probe
+    up to the cap; within it, take the cheap driver round-trip, beyond
+    it, route to the executor-side persisted copy. The driver never
+    holds more than ``max_driver_rows`` rows either way. Callers that
+    KNOW their result scales with the input should call
+    :func:`snapshot_persisted` directly and skip the probe."""
+    rows = df.limit(max_driver_rows + 1).collect()
+    if len(rows) > max_driver_rows:
+        return snapshot_persisted(df)
+    return df.sparkSession.createDataFrame(rows, df.schema)

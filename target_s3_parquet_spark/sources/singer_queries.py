@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from target_s3_parquet_spark._snapshot import snapshot_small
+from target_s3_parquet_spark._snapshot import snapshot_persisted, snapshot_small
 
 from target_s3_parquet_spark.operators._util import t
 from target_s3_parquet_spark.registry import query
@@ -330,6 +330,6 @@ def singer_pyds_write_roundtrip(spark, sf_dir):
             rec["status"].alias("status"),
             rec["price"].alias("price"),
         )
-        return snapshot_small(back)
+        return snapshot_persisted(back, "pyds_roundtrip")  # sf-proportional
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

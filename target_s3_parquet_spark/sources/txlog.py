@@ -42,7 +42,7 @@ PUT-if-absent (S3 conditional put / a DynamoDB-style log store).
 
 from __future__ import annotations
 
-from target_s3_parquet_spark._snapshot import snapshot_small
+from target_s3_parquet_spark._snapshot import snapshot_persisted, snapshot_small
 
 import json
 import os
@@ -605,7 +605,7 @@ def txlog_schema_evolution(spark, sf_dir):
         snap = read_table(spark, root, merge_schema=True).select(
             "id", "status", "price"
         )
-        return snapshot_small(snap)
+        return snapshot_persisted(snap, "schema_evolution")  # sf-proportional
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

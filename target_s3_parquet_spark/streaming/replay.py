@@ -12,7 +12,7 @@ everything downstream of ``readStream`` is identical.
 
 from __future__ import annotations
 
-from target_s3_parquet_spark._snapshot import snapshot_small
+from target_s3_parquet_spark._snapshot import snapshot
 
 import os
 import shutil
@@ -130,7 +130,7 @@ def replay_stream(
                 q.stop()
         # materialize before the temp dir vanishes
         rows = spark.table(name)
-        rows = snapshot_small(rows)
+        rows = snapshot(rows)  # size-routed: replay serves 3-row and 100k-row results alike
         return rows
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

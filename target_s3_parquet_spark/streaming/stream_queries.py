@@ -86,7 +86,7 @@ def stream_singer_ingest(spark, sf_dir):
         back = spark.read.parquet(f"{tmp}/out").withColumn(
             "id", F.col("id").cast("long")
         )
-        return snapshot_small(back)
+        return snapshot_persisted(back, "singer_ingest")  # 1 row/record: sf-proportional
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -415,7 +415,7 @@ def stream_activate_version(spark, sf_dir):
                 "_sdc_table_version",
             )
         )
-        return snapshot_small(back)
+        return snapshot_persisted(back, "activate_version")  # sf-proportional
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

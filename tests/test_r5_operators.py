@@ -152,6 +152,21 @@ def test_ivfpq_recall_nondegenerate(spark):
     assert sum(r.n_hits for r in rows) >= 1
 
 
+def test_bpe_top1_raises_on_bigram_free_corpus(spark):
+    """Degenerate BPE input (every document empty or single-token) must
+    fail with a clear ValueError, not an IndexError from an empty
+    collect (r4 advice)."""
+    import pytest
+
+    from target_s3_parquet_spark.functions.text_analysis import _bpe_top1
+
+    df = spark.createDataFrame(
+        [("word",), ("",), ("x",)], ["text"]
+    )
+    with pytest.raises(ValueError, match="no bigrams"):
+        _bpe_top1(df)
+
+
 def test_pq_train_codebook_population(spark):
     """Trained codebook: full M x K x DSUB grid present and every code
     keeps >= 1 member (its own seed vector is always nearest itself),
