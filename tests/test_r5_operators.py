@@ -152,6 +152,34 @@ def test_ivfpq_recall_nondegenerate(spark):
     assert sum(r.n_hits for r in rows) >= 1
 
 
+def test_snapshot_helpers_route_by_size(spark):
+    """snapshot_small enforces its cap; snapshot() routes: within the
+    cap it returns a driver-materialized frame, beyond it a lazy scan
+    of a persisted copy — same rows either way (the sf0.1 full gate
+    caught three 150k-row keys tripping the strict cap in r5)."""
+    import pytest
+
+    from target_s3_parquet_spark._snapshot import (
+        snapshot,
+        snapshot_persisted,
+        snapshot_small,
+    )
+
+    df = spark.range(10).withColumnRenamed("id", "n")
+    small = snapshot_small(df, max_rows=10)
+    assert sorted(r.n for r in small.collect()) == list(range(10))
+    with pytest.raises(ValueError, match="data-proportional"):
+        snapshot_small(df, max_rows=9)
+
+    routed_small = snapshot(df, max_driver_rows=10)
+    routed_big = snapshot(df, max_driver_rows=3)
+    persisted = snapshot_persisted(df, "unit")
+    for out in (routed_small, routed_big, persisted):
+        assert sorted(r.n for r in out.collect()) == list(range(10))
+    # the over-cap route must be file-backed, not a LocalRelation
+    assert "FileScan" in routed_big._jdf.queryExecution().executedPlan().toString()
+
+
 def test_bpe_top1_raises_on_bigram_free_corpus(spark):
     """Degenerate BPE input (every document empty or single-token) must
     fail with a clear ValueError, not an IndexError from an empty
