@@ -154,6 +154,8 @@ def main() -> None:
         "sim_ann_ivfpq_recall",
         "er_blocked_multipass",
         "er_multipass_recall_stats",
+        "agg_cms_error_bound",
+        "agg_approx_quantile_bound",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

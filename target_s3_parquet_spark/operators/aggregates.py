@@ -738,6 +738,149 @@ def agg_hll_sketch_merge(spark, sf_dir):
     )
 
 
+_CMS_EPS = 0.001  # relative over-count bound: est <= exact + eps*N
+_CMS_CONF = 0.99
+_CMS_SEED = 42  # fixed seed -> deterministic sketch, reproducible flags
+_CMS_TEST_KEYS = 8  # probe suppkeys 1..8
+
+
+@query(
+    "agg_cms_error_bound",
+    f"""
+    SELECT CAST(l_suppkey AS BIGINT) AS test_key,
+           COUNT(*) AS exact_count,
+           TRUE AS overcount_ok,
+           TRUE AS bound_ok
+    FROM lineitem
+    WHERE l_suppkey BETWEEN 1 AND {_CMS_TEST_KEYS}
+    GROUP BY l_suppkey
+    """,
+)
+def agg_cms_error_bound(spark, sf_dir):
+    """Count-Min Sketch frequency estimation with its error envelope
+    checked against exact counts — completing the mergeable-sketch trio
+    (HLL cardinality `agg_hll_sketch_merge`, top-k `agg_approx_top_k`,
+    CMS point frequencies). The CMS is what answers "how often does
+    item x occur?" over a 100 TB stream in O(d·w) memory: the
+    `count_min_sketch` aggregate builds it in one combinable pass
+    (sketches merge cell-wise, so partial aggregation and cross-day
+    unions work like HLL's).
+
+    Contract checked per probe key (fixed seed ⇒ deterministic):
+    - `overcount_ok`: est ≥ exact — CMS NEVER undercounts (each cell
+      is a superset count); this bound is unconditional;
+    - `bound_ok`: est ≤ exact + ε·N with ε=0.001 — holds with
+      probability ≥ 0.99 per key, and deterministically for this
+      seed+data (verified at all three SFs).
+
+    The sketch bytes are library-specific, so (as with HLL) the oracle
+    verifies the independently-recomputed EXACT counts plus the
+    property bits. The only driver work is deserializing ONE bounded
+    O(d·w)-byte sketch and 8 point lookups — control plane; exact
+    counts and flags stay distributed."""
+    li = t(spark, sf_dir, "lineitem")
+    sk = li.agg(
+        F.count_min_sketch(
+            "l_suppkey", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)
+        ).alias("sk"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        bytes(sk["sk"])
+    )
+    est = spark.createDataFrame(
+        [
+            (k, int(cms.estimateCount(k)))
+            for k in range(1, _CMS_TEST_KEYS + 1)
+        ],
+        "test_key long, est long",
+    )
+    exact = (
+        li.filter(F.col("l_suppkey").between(1, _CMS_TEST_KEYS))
+        .groupBy(F.col("l_suppkey").cast("long").alias("test_key"))
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    slack = F.lit(float(_CMS_EPS)) * F.lit(int(sk["n"]))
+    return exact.join(F.broadcast(est), "test_key").select(
+        "test_key",
+        "exact_count",
+        (F.col("est") >= F.col("exact_count")).alias("overcount_ok"),
+        (F.col("est") <= F.col("exact_count") + slack).alias("bound_ok"),
+    )
+
+
+_AQ_QS = [0.25, 0.5, 0.75, 0.9]
+_AQ_ACC = 1000  # rank error <= n/accuracy
+
+
+@query(
+    "agg_approx_quantile_bound",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT CAST({q} AS DOUBLE) AS q,
+           quantile_cont(l_quantity, {q}) AS exact_pctl,
+           TRUE AS rank_err_ok
+    FROM lineitem"""
+        for q in _AQ_QS
+    ),
+)
+def agg_approx_quantile_bound(spark, sf_dir):
+    """`percentile_approx` (Greenwald-Khanna sketch) with its RANK-error
+    guarantee checked against the data: for each probe quantile q the
+    returned value's exact rank INTERVAL [count(<v)+1, count(<=v)]
+    must intersect the q·n ± n/accuracy band (the GK contract — the
+    sketch is what replaces exact percentiles when 100 TB won't sort).
+    The interval form matters: l_quantity is an integer domain with
+    ~n/50 duplicates per value, so a single-point count(<=v) rank can
+    legitimately sit n/100 past q·n while the value itself is still a
+    valid ε-approximate quantile. One combinable sketch pass computes
+    all four quantiles; the rank check is a broadcast of the 4-row
+    (q, value) table into two conditional counts; the exact percentile —
+    the column the oracle independently recomputes, interpolation-exact
+    cross-engine on the integer l_quantity domain — is its own
+    single-pass aggregate. Flags are deterministic (GK is
+    deterministic for a fixed input order at this accuracy; verified
+    at all three SFs)."""
+    li = t(spark, sf_dir, "lineitem").select("l_quantity")
+    q_arr = F.array(*[F.lit(q) for q in _AQ_QS])
+    appx = li.agg(
+        F.percentile_approx("l_quantity", q_arr, F.lit(_AQ_ACC)).alias("vs"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    qv = appx.select(
+        F.posexplode("vs").alias("i", "v"), "n"
+    ).select(
+        F.element_at(q_arr, F.col("i") + 1).alias("q"), "v", "n"
+    )
+    ranks = (
+        li.crossJoin(F.broadcast(qv))
+        .groupBy("q", "v", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("l_quantity") <= F.col("v"), 1).otherwise(0)
+            ).alias("rank_le"),
+            F.sum(
+                F.when(F.col("l_quantity") < F.col("v"), 1).otherwise(0)
+            ).alias("rank_lt"),
+        )
+    )
+    slack = F.col("n") / F.lit(_AQ_ACC) + 1
+    checked = ranks.select(
+        "q",
+        (
+            (F.col("rank_le") >= F.col("q") * F.col("n") - slack)
+            & (F.col("rank_lt") + 1 <= F.col("q") * F.col("n") + slack)
+        ).alias("rank_err_ok"),
+    )
+    exact = li.agg(
+        F.percentile("l_quantity", q_arr).alias("es")
+    ).select(F.posexplode("es").alias("i", "exact_pctl")).select(
+        F.element_at(q_arr, F.col("i") + 1).alias("q"), "exact_pctl"
+    )
+    return exact.join(checked, "q").select("q", "exact_pctl", "rank_err_ok")
+
+
 @query(
     "agg_weighted_stats",
     """

@@ -240,7 +240,8 @@ _R5_NEW = {
     "docs_substring_dedup_apply", "sim_ann_ivfpq_search",
     "sim_ann_ivfpq_recall", "er_blocked_multipass",
     "er_multipass_recall_stats", "emb_pq_train_lloyd",
-    "emb_pq_adc_search_trained",
+    "emb_pq_adc_search_trained", "agg_cms_error_bound",
+    "agg_approx_quantile_bound",
 }
 
 

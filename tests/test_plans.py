@@ -200,6 +200,7 @@ def test_correlated_scalar_subquery_single_shuffle(spark):
 # plan regression.
 _BNLJ_BOUNDED_OK = {
     "ab_test_ttest", "corpus_temperature_weights", "data_skew_diagnostics",
+    "agg_approx_quantile_bound",  # 4-row broadcast (q, value) rank probe
     "emb_centroid_assign_drift", "emb_hamming_pack", "emb_norm_outliers",
     "emb_quantize_int8", "fuzzy_match_levenshtein",
     "graph_connected_components", "graph_triangle_count",

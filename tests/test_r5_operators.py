@@ -211,3 +211,36 @@ def test_pq_train_codebook_population(spark):
     assert all(r.n_members >= 1 for r in rows)
     grid = {(r.subspace, r.code, r.dim_i) for r in rows}
     assert len(grid) == _PQ_M * _PQ_K * _PQ_DSUB
+
+
+def test_cms_error_bound_flags(spark):
+    """CMS contract holds at test SF: every probe key overcounts-or-
+    equals (unconditional CMS property) AND lands inside the eps*N
+    envelope (seeded sketch, deterministic), with real mass behind
+    each probe."""
+    from target_s3_parquet_spark.operators.aggregates import (
+        _CMS_TEST_KEYS,
+        agg_cms_error_bound,
+    )
+
+    rows = agg_cms_error_bound(spark, SF).collect()
+    assert len(rows) == _CMS_TEST_KEYS
+    assert all(r.overcount_ok and r.bound_ok for r in rows)
+    assert all(r.exact_count > 0 for r in rows)
+
+
+def test_approx_quantile_rank_interval(spark):
+    """GK contract holds at test SF for every probe quantile, and the
+    exact percentiles are monotone nondecreasing in q (sanity that the
+    posexplode->element_at q mapping did not scramble pairing)."""
+    from target_s3_parquet_spark.operators.aggregates import (
+        _AQ_QS,
+        agg_approx_quantile_bound,
+    )
+
+    rows = sorted(agg_approx_quantile_bound(spark, SF).collect(),
+                  key=lambda r: r.q)
+    assert [r.q for r in rows] == sorted(_AQ_QS)
+    assert all(r.rank_err_ok for r in rows)
+    pctls = [r.exact_pctl for r in rows]
+    assert pctls == sorted(pctls)
