@@ -156,6 +156,8 @@ def main() -> None:
         "er_multipass_recall_stats",
         "agg_cms_error_bound",
         "agg_approx_quantile_bound",
+        "text_allpairs_prefix_join",
+        "text_allpairs_filter_stats",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

@@ -1006,3 +1006,232 @@ def docs_substring_dedup_apply(spark, sf_dir):
         F.coalesce(F.size("rm"), F.lit(0)).cast("long").alias("n_words_removed"),
         cleaned.alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join via prefix filtering (AllPairs/PPJoin)
+# ---------------------------------------------------------------------------
+# Bayardo, Ma, Srikant, "Scaling Up All Pairs Similarity Search" (WWW'07)
+# and Xiao et al., "Efficient Similarity Joins for Near Duplicate
+# Detection" (WWW'08, PPJoin). The EXACT alternative to MinHash banding:
+# order every doc's gram set by ascending global document frequency
+# (rarest first); for Jaccard >= t a pair MUST collide inside each
+# side's first |x| - ceil(t*|x|) + 1 grams, so exploding only that
+# prefix into the candidate self-join prunes the pair space without
+# losing a single true pair. Measured at sf0.1 (5k docs, t=0.5):
+# 12,497,500 possible pairs -> 309,803 prefix candidates -> 256 true
+# pairs. The rarest-first order is what bounds the join's skew: the
+# most frequent grams (the heavy buckets) appear in the FEWEST
+# prefixes, inverting the usual hot-key problem.
+
+_AP_T = 0.5  # Jaccard threshold; prefix arithmetic below is exact for t=1/2
+
+# Word-3-gram sets, one row per doc (same shingling as the jaccard
+# family above, unbounded: prefix filtering is the subquadratic path).
+_AP_SETS_SQL = """
+    sets AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+                              i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))
+             ) AS grams
+      FROM documents
+      WHERE len(string_split(lower(text), ' ')) >= 3
+    ),
+    toks AS MATERIALIZED (
+      SELECT doc_id, len(grams) AS sz, unnest(grams) AS gram FROM sets
+    )
+"""
+
+# Oracle ground truth is the INVERTED-INDEX exact join (no prefix
+# filter): every pair sharing >= 1 gram, intersection counted by the
+# gram-equality join itself. Verifying the Spark result (prefix-
+# filtered) against this unfiltered truth is the completeness proof —
+# a prefix bug that drops a true pair hash-mismatches the gate.
+_AP_TRUTH_SQL = """
+    truth AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS inter,
+             any_value(a.sz) AS sa, any_value(b.sz) AS sb
+      FROM toks a JOIN toks b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+"""
+
+
+def _ap_ordered(spark, sf_dir):
+    """(doc_id, grams rarest-first, sz): word-3-gram sets re-ordered by
+    ascending corpus document frequency with the gram string as the
+    tiebreak — a TOTAL order, so Spark and the DuckDB replay build
+    byte-identical prefixes. One shuffle to count gram frequencies
+    (map-side combined) and one to regroup per doc; both key on short
+    strings, never document bodies.
+
+    CACHED (MEMORY_AND_DISK): the ordered-set table is AllPairs' index
+    build — prefix generation reads it once per join side and the
+    verify join twice more, and Spark's plan-cache lets the stats key
+    share the same materialization. Without it the freq-join + regroup
+    subtree executes 4x per query (measured: 11 s warm → 4 s at
+    sf0.1).
+
+    The word array is PROJECTED before the gram transform: Catalyst
+    does no common-subexpression elimination inside higher-order-
+    function lambdas, so an inline `split(lower(text))` re-tokenizes
+    the document once per gram (measured 5x slower at sf0.1). The scan
+    is repartitioned first for the same reason `_lsh_vectors` does it:
+    the sf0.1 table is ONE parquet file, and explode's implicit
+    not-null filter pushdown re-inlines the gram transform into the
+    scan stage — repartitioning keeps that (tripled) evaluation 32-way
+    parallel instead of single-task (11 s → ~4 s cold at sf0.1)."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 3),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 3)),
+        )
+    )
+    sets = w.filter(F.size("w") >= 3).select("doc_id", grams.alias("grams"))
+    toks = sets.select("doc_id", F.explode("grams").alias("gram"))
+    freq = toks.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        toks.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "gram"))),
+                lambda s: s["gram"],
+            ).alias("grams")
+        )
+        .select("doc_id", "grams", F.size("grams").alias("sz"))
+        .cache()
+    )
+
+
+def _ap_candidates(ordered):
+    """Distinct (doc_a < doc_b) pairs colliding inside the t=0.5 prefix
+    (sz DIV 2 + 1 rarest grams — integer-exact form of
+    |x| - ceil(t|x|) + 1), with the size filter 2*min(sz) >= max(sz)
+    (|A inter B| >= t/(1+t)*(|A|+|B|) forces t <= |B|/|A| <= 1/t)
+    applied IN the join condition so dominated rows never leave the
+    probe side."""
+    pref = ordered.select(
+        "doc_id", "sz", F.explode(F.expr("slice(grams, 1, sz DIV 2 + 1)")).alias("gram")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") * 2 >= F.col("a.sz"))
+            & (F.col("a.sz") * 2 >= F.col("b.sz")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@query(
+    "text_allpairs_prefix_join",
+    f"""
+    WITH {_AP_SETS_SQL},
+    {_AP_TRUTH_SQL}
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard
+    FROM truth
+    WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= {_AP_T}
+    """,
+)
+def text_allpairs_prefix_join(spark, sf_dir):
+    """EXACT Jaccard >= 0.5 self-join over the FULL corpus via AllPairs
+    prefix filtering (module banner above): candidates only where the
+    rarest-first prefixes collide, then exact array_intersect verify.
+    The oracle recomputes truth WITHOUT the filter, so a hash match is
+    a machine-checked completeness proof of the pruning arithmetic.
+
+    100 TB plan: gram-frequency groupBy (map-side combined) -> per-doc
+    regroup -> prefix explode (~sz/2 rows/doc) -> equi-join on gram
+    whose per-bucket volume is bounded BECAUSE frequent grams are
+    excluded from prefixes -> distinct pair shuffle -> doc_id equi-join
+    verify. No all-pairs product at any stage; contrast
+    `text_ngram_jaccard_dup`, which caps doc_id<64 for exactly that
+    reason."""
+    ordered = _ap_ordered(spark, sf_dir)
+    cand = _ap_candidates(ordered)
+    xa = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("ga"),
+        F.col("sz").alias("sa"),
+    )
+    xb = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("gb"),
+        F.col("sz").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jac = inter.cast("double") / (F.col("sa") + F.col("sb") - inter)
+    return (
+        cand.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _AP_T)
+    )
+
+
+@query(
+    "text_allpairs_filter_stats",
+    f"""
+    WITH {_AP_SETS_SQL},
+    {_AP_TRUTH_SQL},
+    freq AS MATERIALIZED (
+      SELECT gram, count(*) AS df FROM toks GROUP BY gram
+    ),
+    ordered AS MATERIALIZED (
+      SELECT t.doc_id, any_value(t.sz) AS sz,
+             list(t.gram ORDER BY f.df, t.gram) AS grams
+      FROM toks t JOIN freq f USING (gram)
+      GROUP BY t.doc_id
+    ),
+    pref AS MATERIALIZED (
+      SELECT doc_id, sz, unnest(grams[1 : sz // 2 + 1]) AS gram
+      FROM ordered
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+       AND 2 * b.sz >= a.sz AND 2 * a.sz >= b.sz
+    )
+    SELECT (SELECT count(*) FROM sets) AS n_docs,
+           (SELECT count(*) * (count(*) - 1) // 2 FROM sets) AS total_pairs,
+           (SELECT count(*) FROM cand) AS cand_pairs,
+           (SELECT count(*) FROM truth
+             WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= {_AP_T})
+             AS true_pairs
+    """,
+)
+def text_allpairs_filter_stats(spark, sf_dir):
+    """Prefix-filter effectiveness, oracle-REPLAYED: DuckDB rebuilds the
+    same rarest-first prefixes (the (df, gram) total order makes both
+    builds byte-identical) and must land on the same candidate count —
+    pinning the measured sf0.1 funnel 12,497,500 -> ~310k -> 256 as a
+    gate-checked result, the AllPairs analogue of
+    `lsh_candidate_stats`."""
+    ordered = _ap_ordered(spark, sf_dir)
+    n = ordered.agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") * (F.count("*") - F.lit(1)) / 2)
+        .cast("long")
+        .alias("total_pairs"),
+    )
+    cand_n = _ap_candidates(ordered).agg(F.count("*").alias("cand_pairs"))
+    true_n = (
+        QUERIES["text_allpairs_prefix_join"](spark, sf_dir)
+        .agg(F.count("*").alias("true_pairs"))
+    )
+    return n.crossJoin(cand_n).crossJoin(true_n)

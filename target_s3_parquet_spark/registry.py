@@ -241,7 +241,8 @@ _R5_NEW = {
     "sim_ann_ivfpq_recall", "er_blocked_multipass",
     "er_multipass_recall_stats", "emb_pq_train_lloyd",
     "emb_pq_adc_search_trained", "agg_cms_error_bound",
-    "agg_approx_quantile_bound",
+    "agg_approx_quantile_bound", "text_allpairs_prefix_join",
+    "text_allpairs_filter_stats",
 }
 
 

@@ -211,7 +211,9 @@ _BNLJ_BOUNDED_OK = {
     "sim_knn_cosine",  # ivfpq_search: assign/probe cross vs 16 broadcast
     #                    centroids (sim_ann_ivf's shape); ivfpq_recall
     #                    adds the 4-broadcast-query exact scan (sim_knn's)
-    "sim_pairs_threshold", "sim_semdedup", "text_bpe_apply",
+    "sim_pairs_threshold", "sim_semdedup",
+    "text_allpairs_filter_stats",  # crossJoin of three 1-row count aggs
+    "text_bpe_apply",
     "text_bpe_merge_loop", "text_bpe_merge_step", "text_ngram_jaccard_dup",
     "text_tokenize_tfidf", "tpch_q11_important_stock",
     "tpch_q22_sales_opportunity", "ts_rolling_wau",
