@@ -158,6 +158,7 @@ def main() -> None:
         "agg_approx_quantile_bound",
         "text_allpairs_prefix_join",
         "text_allpairs_filter_stats",
+        "text_ppjoin_positional_stats",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

@@ -242,7 +242,7 @@ _R5_NEW = {
     "er_multipass_recall_stats", "emb_pq_train_lloyd",
     "emb_pq_adc_search_trained", "agg_cms_error_bound",
     "agg_approx_quantile_bound", "text_allpairs_prefix_join",
-    "text_allpairs_filter_stats",
+    "text_allpairs_filter_stats", "text_ppjoin_positional_stats",
 }
 
 

@@ -213,6 +213,7 @@ _BNLJ_BOUNDED_OK = {
     #                    adds the 4-broadcast-query exact scan (sim_knn's)
     "sim_pairs_threshold", "sim_semdedup",
     "text_allpairs_filter_stats",  # crossJoin of three 1-row count aggs
+    "text_ppjoin_positional_stats",  # same three-1-row-agg crossJoin
     "text_bpe_apply",
     "text_bpe_merge_loop", "text_bpe_merge_step", "text_ngram_jaccard_dup",
     "text_tokenize_tfidf", "tpch_q11_important_stock",

@@ -306,3 +306,58 @@ def test_allpairs_filter_stats_funnel(spark):
         .count()
     )
     assert row.n_docs == n_docs
+
+
+def test_ppjoin_positional_bound_sound(spark):
+    """The positional upper bound must dominate the TRUE overlap for
+    every candidate pair (recomputed here from the raw gram sets), and
+    the funnel must nest: true <= positional <= prefix candidates."""
+    from target_s3_parquet_spark.operators.dedup import (
+        _ap_ordered,
+        text_ppjoin_positional_stats,
+    )
+
+    row = text_ppjoin_positional_stats(spark, SF).collect()[0]
+    assert (
+        0
+        < row.positional_cand_pairs
+        <= row.prefix_cand_pairs
+    )
+    assert 0 < row.true_pairs <= row.positional_cand_pairs
+    # soundness of the bound on a sample: for every TRUE pair the
+    # positional ubound must have admitted it, i.e. ubound >= alpha.
+    ordered = {
+        r.doc_id: r.grams for r in _ap_ordered(spark, SF).collect()
+    }
+    import itertools
+
+    checked = 0
+    for da, db in itertools.islice(
+        (
+            (a, b)
+            for a, b in itertools.combinations(sorted(ordered), 2)
+        ),
+        0,
+        None,
+    ):
+        ga, gb = ordered[da], ordered[db]
+        inter = len(set(ga) & set(gb))
+        uni = len(ga) + len(gb) - inter
+        if inter / uni < 0.5:
+            continue
+        pa = len(ga) // 2 + 1
+        pb = len(gb) // 2 + 1
+        coll = [
+            (i + 1, gb.index(g) + 1)
+            for i, g in enumerate(ga[:pa])
+            if g in set(gb[:pb])
+        ]
+        assert coll, f"true pair ({da},{db}) missed by prefix filter"
+        n_coll = len(coll)
+        ia = max(i for i, _ in coll)
+        jb = max(j for _, j in coll)
+        ub = n_coll + min(len(ga) - ia, len(gb) - jb)
+        alpha = (len(ga) + len(gb) + 2) // 3
+        assert ub >= alpha, (da, db, ub, alpha)
+        checked += 1
+    assert checked > 0
