@@ -1277,3 +1277,94 @@ def agg_bitmap_exact_distinct(spark, sf_dir):
     return merged.groupBy("l_returnflag").agg(
         F.sum(F.expr("bitmap_count(bm)")).alias("exact_nd")
     )
+
+
+# -- Misra-Gries heavy hitters ------------------------------------------
+# Deterministic power-law key for the sketch demo: the testdata's raw
+# columns are near-uniform (no key ever exceeds n/K), so the key is
+# derived IN the query from a hash of event_id -- u uniform on [0, 2^28)
+# via the same md5-prefix device the minhash family uses, and
+# hh_key = D DIV (u mod D + 1). For uniform u the mass of key k is
+# ~ 1/(k(k+1)) (a zipf-squared law): rank 1 holds ~50% of rows, the
+# tail is hundreds of distinct keys -- skewed at every SF, exactly
+# replayable in the oracle.
+_MG_D = 1 << 20  # key-domain scale: distinct keys ~ 2*sqrt(n) at sf0.1
+_MG_K = 64  # heavy-hitter threshold: report keys with cnt > n/K
+_MG_KEY_SQL = f"""
+      SELECT {_MG_D} // (CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 7))
+                              AS BIGINT) % {_MG_D} + 1) AS hh_key
+      FROM events
+"""
+
+
+@query(
+    "agg_heavy_hitters_mg",
+    f"""
+    WITH keyed AS ({_MG_KEY_SQL}),
+    n AS (SELECT count(*) AS n FROM keyed),
+    c AS (SELECT hh_key, count(*) AS cnt FROM keyed GROUP BY hh_key)
+    SELECT c.hh_key, c.cnt FROM c, n WHERE c.cnt * {_MG_K} > n.n
+    """,
+)
+def agg_heavy_hitters_mg(spark, sf_dir):
+    """Heavy hitters via a Misra-Gries candidate sketch (Misra &
+    Gries 1982; mergeable-summaries form per Agarwal et al., PODS'12)
+    plus an exact broadcast verify - the bounded-memory alternative to
+    `vocab_top_tokens`' full groupBy.
+
+    Pass 1 (`mapInPandas`, Arrow-batched): each partition keeps a
+    summary of at most B = K counters; per batch it adds the batch's
+    `value_counts`, and when the summary exceeds B entries it subtracts
+    the (B+1)-th largest count from every counter and drops the
+    non-positive ones. Each such prune removes >= (B+1)*m total mass,
+    so the per-partition decrement total is <= n_p/(B+1) and any key
+    with local count > n_p/(B+1) survives. By pigeonhole a key with
+    global count > n/K (K = B) exceeds n_p/K on at least one
+    partition, so the UNION of per-partition candidates is a superset
+    of every true heavy hitter - for ANY partitioning of the input.
+
+    Pass 2: the candidate set (<= B rows per partition, deduplicated)
+    broadcasts back onto the keyed scan; exact counts are computed for
+    candidates only and filtered to cnt * K > n. Output is therefore
+    EXACTLY the true heavy-hitter set - the sketch only prunes the
+    aggregation's key space, never the answer - which is what makes
+    the plain GROUP BY ... HAVING oracle replayable.
+
+    At 100 TB: the full-vocab groupBy shuffles every distinct key;
+    this shape shuffles B keys per partition for pass 1 and only
+    candidate-key rows (a broadcast-semi-reduced scan) for pass 2 -
+    memory is O(B) per task regardless of vocabulary size. Reference
+    scope: codeG12/target-s3-parquet has no aggregation surface
+    (README.md:1 - a Singer->parquet sink); this key is part of the
+    declared extension surface (SURVEY.md par.2B/2C).
+    """
+    import pandas as pd
+
+    B = _MG_K
+    keyed = t(spark, sf_dir, "events").select(
+        F.expr(
+            f"{_MG_D} div (conv(substring(md5(CAST(event_id AS STRING)), 1, 7),"
+            f" 16, 10) % {_MG_D} + 1)"
+        ).alias("hh_key")
+    )
+
+    def mg_candidates(batches):
+        summary = pd.Series(dtype="int64")
+        for pdf in batches:
+            summary = summary.add(pdf["hh_key"].value_counts(), fill_value=0)
+            if len(summary) > B:
+                m = summary.nlargest(B + 1).iloc[-1]
+                summary = summary - m
+                summary = summary[summary > 0]
+        yield pd.DataFrame({"hh_key": summary.index.astype("int64")})
+
+    cands = keyed.mapInPandas(mg_candidates, "hh_key long").distinct()
+    n = keyed.agg(F.count("*").alias("n"))
+    return (
+        keyed.join(F.broadcast(cands), "hh_key")
+        .groupBy("hh_key")
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("cnt") * _MG_K > F.col("n"))
+        .select("hh_key", "cnt")
+    )

@@ -214,6 +214,7 @@ _BNLJ_BOUNDED_OK = {
     "sim_pairs_threshold", "sim_semdedup",
     "text_allpairs_filter_stats",  # crossJoin of three 1-row count aggs
     "text_ppjoin_positional_stats",  # same three-1-row-agg crossJoin
+    "agg_heavy_hitters_mg",  # exact-verify counts x 1-row total-n agg
     "text_bpe_apply",
     "text_bpe_merge_loop", "text_bpe_merge_step", "text_ngram_jaccard_dup",
     "text_tokenize_tfidf", "tpch_q11_important_stock",

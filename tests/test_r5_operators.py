@@ -361,3 +361,56 @@ def test_ppjoin_positional_bound_sound(spark):
         assert ub >= alpha, (da, db, ub, alpha)
         checked += 1
     assert checked > 0
+
+
+def test_mg_heavy_hitters_sketch_invariants(spark):
+    """The MG pass must (a) bound each partition's candidate list by B,
+    (b) emit a candidate UNION that covers every true heavy hitter for
+    an adversarial repartitioning, and (c) leave the final answer
+    partitioning-independent (it is the exact HH set)."""
+    from target_s3_parquet_spark.operators import aggregates as A
+    from target_s3_parquet_spark.operators._util import t
+
+    B = A._MG_K
+    keyed = t(spark, SF, "events").select(
+        F.expr(
+            f"{A._MG_D} div (conv(substring(md5(CAST(event_id AS STRING)),"
+            f" 1, 7), 16, 10) % {A._MG_D} + 1)"
+        ).alias("hh_key")
+    ).repartition(7)
+
+    import pandas as pd
+
+    def tagged(batches):
+        summary = pd.Series(dtype="int64")
+        for pdf in batches:
+            summary = summary.add(pdf["hh_key"].value_counts(), fill_value=0)
+            if len(summary) > B:
+                m = summary.nlargest(B + 1).iloc[-1]
+                summary = summary - m
+                summary = summary[summary > 0]
+        yield pd.DataFrame({"hh_key": summary.index.astype("int64")})
+
+    per_part = keyed.mapInPandas(tagged, "hh_key long")
+    sizes = [
+        r.c
+        for r in per_part.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid").agg(F.count("*").alias("c")).collect()
+    ]
+    assert sizes and all(s <= B for s in sizes)
+
+    exact = keyed.groupBy("hh_key").count()
+    n = exact.agg(F.sum("count")).collect()[0][0]
+    true_hh = {r.hh_key for r in exact.filter(F.col("count") * B > n).collect()}
+    cands = {r.hh_key for r in per_part.distinct().collect()}
+    assert true_hh and true_hh <= cands
+
+    rows = sorted(
+        (r.hh_key, r.cnt)
+        for r in A.agg_heavy_hitters_mg(spark, SF).collect()
+    )
+    expect = sorted(
+        (r.hh_key, r["count"])
+        for r in exact.filter(F.col("count") * B > n).collect()
+    )
+    assert rows == expect
