@@ -160,6 +160,7 @@ def main() -> None:
         "text_allpairs_filter_stats",
         "text_ppjoin_positional_stats",
         "agg_heavy_hitters_mg",
+        "scan_parquet_footer_stats",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

@@ -243,7 +243,7 @@ _R5_NEW = {
     "emb_pq_adc_search_trained", "agg_cms_error_bound",
     "agg_approx_quantile_bound", "text_allpairs_prefix_join",
     "text_allpairs_filter_stats", "text_ppjoin_positional_stats",
-    "agg_heavy_hitters_mg",
+    "agg_heavy_hitters_mg", "scan_parquet_footer_stats",
 }
 
 

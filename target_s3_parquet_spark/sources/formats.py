@@ -505,3 +505,82 @@ def scan_binaryfile(spark, sf_dir):
             F.md5("content").alias("content_md5"),
         )
     )
+
+
+@query(
+    "scan_parquet_footer_stats",
+    """
+    SELECT 'events' AS tbl, count(*) AS num_rows,
+           min(event_id) AS min_key, max(event_id) AS max_key FROM events
+    UNION ALL
+    SELECT 'lineitem', count(*), min(l_orderkey), max(l_orderkey) FROM lineitem
+    UNION ALL
+    SELECT 'orders', count(*), min(o_orderkey), max(o_orderkey) FROM orders
+    """,
+)
+def scan_parquet_footer_stats(spark, sf_dir):
+    """Distributed parquet FOOTER harvest — the stats-collection pass a
+    lakehouse file-skipping index (min/max zone maps) is built from.
+
+    A tiny DataFrame of (table, path, key column) rows fans out over
+    executors; each task opens ONLY the parquet footer with pyarrow
+    (`ParquetFile.metadata`, an O(KB) tail read — no data pages are
+    touched) and folds the per-row-group column statistics into
+    file-level (num_rows, min_key, max_key). The oracle recomputes the
+    same numbers the expensive way — a full scan with count/min/max —
+    so the gate proves the footer metadata path and the data path
+    agree, which is exactly the invariant file skipping relies on.
+
+    At 100 TB: stats harvesting is metadata-bounded — one footer read
+    per file (thousands of ~KB tail fetches, embarrassingly parallel),
+    never a data scan; paths generalize to S3/HDFS because pyarrow
+    accepts a filesystem URI. Row-group granularity is preserved
+    upstream of the fold (the fold is a `groupBy(tbl)` over per-group
+    rows), so the same operator yields zone maps at row-group depth
+    when files carry multiple groups; the testdata writes one group
+    per file, so the gated output folds to one row per table.
+    Reference scope: the reference only WRITES parquet
+    (target_s3_parquet/__init__.py:236 via pyarrow); reading footers
+    back for pruning is declared extension surface (SURVEY.md §2B).
+    """
+    import pandas as pd
+
+    meta = spark.createDataFrame(
+        [
+            (tbl, os.path.join(sf_dir, f"{tbl}.parquet"), key)
+            for tbl, key in [
+                ("events", "event_id"),
+                ("lineitem", "l_orderkey"),
+                ("orders", "o_orderkey"),
+            ]
+        ],
+        "tbl string, path string, key_col string",
+    ).repartition(3)
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            for tbl, path, key_col in pdf.itertuples(index=False):
+                f = pq.ParquetFile(path)
+                idx = f.schema_arrow.names.index(key_col)
+                for g in range(f.metadata.num_row_groups):
+                    rg = f.metadata.row_group(g)
+                    st = rg.column(idx).statistics
+                    yield pd.DataFrame(
+                        {
+                            "tbl": [tbl],
+                            "rg_rows": [rg.num_rows],
+                            "rg_min": [int(st.min)],
+                            "rg_max": [int(st.max)],
+                        }
+                    )
+
+    per_group = meta.mapInPandas(
+        read_footers, "tbl string, rg_rows long, rg_min long, rg_max long"
+    )
+    return per_group.groupBy("tbl").agg(
+        F.sum("rg_rows").alias("num_rows"),
+        F.min("rg_min").alias("min_key"),
+        F.max("rg_max").alias("max_key"),
+    )

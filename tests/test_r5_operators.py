@@ -414,3 +414,27 @@ def test_mg_heavy_hitters_sketch_invariants(spark):
         for r in exact.filter(F.col("count") * B > n).collect()
     )
     assert rows == expect
+
+
+def test_footer_stats_match_data_scan(spark):
+    """Footer-derived (num_rows, min, max) must equal the full-scan
+    numbers table by table — the zone-map soundness invariant."""
+    from target_s3_parquet_spark.sources.formats import (
+        scan_parquet_footer_stats,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    got = {
+        r.tbl: (r.num_rows, r.min_key, r.max_key)
+        for r in scan_parquet_footer_stats(spark, SF).collect()
+    }
+    assert set(got) == {"events", "lineitem", "orders"}
+    for tbl, key in [
+        ("events", "event_id"),
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_orderkey"),
+    ]:
+        row = t(spark, SF, tbl).agg(
+            F.count("*"), F.min(key), F.max(key)
+        ).collect()[0]
+        assert got[tbl] == (row[0], row[1], row[2]), tbl
