@@ -161,6 +161,7 @@ def main() -> None:
         "text_ppjoin_positional_stats",
         "agg_heavy_hitters_mg",
         "scan_parquet_footer_stats",
+        "corpus_distribution_drift",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

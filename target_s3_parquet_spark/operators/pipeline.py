@@ -1527,3 +1527,109 @@ def corpus_filter_funnel(spark, sf_dir):
         )
         .select("s.stage", "s.n_in", "s.n_out", "s.n_dropped")
     )
+
+
+@query(
+    "corpus_distribution_drift",
+    """
+    WITH toks AS (
+      SELECT doc_id % 2 AS side, t AS token
+      FROM (SELECT doc_id,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    c AS (
+      SELECT token,
+             count(*) FILTER (side = 0) AS ca,
+             count(*) FILTER (side = 1) AS cb
+      FROM toks GROUP BY token
+    ),
+    n AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na,
+             CAST(sum(cb) AS BIGINT) AS nb FROM c
+    )
+    SELECT n.na AS n_a, n.nb AS n_b,
+           count(*) FILTER (c.ca > 0) AS vocab_a,
+           count(*) FILTER (c.cb > 0) AS vocab_b,
+           count(*) FILTER (c.ca > 0 AND c.cb > 0) AS vocab_shared,
+           CAST(sum(abs(c.ca * n.nb - c.cb * n.na)) AS BIGINT) AS tv_numer,
+           CAST(sum(abs(c.ca * n.nb - c.cb * n.na)) AS DOUBLE)
+             / (2.0 * n.na * n.nb) AS tv_dist,
+           CAST(max(abs(c.ca * n.nb - c.cb * n.na)) AS DOUBLE)
+             / (1.0 * n.na * n.nb) AS linf_dist
+    FROM c, n
+    GROUP BY n.na, n.nb
+    """,
+)
+def corpus_distribution_drift(spark, sf_dir):
+    """Token-distribution drift between two corpus snapshots (here the
+    even/odd doc_id halves standing in for yesterday/today), the
+    monitor a training-data pipeline runs before admitting a new crawl
+    batch.
+
+    Distances are computed on EXACT integer rationals so the result is
+    bit-identical across engines and cluster partitionings: with
+    per-token counts (ca, cb) and totals (na, nb),
+    ``|ca/na - cb/nb| = |ca*nb - cb*na| / (na*nb)``, so total-variation
+    distance is ``sum|ca*nb - cb*na| / (2*na*nb)`` — BIGINT products
+    and sums (maxima ~1e13 at sf0.1, far under 2^63), ONE final IEEE
+    division. No logarithm appears anywhere (KL/JS need ln, whose last
+    ulp differs between libm builds — the doc'd cross-engine float
+    rule), and TV/L-inf are the standard drift gates anyway.
+
+    Shape at 100 TB: one explode + one (token) groupBy with the two
+    sides as conditional partial aggs — a single shuffle keyed on the
+    sublinear vocabulary, then a broadcast 1-row totals join; identical
+    to the `text_tokenize_tfidf` df-side plan. Reference scope: no
+    analytics surface in codeG12/target-s3-parquet (605-LoC sink);
+    declared extension (SURVEY.md §2C pipeline row).
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            (F.col("doc_id") % 2).alias("side"),
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+    )
+    c = toks.groupBy("token").agg(
+        F.count(F.when(F.col("side") == 0, 1)).alias("ca"),
+        F.count(F.when(F.col("side") == 1, 1)).alias("cb"),
+    )
+    n = c.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    diff = F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+    return (
+        c.crossJoin(F.broadcast(n))
+        .groupBy("na", "nb")
+        .agg(
+            F.count(F.when(F.col("ca") > 0, 1)).alias("vocab_a"),
+            F.count(F.when(F.col("cb") > 0, 1)).alias("vocab_b"),
+            F.count(
+                F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1)
+            ).alias("vocab_shared"),
+            F.sum(diff).alias("tv_numer"),
+            (
+                F.sum(diff).cast("double")
+                / (F.lit(2.0) * F.col("na") * F.col("nb"))
+            ).alias("tv_dist"),
+            (
+                F.max(diff).cast("double")
+                / (F.lit(1.0) * F.col("na") * F.col("nb"))
+            ).alias("linf_dist"),
+        )
+        .select(
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            "vocab_a",
+            "vocab_b",
+            "vocab_shared",
+            "tv_numer",
+            "tv_dist",
+            "linf_dist",
+        )
+    )

@@ -215,6 +215,7 @@ _BNLJ_BOUNDED_OK = {
     "text_allpairs_filter_stats",  # crossJoin of three 1-row count aggs
     "text_ppjoin_positional_stats",  # same three-1-row-agg crossJoin
     "agg_heavy_hitters_mg",  # exact-verify counts x 1-row total-n agg
+    "corpus_distribution_drift",  # vocab rows x 1-row (na, nb) totals agg
     "text_bpe_apply",
     "text_bpe_merge_loop", "text_bpe_merge_step", "text_ngram_jaccard_dup",
     "text_tokenize_tfidf", "tpch_q11_important_stock",

@@ -438,3 +438,19 @@ def test_footer_stats_match_data_scan(spark):
             F.count("*"), F.min(key), F.max(key)
         ).collect()[0]
         assert got[tbl] == (row[0], row[1], row[2]), tbl
+
+
+def test_distribution_drift_rational_identity(spark):
+    """tv_dist must equal the exact integer numerator divided once by
+    2*n_a*n_b (the single-IEEE-division contract), distances must lie
+    in [0, 1], and shared vocab can't exceed either side's."""
+    from target_s3_parquet_spark.operators.pipeline import (
+        corpus_distribution_drift,
+    )
+
+    r = corpus_distribution_drift(spark, SF).collect()[0]
+    assert r.tv_dist == r.tv_numer / (2.0 * r.n_a * r.n_b)
+    assert 0.0 < r.tv_dist < 1.0
+    assert 0.0 < r.linf_dist <= 2.0 * r.tv_dist
+    assert r.vocab_shared <= min(r.vocab_a, r.vocab_b)
+    assert r.n_a > 0 and r.n_b > 0
