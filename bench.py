@@ -162,6 +162,7 @@ def main() -> None:
         "agg_heavy_hitters_mg",
         "scan_parquet_footer_stats",
         "corpus_distribution_drift",
+        "sim_hard_negative_mining",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

@@ -2235,3 +2235,87 @@ def sim_ann_ivfpq_recall(spark, sf_dir):
         F.count("hit").cast("long").alias("n_hits"),
         (F.count("hit") / float(_IPQ_TOPK)).alias(f"recall_at_{_IPQ_TOPK}"),
     )
+
+
+_HNM_DOT = "list_sum(list_transform(range(1, len(q.v) + 1), i -> q.v[i] * b.v[i]))"
+_HNM_NORM = "sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i])))"
+
+
+@query(
+    "sim_hard_negative_mining",
+    f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    nv AS (SELECT vec_id, label, v, {_HNM_NORM} AS nrm FROM v),
+    q AS (SELECT * FROM nv WHERE vec_id < 12),
+    pairs AS (
+      SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+             b.label AS neg_label,
+             {_HNM_DOT} / (q.nrm * b.nrm) AS cosine
+      FROM q, nv b
+      WHERE q.label <> b.label
+    )
+    SELECT query_id, neighbor_id, neg_label, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM pairs)
+    WHERE rn <= 4
+    """,
+)
+def sim_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for dual-encoder retrieval training (the
+    DPR recipe, Karpukhin et al., EMNLP'20 §3.2): for each query
+    vector, the top-k most-similar corpus vectors whose label DIFFERS
+    (label = the same-topic/positive proxy) — the negatives that are
+    actually hard, which is what makes contrastive training work.
+
+    Physical shape follows `sim_knn_cosine`, plus the r5 Janino rule:
+    per-side L2 norms are projected BEFORE the join (one cheap
+    pre-join projection each side), so the join body carries exactly
+    ONE unrolled 64-term dot product and stays inside whole-stage
+    codegen. The different-label predicate is part of the join
+    condition — same-label rows never materialize. Top-k per query is
+    a rank window that Spark 3.5+ executes with WindowGroupLimit:
+    each map partition forwards at most k rows per query, so the
+    shuffle is O(queries x k), not O(queries x corpus).
+
+    At 100 TB: the query side is the bounded broadcast (mining runs
+    per training batch); the corpus scan is embarrassingly parallel
+    and never shuffles. For corpus-x-corpus mining the IVF/PQ keys
+    (`sim_ann_ivfpq_search`) supply the candidate-bounding tier first.
+    Reference scope: no vector surface in codeG12/target-s3-parquet;
+    declared extension (SURVEY.md §2C similarity row)."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vec_d(F.col("embedding")).alias("v")
+    )
+    nv = e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    q = nv.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(nv, F.col("qlabel") != F.col("label"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neg_label"),
+            (
+                _dot(F.col("qv"), F.col("v"))
+                / (F.col("qnrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .select("query_id", "neighbor_id", "neg_label", "cosine")
+    )

@@ -244,7 +244,7 @@ _R5_NEW = {
     "agg_approx_quantile_bound", "text_allpairs_prefix_join",
     "text_allpairs_filter_stats", "text_ppjoin_positional_stats",
     "agg_heavy_hitters_mg", "scan_parquet_footer_stats",
-    "corpus_distribution_drift",
+    "corpus_distribution_drift", "sim_hard_negative_mining",
 }
 
 

@@ -216,6 +216,7 @@ _BNLJ_BOUNDED_OK = {
     "text_ppjoin_positional_stats",  # same three-1-row-agg crossJoin
     "agg_heavy_hitters_mg",  # exact-verify counts x 1-row total-n agg
     "corpus_distribution_drift",  # vocab rows x 1-row (na, nb) totals agg
+    "sim_hard_negative_mining",  # label-inequality join vs 12-query bcast
     "text_bpe_apply",
     "text_bpe_merge_loop", "text_bpe_merge_step", "text_ngram_jaccard_dup",
     "text_tokenize_tfidf", "tpch_q11_important_stock",

@@ -454,3 +454,47 @@ def test_distribution_drift_rational_identity(spark):
     assert 0.0 < r.linf_dist <= 2.0 * r.tv_dist
     assert r.vocab_shared <= min(r.vocab_a, r.vocab_b)
     assert r.n_a > 0 and r.n_b > 0
+
+
+def test_hard_negative_mining_invariants(spark):
+    """Every mined negative must carry a label different from its
+    query's, exactly 4 rows per query, and for one query the result
+    must equal a brute-force different-label top-4."""
+    from target_s3_parquet_spark.operators.similarity import (
+        sim_hard_negative_mining,
+    )
+    from target_s3_parquet_spark.operators._util import t
+    import math
+
+    rows = sim_hard_negative_mining(spark, SF).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert -1.0 <= r.cosine <= 1.0
+    assert all(len(v) == 4 for v in per_q.values())
+
+    emb = {
+        r.vec_id: (r.label, r.embedding)
+        for r in t(spark, SF, "embeddings").collect()
+    }
+    qid = min(per_q)
+    qlabel, qv = emb[qid]
+    qv = [float(x) for x in qv]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    brute = sorted(
+        (
+            (-cos(qv, [float(x) for x in v]), vid)
+            for vid, (lbl, v) in emb.items()
+            if lbl != qlabel
+        ),
+    )[:4]
+    got = sorted((r.neighbor_id) for r in per_q[qid])
+    assert got == sorted(vid for _, vid in brute)
+    for r in per_q[qid]:
+        assert emb[r.neighbor_id][0] != qlabel
