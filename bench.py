@@ -163,6 +163,7 @@ def main() -> None:
         "scan_parquet_footer_stats",
         "corpus_distribution_drift",
         "sim_hard_negative_mining",
+        "sample_weighted_systematic",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

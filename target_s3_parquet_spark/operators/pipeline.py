@@ -1633,3 +1633,93 @@ def corpus_distribution_drift(spark, sf_dir):
             "linf_dist",
         )
     )
+
+
+@query(
+    "sample_weighted_systematic",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars AS w,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w,
+             CAST(sum(w) OVER (ORDER BY h, doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM d
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) // 64 AS s FROM d)
+    SELECT doc_id, w, cum // s - (cum - w) // s AS n_hits
+    FROM c, tot
+    WHERE cum // s - (cum - w) // s > 0
+    """,
+)
+def sample_weighted_systematic(spark, sf_dir):
+    """Weight-proportional SYSTEMATIC sampling (the fixed-stride /
+    'wheel' scheme): order items by a hash permutation, take the exact
+    prefix sum of weights, and select every item whose cumulative
+    interval (cum-w, cum] contains a multiple of stride
+    s = W_total DIV m — one pass, no per-group state, inclusion count
+    n_hits exactly proportional to weight (an item with w >= s is hit
+    w DIV s times). This is how mixture weights become a concrete
+    training corpus draw (`corpus_temperature_weights` produces the
+    weights; this key materializes the sample) while staying fully
+    deterministic: everything is BIGINT arithmetic on md5-permuted
+    order, so engines and re-runs agree bit-for-bit.
+
+    The prefix sum is the two-phase distributed form shared with
+    `ids_dense_assign` (`assign_dense_ids`): range-shuffle on the hash
+    order key, partition-local window cumsum, then a num-partitions-row
+    offsets table cumsum'd and broadcast back — the only global
+    coordination is that tiny table, never a single-partition window.
+    Partition boundaries affect balance only: cum is a pure function
+    of the (h, doc_id) total order, which is the partitioning-
+    independence the oracle's naive global window states.
+
+    At 100 TB: one range shuffle + per-partition sort; selection is a
+    map-side integer filter. Compare `sample_top_hash` (unweighted
+    Bernoulli-by-hash): systematic guarantees the realized sample hits
+    the target mass m with max deviation 1 item per stride, where
+    independent draws have binomial spread. Reference scope: sampling
+    is extension surface (SURVEY.md §2C pipeline row)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("w"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    local = (
+        d.repartitionByRange(8, "h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn(
+            "local_cum",
+            F.sum("w").over(W.partitionBy("pid").orderBy("h", "doc_id")),
+        )
+        .cache()
+    )
+    offsets = (
+        local.groupBy("pid")
+        .agg(F.sum("w").alias("pw"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("pw").over(
+                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    tot = d.agg((F.floor(F.sum("w") / 64)).cast("long").alias("s"))
+    cum = (
+        local.join(F.broadcast(offsets), "pid")
+        .withColumn("cum", F.col("offset") + F.col("local_cum"))
+    )
+    hits = F.expr("cum div s") - F.expr("(cum - w) div s")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("n_hits", hits)
+        .filter(F.col("n_hits") > 0)
+        .select("doc_id", "w", "n_hits")
+    )

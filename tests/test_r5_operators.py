@@ -498,3 +498,39 @@ def test_hard_negative_mining_invariants(spark):
     assert got == sorted(vid for _, vid in brute)
     for r in per_q[qid]:
         assert emb[r.neighbor_id][0] != qlabel
+
+
+def test_weighted_systematic_sample_exact_replay(spark):
+    """The distributed two-phase prefix-sum sample must equal a
+    driver-side exact-integer replay of the systematic wheel, and the
+    realized hit mass must match floor(W/s) up to the boundary item."""
+    import hashlib
+
+    from target_s3_parquet_spark.operators.pipeline import (
+        sample_weighted_systematic,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    docs = [
+        (r.doc_id, r.n_chars)
+        for r in t(spark, SF, "documents").select("doc_id", "n_chars").collect()
+    ]
+    ordered = sorted(
+        docs, key=lambda p: (hashlib.md5(str(p[0]).encode()).hexdigest(), p[0])
+    )
+    wtot = sum(w for _, w in docs)
+    s = wtot // 64
+    expect, cum = {}, 0
+    for doc_id, w in ordered:
+        prev, cum = cum, cum + w
+        hits = cum // s - prev // s
+        if hits > 0:
+            expect[doc_id] = (w, hits)
+
+    got = {
+        r.doc_id: (r.w, r.n_hits)
+        for r in sample_weighted_systematic(spark, SF).collect()
+    }
+    assert got == expect
+    total_hits = sum(h for _, h in got.values())
+    assert wtot // s - 1 <= total_hits <= wtot // s
