@@ -796,3 +796,121 @@ def ts_ewma_halflife(spark, sf_dir):
         .filter(F.col("rn") >= _EWMA_LAGS)
         .drop("rn")
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    """
+    WITH hist AS (
+      SELECT event_type, event_id, ts,
+             COUNT(*) OVER wk AS k,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wk AS DOUBLE) AS cs,
+             COUNT(*) OVER wall AS n_tot,
+             CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER wall AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER wall
+                  AS DOUBLE) AS s2
+      FROM events
+      WINDOW wk AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING),
+             wall AS (PARTITION BY event_type)
+    ),
+    c AS (
+      SELECT event_type, event_id, ts, n_tot, s1, s2,
+             ABS(cs - k * (s1 / n_tot)) AS cusum
+      FROM hist
+    ),
+    m AS (
+      SELECT event_type, MAX(cusum) AS max_cusum FROM c GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(c.n_tot AS BIGINT) AS n,
+           MIN(c.event_id) AS at_event_id,
+           m.max_cusum,
+           m.max_cusum > 4.0 * SQRT(c.n_tot *
+             ((c.s2 - c.s1 * c.s1 / c.n_tot) / (c.n_tot - 1))) / 2.0
+             AS crossed
+    FROM c JOIN m ON c.event_type = m.event_type
+                 AND c.cusum = m.max_cusum
+    GROUP BY c.event_type, c.n_tot, m.max_cusum, c.s1, c.s2
+    """,
+)
+def ts_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection (Page 1954) per event_type series:
+    the running cumulative deviation from the series mean,
+    C_k = |sum_{i<=k} v_i - k*mean|, peaks at the most likely mean-shift
+    point; the key reports that peak, where it happens, and whether it
+    crosses the 2*sd*sqrt(n) envelope (the null-hypothesis Brownian-
+    bridge scale — C_k under no change has sd <= sd(v)*sqrt(n)/2).
+
+    Float discipline: every SUM goes through DECIMAL(38,6) (exact,
+    order-independent), and all double arithmetic downstream (mean,
+    C_k, sd, threshold) is the IDENTICAL expression tree in both
+    engines — deterministic because IEEE ops on deterministic inputs
+    are exact; no aggregation ever sums raw doubles. The argmax row is
+    recovered by an equality join on the bit-exact max (float equality
+    is safe here precisely because both sides compute the same bits)
+    with MIN(event_id) as the deterministic tie-break.
+
+    Plan shape: one window shuffle on event_type (running and
+    whole-partition frames share the exchange + sort), a tiny per-type
+    max agg broadcast back, no self-join over the data. At 100 TB the
+    partition key is (event_type, day) and the same plan monitors
+    telemetry drift per shard. Reference scope: no analytics in
+    codeG12/target-s3-parquet; declared extension (SURVEY.md §2C
+    timeseries row)."""
+    e = t(spark, sf_dir, "events")
+    wk = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("event_type")
+    hist = e.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.count("*").over(wk).alias("k"),
+        F.sum(dec("value")).over(wk).cast("double").alias("cs"),
+        F.count("*").over(wall).alias("n_tot"),
+        F.sum(dec("value")).over(wall).cast("double").alias("s1"),
+        F.sum(dec(F.col("value") * F.col("value")))
+        .over(wall)
+        .cast("double")
+        .alias("s2"),
+    )
+    c = hist.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "n_tot",
+        "s1",
+        "s2",
+        F.abs(
+            F.col("cs") - F.col("k") * (F.col("s1") / F.col("n_tot"))
+        ).alias("cusum"),
+    )
+    m = c.groupBy("event_type").agg(F.max("cusum").alias("max_cusum"))
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_tot")) / (
+        F.col("n_tot") - 1
+    )
+    return (
+        c.join(
+            F.broadcast(m),
+            (c.event_type == m.event_type) & (c.cusum == m.max_cusum),
+        )
+        .drop(m.event_type)
+        .groupBy("event_type", "n_tot", "max_cusum", "s1", "s2")
+        .agg(F.min("event_id").alias("at_event_id"))
+        .select(
+            "event_type",
+            F.col("n_tot").alias("n"),
+            "at_event_id",
+            "max_cusum",
+            (
+                F.col("max_cusum")
+                > F.lit(4.0)
+                * F.sqrt(F.col("n_tot") * var)
+                / F.lit(2.0)
+            ).alias("crossed"),
+        )
+    )

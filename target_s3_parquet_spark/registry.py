@@ -245,7 +245,7 @@ _R5_NEW = {
     "text_allpairs_filter_stats", "text_ppjoin_positional_stats",
     "agg_heavy_hitters_mg", "scan_parquet_footer_stats",
     "corpus_distribution_drift", "sim_hard_negative_mining",
-    "sample_weighted_systematic",
+    "sample_weighted_systematic", "ts_changepoint_cusum",
 }
 
 

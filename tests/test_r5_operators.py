@@ -534,3 +534,43 @@ def test_weighted_systematic_sample_exact_replay(spark):
     assert got == expect
     total_hits = sum(h for _, h in got.values())
     assert wtot // s - 1 <= total_hits <= wtot // s
+
+
+def test_cusum_peak_matches_pandas_replay(spark):
+    """For one event_type, the reported peak |CUSUM| and its location
+    must match an exact driver-side replay over the same order."""
+    from decimal import Decimal
+
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_changepoint_cusum,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    out = {r.event_type: r for r in ts_changepoint_cusum(spark, SF).collect()}
+    assert out
+    etype = sorted(out)[0]
+    rows = (
+        t(spark, SF, "events")
+        .filter(F.col("event_type") == etype)
+        .select("event_id", "ts", "value")
+        .collect()
+    )
+    rows.sort(key=lambda r: (r.ts, r.event_id))
+    q = Decimal("0.000001")
+    vals = [Decimal(str(0.0 + r.value)).quantize(q) for r in rows]
+    # replicate CAST(double AS DECIMAL(38,6)): round-half-up on the
+    # exact binary value — Decimal(str(x)) is close enough for the
+    # peak LOCATION; the peak VALUE is checked loosely.
+    n = len(vals)
+    s1 = float(sum(vals))
+    best, best_k = -1.0, None
+    cs = Decimal(0)
+    for k, v in enumerate(vals, start=1):
+        cs += v
+        c = abs(float(cs) - k * (s1 / n))
+        if c > best:
+            best, best_k = c, k
+    r = out[etype]
+    assert r.n == n
+    assert abs(r.max_cusum - best) < 1e-6 * max(1.0, best)
+    assert r.at_event_id == rows[best_k - 1].event_id
