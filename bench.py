@@ -164,6 +164,7 @@ def main() -> None:
         "corpus_distribution_drift",
         "sim_hard_negative_mining",
         "sample_weighted_systematic",
+        "ts_changepoint_cusum",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:
@@ -182,6 +183,14 @@ def main() -> None:
             r5_t[name] = -1.0
             print(f"# r5 sweep {name} FAILED: {e}", file=sys.stderr)
     extras["r5_sweep_sec"] = r5_t
+    try:
+        from tools.bench_lsh import run_lsh
+
+        lsh = run_lsh(spark, sf_dir, profiles=[(4, 1), (4, 3), (8, 4), (16, 2)])
+        extras["lsh_sweep"] = lsh
+        print(f"# lsh_sweep: {lsh['profiles']}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["lsh_sweep_error"] = str(e)[:120]
     try:
         from tools.bench_skew import run_skew
 
