@@ -165,6 +165,7 @@ def main() -> None:
         "sim_hard_negative_mining",
         "sample_weighted_systematic",
         "ts_changepoint_cusum",
+        "text_rake_keywords",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

@@ -1530,3 +1530,146 @@ def er_multipass_recall_stats(spark, sf_dir):
         .cast("long")
         .alias("n_pass1_only"),
     )
+
+
+@query(
+    "text_rake_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.i AS pos, t.u AS token
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(text), '[^a-z]+') AS arr
+            FROM documents) d,
+           unnest(list_transform(range(1, len(arr) + 1),
+                                 i -> struct_pack(u := arr[i], i := i))) AS s(t)
+      WHERE t.u <> ''
+    ),
+    stop AS MATERIALIZED (
+      SELECT token FROM (
+        SELECT token, count(*) AS cnt FROM toks GROUP BY token
+      ) ORDER BY cnt DESC, token LIMIT 5
+    ),
+    content AS (
+      SELECT doc_id, pos, token,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS run_key
+      FROM toks WHERE token NOT IN (SELECT token FROM stop)
+    ),
+    phrases AS MATERIALIZED (
+      SELECT doc_id, run_key,
+             list(token ORDER BY pos) AS words,
+             count(*) AS plen
+      FROM content GROUP BY doc_id, run_key
+    ),
+    wstat AS MATERIALIZED (
+      SELECT u.w AS token,
+             count(*) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+      FROM phrases, unnest(words) AS u(w)
+      GROUP BY u.w
+    ),
+    scored AS (
+      SELECT p.doc_id, p.run_key,
+             array_to_string(p.words, ' ') AS phrase,
+             CAST(sum(s.deg * 1000000 // s.freq) AS BIGINT) AS score_scaled
+      FROM phrases p, unnest(p.words) AS u(w)
+      JOIN wstat s ON s.token = u.w
+      GROUP BY p.doc_id, p.run_key, array_to_string(p.words, ' ')
+    )
+    SELECT doc_id, phrase, score_scaled
+    FROM (SELECT doc_id, phrase, score_scaled,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_scaled DESC, phrase,
+                                             run_key) AS rn
+          FROM scored)
+    WHERE rn <= 3 AND doc_id < 64
+    """,
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal runs of non-stopword tokens (gaps-and-islands on token
+    position), each word scores deg(w)/freq(w) — deg counts the total
+    length of phrases a word appears in, rewarding words that live in
+    long phrases — and a phrase scores the sum of its word scores.
+    Top-3 phrases per document on the doc_id < 64 verified slice
+    (phrase/word stats stay corpus-wide).
+
+    The stopword list is DERIVED from the corpus (top-5 tokens by
+    frequency, tie-broken by token) rather than hardcoded — RAKE's own
+    heuristic is frequency-based, and it keeps the key a pure function
+    of the input tables.
+
+    Float discipline: word scores are integer-scaled floor rationals
+    ``deg * 1e6 DIV freq`` (BIGINT, exact), so phrase scores are exact
+    integer sums — order-independent across engines and partitionings,
+    where a double deg/freq sum would be summation-order-dependent.
+
+    Shape at 100 TB: tokenize is map-side; runs need one window over
+    (doc_id, pos) — partition-local after the doc_id shuffle; word
+    stats are one groupBy over exploded phrase words (vocabulary-
+    bounded); the stopword top-5 and wstat both broadcast back. No
+    all-pairs anywhere. Reference scope: extension surface
+    (SURVEY.md §2C text row)."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "pos0", "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    )
+    stop = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(5)
+        .select("token")
+    )
+    content = toks.join(F.broadcast(stop), "token", "left_anti").withColumn(
+        "run_key",
+        F.col("pos")
+        - F.row_number().over(W.partitionBy("doc_id").orderBy("pos")),
+    )
+    phrases = content.groupBy("doc_id", "run_key").agg(
+        F.array_agg(F.struct("pos", "token")).alias("pw"),
+        F.count("*").alias("plen"),
+    ).select(
+        "doc_id",
+        "run_key",
+        F.expr("transform(array_sort(pw), x -> x.token)").alias("words"),
+        "plen",
+    )
+    wstat = (
+        phrases.select(F.explode("words").alias("token"), "plen")
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+    )
+    scored = (
+        phrases.select(
+            "doc_id",
+            "run_key",
+            F.array_join("words", " ").alias("phrase"),
+            F.explode("words").alias("token"),
+        )
+        .join(F.broadcast(wstat), "token")
+        .groupBy("doc_id", "run_key", "phrase")
+        .agg(
+            F.sum(F.expr("deg * 1000000 div freq")).alias("score_scaled")
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(
+        F.col("score_scaled").desc(), "phrase", "run_key"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 64))
+        .select("doc_id", "phrase", "score_scaled")
+    )

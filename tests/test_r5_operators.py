@@ -574,3 +574,56 @@ def test_cusum_peak_matches_pandas_replay(spark):
     assert r.n == n
     assert abs(r.max_cusum - best) < 1e-6 * max(1.0, best)
     assert r.at_event_id == rows[best_k - 1].event_id
+
+
+def test_rake_phrase_and_score_invariants(spark):
+    """Phrases must contain no stopword (top-5 corpus tokens), at most
+    3 rows per doc ordered by score, and for one doc the best phrase
+    score must equal the exact integer replay of deg*1e6 DIV freq."""
+    from target_s3_parquet_spark.functions.text_analysis import (
+        text_rake_keywords,
+    )
+    from target_s3_parquet_spark.operators._util import t
+    import re
+    from collections import Counter, defaultdict
+
+    docs = {
+        r.doc_id: [
+            w for w in re.split(r"[^a-z]+", r.text.lower()) if w
+        ]
+        for r in t(spark, SF, "documents").collect()
+    }
+    cnt = Counter(w for ws in docs.values() for w in ws)
+    stop = {
+        w for w, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    }
+
+    phrases = defaultdict(list)  # doc -> list[list[word]]
+    for did, ws in docs.items():
+        run = []
+        for w in ws + [None]:
+            if w is not None and w not in stop:
+                run.append(w)
+            elif run:
+                phrases[did].append(run)
+                run = []
+    freq, deg = Counter(), Counter()
+    for runs in phrases.values():
+        for run in runs:
+            for w in run:
+                freq[w] += 1
+                deg[w] += len(run)
+    wscore = {w: deg[w] * 1_000_000 // freq[w] for w in freq}
+
+    rows = text_rake_keywords(spark, SF).collect()
+    per_doc = defaultdict(list)
+    for r in rows:
+        per_doc[r.doc_id].append(r)
+        assert not (set(r.phrase.split()) & stop)
+    assert per_doc
+    for did, rs in per_doc.items():
+        assert len(rs) <= 3
+        best = max(
+            sum(wscore[w] for w in run) for run in phrases[did]
+        )
+        assert max(r.score_scaled for r in rs) == best, did
