@@ -166,6 +166,7 @@ def main() -> None:
         "sample_weighted_systematic",
         "ts_changepoint_cusum",
         "text_rake_keywords",
+        "graph_link_prediction",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

@@ -389,3 +389,79 @@ def graph_degree_stats(spark, sf_dir):
             F.coalesce("in_strength", F.lit(0)).alias("in_strength"),
         )
     )
+
+
+@query(
+    "graph_link_prediction",
+    "WITH "
+    + _EDGES_CTE
+    + """,
+    adj AS MATERIALIZED (
+      SELECT a AS node, b AS nbr FROM strong
+      UNION ALL
+      SELECT b AS node, a AS nbr FROM strong
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM adj GROUP BY node
+    ),
+    cand AS (
+      SELECT ax.node AS a, ay.node AS b, COUNT(*) AS common_nbrs
+      FROM adj ax JOIN adj ay
+        ON ax.nbr = ay.nbr AND ax.node < ay.node
+      GROUP BY ax.node, ay.node
+    )
+    SELECT c.a, c.b, c.common_nbrs,
+           c.common_nbrs * 1000000
+             // (da.d + db.d - c.common_nbrs) AS jaccard_scaled
+    FROM cand c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    WHERE NOT EXISTS (SELECT 1 FROM strong s
+                      WHERE s.a = c.a AND s.b = c.b)
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """Link prediction on the sparsified trade graph: for every
+    NON-adjacent pair with at least one common neighbor, the
+    common-neighbors count and neighborhood-Jaccard score
+    (Liben-Nowell & Kleinberg 2003's two strongest local predictors).
+    Scores are integer-scaled floor rationals
+    ``cn * 1e6 DIV (d_a + d_b - cn)`` — exact, engine- and
+    partitioning-independent.
+
+    Physical shape is the wedge join reused from
+    `graph_triangle_count`: adjacency stored once per direction, one
+    equi-join on the shared neighbor (never node x node), a groupBy on
+    the candidate pair, degrees broadcast back, and an anti-join
+    against the edge list to keep only MISSING links. At web scale
+    the wedge join is the standard candidate generator; hub nodes
+    fan out quadratically, which is bounded in practice by the same
+    sparsification that builds `strong` (or a max-degree cap) and by
+    AQE skew splits — documented in SCALE.md's graph section."""
+    pairs = _strong_pairs(spark, sf_dir).cache()
+    adj = pairs.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
+        pairs.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    ax = adj.select(F.col("node").alias("a"), F.col("nbr").alias("za"))
+    ay = adj.select(F.col("node").alias("b"), F.col("nbr").alias("zb"))
+    cand = (
+        ax.join(ay, (F.col("za") == F.col("zb")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common_nbrs"))
+    )
+    missing = cand.join(pairs.select("a", "b"), ["a", "b"], "left_anti")
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        missing.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "common_nbrs",
+            F.expr(
+                "common_nbrs * 1000000 div (da + db - common_nbrs)"
+            ).alias("jaccard_scaled"),
+        )
+    )

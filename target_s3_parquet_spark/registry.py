@@ -246,7 +246,7 @@ _R5_NEW = {
     "agg_heavy_hitters_mg", "scan_parquet_footer_stats",
     "corpus_distribution_drift", "sim_hard_negative_mining",
     "sample_weighted_systematic", "ts_changepoint_cusum",
-    "text_rake_keywords",
+    "text_rake_keywords", "graph_link_prediction",
 }
 
 

@@ -204,6 +204,7 @@ _BNLJ_BOUNDED_OK = {
     "emb_centroid_assign_drift", "emb_hamming_pack", "emb_norm_outliers",
     "emb_quantize_int8", "fuzzy_match_levenshtein",
     "graph_connected_components", "graph_triangle_count",
+    "graph_link_prediction",  # _strong_pairs' 1-row mean-weight bcast
     "ivf_kmeans_train", "join_cross_bounded", "join_dynamic_range_prune",
     "market_basket_pairs", "pareto_revenue_share", "sim_ann_ivf",
     "sim_ann_ivf_trained", "sim_ann_ivfpq_recall", "sim_ann_ivfpq_search",

@@ -627,3 +627,40 @@ def test_rake_phrase_and_score_invariants(spark):
             sum(wscore[w] for w in run) for run in phrases[did]
         )
         assert max(r.score_scaled for r in rs) == best, did
+
+
+def test_link_prediction_invariants(spark):
+    """Predicted links must be non-adjacent pairs, jaccard must equal
+    the exact integer formula against a python replay of the strong
+    graph, and every predicted pair must share >= 1 common neighbor."""
+    from collections import defaultdict
+
+    from target_s3_parquet_spark.operators.graph import (
+        _strong_pairs,
+        graph_link_prediction,
+    )
+
+    edges = {(r.a, r.b) for r in _strong_pairs(spark, SF).collect()}
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+
+    rows = graph_link_prediction(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert (r.a, r.b) not in edges and r.a < r.b
+        cn = len(nbrs[r.a] & nbrs[r.b])
+        assert cn == r.common_nbrs >= 1
+        union = len(nbrs[r.a]) + len(nbrs[r.b]) - cn
+        assert r.jaccard_scaled == cn * 1_000_000 // union
+        seen.add((r.a, r.b))
+    # completeness: every non-adjacent pair with a common neighbor
+    expect = {
+        (a, b)
+        for a in nbrs
+        for b in nbrs
+        if a < b and (a, b) not in edges and nbrs[a] & nbrs[b]
+    }
+    assert seen == expect
