@@ -167,6 +167,7 @@ def main() -> None:
         "ts_changepoint_cusum",
         "text_rake_keywords",
         "graph_link_prediction",
+        "privacy_l_diversity_audit",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

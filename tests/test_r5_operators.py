@@ -664,3 +664,33 @@ def test_link_prediction_invariants(spark):
         if a < b and (a, b) not in edges and nbrs[a] & nbrs[b]
     }
     assert seen == expect
+
+
+def test_l_diversity_flags_only_homogeneous_groups(spark):
+    """Flagged groups must truly have < 10 distinct user cohorts, and
+    no diverse group may be flagged (python replay on the raw rows)."""
+    from collections import defaultdict
+
+    from target_s3_parquet_spark.operators.pipeline import (
+        privacy_l_diversity_audit,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    groups = defaultdict(set)
+    sizes = defaultdict(int)
+    for r in t(spark, SF, "events").select(
+        "event_type", F.date_format("ts", "yyyyMMddHH").alias("hr"), "user_id"
+    ).collect():
+        k = (r.event_type, int(r.hr))
+        groups[k].add(r.user_id % 16)
+        sizes[k] += 1
+
+    flagged = {
+        (r.event_type, r.hour_key): (r.group_size, r.l_distinct)
+        for r in privacy_l_diversity_audit(spark, SF).collect()
+    }
+    assert flagged
+    expect = {k for k, s in groups.items() if len(s) < 10}
+    assert set(flagged) == expect
+    for k, (gs, ld) in flagged.items():
+        assert gs == sizes[k] and ld == len(groups[k])
