@@ -168,6 +168,7 @@ def main() -> None:
         "text_rake_keywords",
         "graph_link_prediction",
         "privacy_l_diversity_audit",
+        "er_cluster_canonicalize",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

@@ -1673,3 +1673,105 @@ def text_rake_keywords(spark, sf_dir):
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 64))
         .select("doc_id", "phrase", "score_scaled")
     )
+
+
+@query(
+    "er_cluster_canonicalize",
+    _ER_MP_CTES.replace("WITH e AS", "WITH RECURSIVE e AS")
+    + """,
+    edges AS MATERIALIZED (
+      SELECT key_a AS src, key_b AS dst FROM mp
+      UNION ALL
+      SELECT key_b AS src, key_a AS dst FROM mp
+    ),
+    walk(k, reach) AS (
+      SELECT k, k FROM f
+      UNION
+      SELECT w.k, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    lab AS MATERIALIZED (
+      SELECT k, MIN(reach) AS cluster_id FROM walk GROUP BY k
+    ),
+    sz AS (
+      SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id
+    )
+    SELECT l.k, l.cluster_id, s.cluster_size,
+           CAST(CASE WHEN l.k = l.cluster_id THEN 1 ELSE 0 END AS BIGINT)
+             AS is_canonical
+    FROM lab l JOIN sz s USING (cluster_id)
+    WHERE s.cluster_size > 1
+    """,
+)
+def er_cluster_canonicalize(spark, sf_dir):
+    """Entity-resolution CLUSTER + canonicalization — the step after
+    `er_blocked_multipass`'s pairwise matches: connected components
+    over the match graph (A~B, B~C must merge into ONE entity even
+    when A!~C pairwise), each record labeled with its cluster, the
+    min-key record elected canonical — the survivorship rule a master-
+    data pipeline ships (deterministic; swap in quality-based election
+    by replacing the MIN with a min_by on a quality struct).
+
+    Spark side reuses the iterative min-label propagation from
+    `text_dedup_clusters` (one shuffle-join per round, lineage
+    truncated by localCheckpoint; ER clusters are shallow, 10 rounds
+    cover the fixture's digit-chain diameter) over the SAME multipass
+    candidate edges the pairwise key verifies. Output keeps only
+    multi-record clusters (the actual merge work list). The DuckDB
+    oracle states the fixpoint as a recursive transitive closure, so
+    the iterative program is value-verified, not rows-only.
+
+    At 100 TB: label propagation is the standard distributed CC
+    (Pregel's small-star step); per-round cost is one equi-join on the
+    edge list, convergence in diameter rounds, and the match graph is
+    already blocked/banded upstream so edges ~ O(true matches), not
+    O(n^2). Reference scope: extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.registry import QUERIES
+
+    pairs = (
+        QUERIES["er_blocked_multipass"](spark, sf_dir)
+        .select("key_a", "key_b")
+    )
+    edges = pairs.select(
+        F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst"))
+    ).localCheckpoint()
+    nodes = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 3000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    labels = nodes.select("k", F.col("k").alias("cluster_id"))
+    for _ in range(10):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.k)
+            .groupBy(F.col("dst").alias("k"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        labels = (
+            labels.join(neighbor_min, "k", "left")
+            .select(
+                "k",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nmin"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+    sz = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        labels.join(sz, "cluster_id")
+        .filter(F.col("cluster_size") > 1)
+        .select(
+            "k",
+            "cluster_id",
+            "cluster_size",
+            F.when(F.col("k") == F.col("cluster_id"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_canonical"),
+        )
+    )

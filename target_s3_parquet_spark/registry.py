@@ -247,7 +247,7 @@ _R5_NEW = {
     "corpus_distribution_drift", "sim_hard_negative_mining",
     "sample_weighted_systematic", "ts_changepoint_cusum",
     "text_rake_keywords", "graph_link_prediction",
-    "privacy_l_diversity_audit",
+    "privacy_l_diversity_audit", "er_cluster_canonicalize",
 }
 
 

@@ -694,3 +694,57 @@ def test_l_diversity_flags_only_homogeneous_groups(spark):
     assert set(flagged) == expect
     for k, (gs, ld) in flagged.items():
         assert gs == sizes[k] and ld == len(groups[k])
+
+
+def test_er_canonicalize_partitions_match_graph(spark):
+    """Cluster labels must equal union-find over the multipass match
+    edges (python replay), exactly one canonical (= min key) per
+    cluster, and sizes must count the full cluster."""
+    from collections import Counter
+
+    from target_s3_parquet_spark.functions.text_analysis import (
+        er_cluster_canonicalize,
+    )
+    from target_s3_parquet_spark.registry import QUERIES
+
+    edges = [
+        (r.key_a, r.key_b)
+        for r in QUERIES["er_blocked_multipass"](spark, SF).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for x in parent:
+        clusters.setdefault(find(x), set()).add(x)
+    expect = {
+        (k, root, len(m), 1 if k == root else 0)
+        for root, mem in clusters.items()
+        if len(mem) > 1
+        for k, m in [(k, mem) for k in mem]
+    }
+    # min-label root == min member by construction of union-by-min
+    expect = {
+        (k, min(mem), len(mem), 1 if k == min(mem) else 0)
+        for mem in ({find(x) for x in parent} and clusters.values())
+        if len(mem) > 1
+        for k in mem
+    }
+
+    got = {
+        (r.k, r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in er_cluster_canonicalize(spark, SF).collect()
+    }
+    assert got == expect
+    canon = Counter(c for _, c, _, f in got if f)
+    assert all(v == 1 for v in canon.values())
