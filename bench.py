@@ -188,7 +188,7 @@ def main() -> None:
             print(f"# r5 sweep {name} FAILED: {e}", file=sys.stderr)
     extras["r5_sweep_sec"] = r5_t
     try:
-        from tools.bench_lsh import run_lsh
+        from tools.bench_lsh_minhash import run_lsh
 
         lsh = run_lsh(spark, sf_dir, profiles=[(4, 1), (4, 3), (8, 4), (16, 2)])
         extras["lsh_sweep"] = lsh

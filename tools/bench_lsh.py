@@ -1,111 +1,130 @@
-"""MinHash-LSH (B, R) parameter sweep: measured candidate volume and
-recall per profile, validating SCALE.md's R-growth rule with numbers
-instead of theory.
+"""LSH parameter sweep: validates SCALE.md's R-growth rule by
+measuring, for each (R bits/band, B bands) config, the candidate-pair
+volume and the recall against brute-force ground truth at the
+similarity threshold.
 
-    python tools/bench_lsh.py [sf_dir]        # default /root/testdata/sf0.1
+    python tools/bench_lsh.py [sf_dir] [tau]      # default sf0.1, 0.40
 
-For each (bands B, rows-per-band R) profile the sweep records:
-  n_candidates : distinct candidate pairs out of the banded bucket join
-  n_verified   : candidates surviving the exact-Jaccard >= tau verify
-  recall       : n_verified / reference true-pair count
-  seconds      : wall-clock for the candidate+verify pipeline
-
-The recall denominator comes from a REFERENCE profile with R=1 and
-B=16 bands: a true pair at Jaccard j >= tau is missed with probability
-(1-j)^16 <= (1-tau)^16 (~1.5e-5 at tau=0.5), so its verified pairs are
-the ground truth up to that bound — exhaustive all-pairs verification
-is exactly what LSH exists to avoid, and at sf0.1 it would dominate
-the sweep. The reference run's verified pairs are also checked to be a
-SUPERSET of every profile's (banding only ever loses candidates).
-
-The documented scale story this measures (SCALE.md, minhash section):
-raising R sharpens per-band selectivity (bucket match probability
-j^R), collapsing candidate volume at the cost of recall on
-low-similarity pairs; raising B buys the recall back at H = B*R
-hashing cost. The per-round bench (`bench.py`) folds a 4-profile
-subset into its extras as `lsh_sweep`.
+One JSON line per config:
+    {"R": r, "B": b, "planes": r*b, "candidates": c,
+     "verified": v, "recall": v/truth, "sec": s}
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
+import os
 import sys
 import time
 
-# Profiles swept by the CLI; bench.py uses the first four to bound its
-# per-round cost. H = B*R stays <= 32 (the prod signature width).
-PROFILES = [(4, 1), (4, 2), (4, 3), (4, 8), (8, 2), (8, 4), (16, 1), (16, 2)]
-REFERENCE = (16, 1)  # near-exhaustive: miss prob (1-tau)^16 at threshold
-TAU = 0.5
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DIM = 64
 
 
-def _verified_pairs(spark, sf_dir, bands: int, rows: int):
-    """Exact-verified pair set for one profile, as a {(a, b)} set —
-    pair counts at sf0.1 are a few hundred, so collecting is bounded."""
-    from target_s3_parquet_spark.operators.dedup import (
-        _minhash_docs,
-        minhash_candidates,
-        near_dedup_minhash,
-    )
-
-    docs = _minhash_docs(spark, sf_dir)
-    n_cand = minhash_candidates(docs, bands, rows).count()
-    pairs = {
-        (r.doc_a, r.doc_b)
-        for r in near_dedup_minhash(
-            spark, sf_dir, bands=bands, rows_per_band=rows, threshold=TAU
-        ).collect()
-    }
-    return n_cand, pairs
-
-
-def run_lsh(spark, sf_dir: str, profiles=None) -> dict:
-    """Sweep the profiles; returns {"profiles": [...], "reference": ...}."""
-    profiles = profiles or PROFILES
-    t0 = time.time()
-    _, truth = _verified_pairs(spark, sf_dir, *REFERENCE)
-    ref_sec = round(time.time() - t0, 3)
-    out = {
-        "tau": TAU,
-        "reference": {
-            "bands": REFERENCE[0],
-            "rows": REFERENCE[1],
-            "true_pairs": len(truth),
-            "seconds": ref_sec,
-        },
-        "profiles": [],
-    }
-    for bands, rows in profiles:
-        t0 = time.time()
-        n_cand, pairs = _verified_pairs(spark, sf_dir, bands, rows)
-        sec = round(time.time() - t0, 3)
-        assert pairs <= truth or (bands, rows) == REFERENCE, (
-            f"profile ({bands},{rows}) verified a pair the reference "
-            f"missed — reference profile is not exhaustive enough"
-        )
-        out["profiles"].append(
-            {
-                "bands": bands,
-                "rows": rows,
-                "n_hashes": bands * rows,
-                "n_candidates": n_cand,
-                "n_verified": len(pairs),
-                "recall": round(len(pairs) / len(truth), 4) if truth else 1.0,
-                "seconds": sec,
-            }
-        )
-        spark.catalog.clearCache()
-    return out
+def plane_weights(n_planes: int) -> list[list[int]]:
+    # same construction as operators/similarity.py
+    return [
+        [
+            1 if hashlib.md5(f"{p}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(DIM)
+        ]
+        for p in range(n_planes)
+    ]
 
 
 def main() -> None:
-    sys.path.insert(0, "/root/repo")
-    from target_s3_parquet_spark.session import get_spark
-
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    tau = float(sys.argv[2]) if len(sys.argv) > 2 else 0.40
+
+    from pyspark.sql import functions as F
+
+    from target_s3_parquet_spark.session import get_spark, load_table
+
     spark = get_spark("bench_lsh")
-    res = run_lsh(spark, sf_dir)
-    print(json.dumps(res))
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    e = e.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    ).cache()
+
+    # brute-force ground truth
+    a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    truth = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select((dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("c"))
+        .filter(F.col("c") >= tau)
+        .count()
+    )
+    print(f"# ground truth pairs at tau={tau}: {truth}", file=sys.stderr)
+
+    for r, bnum in [(2, 4), (3, 4), (4, 4), (4, 8), (6, 6), (8, 4)]:
+        t0 = time.time()
+        w = plane_weights(r * bnum)
+
+        def sign(v, p):
+            wcol = F.array(*[F.lit(float(x)) for x in w[p]])
+            return F.when(dot(v, wcol) >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+        band_arr = F.array(
+            *[
+                F.concat(*[sign(F.col("v"), bb * r + rr) for rr in range(r)])
+                for bb in range(bnum)
+            ]
+        )
+        bands = e.select(
+            "vec_id", F.posexplode(band_arr).alias("bno", "bkey")
+        )
+        x, y = bands.alias("x"), bands.alias("y")
+        cand = (
+            x.join(
+                y,
+                (F.col("x.bno") == F.col("y.bno"))
+                & (F.col("x.bkey") == F.col("y.bkey"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(F.col("x.vec_id").alias("ia"), F.col("y.vec_id").alias("ib"))
+            .distinct()
+            .cache()
+        )
+        n_cand = cand.count()
+        verified = (
+            cand.join(a, "ia")
+            .join(b, "ib")
+            .select(
+                (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("c")
+            )
+            .filter(F.col("c") >= tau)
+            .count()
+        )
+        cand.unpersist()
+        print(
+            json.dumps(
+                {
+                    "R": r,
+                    "B": bnum,
+                    "planes": r * bnum,
+                    "candidates": n_cand,
+                    "verified": verified,
+                    "recall": round(verified / truth, 3) if truth else None,
+                    "sec": round(time.time() - t0, 2),
+                }
+            )
+        )
 
 
 if __name__ == "__main__":
