@@ -169,6 +169,7 @@ def main() -> None:
         "graph_link_prediction",
         "privacy_l_diversity_audit",
         "er_cluster_canonicalize",
+        "emb_random_projection_jl",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

@@ -2319,3 +2319,122 @@ def sim_hard_negative_mining(spark, sf_dir):
         .filter(F.col("rn") <= 4)
         .select("query_id", "neighbor_id", "neg_label", "cosine")
     )
+
+
+# -- Johnson-Lindenstrauss random projection ----------------------------
+_JL_K = 16  # target dimensionality (64 -> 16)
+_JL_PLANES = _plane_weights(_JL_K)  # deterministic +-1 rows, md5 parity
+_JL_N = 48  # bounded pair sample: 48*47/2 pairs verified
+
+
+def _jl_proj_spark(vname: str, j: int) -> str:
+    """Spark SQL: signed sum  +-v[0] +- v[1] ... for plane j (0-based)."""
+    parts = ["CAST(0.0 AS DOUBLE)"]
+    for i, s in enumerate(_JL_PLANES[j]):
+        parts.append(f"{'+' if s > 0 else '-'} ({vname})[{i}]")
+    return " ".join(parts)
+
+
+def _jl_proj_duck(vname: str, j: int) -> str:
+    """DuckDB: the same signed sum, 1-based list indexing."""
+    parts = ["CAST(0.0 AS DOUBLE)"]
+    for i, s in enumerate(_JL_PLANES[j]):
+        parts.append(f"{'+' if s > 0 else '-'} ({vname})[{i + 1}]")
+    return " ".join(parts)
+
+
+_JL_DOT_DUCK = "list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))"
+
+
+@query(
+    "emb_random_projection_jl",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < {_JL_N}
+    ),
+    pv AS (
+      SELECT vec_id, v,
+             list_sum(list_transform(range(1, len(v) + 1),
+                                     i -> v[i] * v[i])) AS n2,
+             [{", ".join(_jl_proj_duck("v", j) for j in range(_JL_K))}] AS p
+      FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             SQRT(a.n2 + b.n2 - 2 * {_JL_DOT_DUCK}) AS d_orig,
+             SQRT(list_sum(list_transform(range(1, {_JL_K} + 1),
+                    j -> (a.p[j] - b.p[j]) * (a.p[j] - b.p[j])))
+                  / {_JL_K}.0) AS d_proj
+      FROM pv a JOIN pv b ON a.vec_id < b.vec_id
+    )
+    SELECT ia, ib, d_orig, d_proj, d_proj / d_orig AS ratio
+    FROM pairs
+    """,
+)
+def emb_random_projection_jl(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection 64 -> 16 dims with
+    deterministic +-1 planes (Achlioptas 2003's database-friendly
+    construction; rows are the md5-parity planes shared with the
+    sign-LSH family), verified by the distance-distortion ratio
+    d_proj/d_orig on a bounded pair sample — the JL guarantee is that
+    this ratio concentrates around 1 with spread ~ 1/sqrt(k).
+
+    The scale recipe for cheap embedding ops: project ONCE map-side
+    (k signed sums per vector, no multiplies for +-1 planes), then run
+    downstream distance work in k dims — 4x fewer bytes per vector
+    here, with the measured distortion as the accuracy contract.
+    Projections and squared norms are computed BEFORE the pair join
+    (the r5 Janino rule), so the join body carries one unrolled
+    64-term dot (for the exact distance via ||a||^2 + ||b||^2 - 2ab)
+    plus a 16-term projected distance, staying inside whole-stage
+    codegen. Every expression tree is identical in both engines —
+    signed left-to-right sums seeded with 0.0 — so doubles match
+    bit-for-bit. At 100 TB the pair sample is the audit; production
+    reads just the k-dim projection column. Reference scope:
+    extension surface (SURVEY.md §2C similarity row)."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _JL_N).select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    pv = e.select(
+        "vec_id",
+        "v",
+        _dot(F.col("v"), F.col("v")).alias("n2"),
+        F.expr(
+            "array("
+            + ", ".join(_jl_proj_spark("v", j) for j in range(_JL_K))
+            + ")"
+        ).alias("p"),
+    )
+    a = pv.select(
+        F.col("vec_id").alias("ia"),
+        F.col("v").alias("va"),
+        F.col("n2").alias("na2"),
+        F.col("p").alias("pa"),
+    )
+    b = pv.select(
+        F.col("vec_id").alias("ib"),
+        F.col("v").alias("vb"),
+        F.col("n2").alias("nb2"),
+        F.col("p").alias("pb"),
+    )
+    d_orig = F.sqrt(
+        F.col("na2") + F.col("nb2") - 2 * _dot(F.col("va"), F.col("vb"))
+    )
+    pd2 = F.expr(
+        "CAST(0.0 AS DOUBLE) + "
+        + " + ".join(
+            f"(pa[{j}] - pb[{j}]) * (pa[{j}] - pb[{j}])"
+            for j in range(_JL_K)
+        )
+    )
+    return (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            d_orig.alias("d_orig"),
+            F.sqrt(pd2 / _JL_K).alias("d_proj"),
+        )
+        .withColumn("ratio", F.col("d_proj") / F.col("d_orig"))
+    )

@@ -219,6 +219,7 @@ _BNLJ_BOUNDED_OK = {
     "corpus_distribution_drift",  # vocab rows x 1-row (na, nb) totals agg
     "sim_hard_negative_mining",  # label-inequality join vs 12-query bcast
     "sample_weighted_systematic",  # cum rows x 1-row stride agg
+    "emb_random_projection_jl",  # 48-vector sample pair join, bcast side
     "text_bpe_apply",
     "text_bpe_merge_loop", "text_bpe_merge_step", "text_ngram_jaccard_dup",
     "text_tokenize_tfidf", "tpch_q11_important_stock",

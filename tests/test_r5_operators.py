@@ -748,3 +748,43 @@ def test_er_canonicalize_partitions_match_graph(spark):
     assert got == expect
     canon = Counter(c for _, c, _, f in got if f)
     assert all(v == 1 for v in canon.values())
+
+
+def test_jl_projection_distortion_concentrates(spark):
+    """JL contract: distortion ratios concentrate near 1 (mean of
+    ratio^2 within 25% of 1 at k=16), the plane matrix is +-1 only,
+    and one pair's d_proj matches a numpy replay bit-close."""
+    import math
+
+    from target_s3_parquet_spark.operators.similarity import (
+        _JL_K,
+        _JL_PLANES,
+        emb_random_projection_jl,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    assert all(s in (-1, 1) for row in _JL_PLANES for s in row)
+
+    rows = emb_random_projection_jl(spark, SF).collect()
+    assert len(rows) > 500
+    r2 = [r.ratio**2 for r in rows]
+    mean_r2 = sum(r2) / len(r2)
+    assert 0.75 < mean_r2 < 1.25  # E[ratio^2] = 1 under JL
+    assert all(r.d_orig > 0 for r in rows)
+
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in t(spark, SF, "embeddings").filter(F.col("vec_id") < 4).collect()
+    }
+    ia, ib = sorted(emb)[:2]
+    pa = [
+        sum(s * x for s, x in zip(_JL_PLANES[j], emb[ia]))
+        for j in range(_JL_K)
+    ]
+    pb = [
+        sum(s * x for s, x in zip(_JL_PLANES[j], emb[ib]))
+        for j in range(_JL_K)
+    ]
+    want = math.sqrt(sum((x - y) ** 2 for x, y in zip(pa, pb)) / _JL_K)
+    got = next(r.d_proj for r in rows if r.ia == ia and r.ib == ib)
+    assert abs(got - want) < 1e-9 * max(1.0, want)
