@@ -363,12 +363,19 @@ def join_bucketed_colocated(spark, sf_dir):
     that key is exchange-free. (AQE can't remove a shuffle it never
     sees; bucketing removes it at the source.) The `merge` hint pins
     SMJ so the demo doesn't degenerate to broadcast at toy scale."""
+    import atexit
     import hashlib
     import os
+    import shutil
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # pid in the tag: the bucketed path must be process-private — two
+    # concurrent runs (gate + pytest) sharing one dir race overwrite
+    # against bucket reads. Each process pays its own one-time write
+    # (the catalog is per-process anyway) and removes it at exit.
+    tag = f"{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_p{os.getpid()}"
     base = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__)))), ".bucketed")
+        os.path.abspath(__file__)))), ".bucketed", f"pid{os.getpid()}")
+    atexit.register(lambda: shutil.rmtree(base, ignore_errors=True))
     names = {}
     for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         tname = f"{tbl}_bkt_{tag}"
