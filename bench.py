@@ -170,6 +170,8 @@ def main() -> None:
         "privacy_l_diversity_audit",
         "er_cluster_canonicalize",
         "emb_random_projection_jl",
+        "text_langid_confusion",
+        "corpus_gini_concentration",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

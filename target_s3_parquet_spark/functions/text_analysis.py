@@ -1775,3 +1775,71 @@ def er_cluster_canonicalize(spark, sf_dir):
             .alias("is_canonical"),
         )
     )
+
+
+@query(
+    "text_langid_confusion",
+    f"""
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                             w -> list_contains({_EN_STOPWORDS!r}, w)))
+                       AS DOUBLE)
+                  / len(string_split(text, ' ')) > 0.08
+                  THEN 'en' ELSE 'other' END AS detected_lang
+      FROM documents
+    ),
+    cells AS (
+      SELECT lang AS labeled_lang, detected_lang, count(*) AS n
+      FROM scored GROUP BY 1, 2
+    ),
+    cls AS (
+      SELECT labeled_lang, CAST(sum(n) AS BIGINT) AS class_total
+      FROM cells GROUP BY labeled_lang
+    )
+    SELECT c.labeled_lang, c.detected_lang, c.n,
+           c.n * 1000000 // t.class_total AS rate_scaled
+    FROM cells c JOIN cls t USING (labeled_lang)
+    """,
+)
+def text_langid_confusion(spark, sf_dir):
+    """Confusion matrix for the `text_lang_id` heuristic against the
+    corpus's labeled languages — the evaluation loop that belongs next
+    to any classifier in the pipeline: per (labeled, detected) cell the
+    count and the within-class rate (recall on the diagonal, confusion
+    mass off it), as an exact integer-scaled rational
+    ``n * 1e6 DIV class_total`` — engine- and partitioning-exact.
+
+    Plan: the detector is a map-side projection (same expression as
+    `text_lang_id`), the matrix one (labeled, detected) groupBy, class
+    totals a second tiny agg broadcast back. At 100 TB an eval like
+    this runs over a labeled holdout slice with identical shape.
+    Reference scope: extension surface (SURVEY.md §2C text row)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.array_contains(F.lit(_EN_STOPWORDS), w))
+    )
+    scored = d.select(
+        F.col("lang").alias("labeled_lang"),
+        F.when(
+            stop_hits.cast("double") / F.size(words) > 0.08, F.lit("en")
+        )
+        .otherwise(F.lit("other"))
+        .alias("detected_lang"),
+    )
+    cells = scored.groupBy("labeled_lang", "detected_lang").agg(
+        F.count("*").alias("n")
+    )
+    cls = cells.groupBy("labeled_lang").agg(
+        F.sum("n").alias("class_total")
+    )
+    return (
+        cells.join(F.broadcast(cls), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "detected_lang",
+            "n",
+            F.expr("n * 1000000 div class_total").alias("rate_scaled"),
+        )
+    )

@@ -1772,3 +1772,86 @@ def privacy_l_diversity_audit(spark, sf_dir):
         )
         .filter(F.col("l_distinct") < 10)
     )
+
+
+@query(
+    "corpus_gini_concentration",
+    """
+    WITH toks AS (
+      SELECT t AS token
+      FROM (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    r AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt, token) AS rnk
+      FROM c
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(2 * sum(rnk * cnt) - (count(*) + 1) * sum(cnt) AS BIGINT)
+               AS gini_numer
+      FROM r
+    )
+    SELECT vocab, n_tokens, gini_numer,
+           CAST(gini_numer AS DOUBLE) / (vocab * n_tokens) AS gini
+    FROM s
+    """,
+)
+def corpus_gini_concentration(spark, sf_dir):
+    """Gini coefficient of the corpus token-frequency distribution —
+    the concentration monitor beside `corpus_distribution_drift`'s
+    two-snapshot distance: a rising Gini means boilerplate/template
+    mass is taking over the corpus (dedup is falling behind), a
+    falling one tracks diversification. Computed from the exact
+    integer identity  G = (2*sum(rank*cnt) - (V+1)*sum(cnt)) /
+    (V*sum(cnt))  over counts ranked ascending (ties broken by token,
+    so the rank — and therefore the numerator — is unique and
+    deterministic); ONE final IEEE division produces the double.
+
+    The global rank uses `assign_dense_ids`' two-phase prefix-sum form
+    (range shuffle on a zero-padded (cnt, token) sort key + local
+    row_number + broadcast offsets), NEVER the single-partition
+    ROW_NUMBER window the oracle uses to state the semantics —
+    vocabulary at 100 TB is tens of millions of rows, sublinear in
+    corpus size but far beyond one task. Reference scope: extension
+    surface (SURVEY.md §2C pipeline row)."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "token"
+            )
+        )
+        .filter(F.col("token") != "")
+    )
+    c = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    keyed = c.withColumn(
+        "sortkey",
+        F.concat_ws(
+            ":", F.lpad(F.col("cnt").cast("string"), 12, "0"), "token"
+        ),
+    )
+    ranked = assign_dense_ids(keyed, "sortkey").withColumn(
+        "rnk", F.col("dense_id") + 1
+    )
+    s = ranked.agg(
+        F.count("*").alias("vocab"),
+        F.sum("cnt").alias("n_tokens"),
+        (
+            2 * F.sum(F.col("rnk") * F.col("cnt"))
+            - (F.count("*") + 1) * F.sum("cnt")
+        ).alias("gini_numer"),
+    )
+    return s.select(
+        "vocab",
+        "n_tokens",
+        "gini_numer",
+        (
+            F.col("gini_numer").cast("double")
+            / (F.col("vocab") * F.col("n_tokens"))
+        ).alias("gini"),
+    )

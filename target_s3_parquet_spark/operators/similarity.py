@@ -2327,14 +2327,6 @@ _JL_PLANES = _plane_weights(_JL_K)  # deterministic +-1 rows, md5 parity
 _JL_N = 48  # bounded pair sample: 48*47/2 pairs verified
 
 
-def _jl_proj_spark(vname: str, j: int) -> str:
-    """Spark SQL: signed sum  +-v[0] +- v[1] ... for plane j (0-based)."""
-    parts = ["CAST(0.0 AS DOUBLE)"]
-    for i, s in enumerate(_JL_PLANES[j]):
-        parts.append(f"{'+' if s > 0 else '-'} ({vname})[{i}]")
-    return " ".join(parts)
-
-
 def _jl_proj_duck(vname: str, j: int) -> str:
     """DuckDB: the same signed sum, 1-based list indexing."""
     parts = ["CAST(0.0 AS DOUBLE)"]
@@ -2384,28 +2376,46 @@ def emb_random_projection_jl(spark, sf_dir):
     (k signed sums per vector, no multiplies for +-1 planes), then run
     downstream distance work in k dims — 4x fewer bytes per vector
     here, with the measured distortion as the accuracy contract.
-    Projections and squared norms are computed BEFORE the pair join
-    (the r5 Janino rule), so the join body carries one unrolled
-    64-term dot (for the exact distance via ||a||^2 + ||b||^2 - 2ab)
-    plus a 16-term projected distance, staying inside whole-stage
-    codegen. Every expression tree is identical in both engines —
-    signed left-to-right sums seeded with 0.0 — so doubles match
-    bit-for-bit. At 100 TB the pair sample is the audit; production
-    reads just the k-dim projection column. Reference scope:
-    extension surface (SURVEY.md §2C similarity row)."""
+    Projections are computed BEFORE the pair join as an ORDERED
+    Arrow-batch accumulation (the plane-matrix pattern of the LSH prod
+    signature pass, `_signature_batches`): acc[:, j] += s_ij * v_i in
+    ascending i, so every projection is the exact left-to-right IEEE
+    fold the oracle writes as `0.0 + v[1] - v[2] ...` — a plain numpy
+    matmul would sum pairwise/SIMD and drift in the last ulp. The
+    16x64 = 1024-term unrolled JVM projection was measured to blow
+    Janino's 64 KB method limit (whole-stage fallback to interpreted —
+    the exact failure the r5 Janino rule exists for), which is why the
+    projection is Arrow-side while the join body keeps exactly ONE
+    unrolled 64-term dot (exact distance via ||a||^2 + ||b||^2 - 2ab)
+    plus the 16-term projected distance, inside whole-stage codegen.
+    At 100 TB the pair sample is the audit; production reads just the
+    k-dim projection column. Reference scope: extension surface
+    (SURVEY.md §2C similarity row)."""
+    import numpy as np
+    import pandas as pd
+
     e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _JL_N).select(
         "vec_id", _vec_d(F.col("embedding")).alias("v")
     )
-    pv = e.select(
-        "vec_id",
-        "v",
-        _dot(F.col("v"), F.col("v")).alias("n2"),
-        F.expr(
-            "array("
-            + ", ".join(_jl_proj_spark("v", j) for j in range(_JL_K))
-            + ")"
-        ).alias("p"),
-    )
+    wm = np.array(_JL_PLANES, dtype=np.float64)  # k x dim, +-1
+
+    def project(batches):
+        for pdf in batches:
+            vm = np.array(pdf["v"].tolist(), dtype=np.float64)  # n x dim
+            acc = np.zeros((len(pdf), _JL_K))
+            for i in range(wm.shape[1]):  # ordered fold: bit-exact
+                acc += np.outer(vm[:, i], wm[:, i])
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "v": pdf["v"],
+                    "p": list(map(list, acc)),
+                }
+            )
+
+    pv = e.mapInPandas(
+        project, "vec_id long, v array<double>, p array<double>"
+    ).withColumn("n2", _dot(F.col("v"), F.col("v")))
     a = pv.select(
         F.col("vec_id").alias("ia"),
         F.col("v").alias("va"),

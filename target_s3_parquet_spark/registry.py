@@ -248,7 +248,8 @@ _R5_NEW = {
     "sample_weighted_systematic", "ts_changepoint_cusum",
     "text_rake_keywords", "graph_link_prediction",
     "privacy_l_diversity_audit", "er_cluster_canonicalize",
-    "emb_random_projection_jl",
+    "emb_random_projection_jl", "text_langid_confusion",
+    "corpus_gini_concentration",
 }
 
 

@@ -788,3 +788,50 @@ def test_jl_projection_distortion_concentrates(spark):
     want = math.sqrt(sum((x - y) ** 2 for x, y in zip(pa, pb)) / _JL_K)
     got = next(r.d_proj for r in rows if r.ia == ia and r.ib == ib)
     assert abs(got - want) < 1e-9 * max(1.0, want)
+
+
+def test_langid_confusion_rates_sum_per_class(spark):
+    """Cell counts must sum to class totals, rates must be the exact
+    floor rational, and the matrix must cover every labeled doc."""
+    from collections import defaultdict
+
+    from target_s3_parquet_spark.functions.text_analysis import (
+        text_langid_confusion,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    rows = text_langid_confusion(spark, SF).collect()
+    per_class = defaultdict(int)
+    for r in rows:
+        per_class[r.labeled_lang] += r.n
+    n_docs = t(spark, SF, "documents").count()
+    assert sum(per_class.values()) == n_docs
+    for r in rows:
+        assert r.rate_scaled == r.n * 1_000_000 // per_class[r.labeled_lang]
+        assert r.detected_lang in ("en", "other")
+
+
+def test_gini_matches_exact_replay(spark):
+    """Gini numerator must equal the textbook integer identity over the
+    corpus token counts (python replay), and 0 <= gini < 1."""
+    import re
+    from collections import Counter
+
+    from target_s3_parquet_spark.operators.pipeline import (
+        corpus_gini_concentration,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    cnt = Counter()
+    for r in t(spark, SF, "documents").select("text").collect():
+        cnt.update(w for w in re.split(r"[^a-z]+", r.text.lower()) if w)
+    ordered = sorted(cnt.items(), key=lambda kv: (kv[1], kv[0]))
+    v, n = len(ordered), sum(cnt.values())
+    numer = 2 * sum(
+        (i + 1) * c for i, (_, c) in enumerate(ordered)
+    ) - (v + 1) * n
+
+    r = corpus_gini_concentration(spark, SF).collect()[0]
+    assert (r.vocab, r.n_tokens, r.gini_numer) == (v, n, numer)
+    assert 0.0 <= r.gini < 1.0
+    assert r.gini == numer / (v * n)
