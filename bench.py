@@ -172,6 +172,8 @@ def main() -> None:
         "emb_random_projection_jl",
         "text_langid_confusion",
         "corpus_gini_concentration",
+        "ts_seasonal_profile",
+        "emb_cosine_histogram",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

@@ -2448,3 +2448,69 @@ def emb_random_projection_jl(spark, sf_dir):
         )
         .withColumn("ratio", F.col("d_proj") / F.col("d_orig"))
     )
+
+
+@query(
+    "emb_cosine_histogram",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < {_JL_N}
+    ),
+    nv AS (
+      SELECT vec_id, v,
+             sqrt(list_sum(list_transform(range(1, len(v) + 1),
+                                          i -> v[i] * v[i]))) AS nrm
+      FROM v
+    ),
+    pairs AS (
+      SELECT CAST(FLOOR({_JL_DOT_DUCK.replace("a.v", "a.v").replace("b.v", "b.v")}
+                        / (a.nrm * b.nrm) * 20.0) AS BIGINT) AS bucket
+      FROM nv a JOIN nv b ON a.vec_id < b.vec_id
+    )
+    SELECT bucket,
+           CAST(bucket AS DOUBLE) / 20.0 AS cos_lo,
+           count(*) AS n_pairs
+    FROM pairs GROUP BY bucket
+    """,
+)
+def emb_cosine_histogram(spark, sf_dir):
+    """Pairwise-cosine histogram over a bounded vector sample (0.05-
+    wide buckets) — the calibration curve for every similarity
+    threshold in the pipeline: where `sim_pairs_threshold`'s tau or
+    the LSH banding's operating point sits relative to the corpus's
+    actual similarity mass is read straight off this histogram, which
+    is how tau is picked BEFORE paying for a full dedup pass.
+
+    Bucketing floors the bit-exact cosine (per-side norms projected
+    pre-join, ONE unrolled 64-term dot in the join body — the r5
+    Janino rule), so bucket boundaries are decided on identical
+    doubles in both engines; the histogram is one tiny groupBy over
+    the pair sample. At 100 TB the sample is a hash-sampled slice
+    (`sample_top_hash`'s device) — the histogram converges long before
+    the corpus is exhausted. Reference scope: extension surface
+    (SURVEY.md §2C similarity row)."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _JL_N).select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    nv = e.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    a = nv.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = nv.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .select(F.floor(cos * 20.0).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_pairs"))
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") / 20.0).alias("cos_lo"),
+            "n_pairs",
+        )
+    )

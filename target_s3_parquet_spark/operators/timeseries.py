@@ -914,3 +914,71 @@ def ts_changepoint_cusum(spark, sf_dir):
             ).alias("crossed"),
         )
     )
+
+
+@query(
+    "ts_seasonal_profile",
+    """
+    WITH h AS (
+      SELECT event_type,
+             CAST(strftime(ts, '%H') AS BIGINT) AS hour_of_day,
+             value
+      FROM events
+    ),
+    prof AS (
+      SELECT event_type, hour_of_day,
+             count(*) AS n,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                  / count(*) AS DOUBLE) AS mean_value
+      FROM h GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type FROM prof
+      GROUP BY event_type
+    )
+    SELECT p.event_type, p.hour_of_day, p.n, p.mean_value,
+           p.n * 1000000 // t.n_type AS share_scaled
+    FROM prof p JOIN tot t USING (event_type)
+    """,
+)
+def ts_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonal profile per event type — the baseline a
+    telemetry monitor subtracts before calling something an anomaly
+    (pairs with `ts_zscore_anomaly`'s trailing window and
+    `ts_changepoint_cusum`'s mean-shift scan): per (type, hour) the
+    event count, decimal-exact mean value, and the hour's share of the
+    type's traffic as an exact integer-scaled rational.
+
+    One groupBy on (type, hour) — 24 x |types| cells, map-side
+    combinable — plus a tiny per-type total broadcast back. The mean
+    goes through the DECIMAL(38,6) sum channel then ONE double
+    division, so every cell is bit-identical across engines and
+    partitionings. At 100 TB the profile is the classic
+    pre-aggregated rollup: incremental (partial sums merge), and the
+    same plan yields day-of-week or month profiles by swapping the
+    format string. Reference scope: extension surface
+    (SURVEY.md §2C timeseries row)."""
+    e = t(spark, sf_dir, "events")
+    prof = (
+        e.groupBy(
+            "event_type",
+            F.date_format("ts", "HH").cast("long").alias("hour_of_day"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (
+                F.sum(dec("value")).cast("double") / F.count("*")
+            ).cast("double").alias("mean_value"),
+        )
+    )
+    tot = prof.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    return (
+        prof.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "hour_of_day",
+            "n",
+            "mean_value",
+            F.expr("n * 1000000 div n_type").alias("share_scaled"),
+        )
+    )

@@ -249,7 +249,8 @@ _R5_NEW = {
     "text_rake_keywords", "graph_link_prediction",
     "privacy_l_diversity_audit", "er_cluster_canonicalize",
     "emb_random_projection_jl", "text_langid_confusion",
-    "corpus_gini_concentration",
+    "corpus_gini_concentration", "ts_seasonal_profile",
+    "emb_cosine_histogram",
 }
 
 

@@ -220,6 +220,7 @@ _BNLJ_BOUNDED_OK = {
     "sim_hard_negative_mining",  # label-inequality join vs 12-query bcast
     "sample_weighted_systematic",  # cum rows x 1-row stride agg
     "emb_random_projection_jl",  # 48-vector sample pair join, bcast side
+    "emb_cosine_histogram",  # same 48-vector sample pair join
     "text_bpe_apply",
     "text_bpe_merge_loop", "text_bpe_merge_step", "text_ngram_jaccard_dup",
     "text_tokenize_tfidf", "tpch_q11_important_stock",

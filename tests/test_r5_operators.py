@@ -835,3 +835,58 @@ def test_gini_matches_exact_replay(spark):
     assert (r.vocab, r.n_tokens, r.gini_numer) == (v, n, numer)
     assert 0.0 <= r.gini < 1.0
     assert r.gini == numer / (v * n)
+
+
+def test_seasonal_profile_shares_and_means(spark):
+    """Shares must be the exact floor rational of per-type totals, the
+    24-hour cells must cover all events, and one cell's mean must
+    match a Decimal replay."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_seasonal_profile,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    rows = ts_seasonal_profile(spark, SF).collect()
+    per_type = defaultdict(int)
+    for r in rows:
+        assert 0 <= r.hour_of_day <= 23
+        per_type[r.event_type] += r.n
+    assert sum(per_type.values()) == t(spark, SF, "events").count()
+    for r in rows:
+        assert r.share_scaled == r.n * 1_000_000 // per_type[r.event_type]
+
+    r0 = min(rows, key=lambda r: (r.event_type, r.hour_of_day))
+    vals = [
+        Decimal(str(0.0 + x.value)).quantize(Decimal("0.000001"))
+        for x in t(spark, SF, "events")
+        .filter(
+            (F.col("event_type") == r0.event_type)
+            & (F.date_format("ts", "HH").cast("long") == r0.hour_of_day)
+        )
+        .collect()
+    ]
+    assert abs(r0.mean_value - float(sum(vals)) / len(vals)) < 1e-9
+
+
+def test_cosine_histogram_counts_all_pairs(spark):
+    """Bucket counts must sum to C(sample, 2), buckets must lie within
+    [-1, 1] x 20, and cos_lo must be bucket/20."""
+    from target_s3_parquet_spark.operators.similarity import (
+        _JL_N,
+        emb_cosine_histogram,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    n = (
+        t(spark, SF, "embeddings")
+        .filter(F.col("vec_id") < _JL_N)
+        .count()
+    )
+    rows = emb_cosine_histogram(spark, SF).collect()
+    assert sum(r.n_pairs for r in rows) == n * (n - 1) // 2
+    for r in rows:
+        assert -21 <= r.bucket <= 20
+        assert r.cos_lo == r.bucket / 20.0
