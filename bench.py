@@ -174,6 +174,9 @@ def main() -> None:
         "corpus_gini_concentration",
         "ts_seasonal_profile",
         "emb_cosine_histogram",
+        "docs_boilerplate_line_ratio",
+        "corpus_ccnet_quality_buckets",
+        "er_survivorship_golden_record",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

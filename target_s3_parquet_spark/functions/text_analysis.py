@@ -1725,12 +1725,7 @@ def er_cluster_canonicalize(spark, sf_dir):
     edge list, convergence in diameter rounds, and the match graph is
     already blocked/banded upstream so edges ~ O(true matches), not
     O(n^2). Reference scope: extension surface (SURVEY.md §2C)."""
-    from target_s3_parquet_spark.registry import QUERIES
-
-    pairs = (
-        QUERIES["er_blocked_multipass"](spark, sf_dir)
-        .select("key_a", "key_b")
-    )
+    pairs = _er_multipass(spark, sf_dir).select("key_a", "key_b")
     edges = pairs.select(
         F.col("key_a").alias("src"), F.col("key_b").alias("dst")
     ).unionAll(
@@ -1842,4 +1837,67 @@ def text_langid_confusion(spark, sf_dir):
             "n",
             F.expr("n * 1000000 div class_total").alias("rate_scaled"),
         )
+    )
+
+
+@query(
+    "er_survivorship_golden_record",
+    _ER_MP_CTES.replace("WITH e AS", "WITH RECURSIVE e AS")
+    + """,
+    edges AS MATERIALIZED (
+      SELECT key_a AS src, key_b AS dst FROM mp
+      UNION ALL
+      SELECT key_b AS src, key_a AS dst FROM mp
+    ),
+    walk(k, reach) AS (
+      SELECT k, k FROM f
+      UNION
+      SELECT w.k, e.dst FROM walk w JOIN edges e ON e.src = w.reach
+    ),
+    lab AS MATERIALIZED (
+      SELECT k, MIN(reach) AS cluster_id FROM walk GROUP BY k
+    )
+    SELECT l.cluster_id,
+           COUNT(*) AS n_records,
+           arg_min(c.c_name, l.k) AS canonical_name,
+           MAX(c.c_acctbal) AS max_acctbal,
+           COUNT(DISTINCT c.c_nationkey) AS n_nations
+    FROM lab l JOIN customer c ON c.c_custkey = l.k
+    GROUP BY l.cluster_id
+    HAVING COUNT(*) > 1
+    """,
+)
+def er_survivorship_golden_record(spark, sf_dir):
+    """Golden-record assembly — the SURVIVORSHIP step after
+    `er_cluster_canonicalize`'s clustering: one merged master row per
+    multi-record entity cluster, with each attribute resolved by an
+    explicit deterministic rule (name from the min-key record via
+    `min_by`, balance by MAX, nation spread as a distinct count —
+    swap any rule per column; min_by/max_by on a unique ordering key
+    is the whole survivorship algebra).
+
+    Shape: the cluster labels are the propagation fixpoint (diameter-
+    bounded rounds, one equi-join each), then ONE hash agg on
+    cluster_id assembles every attribute in a single pass — min_by /
+    max / count-distinct are all partial-aggregatable, so only
+    per-cluster states shuffle. MAX over doubles is order-independent
+    (unlike SUM), so no decimal channel is needed. The oracle states
+    the same fixpoint recursively. At 100 TB this is the MDM merge
+    a master-data pipeline materializes after each ER batch."""
+    labels = er_cluster_canonicalize(spark, sf_dir).select(
+        "k", "cluster_id"
+    )
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_name", "c_acctbal", "c_nationkey"
+    )
+    return (
+        labels.join(c, "k")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min_by("c_name", F.col("k")).alias("canonical_name"),
+            F.max("c_acctbal").alias("max_acctbal"),
+            F.countDistinct("c_nationkey").alias("n_nations"),
+        )
+        .filter(F.col("n_records") > 1)
     )

@@ -1337,3 +1337,83 @@ def text_ppjoin_positional_stats(spark, sf_dir):
         .agg(F.count("*").alias("true_pairs"))
     )
     return n_pref.crossJoin(n_pos).crossJoin(n_true)
+
+
+@query(
+    "docs_boilerplate_line_ratio",
+    """
+    WITH b AS (
+      SELECT doc_id, block_no,
+             array_to_string(words[block_no*3+1 : block_no*3+3], ' ')
+               AS block_text
+      FROM (
+        SELECT doc_id, string_split(text, ' ') AS words,
+               UNNEST(range(0, CAST(CEIL(len(string_split(text, ' ')) / 3.0)
+                                    AS BIGINT))) AS block_no
+        FROM documents)
+    ),
+    df AS (
+      SELECT block_text, count(DISTINCT doc_id) AS ndocs
+      FROM b GROUP BY block_text
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_blocks,
+           CAST(SUM(CASE WHEN df.ndocs >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           CAST(SUM(CASE WHEN df.ndocs >= 3 THEN 1 ELSE 0 END) * 1000000
+                AS BIGINT) // COUNT(*) AS boiler_ratio_scaled
+    FROM b JOIN df USING (block_text)
+    GROUP BY b.doc_id
+    """,
+)
+def docs_boilerplate_line_ratio(spark, sf_dir):
+    """Per-document BOILERPLATE ratio — the quality signal the line
+    dedup machinery yields for free (CCNet / RefinedWeb drop documents
+    that are mostly template): the fraction of a document's blocks
+    (the fixed 3-word lines of `docs_line_dedup`) that recur in >= 3
+    distinct documents corpus-wide, as an exact integer-scaled floor
+    rational. Filtering on this ratio upstream is cheaper than
+    deduplicating a template-dominated document downstream.
+
+    Shape: the SAME two exchanges as `docs_line_dedup` — explode to
+    blocks map-side, one shuffle on block_text for the document-
+    frequency table, one shuffle back on doc_id for the per-doc fold.
+    In production the block key is a hash (8-byte shuffle keys); df
+    could also broadcast when the hot-block table is pruned to
+    ndocs >= threshold first. Reference scope: extension surface
+    (SURVEY.md §2C text/dedup row)."""
+    bs = 3
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    blocks = d.select(
+        "doc_id",
+        words.alias("w"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(words) / F.lit(float(bs))).cast("int") - 1,
+            )
+        ).alias("block_no"),
+    ).select(
+        "doc_id",
+        "block_no",
+        F.array_join(
+            F.slice(F.col("w"), F.col("block_no") * bs + 1, bs), " "
+        ).alias("block_text"),
+    )
+    df = blocks.groupBy("block_text").agg(
+        F.countDistinct("doc_id").alias("ndocs")
+    )
+    boiler = F.sum(F.when(F.col("ndocs") >= 3, 1).otherwise(0))
+    return (
+        blocks.join(df, "block_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            boiler.cast("long").alias("n_boiler"),
+        )
+        .withColumn(
+            "boiler_ratio_scaled",
+            F.expr("n_boiler * 1000000 div n_blocks"),
+        )
+    )

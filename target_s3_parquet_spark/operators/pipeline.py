@@ -1855,3 +1855,92 @@ def corpus_gini_concentration(spark, sf_dir):
             / (F.col("vocab") * F.col("n_tokens"))
         ).alias("gini"),
     )
+
+
+@query(
+    "corpus_ccnet_quality_buckets",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+      WHERE len(ws) >= 2
+    ),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    bi  AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    model AS (
+      SELECT bi.w1, bi.w2, CAST(bi.c12 AS DOUBLE) / uni.c1 AS p
+      FROM bi JOIN uni ON bi.w1 = uni.w1
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(FLOOR(CAST(SUM(CAST(m.p AS DECIMAL(38,6))) AS DOUBLE)
+                        / COUNT(*) * 1000000000.0) AS BIGINT)
+               AS lm_score_scaled
+      FROM bg JOIN model m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+      GROUP BY bg.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, lm_score_scaled,
+             row_number() OVER (
+               ORDER BY lm_score_scaled * 16777216 + doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM scored
+    )
+    SELECT doc_id, lm_score_scaled,
+           CASE (rn - 1) * 3 // n WHEN 0 THEN 'tail'
+                                  WHEN 1 THEN 'middle'
+                                  ELSE 'head' END AS bucket
+    FROM ranked
+    """,
+)
+def corpus_ccnet_quality_buckets(spark, sf_dir):
+    """CCNet-style quality bucketing (Wenzek et al., LREC'20 §4.4):
+    every document scored by the corpus-trained bigram LM
+    (`text_bigram_lm_score`'s log-free mean-likelihood), ranked, and
+    split into equal head/middle/tail terciles — the partition CCNet
+    uses to keep head+middle and drop (or downweight) tail for LLM
+    pretraining.
+
+    Determinism: the mean likelihood is truncated onto the 1e-9
+    integer grid (`FLOOR(mean * 1e9)` — the tie-free device the
+    k-means keys use), the rank key folds doc_id into the low bits so
+    ordering is total, and the tercile is exact integer arithmetic
+    ((rank-1)*3 DIV n). The global rank runs through
+    `assign_dense_ids`' two-phase prefix sum — NEVER the oracle's
+    single-partition window — so the plan scales: scoring is the LM
+    key's exchange shape, ranking adds one range shuffle on the
+    numeric sort key plus a broadcast offsets table. At 100 TB this IS
+    the corpus-curation pass: score, rank, keep-by-bucket."""
+    from target_s3_parquet_spark.operators.extensions import (
+        text_bigram_lm_score,
+    )
+
+    scored = (
+        text_bigram_lm_score(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.floor(
+                F.col("sum_p") / F.col("n_bigrams") * 1000000000.0
+            ).cast("long").alias("lm_score_scaled"),
+        )
+        .withColumn(
+            "rank_key",
+            F.col("lm_score_scaled") * 16777216 + F.col("doc_id"),
+        )
+    )
+    ranked = assign_dense_ids(scored, "rank_key")
+    n = ranked.agg(F.count("*").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "lm_score_scaled",
+            F.expr(
+                "CASE dense_id * 3 div n WHEN 0 THEN 'tail' "
+                "WHEN 1 THEN 'middle' ELSE 'head' END"
+            ).alias("bucket"),
+        )
+    )

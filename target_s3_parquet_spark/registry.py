@@ -250,7 +250,8 @@ _R5_NEW = {
     "privacy_l_diversity_audit", "er_cluster_canonicalize",
     "emb_random_projection_jl", "text_langid_confusion",
     "corpus_gini_concentration", "ts_seasonal_profile",
-    "emb_cosine_histogram",
+    "emb_cosine_histogram", "docs_boilerplate_line_ratio",
+    "corpus_ccnet_quality_buckets", "er_survivorship_golden_record",
 }
 
 

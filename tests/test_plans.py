@@ -221,6 +221,7 @@ _BNLJ_BOUNDED_OK = {
     "sample_weighted_systematic",  # cum rows x 1-row stride agg
     "emb_random_projection_jl",  # 48-vector sample pair join, bcast side
     "emb_cosine_histogram",  # same 48-vector sample pair join
+    "corpus_ccnet_quality_buckets",  # ranked rows x 1-row count agg
     "text_bpe_apply",
     "text_bpe_merge_loop", "text_bpe_merge_step", "text_ngram_jaccard_dup",
     "text_tokenize_tfidf", "tpch_q11_important_stock",

@@ -890,3 +890,91 @@ def test_cosine_histogram_counts_all_pairs(spark):
     for r in rows:
         assert -21 <= r.bucket <= 20
         assert r.cos_lo == r.bucket / 20.0
+
+
+def test_boilerplate_ratio_exact_replay(spark):
+    """Per-doc boilerplate counts must match a python replay of the
+    3-word-block document-frequency rule."""
+    from collections import Counter, defaultdict
+
+    from target_s3_parquet_spark.operators.dedup import (
+        docs_boilerplate_line_ratio,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    blocks = defaultdict(list)  # doc -> [block_text]
+    for r in t(spark, SF, "documents").collect():
+        ws = r.text.split(" ")
+        for b in range(0, (len(ws) + 2) // 3):
+            blocks[r.doc_id].append(" ".join(ws[b * 3 : b * 3 + 3]))
+    ndocs = Counter()
+    for did, bl in blocks.items():
+        for bt in set(bl):
+            ndocs[bt] += 1
+
+    got = {
+        r.doc_id: (r.n_blocks, r.n_boiler, r.boiler_ratio_scaled)
+        for r in docs_boilerplate_line_ratio(spark, SF).collect()
+    }
+    assert set(got) == set(blocks)
+    for did, bl in blocks.items():
+        boiler = sum(1 for bt in bl if ndocs[bt] >= 3)
+        assert got[did] == (
+            len(bl),
+            boiler,
+            boiler * 1_000_000 // len(bl),
+        ), did
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark):
+    """Buckets must be exact terciles of the score ranking (sizes
+    differing by at most 1) and monotone: every tail score <= every
+    middle score <= every head score under the tie-broken key."""
+    from collections import Counter
+
+    from target_s3_parquet_spark.operators.pipeline import (
+        corpus_ccnet_quality_buckets,
+    )
+
+    rows = corpus_ccnet_quality_buckets(spark, SF).collect()
+    sizes = Counter(r.bucket for r in rows)
+    assert set(sizes) == {"tail", "middle", "head"}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    key = {
+        r.doc_id: r.lm_score_scaled * 16777216 + r.doc_id for r in rows
+    }
+    hi = {b: max(key[r.doc_id] for r in rows if r.bucket == b) for b in sizes}
+    lo = {b: min(key[r.doc_id] for r in rows if r.bucket == b) for b in sizes}
+    assert hi["tail"] < lo["middle"] < hi["middle"] < lo["head"]
+
+
+def test_golden_record_survivorship_rules(spark):
+    """Golden rows must exist 1:1 with multi-record clusters and apply
+    the declared rules: canonical_name from the min key, max balance,
+    nation spread."""
+    from collections import defaultdict
+
+    from target_s3_parquet_spark.functions.text_analysis import (
+        er_cluster_canonicalize,
+        er_survivorship_golden_record,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    members = defaultdict(list)
+    for r in er_cluster_canonicalize(spark, SF).collect():
+        members[r.cluster_id].append(r.k)
+    cust = {
+        r.c_custkey: (r.c_name, r.c_acctbal, r.c_nationkey)
+        for r in t(spark, SF, "customer").collect()
+    }
+    got = {
+        r.cluster_id: (r.n_records, r.canonical_name, r.max_acctbal, r.n_nations)
+        for r in er_survivorship_golden_record(spark, SF).collect()
+    }
+    assert set(got) == set(members)
+    for cid, ks in members.items():
+        n, name, bal, nn = got[cid]
+        assert n == len(ks)
+        assert name == cust[min(ks)][0]
+        assert bal == max(cust[k][1] for k in ks)
+        assert nn == len({cust[k][2] for k in ks})
