@@ -177,6 +177,7 @@ def main() -> None:
         "docs_boilerplate_line_ratio",
         "corpus_ccnet_quality_buckets",
         "er_survivorship_golden_record",
+        "sim_ann_ivfpq_rerank",
     ]
     r5_t: dict[str, float] = {}
     for name in SWEEP_R5:

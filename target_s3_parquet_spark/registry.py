@@ -252,6 +252,7 @@ _R5_NEW = {
     "corpus_gini_concentration", "ts_seasonal_profile",
     "emb_cosine_histogram", "docs_boilerplate_line_ratio",
     "corpus_ccnet_quality_buckets", "er_survivorship_golden_record",
+    "sim_ann_ivfpq_rerank",
 }
 
 

@@ -208,6 +208,7 @@ _BNLJ_BOUNDED_OK = {
     "ivf_kmeans_train", "join_cross_bounded", "join_dynamic_range_prune",
     "market_basket_pairs", "pareto_revenue_share", "sim_ann_ivf",
     "sim_ann_ivf_trained", "sim_ann_ivfpq_recall", "sim_ann_ivfpq_search",
+    "sim_ann_ivfpq_rerank",  # same index bcasts + exact ground-truth scan
     "sim_ann_recall_eval",
     "sim_knn_cosine",  # ivfpq_search: assign/probe cross vs 16 broadcast
     #                    centroids (sim_ann_ivf's shape); ivfpq_recall

@@ -978,3 +978,24 @@ def test_golden_record_survivorship_rules(spark):
         assert name == cust[min(ks)][0]
         assert bal == max(cust[k][1] for k in ks)
         assert nn == len({cust[k][2] for k in ks})
+
+
+def test_ivfpq_rerank_dominates_adc(spark):
+    """The exact re-rank tier can never lose to ADC-only ranking on
+    the same shortlist: per query, n_hits_rerank >= n_hits_adc, both
+    within [0, 5], and the recall columns must be hits/5 exactly."""
+    from target_s3_parquet_spark.operators.similarity import (
+        _IPQ_NQ,
+        _IPQ_TOPK,
+        sim_ann_ivfpq_rerank,
+    )
+
+    rows = sim_ann_ivfpq_rerank(spark, SF).collect()
+    assert len(rows) == _IPQ_NQ
+    assert any(r.n_hits_rerank > r.n_hits_adc for r in rows) or all(
+        r.n_hits_rerank == r.n_hits_adc for r in rows
+    )
+    for r in rows:
+        assert 0 <= r.n_hits_adc <= r.n_hits_rerank <= _IPQ_TOPK
+        assert r.recall_adc == r.n_hits_adc / _IPQ_TOPK
+        assert r.recall_rerank == r.n_hits_rerank / _IPQ_TOPK
