@@ -1,0 +1,59 @@
+"""Pure-python tests for the measurement tools — the skip/overlap and
+interleave arithmetic that decides the recorded numbers, exercised
+without a SparkSession."""
+
+from __future__ import annotations
+
+from tools.bench_zorder import _skips
+
+
+def test_skip_counts_box_overlap():
+    ranges = [
+        (0, 10, 0, 10),  # overlaps every probe below
+        (20, 30, 0, 10),  # x-disjoint from [0, 10]
+        (0, 10, 20, 30),  # y-disjoint from [0, 10]
+        (11, 19, 11, 19),  # disjoint on both
+    ]
+    assert _skips(ranges, 0, 10, 0, 10) == 3
+    assert _skips(ranges, 0, 30, 0, 30) == 0
+    assert _skips(ranges, 50, 60, 50, 60) == 4
+    # touching boundaries overlap (min/max stats are inclusive)
+    assert _skips([(10, 20, 10, 20)], 20, 30, 20, 30) == 0
+    assert _skips([(10, 20, 10, 20)], 21, 30, 10, 20) == 1
+
+
+def test_morton_interleave_orders_2d_neighbors():
+    """The bit-interleave used by the z-order tool and key: points
+    close in BOTH dimensions must be closer in z-value than points far
+    in one dimension — checked on the classic 4x4 Morton curve."""
+
+    def z(x, y, bits=4):
+        v = 0
+        for i in range(bits):
+            v |= ((x >> i) & 1) << (2 * i)
+            v |= ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    # Morton order of the 2x2 blocks: (0,0)(1,0)(0,1)(1,1)
+    assert [z(x, y) for y in (0, 1) for x in (0, 1)] == [0, 1, 2, 3]
+    # quadrant locality: every z in the low-left 2x2 quadrant sorts
+    # before every z in any other quadrant
+    low = {z(x, y) for x in (0, 1) for y in (0, 1)}
+    rest = {
+        z(x, y)
+        for x in range(4)
+        for y in range(4)
+        if not (x < 2 and y < 2)
+    }
+    assert max(low) < min(rest)
+
+
+def test_lsh_minhash_reference_profile_is_superset_guard():
+    """The minhash sweep's reference profile must dominate every swept
+    profile's band count at R=1 (more bands = more chances to
+    collide), which is what makes it the recall denominator."""
+    from tools.bench_lsh_minhash import PROFILES, REFERENCE, TAU
+
+    assert REFERENCE[1] == 1
+    assert all(REFERENCE[0] >= b or r > 1 for b, r in PROFILES)
+    assert (1 - TAU) ** REFERENCE[0] < 1e-4  # miss prob at threshold
