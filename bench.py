@@ -81,6 +81,21 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         spark.catalog.clearCache()  # keys that cache must not leak across keys
 
+    # Emit the headline number IMMEDIATELY — before any extras — so no
+    # later failure (or a JVM-shutdown race, which cost round 5's
+    # artifact) can lose the round's official number. The enriched line
+    # with extras is printed last, after spark.stop(); the driver parses
+    # the last stdout line, so both orderings are safe.
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    headline_json = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(headline_json), flush=True)
+
     # Measured scale evidence beyond the headline queries (small sizes —
     # the point is the recorded ratio/rate per round, not a stress run):
     # skew strategies on a 90%-hot-key join, and streaming Singer ingest
@@ -249,19 +264,13 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         extras["stream_ingest_error"] = str(e)[:120]
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **extras,
-            }
-        )
-    )
+    # Stop the JVM BEFORE the final print: any shutdown noise (py4j,
+    # log4j flushes) lands above the last line instead of after it.
+    try:
+        spark.stop()
+    except Exception as e:  # noqa: BLE001
+        print(f"# spark.stop: {e}", file=sys.stderr)
+    print(json.dumps({**headline_json, **extras}), flush=True)
 
 
 if __name__ == "__main__":

@@ -71,14 +71,18 @@ def snapshot_persisted(df: DataFrame, name: str = "snap") -> DataFrame:
     return df.sparkSession.read.parquet(out)
 
 
-def snapshot(df: DataFrame, max_driver_rows: int = _SMALL_CAP) -> DataFrame:
+def snapshot(df: DataFrame, max_driver_rows: int = 10_000) -> DataFrame:
     """Size-routing snapshot for harness code that serves BOTH bounded
     and data-proportional results (the generic streaming replay): probe
-    up to the cap; within it, take the cheap driver round-trip, beyond
-    it, route to the executor-side persisted copy. The driver never
-    holds more than ``max_driver_rows`` rows either way. Callers that
-    KNOW their result scales with the input should call
-    :func:`snapshot_persisted` directly and skip the probe."""
+    up to the cap; within it, the probe rows ARE the result (cheap
+    driver round-trip, nothing recomputed), beyond it, route to the
+    executor-side persisted copy. The routing decision only needs
+    "over cap or not", so the probe cap is deliberately modest — a
+    data-proportional result pays at most ``max_driver_rows`` rows of
+    discarded driver materialization before the persisted re-execution,
+    not :data:`_SMALL_CAP`. Callers that KNOW their result scales with
+    the input should call :func:`snapshot_persisted` directly and skip
+    the probe."""
     rows = df.limit(max_driver_rows + 1).collect()
     if len(rows) > max_driver_rows:
         return snapshot_persisted(df)

@@ -1771,6 +1771,16 @@ def er_cluster_canonicalize(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # A silent exit here would return WRONG cluster labels (only the
+        # external oracle would notice) and er_survivorship_golden_record
+        # consumes them — non-convergence must be an explicit failure.
+        raise RuntimeError(
+            "er_cluster_canonicalize: min-label propagation did not "
+            "converge within 20 rounds — match-graph diameter exceeds "
+            "the round budget; raise the budget rather than emitting "
+            "unconverged cluster labels"
+        )
     sz = labels.groupBy("cluster_id").agg(
         F.count("*").alias("cluster_size")
     )

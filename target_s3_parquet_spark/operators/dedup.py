@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from target_s3_parquet_spark._snapshot import snapshot_small
 from target_s3_parquet_spark.operators._util import t
 from target_s3_parquet_spark.registry import QUERIES, query
 
@@ -1136,6 +1137,33 @@ def _ap_candidates(ordered):
     )
 
 
+def _ap_true_pairs(ordered):
+    """Exact verify over a PREBUILT ordered-set table: prefix candidates
+    -> array_intersect Jaccard -> threshold. Factored out so the stats
+    keys thread ONE cached `ordered` through both their funnel counts
+    and this true-pair recount instead of building a second independent
+    materialization via the registered key (ADVICE r5)."""
+    cand = _ap_candidates(ordered)
+    xa = ordered.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("ga"),
+        F.col("sz").alias("sa"),
+    )
+    xb = ordered.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("gb"),
+        F.col("sz").alias("sb"),
+    )
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jac = inter.cast("double") / (F.col("sa") + F.col("sb") - inter)
+    return (
+        cand.join(xa, "doc_a")
+        .join(xb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _AP_T)
+    )
+
+
 @query(
     "text_allpairs_prefix_join",
     f"""
@@ -1161,26 +1189,7 @@ def text_allpairs_prefix_join(spark, sf_dir):
     verify. No all-pairs product at any stage; contrast
     `text_ngram_jaccard_dup`, which caps doc_id<64 for exactly that
     reason."""
-    ordered = _ap_ordered(spark, sf_dir)
-    cand = _ap_candidates(ordered)
-    xa = ordered.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("grams").alias("ga"),
-        F.col("sz").alias("sa"),
-    )
-    xb = ordered.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("gb"),
-        F.col("sz").alias("sb"),
-    )
-    inter = F.size(F.array_intersect("ga", "gb"))
-    jac = inter.cast("double") / (F.col("sa") + F.col("sb") - inter)
-    return (
-        cand.join(xa, "doc_a")
-        .join(xb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= _AP_T)
-    )
+    return _ap_true_pairs(_ap_ordered(spark, sf_dir))
 
 
 @query(
@@ -1230,11 +1239,14 @@ def text_allpairs_filter_stats(spark, sf_dir):
         .alias("total_pairs"),
     )
     cand_n = _ap_candidates(ordered).agg(F.count("*").alias("cand_pairs"))
-    true_n = (
-        QUERIES["text_allpairs_prefix_join"](spark, sf_dir)
-        .agg(F.count("*").alias("true_pairs"))
-    )
-    return n.crossJoin(cand_n).crossJoin(true_n)
+    # Thread THIS ordered through the true-pair recount (_ap_true_pairs)
+    # instead of re-invoking the registered key, which would build a
+    # second independent cache of the same table; snapshot the 1-row
+    # result so the cache can be dropped before returning.
+    true_n = _ap_true_pairs(ordered).agg(F.count("*").alias("true_pairs"))
+    out = snapshot_small(n.crossJoin(cand_n).crossJoin(true_n), max_rows=1)
+    ordered.unpersist()
+    return out
 
 
 @query(
@@ -1332,11 +1344,12 @@ def text_ppjoin_positional_stats(spark, sf_dir):
     n_pos = coll.filter(ubound >= alpha).agg(
         F.count("*").alias("positional_cand_pairs")
     )
-    n_true = (
-        QUERIES["text_allpairs_prefix_join"](spark, sf_dir)
-        .agg(F.count("*").alias("true_pairs"))
-    )
-    return n_pref.crossJoin(n_pos).crossJoin(n_true)
+    # One shared `ordered` for funnel counts AND the true-pair recount
+    # (see text_allpairs_filter_stats); snapshot then unpersist.
+    n_true = _ap_true_pairs(ordered).agg(F.count("*").alias("true_pairs"))
+    out = snapshot_small(n_pref.crossJoin(n_pos).crossJoin(n_true), max_rows=1)
+    ordered.unpersist()
+    return out
 
 
 @query(

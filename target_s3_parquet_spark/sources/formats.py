@@ -567,6 +567,18 @@ def scan_parquet_footer_stats(spark, sf_dir):
                 for g in range(f.metadata.num_row_groups):
                     rg = f.metadata.row_group(g)
                     st = rg.column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        # Files written with stats disabled (or a type
+                        # pyarrow can't track) yield no footer min/max —
+                        # the zone-map invariant cannot hold, so name
+                        # the file/column instead of dying on attribute
+                        # access inside the task.
+                        raise ValueError(
+                            f"scan_parquet_footer_stats: {path} row-group "
+                            f"{g} column {key_col!r} has no footer "
+                            "min/max statistics — zone-map harvest "
+                            "requires stats-enabled parquet writes"
+                        )
                     yield pd.DataFrame(
                         {
                             "tbl": [tbl],

@@ -77,14 +77,26 @@ def run_lsh(spark, sf_dir: str, profiles=None) -> dict:
         },
         "profiles": [],
     }
+    # First pass: collect every profile's verified pairs. The (16,1)
+    # reference is near-exhaustive, not exhaustive: a profile with R>1
+    # bands over hashes mh16.. that the reference never consults, so it
+    # can legitimately verify a true pair the reference missed (prob
+    # ~(1-tau)^16 per pair). Recall is therefore computed against the
+    # UNION of all profiles' verified pairs, and reference misses are
+    # reported, never asserted away.
+    measured = []
     for bands, rows in profiles:
         t0 = time.time()
         n_cand, pairs = _verified_pairs(spark, sf_dir, bands, rows)
         sec = round(time.time() - t0, 3)
-        assert pairs <= truth or (bands, rows) == REFERENCE, (
-            f"profile ({bands},{rows}) verified a pair the reference "
-            f"missed — reference profile is not exhaustive enough"
-        )
+        measured.append((bands, rows, n_cand, pairs, sec))
+        spark.catalog.clearCache()
+    truth_all = set(truth)
+    for _, _, _, pairs, _ in measured:
+        truth_all |= pairs
+    out["reference"]["missed_pairs"] = len(truth_all - truth)
+    out["reference"]["true_pairs_union"] = len(truth_all)
+    for bands, rows, n_cand, pairs, sec in measured:
         out["profiles"].append(
             {
                 "bands": bands,
@@ -92,11 +104,12 @@ def run_lsh(spark, sf_dir: str, profiles=None) -> dict:
                 "n_hashes": bands * rows,
                 "n_candidates": n_cand,
                 "n_verified": len(pairs),
-                "recall": round(len(pairs) / len(truth), 4) if truth else 1.0,
+                "recall": (
+                    round(len(pairs) / len(truth_all), 4) if truth_all else 1.0
+                ),
                 "seconds": sec,
             }
         )
-        spark.catalog.clearCache()
     return out
 
 

@@ -1,6 +1,15 @@
 """Streaming-ingest throughput: drive the checkpointed Singer streaming
 job over a generated N-record log and report per-epoch and end-to-end
-rates from the engine's own progress events (StreamingQueryListener).
+rates from the engine's own progress events.
+
+Progress is read PULL-based from `q.recentProgress` after
+`processAllAvailable()` — deliberately NOT via a Python
+`StreamingQueryListener`: the JVM's async listener bus delivers
+callbacks into the py4j callback server on its own thread, and a
+callback racing interpreter shutdown emits a `Py4JNetworkException`
+traceback that can clobber the caller's JSON-line-is-last-stdout-line
+contract (this lost the round-5 bench artifact). `recentProgress`
+carries the same engine-side numbers with no Python callback channel.
 
     python tools/bench_stream.py [n_records] [n_files]   # 200_000, 8
 
@@ -36,39 +45,12 @@ SCHEMA = {
 def run_stream(spark, n: int = 200_000, n_files: int = 8) -> dict:
     """Generate an n-record Singer log split over n_files, ingest it
     through the checkpointed streaming job (1 file per trigger), and
-    return end-to-end + per-epoch throughput measured by the engine's
-    own StreamingQueryListener."""
+    return end-to-end + per-epoch throughput pulled from the engine's
+    `recentProgress` ring (no Python listener — see module docstring)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.streaming import StreamingQueryListener
 
     from target_s3_parquet_spark.sources.singer import StreamPlan
     from target_s3_parquet_spark.streaming.singer_stream import SingerStreamJob
-
-    class Progress(StreamingQueryListener):
-        def __init__(self):
-            self.epochs = []
-
-        def onQueryStarted(self, event):
-            pass
-
-        def onQueryProgress(self, event):
-            p = event.progress
-            self.epochs.append(
-                {
-                    "batch": p.batchId,
-                    "rows": p.numInputRows,
-                    "duration_ms": p.durationMs.get("triggerExecution"),
-                }
-            )
-
-        def onQueryIdle(self, event):
-            pass
-
-        def onQueryTerminated(self, event):
-            pass
-
-    listener = Progress()
-    spark.streams.addListener(listener)
 
     tmp = tempfile.mkdtemp(prefix="stream_bench_")
     try:
@@ -115,12 +97,25 @@ def run_stream(spark, n: int = 200_000, n_files: int = 8) -> dict:
         q = job.start(spark, os.path.join(log_dir, "*"), max_files_per_trigger=1)
         try:
             q.processAllAvailable()
+            # Pull progress BEFORE stop: recentProgress is the engine's
+            # own per-epoch record (same numbers the listener carried),
+            # read synchronously on this thread — no callback server.
+            raw = q.recentProgress
         finally:
             q.stop()
         wall = time.time() - t0
         out_rows = spark.read.parquet(os.path.join(tmp, "out")).count()
         assert out_rows == n, f"{out_rows} != {n}"
-        epochs = [e for e in listener.epochs if e["rows"]]
+        epochs = []
+        for p in raw:
+            if isinstance(p, dict):  # PySpark returns parsed JSON dicts
+                rows = p.get("numInputRows")
+                dur = (p.get("durationMs") or {}).get("triggerExecution")
+            else:  # StreamingQueryProgress object (newer API surface)
+                rows = p.numInputRows
+                dur = p.durationMs.get("triggerExecution")
+            if rows:
+                epochs.append({"rows": rows, "duration_ms": dur})
         return {
             "metric": "singer_stream_throughput",
             "value": round(n / wall, 1),
@@ -132,7 +127,6 @@ def run_stream(spark, n: int = 200_000, n_files: int = 8) -> dict:
             "epoch_ms": [e["duration_ms"] for e in epochs],
         }
     finally:
-        spark.streams.removeListener(listener)
         shutil.rmtree(tmp, ignore_errors=True)
 
 
