@@ -211,6 +211,34 @@ def main() -> None:
             r5_t[name] = -1.0
             print(f"# r5 sweep {name} FAILED: {e}", file=sys.stderr)
     extras["r5_sweep_sec"] = r5_t
+    # Round-6 additions: the three _prod twins next to their exact
+    # global-window references, so the artifact records the prod-vs-
+    # exact delta at this SF directly.
+    SWEEP_R6 = [
+        "window_ntile",
+        "window_ntile_prod",
+        "customer_rfm_segments",
+        "customer_rfm_segments_prod",
+        "pareto_revenue_share",
+        "pareto_revenue_share_prod",
+    ]
+    r6_t: dict[str, float] = {}
+    for name in SWEEP_R6:
+        try:
+            fn = queries[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            r6_t[name] = round(best, 3)
+            print(f"# r6 sweep {name}: {r6_t[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            r6_t[name] = -1.0
+            print(f"# r6 sweep {name} FAILED: {e}", file=sys.stderr)
+    extras["r6_sweep_sec"] = r6_t
     try:
         from tools.bench_lsh_minhash import run_lsh
 

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from target_s3_parquet_spark.session import load_table
@@ -46,4 +46,100 @@ def sql_davg(expr: str, alias: str) -> str:
     return (
         f"CAST(SUM(CAST({expr} AS DECIMAL(38,6))) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def two_phase_rank(
+    df: DataFrame,
+    order_cols: list,
+    sum_col: str | None = None,
+    nparts: int = 8,
+    rank_name: str = "rnk",
+    cum_name: str = "cum",
+) -> DataFrame:
+    """Global ROW_NUMBER (and optionally a running SUM) in total
+    ``order_cols`` order WITHOUT a single-partition window — the
+    distributed prefix-sum shape shared with ``assign_dense_ids``
+    (`operators/pipeline.py`), generalized to multi-column orderings
+    (ascending or descending) and an optional accumulated measure:
+
+    1. ``repartitionByRange`` on the order columns — partition p holds
+       rows strictly below partition p+1 in the total order (boundary
+       sampling affects balance, never the result);
+    2. partition-LOCAL row_number / running sum (sort stays inside each
+       partition — no cross-partition data motion);
+    3. per-partition (count, sum) — a num-partitions-row aggregate —
+       cumsum'd into starting offsets and BROADCAST back;
+    4. rank = offset_n[pid] + local_rn; cum = offset_s[pid] + local_cum.
+
+    The only global coordination is the tiny offsets table; the one
+    unpartitioned window in the plan orders NUM-PARTITIONS rows, never
+    the data. With a decimal ``sum_col`` the running sum is exact and
+    order-stable, so the result is bit-identical to the naive global
+    window the oracle states.
+
+    ``local`` must be CACHED before fanning out: repartitionByRange
+    samples its bounds per RDD id, so two independent materializations
+    could pick different ranges and offsets would disagree with pids.
+    """
+    ordering = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    local = (
+        df.repartitionByRange(nparts, *ordering)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*ordering)
+    local = local.withColumn("_local_rn", F.row_number().over(w_local))
+    if sum_col is not None:
+        local = local.withColumn(
+            "_local_cum",
+            F.sum(sum_col).over(
+                w_local.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    local = local.cache()
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if sum_col is not None:
+        aggs.append(F.sum(sum_col).alias("_s"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(*aggs)
+        .withColumn(
+            "_off_n", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+        )
+    )
+    if sum_col is not None:
+        offsets = offsets.withColumn("_off_s", F.sum("_s").over(w_off))
+    out = (
+        local.join(F.broadcast(offsets.drop("_n", "_s")), "_pid")
+        .withColumn(rank_name, (F.col("_off_n") + F.col("_local_rn")).cast("int"))
+    )
+    if sum_col is not None:
+        out = out.withColumn(
+            cum_name,
+            F.when(
+                F.col("_off_s").isNull(), F.col("_local_cum")
+            ).otherwise(F.col("_off_s") + F.col("_local_cum")),
+        )
+    return out.drop("_pid", "_local_rn", "_local_cum", "_off_n", "_off_s")
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """Closed-form NTILE(k) from an exact 1-based global rank and the
+    total row count: the first ``n mod k`` buckets take ``n div k + 1``
+    rows, the rest ``n div k`` — bit-identical to the window function
+    at any scale, with no global sort. ``greatest(q, 1)`` guards the
+    n < k case (where the second branch is unreachable anyway) against
+    a NULL from integer division by zero."""
+    q = (n / k).cast("long")
+    m = n % k
+    big = (q + 1) * m  # rows covered by the size-(q+1) buckets
+    return (
+        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(
+            m + ((rank - big - 1) / F.greatest(q, F.lit(1))).cast("long") + 1
+        )
+        .cast("int")
     )

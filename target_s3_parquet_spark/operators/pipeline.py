@@ -13,7 +13,11 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.operators._util import (
+    ntile_from_rank,
+    t,
+    two_phase_rank,
+)
 from target_s3_parquet_spark.registry import query
 
 
@@ -1063,6 +1067,89 @@ def customer_rfm_segments(spark, sf_dir):
 
 
 @query(
+    "customer_rfm_segments_prod",
+    """
+    WITH rfm AS (
+      SELECT o_custkey AS c_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT c_custkey, frequency, monetary,
+             NTILE(5) OVER (ORDER BY last_order, c_custkey) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, c_custkey) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, c_custkey) AS m_score
+      FROM rfm
+    )
+    SELECT c_custkey, frequency, monetary, r_score, f_score, m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def customer_rfm_segments_prod(spark, sf_dir):
+    """The 100 TB form of `customer_rfm_segments`, bit-identical
+    output: each of the three quintile scores comes from
+    `two_phase_rank` (range shuffle + local row_number + broadcast
+    offsets) and the closed-form `ntile_from_rank` instead of a global
+    single-partition NTILE window — three data-parallel rank passes
+    over the one-row-per-customer aggregate, joined back on the key.
+    The exact-NTILE key stays registered as the oracle reference; this
+    is the plan that survives true 100 TB customer counts, where even
+    the aggregate is billions of rows."""
+    o = t(spark, sf_dir, "orders")
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .cache()
+    )
+    total = rfm.agg(F.count(F.lit(1)).alias("_total"))
+
+    def quintile(order_cols, name):
+        ranked = two_phase_rank(
+            rfm, order_cols, nparts=spark.sparkContext.defaultParallelism
+        )
+        return ranked.crossJoin(F.broadcast(total)).select(
+            "c_custkey",
+            ntile_from_rank(F.col("rnk"), F.col("_total"), 5).alias(name),
+        )
+
+    scored = (
+        rfm.join(quintile(["last_order", "c_custkey"], "r_score"), "c_custkey")
+        .join(quintile(["frequency", "c_custkey"], "f_score"), "c_custkey")
+        .join(quintile(["monetary", "c_custkey"], "m_score"), "c_custkey")
+    )
+    seg = (
+        F.when(
+            (F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion"
+        )
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 4), "at_risk")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") <= 2), "new")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "c_custkey",
+        "frequency",
+        "monetary",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )
+
+
+@query(
     "pareto_revenue_share",
     """
     WITH cust AS (
@@ -1127,6 +1214,70 @@ def pareto_revenue_share(spark, sf_dir):
         )
     )
     return ranked.filter(F.col("cum_share") <= 0.5)
+
+
+@query(
+    "pareto_revenue_share_prod",
+    """
+    WITH cust AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue,
+             SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS revenue_dec
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT c_custkey, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue_dec DESC, c_custkey)
+               AS rnk,
+             CAST(SUM(revenue_dec) OVER (ORDER BY revenue_dec DESC,
+                                         c_custkey
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE)
+               / CAST((SELECT SUM(revenue_dec) FROM cust) AS DOUBLE)
+               AS cum_share
+      FROM cust
+    )
+    SELECT c_custkey, revenue, rnk, cum_share
+    FROM ranked WHERE cum_share <= 0.5
+    """,
+)
+def pareto_revenue_share_prod(spark, sf_dir):
+    """The 100 TB form of `pareto_revenue_share`, bit-identical output:
+    rank AND running revenue sum both come from ONE `two_phase_rank`
+    pass (range shuffle on (revenue DESC, key) + partition-local
+    row_number/running-sum + broadcast per-partition offsets) — no
+    global single-partition window anywhere in the plan. The running
+    sum stays DECIMAL through the offset addition (decimal addition is
+    exact and order-stable), so every cumulative share matches the
+    naive global window the oracle states bit-for-bit. The exact-window
+    key stays registered as the oracle reference."""
+    o = t(spark, sf_dir, "orders")
+    cust = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+            "revenue_dec"
+        )
+    )
+    ranked = two_phase_rank(
+        cust,
+        [F.col("revenue_dec").desc(), F.col("c_custkey")],
+        sum_col="revenue_dec",
+        nparts=spark.sparkContext.defaultParallelism,
+        cum_name="_cumdec",
+    )
+    total = ranked.agg(F.sum("revenue_dec").cast("double").alias("_total"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "c_custkey",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            "rnk",
+            (F.col("_cumdec").cast("double") / F.col("_total")).alias(
+                "cum_share"
+            ),
+        )
+        .filter(F.col("cum_share") <= 0.5)
+    )
 
 
 @query(

@@ -12,7 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.operators._util import (
+    ntile_from_rank,
+    t,
+    two_phase_rank,
+)
 from target_s3_parquet_spark.registry import query
 
 
@@ -282,6 +286,52 @@ def window_ntile(spark, sf_dir):
     w = W.orderBy("o_totalprice", "o_orderkey")
     return (
         o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@query(
+    "window_ntile_prod",
+    """
+    WITH deciled AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM deciled GROUP BY decile
+    """,
+)
+def window_ntile_prod(spark, sf_dir):
+    """The 100 TB form of `window_ntile`, bit-identical output: the
+    global sort-into-ONE-task that `ntile(10) OVER (ORDER BY ...)`
+    costs is replaced by `two_phase_rank`'s range-shuffle + local
+    row_number + broadcast offsets (the `assign_dense_ids` prefix-sum
+    pattern), then the closed-form NTILE from (rank, n) — the first
+    n mod 10 buckets take one extra row, exactly the window function's
+    contract. Every stage is data-parallel: the only unpartitioned
+    window in the plan orders the NUM-PARTITIONS offsets table. The
+    exact-ntile key stays registered as the oracle reference; this is
+    the plan you would actually run (equi-DEPTH buckets, exact), and
+    `approxQuantile` fences are the cheaper equi-PROBABILITY variant
+    when ±ε bucket boundaries are acceptable."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = two_phase_rank(
+        o,
+        ["o_totalprice", "o_orderkey"],
+        nparts=spark.sparkContext.defaultParallelism,
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("_total"))
+    decile = ntile_from_rank(F.col("rnk"), F.col("_total"), 10)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select("o_totalprice", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

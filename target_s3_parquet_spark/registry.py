@@ -234,9 +234,16 @@ _R4_DRIVER_VERIFIED = {
     "ts_zscore_anomaly",
 }
 
-# Round-5 additions: no driver CORRECTNESS_r*.json record yet — lead
+# Round-6 additions: no driver CORRECTNESS_r*.json record yet — lead
 # the sample ordering outright.
-_R5_NEW = {
+_R6_NEW = {
+    "window_ntile_prod", "customer_rfm_segments_prod",
+    "pareto_revenue_share_prod",
+}
+
+# Round-5 additions, all driver-recorded in CORRECTNESS_r05.json
+# (50/50 pass, every _R5 key sampled).
+_R5_DRIVER_VERIFIED = {
     "docs_substring_dedup_apply", "sim_ann_ivfpq_search",
     "sim_ann_ivfpq_recall", "er_blocked_multipass",
     "er_multipass_recall_stats", "emb_pq_train_lloyd",
@@ -257,8 +264,10 @@ _R5_NEW = {
 
 
 def _sample_priority(name: str) -> tuple[int, int]:
-    if name in _R5_NEW:
+    if name in _R6_NEW:
         return (-1, 0)  # never driver-recorded: sample these first
+    if name in _R5_DRIVER_VERIFIED:
+        return (len(_FAMILY_ORDER) + 6, 0)
     if name in _R4_DRIVER_VERIFIED:
         return (len(_FAMILY_ORDER) + 5, 0)
     if name in _R3_DRIVER_VERIFIED:

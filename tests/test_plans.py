@@ -220,6 +220,10 @@ _BNLJ_BOUNDED_OK = {
     "corpus_distribution_drift",  # vocab rows x 1-row (na, nb) totals agg
     "sim_hard_negative_mining",  # label-inequality join vs 12-query bcast
     "sample_weighted_systematic",  # cum rows x 1-row stride agg
+    # the three _prod twins: ranked rows x 1-row total-count/total-sum
+    # agg (the ntile_from_rank / cum_share denominators)
+    "window_ntile_prod", "customer_rfm_segments_prod",
+    "pareto_revenue_share_prod",
     "emb_random_projection_jl",  # 48-vector sample pair join, bcast side
     "emb_cosine_histogram",  # same 48-vector sample pair join
     "corpus_ccnet_quality_buckets",  # ranked rows x 1-row count agg
@@ -227,6 +231,30 @@ _BNLJ_BOUNDED_OK = {
     "text_bpe_merge_loop", "text_bpe_merge_step", "text_ngram_jaccard_dup",
     "text_tokenize_tfidf", "tpch_q11_important_stock",
     "tpch_q22_sales_opportunity", "ts_rolling_wau",
+}
+
+
+# Keys where an unpartitioned ORDER BY window is LEGITIMATE. Two
+# sanctioned shapes: (a) the window orders a NUM-PARTITIONS-row offsets
+# table inside the two_phase_rank / assign_dense_ids prefix-sum pattern
+# (bounded by construction — the data itself is never single-task
+# sorted); (b) the key IS the exact single-sort reference form, kept as
+# the oracle twin of a registered `_prod` key that replaces the global
+# window (the LSH demo/prod precedent). Anything else sprouting a
+# global window is a scale regression.
+_GLOBAL_WINDOW_OK = {
+    # (a) bounded offsets window only:
+    "corpus_ccnet_quality_buckets", "corpus_gini_concentration",
+    "ids_dense_assign", "sample_weighted_systematic",
+    "customer_rfm_segments_prod", "pareto_revenue_share_prod",
+    "window_ntile_prod",
+    # (b) exact references of registered _prod twins:
+    "customer_rfm_segments", "pareto_revenue_share", "window_ntile",
+    # (b') bounded/diagnostic by declared contract: skew diagnosis runs
+    # on a sample in practice (docstring) and ranks per-key COUNTS;
+    # the BPE merge step ranks the bigram-count table (vocab-bounded)
+    # to pick the single merge winner
+    "data_skew_diagnostics", "text_bpe_merge_step",
 }
 
 
@@ -254,6 +282,13 @@ def test_catalog_antipattern_lint():
             assert key in _BNLJ_BOUNDED_OK, (
                 f"{key}: BroadcastNestedLoopJoin against an unvetted "
                 f"side — bound it or whitelist it with a reason"
+            )
+        if "global-window" in fset:
+            assert key in _GLOBAL_WINDOW_OK, (
+                f"{key}: unpartitioned ORDER BY window (single-task "
+                f"sort of its whole input) — use two_phase_rank / "
+                f"ntile_from_rank (operators/_util.py) or whitelist "
+                f"it with a reason"
             )
         assert "ERROR" not in flags, f"{key}: catalog line records an error"
 

@@ -1,0 +1,146 @@
+"""Round-6 operator invariants: the _prod twins of the global-window
+keys must be BIT-IDENTICAL to their exact single-sort references (not
+just gate-green against the same oracle), the closed-form NTILE must
+agree with the window function on adversarial (n, k) shapes, and the
+two-phase rank/prefix-sum helper must be a pure function of the row
+set (partition-count independent)."""
+
+import os
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _rows(df, *order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def test_window_ntile_prod_matches_exact(spark):
+    from target_s3_parquet_spark.operators.windows import (
+        window_ntile,
+        window_ntile_prod,
+    )
+
+    exact = _rows(window_ntile(spark, SF), "decile")
+    prod = _rows(window_ntile_prod(spark, SF), "decile")
+    assert prod == exact
+
+
+def test_rfm_prod_matches_exact(spark):
+    from target_s3_parquet_spark.operators.pipeline import (
+        customer_rfm_segments,
+        customer_rfm_segments_prod,
+    )
+
+    exact = _rows(customer_rfm_segments(spark, SF), "c_custkey")
+    prod = _rows(customer_rfm_segments_prod(spark, SF), "c_custkey")
+    assert prod == exact
+
+
+def test_pareto_prod_matches_exact(spark):
+    from target_s3_parquet_spark.operators.pipeline import (
+        pareto_revenue_share,
+        pareto_revenue_share_prod,
+    )
+
+    exact = _rows(pareto_revenue_share(spark, SF), "rnk")
+    prod = _rows(pareto_revenue_share_prod(spark, SF), "rnk")
+    assert prod == exact
+
+
+def test_ntile_closed_form_equals_window_function(spark):
+    """The closed form must reproduce NTILE's bucket-assignment contract
+    (first n mod k buckets take the extra row) on the shapes where
+    naive floor((rank-1)*k/n)+1 formulas diverge: n not divisible by k,
+    n < k, n == k, and k == 1."""
+    from target_s3_parquet_spark.operators._util import ntile_from_rank
+
+    for n, k in [(12, 10), (7, 10), (10, 10), (9973, 10), (100, 1), (23, 5)]:
+        df = spark.range(1, n + 1).withColumnRenamed("id", "v")
+        w = W.orderBy("v")
+        expected = df.select(
+            "v", F.ntile(k).over(w).alias("b")
+        )
+        total = df.agg(F.count(F.lit(1)).alias("_n"))
+        got = (
+            df.crossJoin(F.broadcast(total))
+            .select(
+                "v",
+                F.row_number().over(w).alias("rnk"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                "v", ntile_from_rank(F.col("rnk"), F.col("_n"), k).alias("b")
+            )
+        )
+        mismatch = (
+            expected.alias("e")
+            .join(got.alias("g"), "v")
+            .filter(F.col("e.b") != F.col("g.b"))
+            .count()
+        )
+        assert mismatch == 0, f"(n={n}, k={k})"
+
+
+def test_two_phase_rank_partition_count_independent(spark):
+    """rank and running sum are pure functions of the row set: any
+    nparts gives the same result, and both match the naive global
+    window."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    df = (
+        spark.range(1, 501)
+        .select(
+            (F.col("id") % 97).alias("a"),
+            F.col("id").alias("key"),
+            (F.col("id") % 13).cast("decimal(38,6)").alias("m"),
+        )
+    )
+    w = W.orderBy(F.col("a").desc(), "key")
+    naive = df.select(
+        "key",
+        F.row_number().over(w).alias("rnk"),
+        F.sum("m").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    expected = _rows(naive, "key")
+    for nparts in (1, 3, 32):
+        got = two_phase_rank(
+            df, [F.col("a").desc(), "key"], sum_col="m", nparts=nparts
+        ).select("key", "rnk", "cum")
+        assert _rows(got, "key") == expected, f"nparts={nparts}"
+
+
+def test_prod_plans_have_no_data_global_window(spark):
+    """The only unpartitioned ORDER BY window in each _prod plan is the
+    num-partitions-row offsets cumsum — structurally: every Sort in the
+    plan is non-global except inside the offsets subtree, asserted here
+    by checking the plan has NO single-partition sort over the fact
+    input. We check the physical plan for 'Exchange SinglePartition'
+    feeding a Window whose input is NOT the tiny offsets aggregate by
+    bounding how many single-partition exchanges appear: the offsets
+    window needs exactly one per two_phase_rank call."""
+    from target_s3_parquet_spark.operators.pipeline import (
+        customer_rfm_segments_prod,
+        pareto_revenue_share_prod,
+    )
+    from target_s3_parquet_spark.operators.windows import window_ntile_prod
+    from target_s3_parquet_spark.plans.planflags import plan_of
+
+    import re
+
+    # (key, number of two_phase_rank calls = allowed SinglePartition
+    # exchanges for the bounded offsets windows)
+    for fn, n_calls in [
+        (window_ntile_prod, 1),
+        (pareto_revenue_share_prod, 1),
+        (customer_rfm_segments_prod, 3),
+    ]:
+        plan = plan_of(fn(spark, SF))
+        single = len(re.findall(r"Exchange SinglePartition", plan))
+        assert single <= n_calls, (
+            f"{fn.__name__}: {single} single-partition exchanges "
+            f"(> {n_calls} offsets windows) — a data-sized global "
+            f"sort crept in\n{plan}"
+        )
