@@ -100,8 +100,18 @@ def two_phase_rank(
     aggs = [F.count(F.lit(1)).alias("_n")]
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("_s"))
-    w_off = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, -1
+    # partitionBy(pmod(_pid, 1)): ONE bounded group, declared
+    # deliberately — this window orders the NUM-PARTITIONS-row offsets
+    # table, never the data. Identical execution to an unpartitioned
+    # window (all <= nparts rows land in one task) but exempt from the
+    # WindowExec "No Partition Defined" footgun warning, which exists
+    # to catch accidental data-sized single-task sorts. pmod(x, 1) = 0
+    # rather than lit(0) because Catalyst folds literal partition
+    # expressions away, restoring the empty-spec warning.
+    w_off = (
+        Window.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = (
         local.groupBy("_pid")

