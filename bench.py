@@ -221,6 +221,8 @@ def main() -> None:
         "customer_rfm_segments_prod",
         "pareto_revenue_share",
         "pareto_revenue_share_prod",
+        "text_ppjoin_suffix_stats",
+        "text_bpe_fertility_by_lang",
     ]
     r6_t: dict[str, float] = {}
     for name in SWEEP_R6:

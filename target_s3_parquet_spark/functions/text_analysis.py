@@ -952,6 +952,69 @@ def text_bpe_apply(spark, sf_dir):
     )
 
 
+@query(
+    "text_bpe_fertility_by_lang",
+    "WITH " + _bpe_chain_ctes(
+        _BPE_ITERS,
+        t0_cols="lang, len(string_split(text, ' ')) AS nw, text",
+        carry="lang, nw",
+    ) + f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(nw) AS BIGINT) AS total_words,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+             AS total_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) * 1000000
+             // CAST(SUM(nw) AS BIGINT) AS fertility_scaled
+    FROM t{_BPE_ITERS} GROUP BY lang
+    """,
+)
+def text_bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer FERTILITY per language: `text_bpe_apply`'s token
+    counts joined against whitespace word counts, aggregated by `lang`
+    — the per-language efficiency table every multilingual-tokenizer
+    eval reports (a language the vocabulary serves badly shows a
+    higher tokens-per-word ratio; with this toy MERGE tokenizer the
+    ratio is <= 1 and lower = better compressed, but the contract is
+    identical to subword fertility). fertility_scaled is the exact
+    integer-scaled floor rational total_tokens*1e6 DIV total_words, so
+    both engines agree bit-for-bit with no float division.
+
+    Data motion: the frozen merge rules ride the plan as broadcast
+    literals (see `text_bpe_apply`), the rewrite is pure map-side, and
+    the per-lang rollup is one map-side-combinable groupBy over
+    O(languages) groups — at 100 TB this is a shuffle of a few dozen
+    partial-aggregate rows per task."""
+    cur = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("nw"),
+        "text",
+    )
+    for _ in range(_BPE_ITERS):
+        cur = _bpe_rewrite(cur, _bpe_top1(cur.select("text"))[0])
+    return (
+        cur.select(
+            "lang",
+            "nw",
+            F.size(F.split("text", " ")).cast("long").alias("nt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").alias("total_words"),
+            F.sum("nt").alias("total_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "total_tokens",
+            F.expr("total_tokens * 1000000 DIV total_words").alias(
+                "fertility_scaled"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Linear quality-model inference (broadcast weights, map-side scoring)
 # ---------------------------------------------------------------------------

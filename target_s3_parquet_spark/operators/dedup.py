@@ -1352,6 +1352,242 @@ def text_ppjoin_positional_stats(spark, sf_dir):
     return out
 
 
+def _ap_ordered_keyed(spark, sf_dir):
+    """`_ap_ordered` with ORDER-COMPARABLE tokens: each gram is encoded
+    as ``lpad(df, 10, '0') || '|' || gram`` so plain string comparison
+    of two tokens IS the (df, gram) total order — which the suffix
+    filter needs to binary-partition one suffix around an element of
+    the other. The encoding is injective per gram (a gram always has
+    one df), so intersections, sizes, prefixes, and collision positions
+    are identical to the raw-gram table; array_sort on the encoded
+    token replaces the (df, gram) struct sort."""
+    d = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    w = d.select("doc_id", F.split(F.lower("text"), " ").alias("w"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - 3),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, 3)),
+        )
+    )
+    sets = w.filter(F.size("w") >= 3).select("doc_id", grams.alias("grams"))
+    toks = sets.select("doc_id", F.explode("grams").alias("gram"))
+    freq = toks.groupBy("gram").agg(F.count("*").alias("df"))
+    keyed = F.concat(
+        F.lpad(F.col("df").cast("string"), 10, "0"), F.lit("|"), F.col("gram")
+    )
+    return (
+        toks.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(keyed)).alias("grams"))
+        .select("doc_id", "grams", F.size("grams").alias("sz"))
+        .cache()
+    )
+
+
+@query(
+    "text_ppjoin_suffix_stats",
+    f"""
+    WITH {_AP_SETS_SQL},
+    {_AP_TRUTH_SQL},
+    freq AS MATERIALIZED (
+      SELECT gram, count(*) AS df FROM toks GROUP BY gram
+    ),
+    keyed AS MATERIALIZED (
+      SELECT t.doc_id, any_value(t.sz) AS sz,
+             list_sort(list(lpad(CAST(f.df AS VARCHAR), 10, '0')
+                            || '|' || t.gram)) AS grams
+      FROM toks t JOIN freq f USING (gram)
+      GROUP BY t.doc_id
+    ),
+    pref AS MATERIALIZED (
+      SELECT doc_id, sz, u.gram AS gram, u.pos AS pos
+      FROM keyed,
+           unnest(list_transform(range(1, sz // 2 + 2),
+                                 i -> struct_pack(gram := grams[i], pos := i))) AS t(u)
+    ),
+    coll AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             any_value(a.sz) AS sa, any_value(b.sz) AS sb,
+             count(*) AS n_coll, max(a.pos) AS ia, max(b.pos) AS jb
+      FROM pref a JOIN pref b
+        ON a.gram = b.gram AND a.doc_id < b.doc_id
+       AND 2 * b.sz >= a.sz AND 2 * a.sz >= b.sz
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pos_surv AS MATERIALIZED (
+      SELECT * FROM coll
+      WHERE n_coll + least(sa - ia, sb - jb) >= (sa + sb + 2) // 3
+    ),
+    sfx AS MATERIALIZED (
+      SELECT c.*, (c.sa + c.sb + 2) // 3 AS alpha,
+             c.sa - c.ia AS len_a, c.sb - c.jb AS len_b,
+             ka.grams[c.ia + 1:] AS suf_a, kb.grams[c.jb + 1:] AS suf_b
+      FROM pos_surv c
+      JOIN keyed ka ON ka.doc_id = c.doc_a
+      JOIN keyed kb ON kb.doc_id = c.doc_b
+    ),
+    probed AS MATERIALIZED (
+      SELECT *, suf_a[(len_a + 1) // 2] AS m FROM sfx
+    ),
+    halves AS MATERIALIZED (
+      SELECT *,
+             len(list_filter(suf_a, x -> x < m)) AS sal,
+             len(list_filter(suf_b, x -> x < m)) AS sbl,
+             CASE WHEN list_contains(suf_b, m) THEN 1 ELSE 0 END AS m_in_b
+      FROM probed
+    ),
+    bounded AS MATERIALIZED (
+      SELECT doc_a, doc_b, alpha,
+             CASE WHEN len_a = 0 OR len_b = 0 THEN n_coll
+                  ELSE n_coll
+                       + least(sal, sbl)
+                       + least(len_a - sal - 1, len_b - sbl - m_in_b)
+                       + m_in_b
+             END AS ub
+      FROM halves
+    )
+    SELECT (SELECT count(*) FROM coll) AS prefix_cand_pairs,
+           (SELECT count(*) FROM pos_surv) AS positional_cand_pairs,
+           (SELECT count(*) FROM bounded WHERE ub >= alpha)
+             AS suffix_cand_pairs,
+           (SELECT count(*) FROM truth
+             WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= {_AP_T})
+             AS true_pairs
+    """,
+)
+def text_ppjoin_suffix_stats(spark, sf_dir):
+    """PPJoin+'s suffix filter (Xiao et al., WWW'08 §3.3) as the
+    oracle-replayed TIER-3 pruning stat, on top of the prefix (tier 1)
+    and positional (tier 2) filters.
+
+    For a positional survivor, both docs' remaining grams after their
+    last prefix collision — the SUFFIXES — are ordered by the same
+    (df, gram) total order (tokens are df-padded strings, so string
+    comparison IS that order). Probe the middle element m of suffix_a
+    and partition BOTH suffixes around it: every common gram is < m,
+    = m, or > m, so
+    ``|suf_a ∩ suf_b| <= min(|sal|,|sbl|) + min(|sar|,|sbr|) + [m∈suf_b]``
+    — a one-probe divide bound that is never looser than the positional
+    tier's min(|suf_a|, |suf_b|) (each min is bounded by both sides'
+    half). Pairs whose ``n_coll + bound`` cannot reach the overlap
+    minimum ceil(t/(1+t)·(sa+sb)) are pruned without touching the full
+    arrays' intersection. Integer-exact, so DuckDB replays the funnel
+    bit-for-bit: prefix -> positional -> suffix counts with all true
+    pairs retained (true_pairs <= suffix_cand_pairs is the gate-checked
+    completeness claim). At 100 TB the tier costs two candidate-bounded
+    array lookups + O(|suffix|) scans per survivor — no extra shuffle —
+    and pays for itself by shrinking the array_intersect verify set;
+    the measured funnel at sf0.1 is recorded in the bench r6 sweep."""
+    ordered = _ap_ordered_keyed(spark, sf_dir)
+    pref = ordered.select(
+        "doc_id",
+        "sz",
+        F.posexplode(F.expr("slice(grams, 1, sz DIV 2 + 1)")).alias(
+            "pos0", "gram"
+        ),
+    ).select("doc_id", "sz", "gram", (F.col("pos0") + 1).alias("pos"))
+    a, b = pref.alias("a"), pref.alias("b")
+    # The one expensive subtree (prefix self-join + per-pair collision
+    # agg) is CACHED and scanned twice: once for the funnel counts,
+    # once (filtered) as input to the suffix probe. Everything after it
+    # is candidate-bounded.
+    coll = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") * 2 >= F.col("a.sz"))
+            & (F.col("a.sz") * 2 >= F.col("b.sz")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.first("a.sz").alias("sa"),
+            F.first("b.sz").alias("sb"),
+            F.count("*").alias("n_coll"),
+            F.max("a.pos").alias("ia"),
+            F.max("b.pos").alias("jb"),
+        )
+        .cache()
+    )
+    alpha = F.floor((F.col("sa") + F.col("sb") + 2) / 3)
+    pos_ok = (
+        F.col("n_coll")
+        + F.least(F.col("sa") - F.col("ia"), F.col("sb") - F.col("jb"))
+        >= alpha
+    )
+    n_funnel = coll.agg(
+        F.count("*").alias("prefix_cand_pairs"),
+        F.sum(F.when(pos_ok, 1).otherwise(0))
+        .cast("long")
+        .alias("positional_cand_pairs"),
+    )
+    ka = ordered.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    kb = ordered.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    sfx = (
+        coll.filter(pos_ok)
+        .join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .select(
+            "sa",
+            "sb",
+            "n_coll",
+            "ga",
+            "gb",
+            alpha.alias("alpha"),
+            (F.col("sa") - F.col("ia")).alias("len_a"),
+            (F.col("sb") - F.col("jb")).alias("len_b"),
+            F.expr("slice(ga, ia + 1, sa - ia)").alias("suf_a"),
+            F.expr("slice(gb, jb + 1, sb - jb)").alias("suf_b"),
+        )
+        .withColumn(
+            "m", F.expr("element_at(suf_a, CAST((len_a + 1) DIV 2 AS INT))")
+        )
+        .withColumn("sal", F.expr("size(filter(suf_a, x -> x < m))"))
+        .withColumn("sbl", F.expr("size(filter(suf_b, x -> x < m))"))
+        .withColumn(
+            "m_in_b",
+            F.when(F.expr("array_contains(suf_b, m)"), 1).otherwise(0),
+        )
+    )
+    ub = F.when(
+        (F.col("len_a") == 0) | (F.col("len_b") == 0), F.col("n_coll")
+    ).otherwise(
+        F.col("n_coll")
+        + F.least(F.col("sal"), F.col("sbl"))
+        + F.least(
+            F.col("len_a") - F.col("sal") - 1,
+            F.col("len_b") - F.col("sbl") - F.col("m_in_b"),
+        )
+        + F.col("m_in_b")
+    )
+    # The exact verify is FUSED into the suffix-survivor pass: true
+    # pairs are counted among suffix survivors, so a suffix-filter bug
+    # that drops a true pair undercounts vs the oracle's truth CTE
+    # (built from the UNFILTERED inverted index) and hash-mismatches
+    # the gate — completeness is checked, not assumed.
+    inter = F.size(F.array_intersect("ga", "gb"))
+    is_true = (
+        inter.cast("double") / (F.col("sa") + F.col("sb") - inter) >= _AP_T
+    )
+    surv = ub >= F.col("alpha")
+    n_sfx = sfx.agg(
+        F.sum(F.when(surv, 1).otherwise(0))
+        .cast("long")
+        .alias("suffix_cand_pairs"),
+        F.sum(F.when(surv & is_true, 1).otherwise(0))
+        .cast("long")
+        .alias("true_pairs"),
+    )
+    out = snapshot_small(n_funnel.crossJoin(n_sfx), max_rows=1)
+    coll.unpersist()
+    ordered.unpersist()
+    return out
+
+
 @query(
     "docs_boilerplate_line_ratio",
     """

@@ -238,7 +238,8 @@ _R4_DRIVER_VERIFIED = {
 # the sample ordering outright.
 _R6_NEW = {
     "window_ntile_prod", "customer_rfm_segments_prod",
-    "pareto_revenue_share_prod",
+    "pareto_revenue_share_prod", "text_ppjoin_suffix_stats",
+    "text_bpe_fertility_by_lang",
 }
 
 # Round-5 additions, all driver-recorded in CORRECTNESS_r05.json

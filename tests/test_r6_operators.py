@@ -144,3 +144,46 @@ def test_prod_plans_have_no_data_global_window(spark):
             f"(> {n_calls} offsets windows) — a data-sized global "
             f"sort crept in\n{plan}"
         )
+
+
+def test_ppjoin_suffix_funnel_invariants(spark):
+    """Tier monotonicity and completeness: true <= suffix <= positional
+    <= prefix, with the prefix tier non-vacuous. Strict suffix-tier
+    gains show at sf0.01+ (positional 27 -> suffix 25) and sf0.1
+    (119,907 -> 101,765); the sf0.001 fixture's 28 positional
+    candidates are all true pairs, so there is nothing left to prune
+    and equality is correct there."""
+    from target_s3_parquet_spark.operators.dedup import (
+        text_ppjoin_suffix_stats,
+    )
+
+    row = text_ppjoin_suffix_stats(spark, SF).collect()[0]
+    assert (
+        row["true_pairs"]
+        <= row["suffix_cand_pairs"]
+        <= row["positional_cand_pairs"]
+        <= row["prefix_cand_pairs"]
+    ), row
+    assert row["prefix_cand_pairs"] > row["positional_cand_pairs"], row
+    assert row["true_pairs"] > 0, "fixture must contain true near-dups"
+
+
+def test_bpe_fertility_accounting(spark):
+    """Per-lang fertility table must tie out against the corpus: doc
+    counts sum to the corpus size, merges never grow token counts, and
+    the scaled ratio is exactly the floor rational of its own totals."""
+    from target_s3_parquet_spark.functions.text_analysis import (
+        text_bpe_fertility_by_lang,
+    )
+    from target_s3_parquet_spark.operators._util import t
+
+    out = text_bpe_fertility_by_lang(spark, SF)
+    rows = out.collect()
+    n_docs_total = t(spark, SF, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows:
+        assert 0 < r["total_tokens"] <= r["total_words"], r
+        assert (
+            r["fertility_scaled"]
+            == r["total_tokens"] * 1_000_000 // r["total_words"]
+        ), r
