@@ -223,6 +223,9 @@ def main() -> None:
         "pareto_revenue_share_prod",
         "text_ppjoin_suffix_stats",
         "text_bpe_fertility_by_lang",
+        "search_bm25_topk",
+        "emb_gram_matrix_exact",
+        "emb_gram_matrix_prod",
     ]
     r6_t: dict[str, float] = {}
     for name in SWEEP_R6:

@@ -603,3 +603,125 @@ def search_inverted_index_build(spark, sf_dir):
             F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20), ","
         ).alias("posting_head"),
     )
+
+
+@query(
+    "search_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    per_doc AS MATERIALIZED (
+      SELECT doc_id, count(*) AS dl,
+             count(*) FILTER (WHERE tok = 'merge')  AS tf1,
+             count(*) FILTER (WHERE tok = 'vector') AS tf2,
+             count(*) FILTER (WHERE tok = 'scan')   AS tf3
+      FROM toks GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS tt,
+             CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
+             CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2,
+             CAST(count(*) FILTER (WHERE tf3 > 0) AS BIGINT) AS df3
+      FROM per_doc
+    )
+    SELECT doc_id, dl, tf1, tf2, tf3,
+           CAST(2*n - 2*df1 + 1 AS DOUBLE) / CAST(2*df1 + 1 AS DOUBLE)
+             * (CAST(22*tf1*tt AS DOUBLE)
+                / CAST(10*tf1*tt + 3*tt + 9*n*dl AS DOUBLE))
+           + CAST(2*n - 2*df2 + 1 AS DOUBLE) / CAST(2*df2 + 1 AS DOUBLE)
+             * (CAST(22*tf2*tt AS DOUBLE)
+                / CAST(10*tf2*tt + 3*tt + 9*n*dl AS DOUBLE))
+           + CAST(2*n - 2*df3 + 1 AS DOUBLE) / CAST(2*df3 + 1 AS DOUBLE)
+             * (CAST(22*tf3*tt AS DOUBLE)
+                / CAST(10*tf3*tt + 3*tt + 9*n*dl AS DOUBLE))
+             AS score
+    FROM per_doc CROSS JOIN corpus
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def search_bm25_topk(spark, sf_dir):
+    """BM25-ranked retrieval (Robertson-Sparck Jones; k1=1.2, b=0.75)
+    over the 3-term query {merge, vector, scan} — the ranking tier the
+    retrieval family builds to (`search_multi_term_rank` is the LIKE
+    baseline, `search_inverted_index_build` the index,
+    `text_tokenize_tfidf` the linear-weight scorer).
+
+    Cross-engine exactness without libm: the log-idf is replaced by
+    the raw Robertson odds (2N-2df+1)/(2df+1) — same document
+    ordering for a fixed query term, no ln() — and with k1=6/5,
+    b=3/4, avgdl=TT/N the tf normalization clears to the BIGINT
+    rational 22*tf*TT / (10*tf*TT + 3*TT + 9*N*dl). Each term's score
+    is two correctly-rounded float divisions and one multiply on
+    identical operands in both engines; the 3-term sum is a FIXED
+    left-to-right chain (never a float SUM aggregate), so every score
+    is bit-identical and the (score DESC, doc_id) top-10 is
+    deterministic. tf=0 collapses the term to exactly 0.0.
+
+    Distributed shape: tokenize map-side, ONE combinable groupBy to
+    (doc, dl, per-term tf), a 1-row corpus-stats broadcast, map-side
+    scoring, and orderBy+limit = TakeOrderedAndProject (per-partition
+    top-K + driver merge of K*parts rows) — no global sort, no second
+    shuffle. At 100 TB the per-doc aggregate is the posting scan of
+    the 3 query terms against the inverted index; the plan here is
+    its full-scan restatement with identical scoring."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+    )
+    terms = ("merge", "vector", "scan")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == term, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, term in enumerate(terms, 1)
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("tt"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(1, 4)
+        ],
+    )
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        n, tt, dl = F.col("n"), F.col("tt"), F.col("dl")
+        idf = (2 * n - 2 * df + 1).cast("double") / (2 * df + 1).cast(
+            "double"
+        )
+        w = (22 * tf * tt).cast("double") / (
+            10 * tf * tt + 3 * tt + 9 * n * dl
+        ).cast("double")
+        return idf * w
+
+    return (
+        per_doc.crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "dl",
+            "tf1",
+            "tf2",
+            "tf3",
+            (term_score(1) + term_score(2) + term_score(3)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )

@@ -722,12 +722,12 @@ def text_bpe_merge_step(spark, sf_dir):
     d = t(spark, sf_dir, "documents").select("text")
     merged = _bpe_rewrite(d, _bpe_top1(d)[0])
     bg2 = _bpe_bigram_counts(merged)
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.col("c").desc(), "bigram")
+    # top-5 via orderBy+limit — TakeOrderedAndProject (per-partition
+    # top-K, driver merge of K*parts rows), NOT a row_number window,
+    # which would single-task-sort the whole pair-count table
     return (
-        bg2.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+        bg2.orderBy(F.col("c").desc(), "bigram")
+        .limit(5)
         .select("bigram", F.col("c").alias("n_occurrences"))
     )
 

@@ -927,8 +927,6 @@ def data_skew_diagnostics(spark, sf_dir):
     lineitem is deliberately uniform — skew_ratio ~2 — while
     `tools/bench_skew.py` measures the 90%-hot-key regime this
     diagnostic exists to catch.)"""
-    from pyspark.sql import Window as W
-
     li = t(spark, sf_dir, "lineitem")
     per_key = li.groupBy(F.col("l_orderkey").alias("k")).agg(
         F.count(F.lit(1)).alias("cnt")
@@ -938,10 +936,12 @@ def data_skew_diagnostics(spark, sf_dir):
         F.max("cnt").alias("max_cnt"),
         (F.sum("cnt").cast("double") / F.count(F.lit(1))).alias("avg_cnt"),
     )
-    w = W.orderBy(F.col("cnt").desc(), F.col("k"))
+    # top-3 hot keys via orderBy+limit — TakeOrderedAndProject
+    # (per-partition top-K + driver merge), not a row_number window
+    # that would single-task-sort the whole per-key table
     topk = (
-        per_key.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        per_key.orderBy(F.col("cnt").desc(), F.col("k"))
+        .limit(3)
         .select(F.col("k").alias("hot_key"), F.col("cnt").alias("hot_cnt"))
     )
     return (

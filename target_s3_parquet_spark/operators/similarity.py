@@ -2656,3 +2656,113 @@ def sim_ann_ivfpq_rerank(spark, sf_dir):
             (F.count("hit_r") / float(_IPQ_TOPK)).alias("recall_rerank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gram matrix (X^T X) — the linear-algebra primitive under
+# PCA/whitening/linear probes, in two exactly-equivalent physical forms
+# ---------------------------------------------------------------------------
+# Elements are TRUNC-quantized at 1e-6 (tie-free, identical in Spark's
+# double->long cast, numpy trunc, and DuckDB TRUNC — the same grid
+# trick as `sim_ann_ivf`'s centroids) so both forms and the oracle
+# accumulate INTEGERS and agree bit-for-bit regardless of partitioning
+# or summation order. Magnitude bound: |q| <= ~2^22 for unit-scale
+# embeddings, so one product is < 2^44 and an int64 per-partition
+# partial overflows only past ~2^19 rows/partition; the cross-partition
+# sum is DECIMAL(38,0) — exact at any corpus size.
+
+_GRAM_ORACLE = """
+    WITH q AS (
+      SELECT vec_id, CAST(u.i AS BIGINT) AS i,
+             CAST(TRUNC(CAST(embedding[u.i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS qx
+      FROM embeddings
+      CROSS JOIN UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT a.i AS i, b.i AS j,
+           CAST(SUM(CAST(a.qx * b.qx AS DECIMAL(38,0))) AS BIGINT)
+             AS gram_q
+    FROM q a JOIN q b USING (vec_id)
+    WHERE a.i <= b.i
+    GROUP BY 1, 2
+"""
+
+
+@query("emb_gram_matrix_exact", _GRAM_ORACLE)
+def emb_gram_matrix_exact(spark, sf_dir):
+    """Gram matrix X^T X over the embedding corpus, RELATIONAL form:
+    posexplode each vector to (vec_id, i, q_i), self-join on vec_id
+    with i <= j, and groupBy (i, j) — the statement of the semantics
+    (and this key's oracle twin). The upper triangle of D(D+1)/2
+    entries is the sufficient statistic for covariance/PCA/whitening
+    and ridge-regression normal equations; computing it IS the only
+    data-sized pass those need.
+
+    Scale note: this form shuffles n*D^2 product rows — correct but
+    communication-bound; `emb_gram_matrix_prod` is the shape you run
+    at 100 TB (O(partitions * D^2) rows cross the wire). Registered
+    exact so the gate pins the prod twin's output bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos0") + 1).cast("long").alias("i"),
+        (F.col("x").cast("double") * 1000000.0).cast("long").alias("qx"),
+    )
+    a = q.select("vec_id", F.col("i").alias("i"), F.col("qx").alias("qa"))
+    b = q.select("vec_id", F.col("i").alias("j"), F.col("qx").alias("qb"))
+    return (
+        a.join(b, "vec_id")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            F.sum((F.col("qa") * F.col("qb")).cast("decimal(38,0)"))
+            .cast("long")
+            .alias("gram_q")
+        )
+    )
+
+
+@query("emb_gram_matrix_prod", _GRAM_ORACLE)
+def emb_gram_matrix_prod(spark, sf_dir):
+    """Gram matrix X^T X, PRODUCTION form: each Arrow batch computes
+    its local int64 Q^T Q with one numpy matmul (exact — integer
+    arithmetic, no float accumulation) and emits only its D(D+1)/2
+    upper-triangle partials; one groupBy (i, j) sums partials across
+    partitions in DECIMAL(38,0). Wire cost is O(batches * D^2)
+    regardless of corpus size — the map-side-combine shape every
+    distributed X^T X (PCA, whitening, linear probe, ridge normal
+    equations) uses at scale, vs the exact twin's n*D^2 shuffle.
+    Bit-identical to `emb_gram_matrix_exact` and the shared oracle
+    because the quantized grid makes every partial an integer."""
+    import numpy as np
+    import pandas as pd
+
+    e = t(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.trunc(x * 1000000.0).astype(np.int64)
+            g = q.T @ q
+            iu, ju = np.triu_indices(g.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int64"),
+                    "j": (ju + 1).astype("int64"),
+                    "partial": g[iu, ju],
+                }
+            )
+
+    partials = e.mapInPandas(
+        gram_partials, "i long, j long, partial long"
+    )
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("partial").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("gram_q")
+    )

@@ -239,7 +239,8 @@ _R4_DRIVER_VERIFIED = {
 _R6_NEW = {
     "window_ntile_prod", "customer_rfm_segments_prod",
     "pareto_revenue_share_prod", "text_ppjoin_suffix_stats",
-    "text_bpe_fertility_by_lang",
+    "text_bpe_fertility_by_lang", "search_bm25_topk",
+    "emb_gram_matrix_exact", "emb_gram_matrix_prod",
 }
 
 # Round-5 additions, all driver-recorded in CORRECTNESS_r05.json

@@ -224,6 +224,7 @@ _BNLJ_BOUNDED_OK = {
     # agg (the ntile_from_rank / cum_share denominators)
     "window_ntile_prod", "customer_rfm_segments_prod",
     "pareto_revenue_share_prod",
+    "search_bm25_topk",  # scored rows x 1-row corpus-stats agg
     "emb_random_projection_jl",  # 48-vector sample pair join, bcast side
     "emb_cosine_histogram",  # same 48-vector sample pair join
     "corpus_ccnet_quality_buckets",  # ranked rows x 1-row count agg
@@ -246,11 +247,9 @@ _GLOBAL_WINDOW_OK = {
     # exact references of registered _prod twins (LSH demo/prod
     # precedent):
     "customer_rfm_segments", "pareto_revenue_share", "window_ntile",
-    # bounded/diagnostic by declared contract: skew diagnosis runs on a
-    # sample in practice (docstring) and ranks per-key COUNTS; the BPE
-    # merge step ranks the bigram-count table (vocab-bounded) to pick
-    # the single merge winner
-    "data_skew_diagnostics", "text_bpe_merge_step",
+    # (data_skew_diagnostics and text_bpe_merge_step left this list in
+    # r6: their top-K row_number windows were rewritten as
+    # orderBy+limit = TakeOrderedAndProject)
 }
 
 

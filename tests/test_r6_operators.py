@@ -187,3 +187,49 @@ def test_bpe_fertility_accounting(spark):
             r["fertility_scaled"]
             == r["total_tokens"] * 1_000_000 // r["total_words"]
         ), r
+
+
+def test_gram_matrix_prod_matches_exact_and_numpy(spark):
+    """The mapInPandas partial-Gram form must equal the relational form
+    BIT-FOR-BIT (integer grid — no float accumulation anywhere), and
+    both must equal a driver-side numpy reference on the same grid."""
+    import numpy as np
+
+    from target_s3_parquet_spark.operators._util import t
+    from target_s3_parquet_spark.operators.similarity import (
+        emb_gram_matrix_exact,
+        emb_gram_matrix_prod,
+    )
+
+    exact = _rows(emb_gram_matrix_exact(spark, SF), "i", "j")
+    prod = _rows(emb_gram_matrix_prod(spark, SF), "i", "j")
+    assert prod == exact
+    emb = [
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in t(spark, SF, "embeddings").select("embedding").collect()
+    ]
+    q = np.trunc(np.stack(emb) * 1_000_000.0).astype(np.int64)
+    g = q.T @ q
+    ref = {
+        (i + 1, j + 1): int(g[i, j])
+        for i in range(g.shape[0])
+        for j in range(i, g.shape[0])
+    }
+    got = {(r[0], r[1]): r[2] for r in exact}
+    assert got == ref
+
+
+def test_bm25_scores_monotone_and_bounded(spark):
+    """Sanity invariants of the BM25 scorer: scores are positive for
+    docs matching at least one term, the returned rows are the global
+    top-10 by (score desc, doc_id), and every returned doc matches at
+    least one query term (idf > 0 on this corpus)."""
+    from target_s3_parquet_spark.functions.scalars import search_bm25_topk
+
+    rows = search_bm25_topk(spark, SF).collect()
+    assert len(rows) == 10
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["tf1"] + r["tf2"] + r["tf3"] > 0, r
+        assert r["score"] > 0, r
