@@ -226,6 +226,7 @@ def main() -> None:
         "search_bm25_topk",
         "emb_gram_matrix_exact",
         "emb_gram_matrix_prod",
+        "docs_quality_calibration",
     ]
     r6_t: dict[str, float] = {}
     for name in SWEEP_R6:

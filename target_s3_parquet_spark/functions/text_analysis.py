@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from target_s3_parquet_spark._snapshot import snapshot_persisted
-from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.operators._util import (
+    ntile_from_rank,
+    t,
+    two_phase_rank,
+)
 from target_s3_parquet_spark.registry import query
 
 
@@ -1095,6 +1099,71 @@ def docs_quality_model_score(spark, sf_dir):
             "logit"
         ),
         (F.expr(num) > 0).alias("accepted"),
+    )
+
+
+@query(
+    "docs_quality_calibration",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {_QM_DUCK[0]} AS num,
+             CAST({_QM_DUCK[0]} AS DOUBLE) / CAST({_QM_DUCK[1]} AS DOUBLE)
+               AS logit
+      FROM documents
+    ),
+    d AS (
+      SELECT *, NTILE(10) OVER (ORDER BY logit, doc_id) AS decile FROM s
+    )
+    SELECT decile, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_accepted,
+           MIN(logit) AS lo_logit, MAX(logit) AS hi_logit
+    FROM d GROUP BY decile
+    """,
+)
+def docs_quality_calibration(spark, sf_dir):
+    """Quality-classifier CALIBRATION table: corpus score deciles with
+    per-decile acceptance counts and logit bounds — how you choose (and
+    defend) the keep threshold before paying for a full curation pass,
+    and the per-bucket view behind quality-weighted mixture sampling
+    (`corpus_ccnet_quality_buckets` is the 3-bucket keep/drop form;
+    this is its 10-bucket diagnostic).
+
+    Scale shape: the logit is the exact BIGINT-rational map-side score
+    of `docs_quality_model_score` (one float division, identical in
+    both engines, so the (logit, doc_id) order is identical too); the
+    decile comes from `two_phase_rank` + closed-form
+    `ntile_from_rank` — no single-task sort anywhere — and the rollup
+    aggregates only integers and min/max of bit-identical doubles, so
+    the whole table is hash-exact cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    num, den = _qm_score_sql("size", "filter", "split", "")
+    scored = d.select(
+        "doc_id",
+        F.expr(num).alias("_num"),
+        (F.expr(num).cast("double") / F.expr(den).cast("double")).alias(
+            "logit"
+        ),
+    )
+    ranked = two_phase_rank(
+        scored,
+        ["logit", "doc_id"],
+        nparts=spark.sparkContext.defaultParallelism,
+    )
+    total = ranked.agg(F.count(F.lit(1)).alias("_total"))
+    decile = ntile_from_rank(F.col("rnk"), F.col("_total"), 10)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(decile.alias("decile"), "_num", "logit")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_num") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_accepted"),
+            F.min("logit").alias("lo_logit"),
+            F.max("logit").alias("hi_logit"),
+        )
     )
 
 

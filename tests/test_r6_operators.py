@@ -233,3 +233,28 @@ def test_bm25_scores_monotone_and_bounded(spark):
     for r in rows:
         assert r["tf1"] + r["tf2"] + r["tf3"] > 0, r
         assert r["score"] > 0, r
+
+
+def test_quality_calibration_ties_out(spark):
+    """Decile table must tie out against the per-doc scorer: doc counts
+    sum to the corpus, accepted counts sum to the scorer's accepted
+    total, equi-depth bucket sizes differ by at most 1, and logit
+    bounds are non-decreasing across deciles."""
+    from target_s3_parquet_spark.functions.text_analysis import (
+        docs_quality_calibration,
+        docs_quality_model_score,
+    )
+
+    rows = sorted(
+        docs_quality_calibration(spark, SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    scored = docs_quality_model_score(spark, SF)
+    n_docs = scored.count()
+    n_acc = scored.filter("accepted").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["n_accepted"] for r in rows) == n_acc
+    sizes = [r["n_docs"] for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_logit"] <= b["lo_logit"]
