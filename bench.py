@@ -246,6 +246,14 @@ def main() -> None:
             print(f"# r6 sweep {name} FAILED: {e}", file=sys.stderr)
     extras["r6_sweep_sec"] = r6_t
     try:
+        from tools.bench_ntile import run_ntile_scale
+
+        ns = run_ntile_scale(spark)
+        extras["ntile_scale"] = ns
+        print(f"# ntile_scale: {ns}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["ntile_scale_error"] = str(e)[:120]
+    try:
         from tools.bench_lsh_minhash import run_lsh
 
         lsh = run_lsh(spark, sf_dir, profiles=[(4, 1), (4, 3), (8, 4), (16, 2)])

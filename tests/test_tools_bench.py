@@ -57,3 +57,20 @@ def test_lsh_minhash_reference_profile_is_superset_guard():
     assert REFERENCE[1] == 1
     assert all(REFERENCE[0] >= b or r > 1 for b, r in PROFILES)
     assert (1 - TAU) ** REFERENCE[0] < 1e-4  # miss prob at threshold
+
+
+def test_ntile_scale_forms_agree(spark):
+    """The two forms the ntile crossover bench times must produce the
+    same 10-row bucket table (tiny size — the bench's assertion at
+    real sizes then only guards cardinality)."""
+    from tools.bench_ntile import _dataset, _exact, _prod
+
+    df = _dataset(spark, 1000)
+    exact = {
+        (r["decile"], r["n"], r["lo"]) for r in _exact(df).collect()
+    }
+    prod = {
+        (r["decile"], r["n"], r["lo"])
+        for r in _prod(df, spark.sparkContext.defaultParallelism).collect()
+    }
+    assert exact == prod and len(exact) == 10
