@@ -227,6 +227,7 @@ def main() -> None:
         "emb_gram_matrix_exact",
         "emb_gram_matrix_prod",
         "docs_quality_calibration",
+        "docs_dup_source_matrix",
     ]
     r6_t: dict[str, float] = {}
     for name in SWEEP_R6:

@@ -1589,6 +1589,67 @@ def text_ppjoin_suffix_stats(spark, sf_dir):
 
 
 @query(
+    "docs_dup_source_matrix",
+    f"""
+    WITH {_AP_SETS_SQL},
+    {_AP_TRUTH_SQL},
+    pairs AS (
+      SELECT doc_a, doc_b FROM truth
+      WHERE CAST(inter AS DOUBLE) / (sa + sb - inter) >= {_AP_T}
+    )
+    SELECT least(da.source, db.source) AS source_lo,
+           greatest(da.source, db.source) AS source_hi,
+           COUNT(*) AS n_dup_pairs,
+           CAST(SUM(CASE WHEN da.source = db.source THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def docs_dup_source_matrix(spark, sf_dir):
+    """Cross-source duplication matrix — the PROVENANCE view of
+    near-dup analysis: every exact Jaccard>=t pair (the AllPairs tier,
+    so no sampling and no banding misses) attributed to its two
+    sources, rolled up to a symmetric (source_lo, source_hi) matrix.
+    This is the table that decides corpus-mixing policy: a hot
+    off-diagonal cell means two \"independent\" sources are mirroring
+    each other (double-counted mass → dedup before mixing), a hot
+    diagonal means a source self-duplicates (template/boilerplate).
+
+    Plan: `_ap_true_pairs` over one cached ordered-set table (the
+    prefix-filtered exact join — candidate-bounded), then two
+    hash-joins against the documents dim on doc_id and one
+    O(sources^2)-group rollup. The matrix is bounded by source
+    cardinality, never corpus size; true-pair attribution rides the
+    same joins any pair-postprocessing does. Symmetric key via
+    least/greatest keeps (a, b) and (b, a) in one cell."""
+    ordered = _ap_ordered(spark, sf_dir)
+    pairs = _ap_true_pairs(ordered).select("doc_a", "doc_b")
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    out = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_lo"),
+            F.greatest("sa", "sb").alias("source_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_pairs"),
+            F.sum(F.when(F.col("sa") == F.col("sb"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_within"),
+        )
+    )
+    out = snapshot_small(out)
+    ordered.unpersist()
+    return out
+
+
+@query(
     "docs_boilerplate_line_ratio",
     """
     WITH b AS (

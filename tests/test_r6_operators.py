@@ -258,3 +258,23 @@ def test_quality_calibration_ties_out(spark):
     assert max(sizes) - min(sizes) <= 1
     for a, b in zip(rows, rows[1:]):
         assert a["hi_logit"] <= b["lo_logit"]
+
+
+def test_dup_source_matrix_ties_out(spark):
+    """The matrix's pair total must equal the AllPairs exact true-pair
+    count, the symmetric key must be ordered (lo <= hi), and n_within
+    only populates diagonal cells."""
+    from target_s3_parquet_spark.operators.dedup import (
+        docs_dup_source_matrix,
+        text_allpairs_prefix_join,
+    )
+
+    rows = docs_dup_source_matrix(spark, SF).collect()
+    n_true = text_allpairs_prefix_join(spark, SF).count()
+    assert sum(r["n_dup_pairs"] for r in rows) == n_true
+    for r in rows:
+        assert r["source_lo"] <= r["source_hi"], r
+        if r["source_lo"] != r["source_hi"]:
+            assert r["n_within"] == 0, r
+        else:
+            assert r["n_within"] == r["n_dup_pairs"], r
