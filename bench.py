@@ -228,6 +228,7 @@ def main() -> None:
         "emb_gram_matrix_prod",
         "docs_quality_calibration",
         "docs_dup_source_matrix",
+        "agg_weighted_median",
     ]
     r6_t: dict[str, float] = {}
     for name in SWEEP_R6:

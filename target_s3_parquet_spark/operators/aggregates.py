@@ -1368,3 +1368,66 @@ def agg_heavy_hitters_mg(spark, sf_dir):
         .filter(F.col("cnt") * _MG_K > F.col("n"))
         .select("hh_key", "cnt")
     )
+
+
+@query(
+    "agg_weighted_median",
+    """
+    WITH cum AS (
+      SELECT l_returnflag,
+             l_extendedprice,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS BIGINT) AS tot
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS weighted_median_price,
+           ANY_VALUE(tot) AS total_weight
+    FROM cum WHERE 2 * cw >= tot
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """WEIGHTED median per group — the aggregate Spark has no built-in
+    for (percentile() weights every row equally): the smallest value v
+    whose cumulative weight reaches half the group total, here the
+    quantity-weighted median price per return flag (what 'median price
+    of a SOLD UNIT' means, vs the per-line median).
+
+    Exactness without floats: weights are integral quantities summed
+    as BIGINT, and the crossing test is the integer comparison
+    2*cw >= tot. Rows tied on the value can accumulate in any order —
+    every ordering crosses the threshold INSIDE the same value block,
+    and MIN(value) over the crossing set is therefore
+    partitioning-independent (ROWS frame, not RANGE, precisely
+    because per-row cw may differ between engines while the answer
+    cannot). One shuffle on the group key; both windows share its
+    sort. At 100 TB with heavy groups the same statistic comes from
+    the two-phase prefix sum per group (`two_phase_rank` with the
+    group in the range key) or a weighted sketch; this per-group
+    window form is the exact contract those must reproduce."""
+    li = t(spark, sf_dir, "lineitem")
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("l_returnflag")
+    qty = F.col("l_quantity").cast("long")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(qty).over(w_cum).alias("cw"),
+        F.sum(qty).over(w_all).alias("tot"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.any_value("tot").alias("total_weight"),
+        )
+    )

@@ -345,3 +345,75 @@ def test_semdedup_rank_cap_bounds_oversized_cell_pair_work(spark):
     dups_capped = {x["vec_id"] for x in capped if x["is_dup"]}
     assert dups_capped <= dups_full  # one-sided: capping never adds dups
     assert dups_full  # jittered same-axis vectors do exceed tau=0.9
+
+
+def _naive_ntile(n: int, k: int) -> list:
+    """Bucket of rank r (1-based) per NTILE's contract: the first
+    n mod k buckets get n div k + 1 rows, the rest n div k."""
+    q, m = divmod(n, k)
+    out = []
+    for r in range(1, n + 1):
+        if r <= (q + 1) * m:
+            out.append((r - 1) // (q + 1) + 1)
+        else:
+            out.append(m + (r - (q + 1) * m - 1) // max(q, 1) + 1)
+    return out
+
+
+@given(st.integers(1, 400), st.integers(1, 17))
+@settings(max_examples=60, deadline=None)
+def test_ntile_closed_form_properties(n, k):
+    """Pure-python check of the closed form ntile_from_rank encodes:
+    bucket ids are 1..min(n,k) and non-decreasing in rank, sizes differ
+    by at most 1, and the LARGER buckets come first — the exact window
+    contract on arbitrary (n, k)."""
+    buckets = _naive_ntile(n, k)
+    assert buckets[0] == 1 and buckets[-1] == min(n, k)
+    assert all(b2 - b1 in (0, 1) for b1, b2 in zip(buckets, buckets[1:]))
+    from collections import Counter
+
+    sizes = Counter(buckets)
+    vals = [sizes[b] for b in sorted(sizes)]
+    assert max(vals) - min(vals) <= 1
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_two_phase_rank_random_frames(spark):
+    """Randomized cross-check of two_phase_rank against the naive
+    global window on duplicate-laden multi-column orderings, including
+    a running DECIMAL sum — one Spark session, several drawn frames."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        n = rng.randint(1, 300)
+        rows = [
+            (rng.randint(0, 9), i, rng.randint(-5, 5))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "a int, key long, m long").select(
+            "a", "key", F.col("m").cast("decimal(38,6)").alias("m")
+        )
+        order = [F.col("a").desc(), F.col("key")]
+        w = W.orderBy(*order)
+        naive = df.select(
+            "key",
+            F.row_number().over(w).alias("rnk"),
+            F.sum("m")
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .alias("cum"),
+        )
+        expected = sorted(tuple(r) for r in naive.collect())
+        got = sorted(
+            tuple(r)
+            for r in two_phase_rank(
+                df, order, sum_col="m", nparts=rng.choice([1, 2, 7, 32])
+            )
+            .select("key", "rnk", "cum")
+            .collect()
+        )
+        assert got == expected, f"trial {trial}, n={n}"

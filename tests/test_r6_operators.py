@@ -278,3 +278,40 @@ def test_dup_source_matrix_ties_out(spark):
             assert r["n_within"] == 0, r
         else:
             assert r["n_within"] == r["n_dup_pairs"], r
+
+
+def test_weighted_median_against_python_reference(spark):
+    """The weighted median per group must equal a naive per-row Python
+    reference (sort by value, walk cumulative weight to half-total)."""
+    from collections import defaultdict
+
+    from target_s3_parquet_spark.operators._util import t
+    from target_s3_parquet_spark.operators.aggregates import (
+        agg_weighted_median,
+    )
+
+    rows = (
+        t(spark, SF, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity")
+        .collect()
+    )
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["l_returnflag"]].append(
+            (r["l_extendedprice"], int(r["l_quantity"]))
+        )
+    expected = {}
+    for flag, vw in groups.items():
+        vw.sort()
+        tot = sum(w for _, w in vw)
+        cw = 0
+        for v, w in vw:
+            cw += w
+            if 2 * cw >= tot:
+                expected[flag] = (v, tot)
+                break
+    got = {
+        r["l_returnflag"]: (r["weighted_median_price"], r["total_weight"])
+        for r in agg_weighted_median(spark, SF).collect()
+    }
+    assert got == expected
