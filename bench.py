@@ -229,6 +229,7 @@ def main() -> None:
         "docs_quality_calibration",
         "docs_dup_source_matrix",
         "agg_weighted_median",
+        "cdc_scd2_point_in_time_audit",
     ]
     r6_t: dict[str, float] = {}
     for name in SWEEP_R6:

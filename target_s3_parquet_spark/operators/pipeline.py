@@ -827,6 +827,106 @@ def cdc_scd2_history(spark, sf_dir):
 
 
 @query(
+    "cdc_scd2_point_in_time_audit",
+    """
+    WITH ordered AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             LAG(o_orderpriority) OVER w AS prev_prio,
+             ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    changes AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+      FROM ordered
+      WHERE rn = 1 OR o_orderpriority <> prev_prio
+    ),
+    hist AS (
+      SELECT o_custkey AS custkey,
+             o_orderpriority AS priority,
+             o_orderdate AS valid_from,
+             LEAD(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS valid_to
+      FROM changes
+    ),
+    pit AS (
+      SELECT o.o_orderkey, o.o_orderpriority AS actual_priority,
+             h.priority AS version_priority
+      FROM orders o
+      JOIN hist h
+        ON h.custkey = o.o_custkey
+       AND o.o_orderdate >= h.valid_from
+       AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    )
+    SELECT COUNT(*) AS n_orders_matched,
+           CAST(SUM(CASE WHEN actual_priority = version_priority
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+           CAST(SUM(CASE WHEN actual_priority <> version_priority
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_leakage
+    FROM pit
+    """,
+)
+def cdc_scd2_point_in_time_audit(spark, sf_dir):
+    """POINT-IN-TIME audit of the SCD2 history — the feature-store
+    training/serving-skew check: replay every source event (order)
+    against the dimension history (`cdc_scd2_history`'s intervals) with
+    an AS-OF containment lookup (valid_from <= event_date < valid_to)
+    and count how often the version valid at the event's date carries
+    the attribute the event actually had. n_leakage > 0 localizes
+    same-timestamp attribute flips — the rows where training features
+    joined point-in-time would silently disagree with reality (a
+    zero-length [x, x) interval from two same-date changes makes the
+    earlier event resolve to the LATER version). The audit is the
+    pre-flight every PIT feature join needs.
+
+    Plan: the history build is `cdc_scd2_history`'s two windows on one
+    entity-key shuffle; the PIT lookup is an EQUI-join on the entity
+    key with the interval containment as a residual filter — versions
+    per entity are bounded (change counts, not event counts), so the
+    probe never fans out. One more entity-key shuffle at any scale."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ordered = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.lag("o_orderpriority").over(w).alias("prev_prio"),
+        F.row_number().over(w).alias("rn"),
+    )
+    changes = ordered.filter(
+        (F.col("rn") == 1)
+        | (F.col("o_orderpriority") != F.col("prev_prio"))
+    )
+    hist = changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    pit = o.join(
+        hist,
+        (F.col("custkey") == F.col("o_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to"))
+        ),
+    )
+    consistent = F.col("o_orderpriority") == F.col("priority")
+    return pit.agg(
+        F.count(F.lit(1)).alias("n_orders_matched"),
+        F.sum(F.when(consistent, 1).otherwise(0))
+        .cast("long")
+        .alias("n_consistent"),
+        F.sum(F.when(~consistent, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leakage"),
+    )
+
+
+@query(
     "privacy_kanonymity_audit",
     """
     SELECT c_nationkey, c_mktsegment,

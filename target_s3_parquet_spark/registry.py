@@ -242,7 +242,7 @@ _R6_NEW = {
     "text_bpe_fertility_by_lang", "search_bm25_topk",
     "emb_gram_matrix_exact", "emb_gram_matrix_prod",
     "docs_quality_calibration", "docs_dup_source_matrix",
-    "agg_weighted_median",
+    "agg_weighted_median", "cdc_scd2_point_in_time_audit",
 }
 
 # Round-5 additions, all driver-recorded in CORRECTNESS_r05.json

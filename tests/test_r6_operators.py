@@ -315,3 +315,19 @@ def test_weighted_median_against_python_reference(spark):
         for r in agg_weighted_median(spark, SF).collect()
     }
     assert got == expected
+
+
+def test_pit_audit_total_coverage(spark):
+    """Every source event must resolve to EXACTLY one history version
+    (the intervals partition each entity's timeline), and the
+    consistent/leakage split must cover all matches."""
+    from target_s3_parquet_spark.operators._util import t
+    from target_s3_parquet_spark.operators.pipeline import (
+        cdc_scd2_point_in_time_audit,
+    )
+
+    row = cdc_scd2_point_in_time_audit(spark, SF).collect()[0]
+    n_orders = t(spark, SF, "orders").count()
+    assert row["n_orders_matched"] == n_orders
+    assert row["n_consistent"] + row["n_leakage"] == n_orders
+    assert row["n_consistent"] > 0
