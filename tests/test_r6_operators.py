@@ -331,3 +331,22 @@ def test_pit_audit_total_coverage(spark):
     assert row["n_orders_matched"] == n_orders
     assert row["n_consistent"] + row["n_leakage"] == n_orders
     assert row["n_consistent"] > 0
+
+
+def test_stream_scd2_converges_to_batch(spark):
+    """The incremental (foreachBatch) SCD2 table must be IDENTICAL to
+    the one-shot batch build — convergence of incremental maintenance
+    to batch semantics, checked Spark-vs-Spark (the oracle pins both
+    against DuckDB separately)."""
+    from target_s3_parquet_spark.operators.pipeline import cdc_scd2_history
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        stream_cdc_scd2,
+    )
+
+    batch = sorted(
+        tuple(r) for r in cdc_scd2_history(spark, SF).collect()
+    )
+    streamed = sorted(
+        tuple(r) for r in stream_cdc_scd2(spark, SF).collect()
+    )
+    assert streamed == batch
