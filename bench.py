@@ -230,6 +230,7 @@ def main() -> None:
         "docs_dup_source_matrix",
         "agg_weighted_median",
         "cdc_scd2_point_in_time_audit",
+        "sim_ann_ivf_cell_stats",
     ]
     r6_t: dict[str, float] = {}
     for name in SWEEP_R6:

@@ -2766,3 +2766,66 @@ def emb_gram_matrix_prod(spark, sf_dir):
         .cast("long")
         .alias("gram_q")
     )
+
+
+@query(
+    "sim_ann_ivf_cell_stats",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {_IVF_K}),
+    corpus AS (SELECT vec_id, v FROM v WHERE vec_id >= {_IVF_K}),
+    assign AS ({_km_assign_sql('corpus', 'c')}),
+    cells AS (
+      SELECT cid, COUNT(*) AS cell_size FROM assign GROUP BY cid
+    ),
+    tot AS (SELECT CAST(SUM(cell_size) AS BIGINT) AS n FROM cells)
+    SELECT cid, cell_size,
+           cell_size * 1000000 // (SELECT n FROM tot) AS share_scaled,
+           cell_size * {_IVF_K} * 1000000 // (SELECT n FROM tot)
+             AS imbalance_scaled
+    FROM cells
+    """,
+)
+def sim_ann_ivf_cell_stats(spark, sf_dir):
+    """IVF cell-BALANCE profile — the probe-cost model behind every
+    nprobe/recall decision on the ANN stack: per-cell member counts
+    with each cell's corpus share and its imbalance factor
+    (share x K, exactly 1e6 when cells are perfectly even). An
+    imbalance factor far above 1e6 means probing that cell scans a
+    disproportionate slice of the corpus — the signal to retrain
+    centroids (`ivf_kmeans_train`) or split hot cells; the expected
+    scan cost of an nprobe-cell query is the sum of its probed cells'
+    shares, read straight off this table.
+
+    Plan: the same broadcast argmax-cosine assignment every IVF key
+    uses (one map-side pass over the corpus, no shuffle of vectors),
+    one K-group rollup, and integer-scaled floor-rational shares —
+    bit-exact in both engines. At 100 TB this table is the index
+    maintenance dashboard: O(K) rows regardless of corpus size."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    c = v.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    corpus = v.filter(F.col("vec_id") >= _IVF_K)
+    cells = (
+        _km_assign(corpus, c)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+    )
+    tot = cells.agg(F.sum("cell_size").alias("n"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "cell_size",
+            F.expr("cell_size * 1000000 DIV n").alias("share_scaled"),
+            F.expr(f"cell_size * {_IVF_K} * 1000000 DIV n").alias(
+                "imbalance_scaled"
+            ),
+        )
+    )

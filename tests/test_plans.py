@@ -226,6 +226,7 @@ _BNLJ_BOUNDED_OK = {
     "pareto_revenue_share_prod",
     "search_bm25_topk",  # scored rows x 1-row corpus-stats agg
     "docs_quality_calibration",  # ranked rows x 1-row count agg
+    "sim_ann_ivf_cell_stats",  # 16 cells x 1-row corpus-total agg
     "emb_random_projection_jl",  # 48-vector sample pair join, bcast side
     "emb_cosine_histogram",  # same 48-vector sample pair join
     "corpus_ccnet_quality_buckets",  # ranked rows x 1-row count agg

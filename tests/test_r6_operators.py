@@ -350,3 +350,28 @@ def test_stream_scd2_converges_to_batch(spark):
         tuple(r) for r in stream_cdc_scd2(spark, SF).collect()
     )
     assert streamed == batch
+
+
+def test_ivf_cell_stats_ties_out(spark):
+    """Cell sizes must sum to the corpus (every vector lands in exactly
+    one cell), shares must sum to ~1e6 (floor rationals), and the
+    imbalance factor must be share * K exactly."""
+    from target_s3_parquet_spark.operators._util import t
+    from target_s3_parquet_spark.operators.similarity import (
+        _IVF_K,
+        sim_ann_ivf_cell_stats,
+    )
+
+    rows = sim_ann_ivf_cell_stats(spark, SF).collect()
+    n_corpus = (
+        t(spark, SF, "embeddings").filter(f"vec_id >= {_IVF_K}").count()
+    )
+    total = sum(r["cell_size"] for r in rows)
+    assert total == n_corpus
+    assert len(rows) <= _IVF_K
+    for r in rows:
+        assert r["share_scaled"] == r["cell_size"] * 1_000_000 // total
+        assert (
+            r["imbalance_scaled"]
+            == r["cell_size"] * _IVF_K * 1_000_000 // total
+        )
