@@ -1,11 +1,18 @@
-"""ANSI-mode smoke: the integer-exact scoring/aggregation keys must
-produce IDENTICAL results with `spark.sql.ansi.enabled=true` — i.e.
-none of them relies on silent non-ANSI overflow wrapping or
-divide-by-zero-to-NULL. (The quality model's LEAST clamps exist
-precisely so the cubic term cannot overflow; this test is what keeps
-that guarantee live as keys evolve.) ANSI is the default posture of
-managed Spark platforms, so a key that only works with wrapping would
-be broken exactly where 100 TB jobs run."""
+"""Dual-mode smoke: the integer-exact scoring/aggregation keys must
+produce IDENTICAL results under BOTH `spark.sql.ansi.enabled=true`
+(the Spark 4 session default this repo runs under everywhere) and
+legacy non-ANSI mode — i.e. none of them relies on ANSI-only implicit
+coercions or on legacy overflow wrapping. The quality model's LEAST
+clamps exist precisely so the cubic term cannot overflow; this test is
+what keeps that guarantee live as keys evolve.
+
+Conf-hygiene note (learned the hard way): `spark.conf.get(key,
+default)` returns the CALLER's default when the key was never
+explicitly set — NOT the engine's effective default — so the restore
+value must come from `spark.conf.get(key)` (no default), which is
+"true" on Spark 4. Restoring "false" here silently flipped the whole
+suite into legacy mode, where e.g. BIGINT DIV DOUBLE fails analysis.
+"""
 
 import os
 
@@ -30,18 +37,20 @@ KEYS = [
 
 
 @pytest.mark.parametrize("key", KEYS)
-def test_key_is_ansi_clean(spark, key):
+def test_key_identical_in_both_sql_modes(spark, key):
     from target_s3_parquet_spark.registry import QUERIES, load_all
 
     load_all()
     fn = QUERIES[key]
-    baseline = sorted(map(tuple, fn(spark, SF).collect()))
-    spark.catalog.clearCache()
-    prev = spark.conf.get("spark.sql.ansi.enabled", "false")
-    spark.conf.set("spark.sql.ansi.enabled", "true")
+    prev = spark.conf.get("spark.sql.ansi.enabled")  # effective value
+    results = {}
     try:
-        ansi = sorted(map(tuple, fn(spark, SF).collect()))
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            results[mode] = sorted(map(tuple, fn(spark, SF).collect()))
+            spark.catalog.clearCache()
     finally:
         spark.conf.set("spark.sql.ansi.enabled", prev)
         spark.catalog.clearCache()
-    assert ansi == baseline
+    assert results["true"] == results["false"]
+    assert results["true"], f"{key} returned no rows"
