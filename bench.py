@@ -231,6 +231,7 @@ def main() -> None:
         "agg_weighted_median",
         "cdc_scd2_point_in_time_audit",
         "sim_ann_ivf_cell_stats",
+        "emb_dim_stats",
     ]
     r6_t: dict[str, float] = {}
     for name in SWEEP_R6:

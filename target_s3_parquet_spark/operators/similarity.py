@@ -2829,3 +2829,53 @@ def sim_ann_ivf_cell_stats(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "emb_dim_stats",
+    """
+    WITH q AS (
+      SELECT CAST(u.i AS BIGINT) AS dim,
+             CAST(TRUNC(CAST(embedding[u.i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS qx
+      FROM embeddings
+      CROSS JOIN UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT dim, COUNT(*) AS n,
+           CAST(SUM(qx) AS BIGINT) AS sum_q,
+           CAST(SUM(CAST(qx * qx AS DECIMAL(38,0))) AS BIGINT) AS ssq_q,
+           MIN(qx) AS min_q, MAX(qx) AS max_q
+    FROM q GROUP BY dim
+    """,
+)
+def emb_dim_stats(spark, sf_dir):
+    """Per-DIMENSION feature-health table over the embedding corpus:
+    count, exact sum, exact sum of squares, min and max of every
+    coordinate on the TRUNC-1e-6 integer grid — the D-row monitoring
+    surface a feature store watches for dead dimensions (zero
+    variance), drifting means, and range blowups, and the sufficient
+    statistic for per-dim standardization (mean = sum/n, var from
+    (n*ssq - sum^2)). The Gram matrix (`emb_gram_matrix_*`) holds the
+    cross terms; this is its diagonal-plus-first-moments companion at
+    O(D) output.
+
+    Plan: one posexplode + one map-side-combinable groupBy on the
+    dimension index — D groups regardless of corpus size, integer
+    sums exact under any partitioning (squares summed as
+    DECIMAL(38,0): per-element q^2 <= ~2^44, so any corpus fits)."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        (F.col("pos0") + 1).cast("long").alias("dim"),
+        (F.col("x").cast("double") * 1000000.0).cast("long").alias("qx"),
+    )
+    return q.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("sum_q"),
+        F.sum((F.col("qx") * F.col("qx")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("ssq_q"),
+        F.min("qx").alias("min_q"),
+        F.max("qx").alias("max_q"),
+    )

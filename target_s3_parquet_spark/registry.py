@@ -243,7 +243,7 @@ _R6_NEW = {
     "emb_gram_matrix_exact", "emb_gram_matrix_prod",
     "docs_quality_calibration", "docs_dup_source_matrix",
     "agg_weighted_median", "cdc_scd2_point_in_time_audit",
-    "stream_cdc_scd2", "sim_ann_ivf_cell_stats",
+    "stream_cdc_scd2", "sim_ann_ivf_cell_stats", "emb_dim_stats",
 }
 
 # Round-5 additions, all driver-recorded in CORRECTNESS_r05.json

@@ -375,3 +375,33 @@ def test_ivf_cell_stats_ties_out(spark):
             r["imbalance_scaled"]
             == r["cell_size"] * _IVF_K * 1_000_000 // total
         )
+
+
+def test_emb_dim_stats_vs_numpy(spark):
+    """Per-dim integer-grid stats must equal a driver-side numpy
+    reference exactly."""
+    import numpy as np
+
+    from target_s3_parquet_spark.operators._util import t
+    from target_s3_parquet_spark.operators.similarity import emb_dim_stats
+
+    emb = np.stack(
+        [
+            np.asarray(r["embedding"], dtype=np.float64)
+            for r in t(spark, SF, "embeddings").select("embedding").collect()
+        ]
+    )
+    q = np.trunc(emb * 1_000_000.0).astype(np.int64)
+    got = {
+        r["dim"]: (r["n"], r["sum_q"], r["ssq_q"], r["min_q"], r["max_q"])
+        for r in emb_dim_stats(spark, SF).collect()
+    }
+    for d in range(q.shape[1]):
+        col = q[:, d]
+        assert got[d + 1] == (
+            len(col),
+            int(col.sum()),
+            int((col.astype(object) ** 2).sum()),
+            int(col.min()),
+            int(col.max()),
+        ), d
