@@ -81,11 +81,14 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         spark.catalog.clearCache()  # keys that cache must not leak across keys
 
-    # Emit the headline number IMMEDIATELY — before any extras — so no
-    # later failure (or a JVM-shutdown race, which cost round 5's
-    # artifact) can lose the round's official number. The enriched line
-    # with extras is printed last, after spark.stop(); the driver parses
-    # the last stdout line, so both orderings are safe.
+    # Build the headline JSON now, but DO NOT print it to stdout yet:
+    # the driver records only a 2000-character stdout TAIL and parses
+    # the last line inside it (r6 verdict, judge-measured). The compact
+    # headline (~774 chars) must therefore be the FINAL stdout line;
+    # anything printed after it — including the 4 KB enriched line that
+    # sank the r5 and r6 artifacts — scrolls it out of the tail window.
+    # Safety copy to stderr immediately so a later crash can't lose the
+    # number entirely.
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     headline_json = {
         "metric": "headline_query_wall_clock_total",
@@ -94,7 +97,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(headline_json), flush=True)
+    print(f"# headline: {json.dumps(headline_json)}", file=sys.stderr, flush=True)
 
     # Measured scale evidence beyond the headline queries (small sizes —
     # the point is the recorded ratio/rate per round, not a stress run):
@@ -317,7 +320,27 @@ def main() -> None:
         spark.stop()
     except Exception as e:  # noqa: BLE001
         print(f"# spark.stop: {e}", file=sys.stderr)
-    print(json.dumps({**headline_json, **extras}), flush=True)
+
+    # Enriched record (headline + all extras, ~4 KB) goes to a FILE and
+    # stderr — never stdout, where it would push the parseable headline
+    # out of the driver's 2000-char stdout tail (lost BENCH_r05/r06).
+    enriched = json.dumps({**headline_json, **extras})
+    try:
+        with open(os.path.join(REPO, "BENCH_EXTRAS.json"), "w") as f:
+            f.write(enriched + "\n")
+    except Exception as e:  # noqa: BLE001
+        print(f"# BENCH_EXTRAS.json write failed: {e}", file=sys.stderr)
+    print(f"# enriched: {enriched}", file=sys.stderr, flush=True)
+
+    # The compact headline is the ONE AND ONLY stdout line, printed
+    # last, after spark.stop(). Self-check: it must fit well inside the
+    # driver's 2000-char tail window with headroom for trailing noise.
+    final_line = json.dumps(headline_json)
+    assert len(final_line) < 1900, (
+        f"headline line {len(final_line)} chars — would overflow the "
+        "driver's 2000-char stdout tail; trim the queries map"
+    )
+    print(final_line, flush=True)
 
 
 if __name__ == "__main__":

@@ -87,3 +87,19 @@ def snapshot(df: DataFrame, max_driver_rows: int = 10_000) -> DataFrame:
     if len(rows) > max_driver_rows:
         return snapshot_persisted(df)
     return df.sparkSession.createDataFrame(rows, df.schema)
+
+def session_memo(cache: dict, key: tuple, builder):
+    """Bounded session-scoped memo for snapshot artifacts shared across
+    query keys (`dedup._AP_SNAP`, `text_analysis._ER_MP_SNAP`, the BPE
+    merge list). ``key[0]`` MUST be the live applicationId: on every
+    miss, entries belonging to OTHER applications are evicted first, so
+    a long-lived process cycling SparkSessions (pytest, a notebook)
+    never accumulates dangling handles into stopped JVMs — the dict is
+    bounded by one session's distinct (sf_dir, variant) keys."""
+    hit = cache.get(key)
+    if hit is None:
+        for stale in [k for k in cache if k[0] != key[0]]:
+            del cache[stale]
+        hit = builder()
+        cache[key] = hit
+    return hit

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from target_s3_parquet_spark._snapshot import snapshot_persisted
+from target_s3_parquet_spark._snapshot import session_memo, snapshot_persisted
 from target_s3_parquet_spark.operators._util import (
     ntile_from_rank,
     t,
@@ -1524,9 +1524,12 @@ def _er_multipass(spark, sf_dir):
     The verified edge list is materialized once per (session, sf_dir)
     — see _ER_MP_SNAP above."""
     cache_key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _ER_MP_SNAP.get(cache_key)
-    if hit is not None:
-        return hit
+    return session_memo(
+        _ER_MP_SNAP, cache_key, lambda: _er_multipass_build(spark, sf_dir)
+    )
+
+
+def _er_multipass_build(spark, sf_dir):
     e = (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < 3000)
@@ -1583,9 +1586,7 @@ def _er_multipass(spark, sf_dir):
         .cast("long")
         .alias("in_pass2"),
     )
-    snap = snapshot_persisted(mp, "er_multipass")
-    _ER_MP_SNAP[cache_key] = snap
-    return snap
+    return snapshot_persisted(mp, "er_multipass")
 
 
 @query(

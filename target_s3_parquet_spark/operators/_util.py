@@ -81,6 +81,10 @@ def two_phase_rank(
     ``local`` must be CACHED before fanning out: repartitionByRange
     samples its bounds per RDD id, so two independent materializations
     could pick different ranges and offsets would disagree with pids.
+    The cache is NOT unpersisted here (the returned lazy plan still
+    references it); callers that invoke this repeatedly in one session
+    must ``spark.catalog.clearCache()`` after materializing the result
+    — the gate, bench, and test harnesses all do so per key.
     """
     ordering = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     local = (
@@ -122,9 +126,15 @@ def two_phase_rank(
     )
     if sum_col is not None:
         offsets = offsets.withColumn("_off_s", F.sum("_s").over(w_off))
+    # LONG, not int: these are the declared 100 TB / billions-of-rows
+    # forms, and a 32-bit global rank overflows past ~2.1B rows (ANSI
+    # runtime error, silent wrap in legacy) at exactly the scale the
+    # helper exists for. ntile_from_rank consumes the rank as a Column
+    # and is long-safe; the comparator stringifies cells, so the
+    # int->long widening is oracle-neutral (DuckDB ROW_NUMBER is BIGINT).
     out = (
         local.join(F.broadcast(offsets.drop("_n", "_s")), "_pid")
-        .withColumn(rank_name, (F.col("_off_n") + F.col("_local_rn")).cast("int"))
+        .withColumn(rank_name, (F.col("_off_n") + F.col("_local_rn")).cast("long"))
     )
     if sum_col is not None:
         out = out.withColumn(

@@ -15,7 +15,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from target_s3_parquet_spark._snapshot import snapshot_persisted, snapshot_small
+from target_s3_parquet_spark._snapshot import (
+    session_memo,
+    snapshot_persisted,
+    snapshot_small,
+)
 from target_s3_parquet_spark.operators._util import t
 from target_s3_parquet_spark.registry import QUERIES, query
 
@@ -1074,11 +1078,9 @@ _AP_SNAP: dict = {}
 
 def _ap_snapshot(spark, sf_dir, variant, builder):
     key = (spark.sparkContext.applicationId, sf_dir, variant)
-    hit = _AP_SNAP.get(key)
-    if hit is None:
-        hit = snapshot_persisted(builder(), f"ap_{variant}")
-        _AP_SNAP[key] = hit
-    return hit
+    return session_memo(
+        _AP_SNAP, key, lambda: snapshot_persisted(builder(), f"ap_{variant}")
+    )
 
 
 def _ap_ordered(spark, sf_dir):
@@ -1568,8 +1570,17 @@ def text_ppjoin_suffix_stats(spark, sf_dir):
             F.expr("slice(ga, ia + 1, sa - ia)").alias("suf_a"),
             F.expr("slice(gb, jb + 1, sb - jb)").alias("suf_b"),
         )
+        # len_a == 0 is reachable (docs with <=2 grams whose single gram
+        # collides at the last position): element_at(_, 0) raises
+        # INVALID_INDEX_OF_ZERO in both ANSI and legacy modes, so guard
+        # the probe — those rows take the n_coll-only ub branch below
+        # and never consume m/sal/sbl (NULL m makes the filters empty).
         .withColumn(
-            "m", F.expr("element_at(suf_a, CAST((len_a + 1) DIV 2 AS INT))")
+            "m",
+            F.when(
+                F.col("len_a") > 0,
+                F.expr("element_at(suf_a, CAST((len_a + 1) DIV 2 AS INT))"),
+            ),
         )
         .withColumn("sal", F.expr("size(filter(suf_a, x -> x < m))"))
         .withColumn("sbl", F.expr("size(filter(suf_b, x -> x < m))"))

@@ -95,6 +95,16 @@ def replay_stream(
                 ((F.col("rnk") - 1) * n_chunks / total).cast("int"),
             ).drop("rnk").cache()
         else:
+            # CAVEAT (hash membership): duplicate rows always land in
+            # the same chunk, and a chunk CAN be empty for small or
+            # duplicate-heavy sources — an empty chunk writes a
+            # zero-row parquet file, which still becomes its own
+            # micro-batch (the file exists), but carries no data. Any
+            # future caller that needs a flush to ride a DATA batch
+            # (see tail_chunks above) must pass order_col, whose
+            # rank-based split guarantees non-empty chunks whenever
+            # n_rows >= n_chunks; declared consumers of this branch are
+            # chunk-invariant (complete-mode / max-emission).
             numbered = source.withColumn(
                 "_chunk",
                 F.pmod(

@@ -74,3 +74,39 @@ def test_ntile_scale_forms_agree(spark):
         for r in _prod(df, spark.sparkContext.defaultParallelism).collect()
     }
     assert exact == prod and len(exact) == 10
+
+def test_bench_stdout_contract_headline_is_last_and_fits_tail():
+    """The driver records only a 2000-char stdout TAIL of bench.py and
+    parses the last line in it (r6 verdict — this lost BENCH_r05 and
+    BENCH_r06). Contract: the compact headline JSON is the FINAL (and
+    only) stdout print, it fits the tail with headroom, and the 4 KB
+    enriched record goes to stderr/BENCH_EXTRAS.json, never stdout."""
+    import json
+    import os
+    import re
+
+    src = open(
+        os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    ).read()
+    # every print() without file=sys.stderr must be the final_line one
+    # (match the full call even when its args span multiple lines)
+    stdout_prints = [
+        m.group(0).replace("\n", " ")
+        for m in re.finditer(r"print\((?:[^()]|\([^()]*\))*\)", src)
+        if "sys.stderr" not in m.group(0)
+    ]
+    assert stdout_prints == ["print(final_line, flush=True)"], stdout_prints
+    # the headline for the 24-key set serializes well under the window
+    import bench
+
+    fake = {
+        "metric": "headline_query_wall_clock_total",
+        "value": 99.999,
+        "unit": "sec",
+        "queries": {k: 99.999 for k in bench.HEADLINE},
+        "sf": 0.1,
+    }
+    line = json.dumps(fake)
+    assert len(line) < 1900, len(line)
+    # the self-check guarding this at runtime must be present
+    assert "len(final_line) < 1900" in src
