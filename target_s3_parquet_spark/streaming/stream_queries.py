@@ -635,6 +635,47 @@ def stream_foreachbatch_upsert(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def scd2_merge_increment(prev, batch, w):
+    """One epoch of keyed-incremental SCD2 change-point maintenance:
+    re-window ONLY the entities the batch touches; untouched prior
+    state rows union through byte-identical, never entering a window.
+
+    The batch's distinct entity keys (bounded by the trigger size, so
+    broadcast-able) semi-split the prior change-point table: the
+    touched slice unions with the batch and re-runs the lag-dedup, the
+    anti slice is passed through via a broadcast-hash anti join — a
+    map-side scan, no shuffle of untouched history. Per-epoch shuffled
+    rows are therefore O(touched entities' change rows + batch), not
+    O(total change rows): the MERGE-on-touched-keys shape a warehouse
+    SCD2 pipeline runs at 100 TB. Correct because every entity's change
+    rows land entirely on one side of the split (the entity key is the
+    window partition key), so untouched entities' keep/drop decisions
+    cannot change. `tests/test_r7_operators.py` pins the pass-through
+    property (a non-canonical untouched row must SURVIVE an epoch,
+    proving it was not re-windowed)."""
+    cols = ["o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"]
+    batch = batch.select(*cols)
+    untouched = None
+    cur = batch
+    if prev is not None:
+        keys = batch.select("o_custkey").distinct()
+        untouched = prev.join(F.broadcast(keys), "o_custkey", "left_anti")
+        cur = prev.join(F.broadcast(keys), "o_custkey", "leftsemi").unionByName(
+            batch
+        )
+    ordered = cur.select(
+        *cols,
+        F.lag("o_orderpriority").over(w).alias("prev_prio"),
+        F.row_number().over(w).alias("rn"),
+    )
+    changes = ordered.filter(
+        (F.col("rn") == 1) | (F.col("o_orderpriority") != F.col("prev_prio"))
+    ).select(*cols)
+    if untouched is not None:
+        changes = untouched.select(*cols).unionByName(changes)
+    return changes
+
+
 @query(
     "stream_cdc_scd2",
     """
@@ -684,8 +725,11 @@ def stream_cdc_scd2(spark, sf_dir):
     to the batch semantics, the property every warehouse SCD2
     pipeline owes its consumers. At 100 TB the state is a real table
     (Delta/Iceberg MERGE on touched entity keys); the per-epoch data
-    motion here — one entity-key shuffle over prior-changes ∪ batch —
-    is that pipeline's exact shape."""
+    motion here — `scd2_merge_increment`'s broadcast key-split of the
+    state plus one entity-key shuffle over touched-changes ∪ batch,
+    with untouched state passing through join-free — is that
+    pipeline's exact shape (r6 design note closed: per-epoch shuffled
+    rows are O(touched + batch), not O(total change rows))."""
     import os
     import shutil
     import tempfile
@@ -717,24 +761,10 @@ def stream_cdc_scd2(spark, sf_dir):
         w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
 
         def merge(batch, batch_id):
-            cur = batch
+            prev = None
             if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
                 prev = batch.sparkSession.read.parquet(state_dir)
-                cur = prev.unionByName(batch)
-            ordered = cur.select(
-                "o_custkey",
-                "o_orderpriority",
-                "o_orderdate",
-                "o_orderkey",
-                F.lag("o_orderpriority").over(w).alias("prev_prio"),
-                F.row_number().over(w).alias("rn"),
-            )
-            changes = ordered.filter(
-                (F.col("rn") == 1)
-                | (F.col("o_orderpriority") != F.col("prev_prio"))
-            ).select(
-                "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
-            )
+            changes = scd2_merge_increment(prev, batch, w)
             staging = state_dir + f"._stage_{batch_id}"
             changes.coalesce(1).write.mode("overwrite").parquet(staging)
             if os.path.exists(state_dir):

@@ -1,0 +1,151 @@
+"""Invariant tests for the round-7 operator work: keyed-incremental
+SCD2 merge, the suffix-filter zero-length guard, the shared BPE merge
+cache, and the widened global rank."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+
+
+def _d(day):
+    return datetime.date(1995, 1, day)
+
+
+@pytest.fixture()
+def scd2_w():
+    return W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+
+
+SCD2_SCHEMA = (
+    "o_custkey long, o_orderpriority string, "
+    "o_orderdate date, o_orderkey long"
+)
+
+
+def test_scd2_merge_increment_does_not_rewindow_untouched(spark, scd2_w):  # noqa: F811
+    """The r6 design note's fix, pinned: an UNTOUCHED entity's state
+    rows must pass through an epoch byte-identical — proven by planting
+    a NON-canonical pair (two consecutive change rows with the same
+    priority, which any re-window's lag-dedup would collapse) for an
+    entity the batch does not touch, and asserting it survives."""
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        scd2_merge_increment,
+    )
+
+    prev = spark.createDataFrame(
+        [
+            (1, "HIGH", _d(1), 10),
+            # entity 2: same priority twice = NOT a canonical change-point
+            # table; survives iff the merge never re-windows entity 2.
+            (2, "LOW", _d(1), 20),
+            (2, "LOW", _d(2), 21),
+        ],
+        SCD2_SCHEMA,
+    )
+    batch = spark.createDataFrame([(1, "URGENT", _d(3), 11)], SCD2_SCHEMA)
+    out = scd2_merge_increment(prev, batch, scd2_w).collect()
+    ent2 = sorted(
+        (r.o_orderdate, r.o_orderpriority, r.o_orderkey)
+        for r in out
+        if r.o_custkey == 2
+    )
+    assert ent2 == [(_d(1), "LOW", 20), (_d(2), "LOW", 21)], ent2
+    ent1 = sorted(
+        (r.o_orderdate, r.o_orderpriority) for r in out if r.o_custkey == 1
+    )
+    assert ent1 == [(_d(1), "HIGH"), (_d(3), "URGENT")], ent1
+
+
+def test_scd2_merge_increment_dedups_touched_entity(spark, scd2_w):  # noqa: F811
+    """A touched entity's batch row with an UNCHANGED priority is a
+    non-change and must be dropped by the re-window of that entity."""
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        scd2_merge_increment,
+    )
+
+    prev = spark.createDataFrame([(1, "HIGH", _d(1), 10)], SCD2_SCHEMA)
+    batch = spark.createDataFrame(
+        [(1, "HIGH", _d(2), 11), (1, "LOW", _d(3), 12)], SCD2_SCHEMA
+    )
+    out = sorted(
+        (r.o_orderdate, r.o_orderpriority)
+        for r in scd2_merge_increment(prev, batch, scd2_w).collect()
+    )
+    assert out == [(_d(1), "HIGH"), (_d(3), "LOW")], out
+
+
+def test_scd2_merge_increment_first_epoch_no_state(spark, scd2_w):  # noqa: F811
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        scd2_merge_increment,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "HIGH", _d(1), 10), (1, "HIGH", _d(2), 11)], SCD2_SCHEMA
+    )
+    out = scd2_merge_increment(None, batch, scd2_w).collect()
+    assert [(r.o_orderdate, r.o_orderpriority) for r in out] == [
+        (_d(1), "HIGH")
+    ]
+
+
+def test_ppjoin_suffix_probe_survives_empty_suffix(spark):  # noqa: F811
+    """The ADVICE-flagged latent crash: element_at(suf_a, 0) raises
+    INVALID_INDEX_OF_ZERO when len_a == 0. Replicate the guarded probe
+    expression shape on a row with an empty suffix and assert it
+    evaluates (NULL m, empty filters) instead of raising."""
+    df = spark.createDataFrame(
+        [(0, [], []), (2, ["a", "b"], ["a", "c"])],
+        "len_a int, suf_a array<string>, suf_b array<string>",
+    )
+    probed = (
+        df.withColumn(
+            "m",
+            F.when(
+                F.col("len_a") > 0,
+                F.expr("element_at(suf_a, CAST((len_a + 1) DIV 2 AS INT))"),
+            ),
+        )
+        .withColumn("sal", F.expr("size(filter(suf_a, x -> x < m))"))
+        .collect()
+    )
+    by_len = {r.len_a: r for r in probed}
+    assert by_len[0].m is None and by_len[0].sal == 0
+    assert by_len[2].m == "a" and by_len[2].sal == 0
+
+
+def test_bpe_merges_cached_per_session(spark):  # noqa: F811
+    """The learned merge list must be derived once per (app, sf_dir)
+    and be a plain driver-side literal list of the expected shape."""
+    from target_s3_parquet_spark.functions.text_analysis import (
+        _BPE_ITERS,
+        _BPE_MERGES,
+        _bpe_learn_merges,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    m1 = _bpe_learn_merges(spark, sf)
+    m2 = _bpe_learn_merges(spark, sf)
+    assert m1 is m2  # memo hit, no retraining
+    assert len(m1) == _BPE_ITERS
+    assert [s for s, _, _ in m1] == list(range(1, _BPE_ITERS + 1))
+    assert all(isinstance(b, str) and " " in b for _, b, _ in m1)
+    key = (spark.sparkContext.applicationId, sf)
+    assert _BPE_MERGES[key] is m1
+
+
+def test_two_phase_rank_emits_long(spark):  # noqa: F811
+    """32-bit global ranks overflow at the scale the prod twins target;
+    the helper must emit LongType (ADVICE r6)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    out = two_phase_rank(df, ["v"])
+    assert dict(out.dtypes)["rnk"] == "bigint"
+    rows = out.orderBy("v").collect()
+    assert [r.rnk for r in rows] == list(range(1, 101))
