@@ -253,6 +253,28 @@ def main() -> None:
             r6_t[name] = -1.0
             print(f"# r6 sweep {name} FAILED: {e}", file=sys.stderr)
     extras["r6_sweep_sec"] = r6_t
+    # Round-7 additions, same protocol, own bucket.
+    SWEEP_R7 = [
+        "emb_opq_permute_assign",
+        "emb_opq_distortion_gain",
+    ]
+    r7_t: dict[str, float] = {}
+    for name in SWEEP_R7:
+        try:
+            fn = queries[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            r7_t[name] = round(best, 3)
+            print(f"# r7 sweep {name}: {r7_t[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001
+            r7_t[name] = -1.0
+            print(f"# r7 sweep {name} FAILED: {e}", file=sys.stderr)
+    extras["r7_sweep_sec"] = r7_t
     try:
         from tools.bench_ntile import run_ntile_scale
 
@@ -261,6 +283,14 @@ def main() -> None:
         print(f"# ntile_scale: {ns}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         extras["ntile_scale_error"] = str(e)[:120]
+    try:
+        from tools.bench_opq import run_opq_recall
+
+        opq = run_opq_recall(spark, sf_dir)
+        extras["opq_recall"] = opq
+        print(f"# opq_recall: {opq}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["opq_recall_error"] = str(e)[:120]
     try:
         from tools.bench_lsh_minhash import run_lsh
 

@@ -178,3 +178,57 @@ def test_sample_ledger_fresh_and_ordering_front_loads_never_sampled():
     # never-sampled (count 0) keys form a strict prefix; beyond that the
     # sample count is non-decreasing (least-checked first)
     assert counts == sorted(counts), "ordering must ascend by sample count"
+
+
+def test_opq_permutation_is_balanced_bijection(spark):  # noqa: F811
+    """The OPQ snake allocation must be a bijection dims -> (sub, slot)
+    with every subspace receiving exactly one dimension from each
+    variance block (the balance property that IS the operator)."""
+    from target_s3_parquet_spark.operators.similarity import (
+        _EMB_DIM,
+        _PQ_DSUB,
+        _PQ_M,
+        _opq_perm_subvectors,
+    )
+
+    pv = _opq_perm_subvectors(spark, "/root/testdata/sf0.001")
+    rows = pv.collect()
+    by_vec: dict = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, {})[r.sub] = list(r.sv)
+    for vec_id, subs in list(by_vec.items())[:5]:
+        # every vector regroups into exactly M subspaces of DSUB dims
+        assert sorted(subs) == list(range(_PQ_M)), (vec_id, sorted(subs))
+        assert all(len(sv) == _PQ_DSUB for sv in subs.values())
+        # bijection: the multiset of values is preserved (permutation
+        # moves doubles, never computes) — compare against the raw row
+        flat = sorted(x for sv in subs.values() for x in sv)
+        assert len(flat) == _EMB_DIM
+    # cross-check one vector's values against the raw embedding
+    import pyspark.sql.functions as F
+
+    from target_s3_parquet_spark.operators._util import t
+    from target_s3_parquet_spark.operators.similarity import _vec_d
+
+    vid = min(by_vec)
+    raw = (
+        t(spark, "/root/testdata/sf0.001", "embeddings")
+        .filter(F.col("vec_id") == vid)
+        .select(_vec_d(F.col("embedding")).alias("v"))
+        .collect()[0]
+        .v
+    )
+    flat = sorted(x for sv in by_vec[vid].values() for x in sv)
+    assert flat == sorted(raw)
+
+
+def test_opq_distortion_gain_is_single_sane_row(spark):  # noqa: F811
+    from target_s3_parquet_spark.registry import get_queries
+
+    row = get_queries()["emb_opq_distortion_gain"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.sum_sq_err_pq > 0 and r.sum_sq_err_opq > 0
+    assert abs(r.err_ratio - r.sum_sq_err_opq / r.sum_sq_err_pq) < 1e-12
