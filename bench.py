@@ -257,6 +257,10 @@ def main() -> None:
     SWEEP_R7 = [
         "emb_opq_permute_assign",
         "emb_opq_distortion_gain",
+        "agg_kmv_distinct_union",
+        "agg_bloom_fpp_measured",
+        "ab_test_chi2_independence",
+        "feature_split_gini",
     ]
     r7_t: dict[str, float] = {}
     for name in SWEEP_R7:

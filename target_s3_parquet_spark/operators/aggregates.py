@@ -1431,3 +1431,458 @@ def agg_weighted_median(spark, sf_dir):
             F.any_value("tot").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch + measured Bloom filter — MERGEABLE sketch
+# structures on the exact md5 hex-grid channel: Spark's
+# conv(substring(md5 ...)) and DuckDB's CAST('0x' || substr(md5 ...))
+# parse the same 13 hex chars (52 bits — exact in BIGINT and double) to
+# the same integer, so sketch contents, thresholds, and measured error
+# rates are bit-identical cross-engine. Unlike approx_count_distinct /
+# bloom_filter_agg (engine-private HLL/bloom binaries that can never
+# hash-match an oracle), these sketches are built from first
+# principles in plain relational algebra.
+# ---------------------------------------------------------------------------
+_KMV_K = 32
+_POW52 = 4503599627370496.0  # 2^52 — the hex-grid hash range
+
+
+def _h13_spark(expr: str) -> str:
+    return f"CAST(conv(substring(md5({expr}), 1, 13), 16, 10) AS BIGINT)"
+
+
+def _h13_duck(expr: str) -> str:
+    return f"CAST('0x' || substr(md5({expr}), 1, 13) AS BIGINT)"
+
+
+@query(
+    "agg_kmv_distinct_union",
+    f"""
+    WITH uh AS (
+      SELECT DISTINCT event_type,
+             {_h13_duck("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM uh
+    ),
+    grp AS (
+      SELECT event_type, COUNT(*) AS k_eff, MAX(h) AS hk
+      FROM ranked WHERE rn <= {_KMV_K} GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+      FROM events GROUP BY event_type
+    ),
+    topu AS (
+      SELECT h FROM (SELECT DISTINCT {_h13_duck("CAST(user_id AS VARCHAR)")}
+                       AS h FROM events)
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    rows_ AS (
+      SELECT g.event_type, ex.n_exact, g.k_eff, g.hk
+      FROM grp g JOIN ex USING (event_type)
+      UNION ALL
+      SELECT '__union__' AS event_type,
+             (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact,
+             (SELECT COUNT(*) FROM topu) AS k_eff,
+             (SELECT MAX(h) FROM topu) AS hk
+    )
+    SELECT event_type, n_exact, k_eff,
+           CASE WHEN k_eff < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                ELSE ({_KMV_K} - 1) * CAST({int(_POW52)} AS DOUBLE) / hk END
+             AS kmv_est,
+           CASE WHEN k_eff < {_KMV_K} THEN CAST(n_exact AS DOUBLE)
+                ELSE ({_KMV_K} - 1) * CAST({int(_POW52)} AS DOUBLE) / hk END
+             / n_exact AS err_ratio
+    FROM rows_
+    """,
+)
+def agg_kmv_distinct_union(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch with sketch UNION
+    (Bar-Yossef et al. 2002; the bottom-k estimator): per event type,
+    keep the k=32 smallest 52-bit hashes of the distinct users; the
+    estimate (k-1)·2^52/h_k inverts the k-th order statistic of a
+    uniform sample. The '__union__' row merges the per-group sketches
+    — the k smallest of the union of kept hashes IS the union sketch
+    (each global bottom-k hash is within its own group's bottom-k),
+    the mergeability that makes bottom-k the sketch of choice for
+    partitioned distinct counting. n_exact and err_ratio are reported
+    beside the estimate so the sketch's measured accuracy is a
+    recorded number.
+
+    Distributed shape: one map-side hash projection, a distinct
+    (combinable), a per-group bottom-k window over k·G rows, and a
+    global TakeOrderedAndProject for the union row — never a
+    data-sized global sort. At 100 TB each partition ships only its
+    local bottom-k (the partial state is the sketch itself, O(k) per
+    group), which is exactly how a production engine's
+    approx_count_distinct partials merge — but on an auditable grid
+    the oracle replays bit-for-bit.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    e = t(spark, sf_dir, "events")
+    h = F.expr(_h13_spark("CAST(user_id AS STRING)"))
+    # ONE distinct shuffle over (event_type, user_id); every other
+    # input of the key (per-group hash sets, exact counts, the global
+    # union sketch) derives from this much smaller cached relation
+    # instead of rescanning events four times.
+    ug = e.select("event_type", "user_id").distinct().cache()
+    uh = ug.select("event_type", h.alias("h")).distinct()
+    w = W.partitionBy("event_type").orderBy("h")
+    grp = (
+        uh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("k_eff"), F.max("h").alias("hk"))
+    )
+    ex = ug.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    per_group = grp.join(ex, "event_type")
+    # union sketch: global bottom-k via TakeOrderedAndProject (k rows
+    # to the driver-side merge, never a global sort)
+    topu = ug.select(h.alias("h")).distinct().orderBy("h").limit(_KMV_K)
+    urow = (
+        topu.agg(F.count(F.lit(1)).alias("k_eff"), F.max("h").alias("hk"))
+        .crossJoin(
+            F.broadcast(ug.agg(F.countDistinct("user_id").alias("n_exact")))
+        )
+        .select(F.lit("__union__").alias("event_type"), "n_exact", "k_eff", "hk")
+    )
+    est = F.when(
+        F.col("k_eff") < _KMV_K, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(float(_KMV_K - 1)) * F.lit(_POW52) / F.col("hk"))
+    return (
+        per_group.select("event_type", "n_exact", "k_eff", "hk")
+        .unionByName(urow.select("event_type", "n_exact", "k_eff", "hk"))
+        .select(
+            "event_type",
+            "n_exact",
+            "k_eff",
+            est.alias("kmv_est"),
+            (est / F.col("n_exact")).alias("err_ratio"),
+        )
+    )
+
+
+_BLOOM_M = 8192  # bits
+_BLOOM_J = 4     # hash functions (salted md5)
+
+
+@query(
+    "agg_bloom_fpp_measured",
+    f"""
+    WITH members AS (
+      SELECT DISTINCT p_partkey AS x FROM part WHERE p_size < 10
+    ),
+    probes AS (
+      SELECT DISTINCT p_partkey AS x FROM part WHERE p_size >= 10
+    ),
+    salts AS (SELECT UNNEST(range(0, {_BLOOM_J})) AS i),
+    bits AS (
+      SELECT DISTINCT
+             {_h13_duck("CAST(i AS VARCHAR) || ':' || CAST(x AS VARCHAR)")}
+               % {_BLOOM_M} AS pos
+      FROM members CROSS JOIN salts
+    ),
+    probe_pos AS (
+      SELECT x, i,
+             {_h13_duck("CAST(i AS VARCHAR) || ':' || CAST(x AS VARCHAR)")}
+               % {_BLOOM_M} AS pos
+      FROM probes CROSS JOIN salts
+    ),
+    hits AS (
+      SELECT p.x, CAST(SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_set
+      FROM probe_pos p LEFT JOIN bits b ON b.pos = p.pos
+      GROUP BY p.x
+    )
+    SELECT {_BLOOM_M} AS m_bits, {_BLOOM_J} AS j_hashes,
+           (SELECT COUNT(*) FROM members) AS n_members,
+           (SELECT COUNT(*) FROM bits) AS n_bits_set,
+           (SELECT COUNT(*) FROM hits) AS n_probes,
+           CAST(SUM(CASE WHEN n_set = {_BLOOM_J} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN n_set = {_BLOOM_J} THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS fpp_measured
+    FROM hits
+    """,
+)
+def agg_bloom_fpp_measured(spark, sf_dir):
+    """A Bloom filter built from first principles with its false-
+    positive rate MEASURED against a disjoint probe set: members are
+    the small parts (p_size < 10), the filter is the SET of m=8192 bit
+    positions lit by j=4 salted 52-bit md5 hashes, and every other
+    part probes it — a probe whose 4 positions are all set is a false
+    positive by construction (the sets are disjoint). Engines share
+    the bit array bit-for-bit on the hex-grid channel, so the measured
+    FPP is one exact number, not two approximations.
+
+    This is the measurement companion to `join_bloom_semi_reduction`
+    (which uses a Bloom as a join pre-filter): before sizing a 100 TB
+    semi-join reduction you measure m/j on a sample exactly like this.
+    Distributed shape: bit construction is a map-side hash + distinct
+    bounded by m=8192 rows (broadcast to the probe side); probing is a
+    broadcast-hash left join + a combinable per-probe count — no
+    shuffle carries more than (probe × j) short rows.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    p = t(spark, sf_dir, "part")
+    salts = spark.range(_BLOOM_J).select(F.col("id").alias("i"))
+    pos = F.expr(
+        _h13_spark("CAST(i AS STRING) || ':' || CAST(x AS STRING)")
+        + f" % {_BLOOM_M}"
+    )
+    members = p.filter(F.col("p_size") < 10).select(
+        F.col("p_partkey").alias("x")
+    ).distinct()
+    probes = p.filter(F.col("p_size") >= 10).select(
+        F.col("p_partkey").alias("x")
+    ).distinct()
+    bits = (
+        members.crossJoin(F.broadcast(salts)).select(pos.alias("pos")).distinct()
+    )
+    probe_pos = probes.crossJoin(F.broadcast(salts)).select(
+        "x", "i", pos.alias("pos")
+    )
+    hits = (
+        probe_pos.join(
+            F.broadcast(bits.withColumn("set_", F.lit(1))), "pos", "left"
+        )
+        .groupBy("x")
+        .agg(
+            F.sum(F.when(F.col("set_").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_set")
+        )
+    )
+    fp = F.sum(F.when(F.col("n_set") == _BLOOM_J, 1).otherwise(0)).cast("long")
+    agg = hits.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        fp.alias("n_false_pos"),
+        (fp.cast("double") / F.count(F.lit(1))).alias("fpp_measured"),
+    )
+    consts = (
+        members.agg(F.count(F.lit(1)).alias("n_members"))
+        .crossJoin(F.broadcast(bits.agg(F.count(F.lit(1)).alias("n_bits_set"))))
+    )
+    return (
+        agg.crossJoin(F.broadcast(consts))
+        .select(
+            F.lit(_BLOOM_M).alias("m_bits"),
+            F.lit(_BLOOM_J).alias("j_hashes"),
+            "n_members",
+            "n_bits_set",
+            "n_probes",
+            "n_false_pos",
+            "fpp_measured",
+        )
+    )
+
+
+@query(
+    "ab_test_chi2_independence",
+    """
+    WITH cell AS (
+      SELECT lang, source, CAST(COUNT(*) AS DOUBLE) AS o
+      FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS rr
+          FROM documents GROUP BY lang),
+    c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS cc
+          FROM documents GROUP BY source),
+    tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    terms AS (
+      SELECT (n * o - rr * cc) * (n * o - rr * cc) / (n * rr * cc) AS term
+      FROM cell JOIN r USING (lang) JOIN c USING (source) CROSS JOIN tot
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM tot) AS n_docs,
+           (SELECT COUNT(*) FROM r) AS n_langs,
+           (SELECT COUNT(*) FROM c) AS n_sources,
+           (SELECT (COUNT(*) - 1) FROM r)
+             * (SELECT (COUNT(*) - 1) FROM c) AS dof,
+           CAST(SUM(CAST(term AS DECIMAL(38,6))) AS DOUBLE) AS chi2
+    FROM terms
+    """,
+)
+def ab_test_chi2_independence(spark, sf_dir):
+    """Pearson chi-squared test of independence over the lang × source
+    contingency table — the categorical counterpart of `ab_test_ttest`
+    (is the language mix the same across sources, the first question a
+    corpus-mixing report answers). The statistic is computed in its
+    cross-product form χ² = Σ (N·o − r·c)² / (N·r·c): every operand is
+    a COUNT cast to double (exact for any count below 2^53), each
+    term's expression tree is identical in both engines, and the
+    across-cells sum goes through the DECIMAL(38,6) channel so the
+    total is order-independent. Only the statistic and dof are
+    reported — a p-value needs the incomplete gamma, whose libm
+    implementations cannot match cross-engine (the ln/log ban).
+
+    Distributed shape: three combinable groupBys (cells, row marginals,
+    column marginals) + broadcast joins of the tiny marginal tables —
+    the cells table is O(langs · sources) regardless of corpus size,
+    so at 100 TB the statistic costs one pass over the data.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("o")
+    )
+    r = d.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("rr"))
+    c = d.groupBy("source").agg(F.count(F.lit(1)).cast("double").alias("cc"))
+    tot = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    terms = (
+        cell.join(F.broadcast(r), "lang")
+        .join(F.broadcast(c), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("n") * F.col("o") - F.col("rr") * F.col("cc"))
+                * (F.col("n") * F.col("o") - F.col("rr") * F.col("cc"))
+                / (F.col("n") * F.col("rr") * F.col("cc"))
+            ).alias("term")
+        )
+    )
+    consts = (
+        tot.select(F.col("n").cast("long").alias("n_docs"))
+        .crossJoin(F.broadcast(r.agg(F.count(F.lit(1)).alias("n_langs"))))
+        .crossJoin(F.broadcast(c.agg(F.count(F.lit(1)).alias("n_sources"))))
+    )
+    chi2 = terms.agg(
+        F.sum(F.col("term").cast("decimal(38,6)")).cast("double").alias("chi2")
+    )
+    return (
+        consts.crossJoin(F.broadcast(chi2))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+            "chi2",
+        )
+    )
+
+
+_GINI_THRESHOLDS = [100000, 200000, 300000, 400000]
+
+
+@query(
+    "feature_split_gini",
+    f"""
+    WITH lab AS (
+      SELECT o_totalprice AS price,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    thr AS (SELECT UNNEST([{", ".join(str(x) for x in _GINI_THRESHOLDS)}])
+              AS threshold),
+    sides AS (
+      SELECT threshold,
+             CAST(SUM(CASE WHEN price < threshold THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS nl,
+             CAST(SUM(CASE WHEN price < threshold THEN y ELSE 0 END)
+                  AS DOUBLE) AS pl,
+             CAST(SUM(CASE WHEN price >= threshold THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS nr,
+             CAST(SUM(CASE WHEN price >= threshold THEN y ELSE 0 END)
+                  AS DOUBLE) AS pr,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM lab CROSS JOIN thr
+      GROUP BY threshold
+    )
+    SELECT threshold,
+           CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+           CAST(pl AS BIGINT) AS n_pos_left,
+           CAST(pr AS BIGINT) AS n_pos_right,
+           (CASE WHEN nl = 0 THEN 0.0
+                 ELSE (nl * nl - pl * pl - (nl - pl) * (nl - pl)) / (n * nl)
+            END)
+           + (CASE WHEN nr = 0 THEN 0.0
+                   ELSE (nr * nr - pr * pr - (nr - pr) * (nr - pr)) / (n * nr)
+              END) AS gini_split
+    FROM sides
+    """,
+)
+def feature_split_gini(spark, sf_dir):
+    """Decision-stump split quality: weighted Gini impurity of
+    splitting orders on price thresholds against the is-priority
+    label — the inner-loop quantity of every tree/GBDT trainer and of
+    threshold tuning in rule-based data filters (pick the cut that
+    minimizes gini_split). The weighted impurity is computed in its
+    integer cross-product form (n_s² − p_s² − (n_s − p_s)²)/(n·n_s)
+    per side: every operand is a count cast to double (exact below
+    2^53), the expression tree is identical in both engines, and the
+    fixed two-term sum needs no aggregate-order channel.
+
+    Distributed shape: ONE pass over orders with all thresholds
+    evaluated as conditional aggregates (the broadcast threshold list
+    crossed in before the groupBy, map-side combined) — the standard
+    histogram-based split-finding of distributed GBDT, where 100 TB of
+    rows reduce to T partial-aggregate rows per task.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("price"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    thr = spark.createDataFrame(
+        [(x,) for x in _GINI_THRESHOLDS], "threshold int"
+    )
+    sides = (
+        o.crossJoin(F.broadcast(thr))
+        .groupBy("threshold")
+        .agg(
+            F.sum(F.when(F.col("price") < F.col("threshold"), 1).otherwise(0))
+            .cast("double")
+            .alias("nl"),
+            F.sum(F.when(F.col("price") < F.col("threshold"), F.col("y")).otherwise(0))
+            .cast("double")
+            .alias("pl"),
+            F.sum(F.when(F.col("price") >= F.col("threshold"), 1).otherwise(0))
+            .cast("double")
+            .alias("nr"),
+            F.sum(F.when(F.col("price") >= F.col("threshold"), F.col("y")).otherwise(0))
+            .cast("double")
+            .alias("pr"),
+            F.count(F.lit(1)).cast("double").alias("n"),
+        )
+    )
+    gini_l = F.when(F.col("nl") == 0, F.lit(0.0)).otherwise(
+        (
+            F.col("nl") * F.col("nl")
+            - F.col("pl") * F.col("pl")
+            - (F.col("nl") - F.col("pl")) * (F.col("nl") - F.col("pl"))
+        )
+        / (F.col("n") * F.col("nl"))
+    )
+    gini_r = F.when(F.col("nr") == 0, F.lit(0.0)).otherwise(
+        (
+            F.col("nr") * F.col("nr")
+            - F.col("pr") * F.col("pr")
+            - (F.col("nr") - F.col("pr")) * (F.col("nr") - F.col("pr"))
+        )
+        / (F.col("n") * F.col("nr"))
+    )
+    return sides.select(
+        "threshold",
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.col("pl").cast("long").alias("n_pos_left"),
+        F.col("pr").cast("long").alias("n_pos_right"),
+        (gini_l + gini_r).alias("gini_split"),
+    )

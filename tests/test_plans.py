@@ -225,6 +225,10 @@ _BNLJ_BOUNDED_OK = {
     "window_ntile_prod", "customer_rfm_segments_prod",
     "pareto_revenue_share_prod",
     "search_bm25_topk",  # scored rows x 1-row corpus-stats agg
+    # r7 sketch/stat keys: crossJoins of 1-row or j<=4-row broadcast
+    # aggregates only (salt list, totals, marginal counts, chi2 sum)
+    "agg_kmv_distinct_union", "agg_bloom_fpp_measured",
+    "ab_test_chi2_independence", "feature_split_gini",
     "docs_quality_calibration",  # ranked rows x 1-row count agg
     "sim_ann_ivf_cell_stats",  # 16 cells x 1-row corpus-total agg
     "emb_random_projection_jl",  # 48-vector sample pair join, bcast side

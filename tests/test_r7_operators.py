@@ -232,3 +232,56 @@ def test_opq_distortion_gain_is_single_sane_row(spark):  # noqa: F811
     r = row[0]
     assert r.sum_sq_err_pq > 0 and r.sum_sq_err_opq > 0
     assert abs(r.err_ratio - r.sum_sq_err_opq / r.sum_sq_err_pq) < 1e-12
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_kmv_sketch_invariants(spark):  # noqa: F811
+    from target_s3_parquet_spark.operators.aggregates import _KMV_K
+    from target_s3_parquet_spark.registry import get_queries
+
+    rows = get_queries()["agg_kmv_distinct_union"](spark, SF001).collect()
+    by_type = {r.event_type: r for r in rows}
+    assert "__union__" in by_type
+    u = by_type["__union__"]
+    for r in rows:
+        assert r.k_eff <= _KMV_K
+        # KMV with k=32 has relative sigma ~1/sqrt(k-1) ~ 0.18; a 3x
+        # band catches wiring bugs (off-by-2^52, wrong order statistic)
+        # without flaking on estimator variance
+        assert 0.33 < r.err_ratio < 3.0, (r.event_type, r.err_ratio)
+        # each group's distinct users are a subset of the union's
+        assert r.n_exact <= u.n_exact
+
+
+def test_bloom_fpp_invariants(spark):  # noqa: F811
+    from target_s3_parquet_spark.operators.aggregates import (
+        _BLOOM_J,
+        _BLOOM_M,
+    )
+    from target_s3_parquet_spark.registry import get_queries
+
+    r = get_queries()["agg_bloom_fpp_measured"](spark, SF001).collect()[0]
+    assert r.m_bits == _BLOOM_M and r.j_hashes == _BLOOM_J
+    assert 0 < r.n_bits_set <= min(_BLOOM_M, r.n_members * _BLOOM_J)
+    assert 0 <= r.n_false_pos <= r.n_probes
+    assert abs(r.fpp_measured - r.n_false_pos / r.n_probes) < 1e-12
+
+
+def test_chi2_and_gini_invariants(spark):  # noqa: F811
+    from target_s3_parquet_spark.registry import get_queries
+
+    qs = get_queries()
+    c = qs["ab_test_chi2_independence"](spark, SF001).collect()[0]
+    assert c.chi2 >= 0
+    assert c.dof == (c.n_langs - 1) * (c.n_sources - 1)
+
+    g = qs["feature_split_gini"](spark, SF001).collect()
+    assert len(g) == 4
+    n = g[0].n_left + g[0].n_right
+    for r in g:
+        assert r.n_left + r.n_right == n
+        assert r.n_pos_left <= r.n_left and r.n_pos_right <= r.n_right
+        # binary-label weighted gini is bounded by 0.5
+        assert 0.0 <= r.gini_split <= 0.5
