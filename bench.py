@@ -261,6 +261,10 @@ def main() -> None:
         "agg_bloom_fpp_measured",
         "ab_test_chi2_independence",
         "feature_split_gini",
+        "agg_corr_spearman",
+        "eval_auc_rank_sum",
+        "agg_theta_sketch_intersect",
+        "graph_shortest_path_bfs",
     ]
     r7_t: dict[str, float] = {}
     for name in SWEEP_R7:

@@ -465,3 +465,77 @@ def graph_link_prediction(spark, sf_dir):
             ).alias("jaccard_scaled"),
         )
     )
+
+
+@query(
+    "graph_shortest_path_bfs",
+    "WITH RECURSIVE "
+    + _EDGES_CTE
+    + """,
+    und AS (
+      SELECT a AS src, b AS dst FROM strong
+      UNION ALL SELECT b, a FROM strong
+    ),
+    seeds AS (SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0),
+    walk(node, hop) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, w.hop + 1
+      FROM walk w JOIN und e ON e.src = w.node
+      WHERE w.hop < 8
+    )
+    SELECT node AS nationkey, CAST(MIN(hop) AS BIGINT) AS hop
+    FROM walk GROUP BY node
+    """,
+)
+def graph_shortest_path_bfs(spark, sf_dir):
+    """Multi-source BFS hop distance (unweighted shortest path) from
+    the region-0 nations over the sparsified trade graph — the
+    level-synchronous frontier expansion every distributed graph
+    engine (Pregel, GraphX, GraphFrames' shortestPaths) runs: the
+    frontier joins the edge list, already-settled nodes are
+    anti-joined away (a node is SETTLED the first level it appears —
+    that IS its shortest hop count, no min-reduction needed), and the
+    loop ends when the frontier empties or at the hop bound. Distances
+    and edges stay distributed; the driver sees only the per-level
+    empty-frontier test. At 100 TB-scale graphs the identical program
+    runs with edges hash-partitioned on src and the frontier shuffled
+    to it per level — level-synchronous BFS's standard shape. The
+    oracle is DuckDB's WITH RECURSIVE walk with MIN(hop), which
+    equals first-visit level.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    n = t(spark, sf_dir, "nation")
+    pairs = _strong_pairs(spark, sf_dir)
+    und = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    und = und.cache()
+
+    dist = (
+        n.filter(F.col("n_regionkey") == 0)
+        .select(F.col("n_nationkey").alias("node"), F.lit(0).alias("hop"))
+        .cache()
+    )
+    frontier = dist
+    for level in range(1, 9):  # hop bound mirrors the oracle's w.hop < 8
+        nxt = (
+            und.join(frontier.select("node").withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(level).alias("hop"))
+            .cache()
+        )
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        new_dist = dist.unionAll(nxt).cache()
+        dist.unpersist()
+        dist = new_dist
+        frontier = nxt
+    return dist.select(
+        F.col("node").alias("nationkey"), F.col("hop").cast("long").alias("hop")
+    )

@@ -229,6 +229,10 @@ _BNLJ_BOUNDED_OK = {
     # aggregates only (salt list, totals, marginal counts, chi2 sum)
     "agg_kmv_distinct_union", "agg_bloom_fpp_measured",
     "ab_test_chi2_independence", "feature_split_gini",
+    "eval_auc_rank_sum",  # 1-row U-stat agg x 1-row totals agg
+    "agg_theta_sketch_intersect",  # k-row sketch aggs crossJoined
+    "agg_corr_spearman",  # two_phase_rank offsets + 1-row moments agg
+    "graph_shortest_path_bfs",  # _strong_pairs' 1-row mean-weight bcast
     "docs_quality_calibration",  # ranked rows x 1-row count agg
     "sim_ann_ivf_cell_stats",  # 16 cells x 1-row corpus-total agg
     "emb_random_projection_jl",  # 48-vector sample pair join, bcast side

@@ -285,3 +285,50 @@ def test_chi2_and_gini_invariants(spark):  # noqa: F811
         assert r.n_pos_left <= r.n_left and r.n_pos_right <= r.n_right
         # binary-label weighted gini is bounded by 0.5
         assert 0.0 <= r.gini_split <= 0.5
+
+
+def test_spearman_and_auc_invariants(spark):  # noqa: F811
+    from target_s3_parquet_spark.registry import get_queries
+
+    qs = get_queries()
+    s = qs["agg_corr_spearman"](spark, SF001).collect()[0]
+    # quantity and extendedprice are positively related by construction
+    assert -1.0 <= s.rho_spearman <= 1.0
+    assert s.n_rows > 0
+
+    a = qs["eval_auc_rank_sum"](spark, SF001).collect()[0]
+    assert 0.0 <= a.auc <= 1.0
+    assert a.u_stat2 <= 2.0 * a.n_pos * a.n_neg
+    assert abs(a.auc - a.u_stat2 / (2.0 * a.n_pos * a.n_neg)) < 1e-12
+
+
+def test_theta_sketch_invariants(spark):  # noqa: F811
+    from target_s3_parquet_spark.operators.aggregates import _KMV_K
+    from target_s3_parquet_spark.registry import get_queries
+
+    r = get_queries()["agg_theta_sketch_intersect"](spark, SF001).collect()[0]
+    assert 0 < r.k_eff <= _KMV_K
+    assert 0 <= r.k_inter <= r.k_eff
+    assert r.n_inter_exact <= r.n_union_exact
+    assert abs(r.jaccard_est - r.k_inter / r.k_eff) < 1e-12
+    # below-capacity sketch degenerates to the exact union count
+    if r.k_eff < _KMV_K:
+        assert r.union_est == float(r.n_union_exact)
+
+
+def test_bfs_hops_invariants(spark):  # noqa: F811
+    from target_s3_parquet_spark.registry import get_queries
+    from target_s3_parquet_spark.session import load_table
+
+    rows = get_queries()["graph_shortest_path_bfs"](spark, SF001).collect()
+    hops = {r.nationkey: r.hop for r in rows}
+    seeds = {
+        r.n_nationkey
+        for r in load_table(spark, SF001, "nation")
+        .filter("n_regionkey = 0")
+        .collect()
+    }
+    # every seed is at hop 0, and hop levels are contiguous from 0
+    assert seeds <= set(hops) and all(hops[s] == 0 for s in seeds)
+    levels = sorted(set(hops.values()))
+    assert levels == list(range(len(levels)))
