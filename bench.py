@@ -265,6 +265,10 @@ def main() -> None:
         "eval_auc_rank_sum",
         "agg_theta_sketch_intersect",
         "graph_shortest_path_bfs",
+        "privacy_t_closeness_audit",
+        "dq_benford_digit_audit",
+        "ts_acf_lags",
+        "sql_recursive_hierarchy_rollup",
     ]
     r7_t: dict[str, float] = {}
     for name in SWEEP_R7:

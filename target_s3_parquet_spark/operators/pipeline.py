@@ -2203,3 +2203,243 @@ def corpus_ccnet_quality_buckets(spark, sf_dir):
             ).alias("bucket"),
         )
     )
+
+
+@query(
+    "privacy_t_closeness_audit",
+    """
+    WITH buckets AS (
+      SELECT DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bucket
+      FROM customer
+    ),
+    classes AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS na
+      FROM customer GROUP BY 1, 2
+    ),
+    cls_cnt AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+             COUNT(*) AS ca
+      FROM customer GROUP BY 1, 2, 3
+    ),
+    gdist AS (
+      SELECT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bucket,
+             COUNT(*) AS cb
+      FROM customer GROUP BY 1
+    ),
+    gcum AS (
+      SELECT bucket, SUM(cb) OVER (ORDER BY bucket) AS cbc FROM gdist
+    ),
+    nb AS (SELECT COUNT(*) AS nb, COUNT(DISTINCT
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) AS m FROM customer),
+    grid AS (
+      SELECT cl.c_nationkey, cl.c_mktsegment, cl.na, b.bucket,
+             COALESCE(cc.ca, 0) AS ca
+      FROM classes cl CROSS JOIN buckets b
+      LEFT JOIN cls_cnt cc
+        ON cc.c_nationkey = cl.c_nationkey
+       AND cc.c_mktsegment = cl.c_mktsegment
+       AND cc.bucket = b.bucket
+    ),
+    cum AS (
+      SELECT c_nationkey, c_mktsegment, na, bucket,
+             SUM(ca) OVER (PARTITION BY c_nationkey, c_mktsegment
+                           ORDER BY bucket) AS cac
+      FROM grid
+    )
+    SELECT c.c_nationkey, c.c_mktsegment,
+           CAST(c.na AS BIGINT) AS n_class,
+           CAST(SUM(ABS(CAST(c.cac AS DECIMAL(19,0)) * nb.nb
+                        - CAST(g.cbc AS DECIMAL(19,0)) * c.na))
+                AS DOUBLE)
+             / (CAST(c.na AS DOUBLE) * nb.nb * (nb.m - 1)) AS t_emd
+    FROM cum c
+    JOIN gcum g ON g.bucket = c.bucket
+    CROSS JOIN nb
+    GROUP BY c.c_nationkey, c.c_mktsegment, c.na, nb.nb, nb.m
+    """,
+)
+def privacy_t_closeness_audit(spark, sf_dir):
+    """t-closeness audit (Li, Li, Venkatasubramanian 2007) — the
+    stronger companion of `privacy_kanonymity_audit` /
+    `privacy_l_diversity_audit`: for each quasi-identifier class
+    (nation, market segment), the Earth Mover's Distance between the
+    class's distribution of the ORDERED sensitive attribute (account-
+    balance bucket) and the global distribution. For a 1-D ordered
+    attribute EMD is the mean absolute difference of the two CDFs, and
+    with integer counts every CDF gap is the exact rational
+    |CA_j*nb - CB_j*na| / (na*nb) — the same BIGINT cross-product
+    channel as `corpus_distribution_drift` (DECIMAL(19,0) products so
+    the arithmetic survives 100 TB row counts where BIGINT*BIGINT
+    overflows); only the final normalization by (m-1) is a double
+    division with an identical tree.
+
+    Distributed shape: three combinable groupBys over the
+    quasi-identifier/bucket tuples, a bounded classes x buckets grid
+    (the cross join is |classes| * |buckets|, never row-sized), and
+    per-class cumulative sums windowed BY CLASS (partitioned — no
+    global window). At 100 TB only count tuples move.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    c = t(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    buckets = c.select(bucket.alias("bucket")).distinct()
+    classes = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    cls_cnt = c.groupBy(
+        "c_nationkey", "c_mktsegment", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("ca"))
+    glob = c.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    # global CDF: the window orders the |buckets|-row table, declared
+    # bounded via the pmod(_, 1) single-group spec (see two_phase_rank)
+    w_g = W.partitionBy(F.pmod(F.col("bucket"), F.lit(1))).orderBy("bucket")
+    glob_cum = glob.select(
+        "bucket", F.sum("cb").over(w_g).alias("cbc")
+    )
+    nbm = c.agg(
+        F.count(F.lit(1)).alias("nb"),
+        F.countDistinct(bucket).alias("m"),
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(buckets))
+        .join(cls_cnt, ["c_nationkey", "c_mktsegment", "bucket"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "na",
+            "bucket",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+        )
+    )
+    w_c = W.partitionBy("c_nationkey", "c_mktsegment").orderBy("bucket")
+    cum = grid.select(
+        "c_nationkey", "c_mktsegment", "na", "bucket",
+        F.sum("ca").over(w_c).alias("cac"),
+    )
+    joined = cum.join(F.broadcast(glob_cum), "bucket").crossJoin(
+        F.broadcast(nbm)
+    )
+    gap = F.abs(
+        F.col("cac").cast("decimal(19,0)") * F.col("nb")
+        - F.col("cbc").cast("decimal(19,0)") * F.col("na")
+    )
+    return (
+        joined.groupBy("c_nationkey", "c_mktsegment", "na", "nb", "m")
+        .agg(F.sum(gap).alias("emd_num"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("na").cast("long").alias("n_class"),
+            (
+                F.col("emd_num").cast("double")
+                / (
+                    F.col("na").cast("double")
+                    * F.col("nb")
+                    * (F.col("m") - 1)
+                )
+            ).alias("t_emd"),
+        )
+    )
+
+
+_BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829993,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+@query(
+    "dq_benford_digit_audit",
+    f"""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM cents
+    ),
+    expected(digit, p) AS (
+      VALUES {", ".join(f"({d + 1}, CAST('{p!r}' AS DOUBLE))"
+                        for d, p in enumerate(_BENFORD_P))}
+    ),
+    obs AS (
+      SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM digits)
+    SELECT e.digit, COALESCE(o.n_obs, 0) AS n_obs,
+           CAST(e.p AS DOUBLE) AS p_benford,
+           CAST(COALESCE(o.n_obs, 0) AS DOUBLE) / tot.n AS p_observed,
+           CAST(CAST((CAST(COALESCE(o.n_obs, 0) AS DOUBLE) - tot.n * e.p)
+             * (CAST(COALESCE(o.n_obs, 0) AS DOUBLE) - tot.n * e.p)
+             / (tot.n * e.p) AS DECIMAL(24,8)) AS DOUBLE) AS chi2_term
+    FROM expected e LEFT JOIN obs o ON o.digit = e.digit CROSS JOIN tot
+    """,
+)
+def dq_benford_digit_audit(spark, sf_dir):
+    """Benford's-law first-significant-digit audit on order totals —
+    the classic fraud / synthetic-data smell test a data-quality gate
+    runs on monetary columns. The leading digit is extracted EXACTLY:
+    amounts become integer cents through a DECIMAL(18,2) cast (both
+    engines round the stored double to 2 decimals identically), and
+    the first digit is the first character of the INTEGER's string
+    form (integer-to-string is engine-identical; double-to-string is
+    not). The nine Benford probabilities log10(1 + 1/d) are baked in
+    as double LITERALS — both engines parse the same decimal literal
+    to the same double, so no libm log is ever evaluated. Output is
+    per-digit (observed, expected, chi-squared term) with NO cross-row
+    float sum — the 9 rows are the audit report.
+
+    Distributed shape: one pushed-filter scan, one 9-group combinable
+    aggregate, a 9-row literal table joined broadcast. At 100 TB this
+    is scan-bound, exactly as an audit should be.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders")
+    cents = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("c")
+        )
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = digits.agg(F.count(F.lit(1)).alias("n"))
+    expected = spark.createDataFrame(
+        [(d + 1, p) for d, p in enumerate(_BENFORD_P)], "digit long, p double"
+    )
+    j = (
+        expected.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.col("p").alias("p_benford"),
+            "n",
+        )
+    )
+    dev = F.col("n_obs").cast("double") - F.col("n") * F.col("p_benford")
+    return j.select(
+        "digit",
+        "n_obs",
+        "p_benford",
+        (F.col("n_obs").cast("double") / F.col("n")).alias("p_observed"),
+        # chi2 terms are FMA-sensitive (a*b - c shapes); round to the
+        # 1e-8 grid for a stable cross-engine comparison
+        (dev * dev / (F.col("n") * F.col("p_benford")))
+        .cast("decimal(24,8)")
+        .cast("double")
+        .alias("chi2_term"),
+    )

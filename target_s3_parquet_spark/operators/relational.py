@@ -311,3 +311,53 @@ def sql_parameterized_query(spark, sf_dir):
         """,
         args={"min_price": 1000.0, "status": "F"},
     )
+
+
+def _recursive_rollup_sql(intdiv: str) -> str:
+    """One SQL text for both engines; only the integer-division
+    spelling differs (Spark `DIV`, DuckDB `//`)."""
+    return f"""
+    WITH RECURSIVE anc(node, anc, cents) AS (
+      SELECT o_orderkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT node, anc {intdiv} 10, cents FROM anc WHERE anc >= 10
+    )
+    SELECT anc AS node_id,
+           COUNT(*) AS n_desc,
+           CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS subtree_cents
+    FROM anc
+    WHERE anc < 100000
+    GROUP BY anc
+    """
+
+
+@query("sql_recursive_hierarchy_rollup", _recursive_rollup_sql("//"))
+def sql_recursive_hierarchy_rollup(spark, sf_dir):
+    """Native `WITH RECURSIVE` (new in Spark 4): roll revenue up an
+    order-key decimal-digit hierarchy (parent = key DIV 10 — an
+    acyclic stand-in for the org-chart / category-tree / BOM walks
+    recursive SQL exists for). Each order seeds the recursion and
+    climbs its ancestor chain; the aggregate then reports every
+    internal node's descendant count and subtree revenue (in exact
+    integer cents through the DECIMAL(18,2)*100 channel, summed as
+    DECIMAL(38,0)). Both engines execute the SAME query text modulo
+    the integer-division spelling (`DIV` vs `//`).
+
+    Engine notes, probed on this container (pyspark 4.1.2): recursion
+    supports UNION ALL only ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE]),
+    so this key walks a DAG where duplicate-elimination is not needed;
+    CYCLIC reachability (where UNION dedup is the fixpoint) stays on
+    the driver-loop form (`graph_connected_components`,
+    `graph_shortest_path_bfs`). Scale shape: each recursive step is
+    one distributed projection+filter; depth is log10(maxkey) (~12 at
+    100 TB key ranges), and the WHERE anc < 100000 cap bounds the
+    reported tree to the top levels while the walk itself stays
+    distributed.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_recursive_rollup_sql("DIV"))

@@ -982,3 +982,113 @@ def ts_seasonal_profile(spark, sf_dir):
             F.expr("n * 1000000 div n_type").alias("share_scaled"),
         )
     )
+
+
+_ACF_LAGS = [1, 2, 3, 7]
+
+
+@query(
+    "ts_acf_lags",
+    f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST([{", ".join(str(x) for x in _ACF_LAGS)}]) AS lag),
+    pairs AS (
+      SELECT l.lag, a.s AS sa, b.s AS sb
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d - l.lag
+    ),
+    m AS (
+      SELECT lag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(sa AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(sb AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(sa AS DECIMAL(19,0))
+                      * CAST(sa AS DECIMAL(19,0))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(sb AS DECIMAL(19,0))
+                      * CAST(sb AS DECIMAL(19,0))) AS DOUBLE) AS sy2,
+             CAST(SUM(CAST(sa AS DECIMAL(19,0))
+                      * CAST(sb AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(CAST((n * sxy - sx * sy)
+             / (SQRT(n * sx2 - sx * sx) * SQRT(n * sy2 - sy * sy))
+             AS DECIMAL(20,12)) AS DOUBLE) AS acf
+    FROM m
+    """,
+)
+def ts_acf_lags(spark, sf_dir):
+    """Sample autocorrelation of the daily-revenue series at lags
+    1/2/3/7 — the seasonality probe behind every forecasting and
+    anomaly pipeline (lag-7 spikes mean weekly cycles; all-lags-high
+    means trend). Exactness channel: daily revenue is integer CENTS
+    (DECIMAL(18,2) cast then *100 — both engines round the stored
+    double identically), lagged pairs align on integer day offsets
+    (calendar-gap-aware: a missing day yields no pair, same in both
+    engines), and the per-lag Pearson moments are DECIMAL(19,0)
+    products summed exactly, so the correlation is the one
+    identical-tree double expression with the DECIMAL(20,12) rounding
+    absorbing the FMA ulp (the `agg_corr_pearson` discipline).
+
+    Distributed shape: one combinable groupBy compresses N rows to
+    ~|days| series points; the lag self-join and moments run on the
+    series (broadcast when it fits, as any per-day series does), so
+    at 100 TB the cost is the scan plus a toy join.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.to_date(F.lit("1995-01-01")),
+            ).alias("d")
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    lags = spark.createDataFrame([(x,) for x in _ACF_LAGS], "lag int")
+    a = daily.select(F.col("d").alias("da"), F.col("s").alias("sa"))
+    b = daily.select(F.col("d").alias("db"), F.col("s").alias("sb"))
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("db") == F.col("da") - F.col("lag"),
+        )
+    )
+    da_, db_ = F.col("sa").cast("decimal(19,0)"), F.col("sb").cast(
+        "decimal(19,0)"
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(da_).cast("double").alias("sx"),
+        F.sum(db_).cast("double").alias("sy"),
+        F.sum(da_ * da_).cast("double").alias("sx2"),
+        F.sum(db_ * db_).cast("double").alias("sy2"),
+        F.sum(da_ * db_).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    acf = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sx2") - sx * sx) * F.sqrt(n * F.col("sy2") - sy * sy)
+    )
+    return m.select(
+        "lag",
+        n.cast("long").alias("n_pairs"),
+        acf.cast("decimal(20,12)").cast("double").alias("acf"),
+    )

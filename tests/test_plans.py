@@ -233,6 +233,9 @@ _BNLJ_BOUNDED_OK = {
     "agg_theta_sketch_intersect",  # k-row sketch aggs crossJoined
     "agg_corr_spearman",  # two_phase_rank offsets + 1-row moments agg
     "graph_shortest_path_bfs",  # _strong_pairs' 1-row mean-weight bcast
+    "privacy_t_closeness_audit",  # classes x |buckets|-row grid + 1-row nbm
+    "dq_benford_digit_audit",  # 9-row literal table x 1-row total agg
+    "ts_acf_lags",  # |days|-row series x 4-row lag list
     "docs_quality_calibration",  # ranked rows x 1-row count agg
     "sim_ann_ivf_cell_stats",  # 16 cells x 1-row corpus-total agg
     "emb_random_projection_jl",  # 48-vector sample pair join, bcast side

@@ -332,3 +332,47 @@ def test_bfs_hops_invariants(spark):  # noqa: F811
     assert seeds <= set(hops) and all(hops[s] == 0 for s in seeds)
     levels = sorted(set(hops.values()))
     assert levels == list(range(len(levels)))
+
+
+def test_t_closeness_invariants(spark):  # noqa: F811
+    from target_s3_parquet_spark.registry import get_queries
+
+    rows = get_queries()["privacy_t_closeness_audit"](spark, SF001).collect()
+    assert rows
+    for r in rows:
+        # EMD over normalized CDFs is bounded by 1 after the (m-1) norm
+        assert 0.0 <= r.t_emd <= 1.0, (r.c_nationkey, r.c_mktsegment, r.t_emd)
+        assert r.n_class > 0
+
+
+def test_benford_invariants(spark):  # noqa: F811
+    from target_s3_parquet_spark.registry import get_queries
+
+    rows = get_queries()["dq_benford_digit_audit"](spark, SF001).collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.p_benford for r in rows) - 1.0) < 1e-12
+    assert abs(sum(r.p_observed for r in rows) - 1.0) < 1e-9
+    assert all(r.chi2_term >= 0 for r in rows)
+
+
+def test_acf_and_recursive_invariants(spark):  # noqa: F811
+    from target_s3_parquet_spark.registry import get_queries
+
+    qs = get_queries()
+    acf = qs["ts_acf_lags"](spark, SF001).collect()
+    assert sorted(r.lag for r in acf) == [1, 2, 3, 7]
+    for r in acf:
+        assert -1.0 <= r.acf <= 1.0 and r.n_pairs > 0
+
+    roll = qs["sql_recursive_hierarchy_rollup"](spark, SF001).collect()
+    by_node = {r.node_id: r for r in roll}
+    assert all(r.node_id < 100000 for r in roll)
+    # parent subtree strictly contains child subtrees (digit tree)
+    for node, r in by_node.items():
+        # single-digit nodes are their own roots (the walk stops at
+        # anc >= 10), so containment only holds for nodes >= 10
+        parent = node // 10
+        if node >= 10 and parent in by_node:
+            p = by_node[parent]
+            assert p.n_desc >= r.n_desc
+            assert p.subtree_cents >= r.subtree_cents
