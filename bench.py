@@ -269,6 +269,10 @@ def main() -> None:
         "dq_benford_digit_audit",
         "ts_acf_lags",
         "sql_recursive_hierarchy_rollup",
+        "agg_ks_test_two_sample",
+        "agg_covariance_matrix",
+        "text_collocation_lift_topk",
+        "sample_balanced_class",
     ]
     r7_t: dict[str, float] = {}
     for name in SWEEP_R7:

@@ -782,3 +782,84 @@ def scalar_array_setops(spark, sf_dir):
         ser(F.array_intersect("a", "b")).alias("intersect_sorted"),
         ser(F.array_except("a", "b")).alias("except_sorted"),
     )
+
+
+@query(
+    "text_collocation_lift_topk",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) s
+      WHERE len(ws) >= 2
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    u1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    u2 AS (SELECT w2, COUNT(*) AS c2 FROM bg GROUP BY w2),
+    n AS (SELECT COUNT(*) AS nb FROM bg)
+    SELECT bi.w1, bi.w2, bi.c12,
+           CAST(nb AS DOUBLE) * bi.c12 / (CAST(u1.c1 AS DOUBLE) * u2.c2)
+             AS lift
+    FROM bi JOIN u1 USING (w1) JOIN u2 USING (w2) CROSS JOIN n
+    WHERE bi.c12 >= 5
+    ORDER BY lift DESC, bi.w1, bi.w2
+    LIMIT 50
+    """,
+)
+def text_collocation_lift_topk(spark, sf_dir):
+    """Top-50 collocations by LIFT — the log-free monotone twin of
+    PMI (PMI = log lift, so the ranking is identical): bigrams whose
+    observed count beats the independence expectation c1*c2/N most.
+    Collocation mining feeds tokenizer vocab candidates and phrase-
+    aware dedup shingles in a training-data pipeline. The score is the
+    `market_basket_pairs` discipline — integer counts with one
+    identical-tree double expression — so both engines rank every pair
+    identically; the total order (lift DESC, w1, w2) makes the top-50
+    boundary deterministic.
+
+    Distributed shape: the bigram stream is aggregated three ways
+    (combinable groupBys); the marginal tables join back on their
+    natural keys; min-support c12 >= 5 prunes before the join; the
+    top-50 is TakeOrderedAndProject (never a global sort).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    bg = (
+        d.select(words.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("ws") - 2),
+                    lambda i: F.struct(
+                        F.col("ws")[i].alias("w1"),
+                        F.col("ws")[i + 1].alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")).filter(
+        F.col("c12") >= 5
+    )
+    u1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    u2 = bg.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = bg.agg(F.count(F.lit(1)).alias("nb"))
+    lift = (
+        F.col("nb").cast("double") * F.col("c12")
+        / (F.col("c1").cast("double") * F.col("c2"))
+    )
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c12", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(50)
+    )

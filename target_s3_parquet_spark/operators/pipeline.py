@@ -2443,3 +2443,63 @@ def dq_benford_digit_audit(spark, sf_dir):
         .cast("double")
         .alias("chi2_term"),
     )
+
+
+@query(
+    "sample_balanced_class",
+    """
+    WITH nmin AS (
+      SELECT MIN(cnt) AS n_take FROM (
+        SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+      )
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked CROSS JOIN nmin
+    WHERE rn <= n_take
+    """,
+)
+def sample_balanced_class(spark, sf_dir):
+    """Class-balanced downsampling (equalize language mix by capping
+    every class at the minority-class size) — the rebalance step a
+    training-mix builder runs before temperature weighting, made
+    DETERMINISTIC: within each class, keep the n_min documents with
+    the smallest md5(doc_id) — a uniform pseudo-random draw both
+    engines replay bit-for-bit (same channel as `sample_top_hash` /
+    `corpus_domain_cap`).
+
+    Distributed shape: one combinable count per class (its MIN
+    broadcasts as a 1-row bound), then the standard per-group top-n —
+    a window partitioned BY CLASS over the hash order, filter rn <=
+    n_take; nothing global, no data-sized single-task sort. At 100 TB
+    the per-class sorted shuffle is the cost, the same as any
+    per-group top-n; classes are bounded (languages), and a skewed
+    majority class splits fine under AQE since the window partitions
+    by lang while ranking only within.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    nmin = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.min("cnt").alias("n_take"))
+    )
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(nmin))
+        .filter(F.col("rn") <= F.col("n_take"))
+        .select("doc_id", "lang")
+    )

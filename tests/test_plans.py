@@ -236,6 +236,9 @@ _BNLJ_BOUNDED_OK = {
     "privacy_t_closeness_audit",  # classes x |buckets|-row grid + 1-row nbm
     "dq_benford_digit_audit",  # 9-row literal table x 1-row total agg
     "ts_acf_lags",  # |days|-row series x 4-row lag list
+    "agg_ks_test_two_sample",  # CDF rows x 1-row totals agg
+    "sample_balanced_class",  # ranked rows x 1-row min-class-count agg
+    "text_collocation_lift_topk",  # scored pairs x 1-row bigram-total agg
     "docs_quality_calibration",  # ranked rows x 1-row count agg
     "sim_ann_ivf_cell_stats",  # 16 cells x 1-row corpus-total agg
     "emb_random_projection_jl",  # 48-vector sample pair join, bcast side

@@ -376,3 +376,50 @@ def test_acf_and_recursive_invariants(spark):  # noqa: F811
             p = by_node[parent]
             assert p.n_desc >= r.n_desc
             assert p.subtree_cents >= r.subtree_cents
+
+
+def test_ks_and_covariance_invariants(spark):  # noqa: F811
+    from target_s3_parquet_spark.registry import get_queries
+
+    qs = get_queries()
+    k = qs["agg_ks_test_two_sample"](spark, SF001).collect()[0]
+    assert 0.0 <= k.ks_d <= 1.0
+    assert abs(k.ks_d - k.d_numer / (k.n_a * k.n_b)) < 1e-12
+
+    cov = qs["agg_covariance_matrix"](spark, SF001).collect()
+    assert len(cov) == 10
+    m = {(r.var_x, r.var_y): r.cov for r in cov}
+    # diagonal entries are variances: non-negative
+    for v in ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]:
+        assert m[(v, v)] >= 0
+    # Cauchy-Schwarz on a sample pair
+    assert (
+        m[("l_quantity", "l_extendedprice")] ** 2
+        <= m[("l_quantity", "l_quantity")]
+        * m[("l_extendedprice", "l_extendedprice")] * (1 + 1e-9)
+    )
+
+
+def test_collocation_and_balanced_sample(spark):  # noqa: F811
+    from target_s3_parquet_spark.registry import get_queries
+    from target_s3_parquet_spark.session import load_table
+
+    qs = get_queries()
+    top = qs["text_collocation_lift_topk"](spark, SF001).collect()
+    assert 0 < len(top) <= 50
+    assert all(t.c12 >= 5 and t.lift > 0 for t in top)
+    # descending lift with the declared tie-break
+    lifts = [t.lift for t in top]
+    assert lifts == sorted(lifts, reverse=True)
+
+    bal = qs["sample_balanced_class"](spark, SF001).collect()
+    from collections import Counter
+    by_lang = Counter(r.lang for r in bal)
+    n_min = min(
+        r.cnt
+        for r in load_table(spark, SF001, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    assert set(by_lang.values()) == {n_min}
