@@ -273,6 +273,7 @@ def main() -> None:
         "agg_covariance_matrix",
         "text_collocation_lift_topk",
         "sample_balanced_class",
+        "stream_kmv_distinct",
     ]
     r7_t: dict[str, float] = {}
     for name in SWEEP_R7:

@@ -1540,3 +1540,124 @@ def stream_stream_join_outer(spark, sf_dir):
         n_chunks=2,
         tail_chunks=[sentinel_wave(12), sentinel_wave(24)],
     ).filter(F.col("purchase_id") >= 0)
+
+
+@query(
+    "stream_kmv_distinct",
+    """
+    WITH uh AS (
+      SELECT DISTINCT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13)
+                  AS BIGINT) AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM uh
+    )
+    SELECT event_type, COUNT(*) AS k_eff, MAX(h) AS hk,
+           CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE 31 * CAST(4503599627370496 AS DOUBLE) / MAX(h) END
+             AS kmv_est
+    FROM ranked WHERE rn <= 32
+    GROUP BY event_type
+    """,
+)
+def stream_kmv_distinct(spark, sf_dir):
+    """Streaming distinct-count sketch: each epoch's foreachBatch folds
+    the batch's per-type user hashes into a persisted bottom-k=32
+    state table. This is `agg_kmv_distinct_union`'s sketch maintained
+    INCREMENTALLY, and the convergence is provable, not approximate:
+    bottom-k of (bottom-k(state) ∪ batch) = bottom-k of everything
+    seen, for ANY chunking and arrival order — the mergeability that
+    makes bottom-k the sketch distributed and streaming engines agree
+    on. The shared oracle pins the final state bit-for-bit to the
+    one-shot batch sketch (the same batch-convergence property
+    `stream_cdc_scd2` proves for SCD2 state).
+
+    Per-epoch work: the batch reduces map-side to distinct (type,
+    hash); state is O(k * n_types) rows, so the merge window ranks at
+    most k + batch-distinct rows per type — bounded state, bounded
+    shuffle, at any corpus size. Estimates derive from the k-th order
+    statistic on the exact 52-bit md5 hex grid; below capacity the
+    sketch IS the exact distinct set (est = k_eff).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    _K = 32
+    events = t(spark, sf_dir, "events").select("event_type", "user_id")
+    tmp = tempfile.mkdtemp(prefix="fb_kmv_")
+    try:
+        stream_dir = os.path.join(tmp, "stream")
+        state_dir = os.path.join(tmp, "state")
+        # chunk membership is deliberately arbitrary (content hash) —
+        # the sketch's mergeability makes the result chunk-invariant
+        chunked = events.withColumn(
+            "_chunk",
+            F.pmod(F.xxhash64("event_type", "user_id"), F.lit(3)).cast("int"),
+        ).cache()
+        for i in range(3):
+            chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(
+                1
+            ).write.mode("append").parquet(stream_dir)
+        chunked.unpersist()
+
+        h = F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 13),"
+            " 16, 10) AS BIGINT)"
+        )
+        w = W.partitionBy("event_type").orderBy("h")
+
+        def merge(batch, batch_id):
+            cand = batch.select("event_type", h.alias("h")).distinct()
+            if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+                prev = batch.sparkSession.read.parquet(state_dir)
+                cand = prev.unionByName(cand).distinct()
+            nxt = (
+                cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= _K)
+                .drop("rn")
+            )
+            staging = state_dir + f"._stage_{batch_id}"
+            nxt.coalesce(1).write.mode("overwrite").parquet(staging)
+            if os.path.exists(state_dir):
+                shutil.rmtree(state_dir)
+            os.rename(staging, state_dir)
+
+        reader = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        with stream_conf(spark):
+            q = (
+                reader.writeStream.foreachBatch(merge)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        sk = spark.read.parquet(state_dir)
+        est = F.when(
+            F.count(F.lit(1)) < _K, F.count(F.lit(1)).cast("double")
+        ).otherwise(
+            F.lit(float(_K - 1)) * F.lit(4503599627370496.0) / F.max("h")
+        )
+        out = sk.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.max("h").alias("hk"),
+            est.alias("kmv_est"),
+        )
+        return snapshot_small(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

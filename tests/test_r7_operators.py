@@ -423,3 +423,27 @@ def test_collocation_and_balanced_sample(spark):  # noqa: F811
         .collect()
     )
     assert set(by_lang.values()) == {n_min}
+
+
+def test_stream_kmv_chunk_invariance(spark):  # noqa: F811
+    """The streaming sketch must equal the batch sketch's per-group
+    rows exactly — mergeability means chunking cannot matter."""
+    from target_s3_parquet_spark.registry import get_queries
+
+    qs = get_queries()
+    stream = {
+        r.event_type: (r.k_eff, r.kmv_est)
+        for r in qs["stream_kmv_distinct"](spark, SF001).collect()
+    }
+    batch = {
+        r.event_type: (r.k_eff, r.kmv_est)
+        for r in qs["agg_kmv_distinct_union"](spark, SF001).collect()
+        if r.event_type != "__union__"
+    }
+    assert set(stream) == set(batch)
+    for et, (k_eff, est) in batch.items():
+        assert stream[et][0] == k_eff, et
+        # est trees agree exactly when the sketch is at capacity; the
+        # below-capacity branch uses n_exact (batch) vs k_eff (stream),
+        # which coincide when every distinct hash is in the sketch
+        assert stream[et][1] == est, et
