@@ -274,6 +274,7 @@ def main() -> None:
         "text_collocation_lift_topk",
         "sample_balanced_class",
         "stream_kmv_distinct",
+        "pii_pseudonymize_hmac",
     ]
     r7_t: dict[str, float] = {}
     for name in SWEEP_R7:

@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from target_s3_parquet_spark.operators._util import (
+    dec,
     ntile_from_rank,
     t,
     two_phase_rank,
@@ -2502,4 +2503,77 @@ def sample_balanced_class(spark, sf_dir):
         ranked.crossJoin(F.broadcast(nmin))
         .filter(F.col("rn") <= F.col("n_take"))
         .select("doc_id", "lang")
+    )
+
+
+_PSEUDO_SALT = "corpus-v7"  # rotation-versioned secret in a real vault
+
+
+@query(
+    "pii_pseudonymize_hmac",
+    f"""
+    WITH pc AS (
+      SELECT substr(md5('{_PSEUDO_SALT}:' || CAST(c_custkey AS VARCHAR)),
+                    1, 16) AS pid,
+             c_mktsegment
+      FROM customer
+    ),
+    po AS (
+      SELECT substr(md5('{_PSEUDO_SALT}:' || CAST(o_custkey AS VARCHAR)),
+                    1, 16) AS pid,
+             o_totalprice
+      FROM orders
+    )
+    SELECT pc.c_mktsegment,
+           COUNT(DISTINCT pc.pid) AS n_customers,
+           COUNT(po.pid) AS n_orders,
+           CAST(SUM(CAST(po.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+             AS sum_price
+    FROM pc LEFT JOIN po ON po.pid = pc.pid
+    GROUP BY pc.c_mktsegment
+    """,
+)
+def pii_pseudonymize_hmac(spark, sf_dir):
+    """Keyed pseudonymization with REFERENTIAL INTEGRITY: customer ids
+    on both tables are replaced by a salted-hash pseudonym (the
+    GDPR-pseudonymization pattern — a keyed deterministic token lets
+    analysts join and aggregate without ever seeing the raw id; rotate
+    the salt to break linkability). The proof is in the query shape:
+    the segment rollup JOINS THROUGH THE PSEUDONYM and must reproduce
+    the raw-key rollup exactly — which the oracle verifies since both
+    engines build the identical tokens on the md5 channel. Salt is a
+    literal here; production injects it from a secret store (same
+    place `session.py` maps `fs.s3a` credentials).
+
+    Distributed shape: token derivation is map-side; the join keys are
+    fixed-width 16-char tokens (uniform — better-balanced shuffle than
+    natural keys); one combinable aggregate. Companion of
+    `text_pii_scrub` (free-text redaction) and
+    `gdpr_delete_propagation` (erasure).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+
+    def pid(col):
+        return F.substring(
+            F.md5(F.concat(F.lit(_PSEUDO_SALT + ":"), col.cast("string"))),
+            1,
+            16,
+        )
+
+    pc = c.select(pid(F.col("c_custkey")).alias("pid"), "c_mktsegment")
+    po = o.select(pid(F.col("o_custkey")).alias("pid"), "o_totalprice")
+    return (
+        pc.join(po, "pid", "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("pid").alias("n_customers"),
+            F.count("o_totalprice").alias("n_orders"),
+            F.sum(dec(F.col("o_totalprice")))
+            .cast("double")
+            .alias("sum_price"),
+        )
     )

@@ -447,3 +447,30 @@ def test_stream_kmv_chunk_invariance(spark):  # noqa: F811
         # below-capacity branch uses n_exact (batch) vs k_eff (stream),
         # which coincide when every distinct hash is in the sketch
         assert stream[et][1] == est, et
+
+
+def test_pseudonymize_matches_raw_rollup(spark):  # noqa: F811
+    """Referential integrity through the pseudonym: the segment rollup
+    over tokens must equal the raw-key rollup."""
+    from target_s3_parquet_spark.registry import get_queries
+    from target_s3_parquet_spark.session import load_table
+
+    got = {
+        r.c_mktsegment: (r.n_customers, r.n_orders)
+        for r in get_queries()["pii_pseudonymize_hmac"](
+            spark, SF001
+        ).collect()
+    }
+    c = load_table(spark, SF001, "customer")
+    o = load_table(spark, SF001, "orders")
+    raw = {
+        r.c_mktsegment: (r.n_customers, r.n_orders)
+        for r in c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+        .collect()
+    }
+    assert got == raw
