@@ -302,6 +302,14 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         extras["ntile_scale_error"] = str(e)[:120]
     try:
+        from tools.bench_ranks import run_rank_stats_scale
+
+        rs = run_rank_stats_scale(spark)
+        extras["rank_stats_scale"] = rs
+        print(f"# rank_stats_scale: {rs}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["rank_stats_scale_error"] = str(e)[:120]
+    try:
         from tools.bench_opq import run_opq_recall
 
         opq = run_opq_recall(spark, sf_dir)
