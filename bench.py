@@ -275,6 +275,8 @@ def main() -> None:
         "sample_balanced_class",
         "stream_kmv_distinct",
         "pii_pseudonymize_hmac",
+        "sql_session_variables",
+        "sql_scripting_control_flow",
     ]
     r7_t: dict[str, float] = {}
     for name in SWEEP_R7:

@@ -361,3 +361,132 @@ def sql_recursive_hierarchy_rollup(spark, sf_dir):
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_recursive_rollup_sql("DIV"))
+
+
+@query(
+    "sql_session_variables",
+    f"""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_above,
+           {sql_dsum('c_acctbal', 'sum_bal_above')}
+    FROM customer, thr
+    WHERE c_acctbal > thr.v
+    GROUP BY c_mktsegment
+    """,
+)
+def sql_session_variables(spark, sf_dir):
+    """SQL session variables (Spark 4 `DECLARE VARIABLE` / `SET VAR`):
+    a data-derived threshold is staged into a session variable and a
+    second statement consumes it — the imperative style BI notebooks
+    and migration-from-warehouse SQL actually use. The oracle states
+    the equivalent single query (variables are syntactic staging; the
+    RESULT is what must match). The threshold is the decimal-channel
+    mean so the staged double is bit-identical in both engines and
+    every `>` boundary decision agrees.
+
+    Plan note: the consuming query embeds the variable as a LITERAL
+    (resolved at parse time), so the filter pushes down to the scan —
+    staging a scalar through a variable is plan-wise FREE, unlike the
+    correlated subquery form the oracle uses.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE seg_thr DOUBLE DEFAULT 0.0"
+    )
+    spark.sql(
+        """SET VAR seg_thr = (
+             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                      / COUNT(*)
+             FROM customer)"""
+    )
+    return spark.sql(
+        """SELECT c_mktsegment,
+                  COUNT(*) AS n_above,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                    AS sum_bal_above
+           FROM customer
+           WHERE c_acctbal > seg_thr
+           GROUP BY c_mktsegment"""
+    )
+
+
+@query(
+    "sql_scripting_control_flow",
+    """
+    WITH RECURSIVE bounds AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+    ),
+    walk(lo, k) AS (
+      SELECT mn, 0 FROM bounds
+      UNION ALL
+      SELECT lo * 2, k + 1 FROM walk, bounds WHERE lo * 2 <= mx
+    )
+    SELECT CAST(MAX(k) AS BIGINT) AS doublings,
+           CAST(MAX_BY(lo, k) AS DOUBLE) AS final_value
+    FROM walk
+    """,
+)
+def sql_scripting_control_flow(spark, sf_dir):
+    """SQL procedural scripting (Spark 4 `BEGIN ... END`;
+    `spark.sql.scripting.enabled` defaults to true on 4.1 — set
+    explicitly here and restored, guarding deployments that disable
+    it): a WHILE loop doubles the minimum
+    order price until it exceeds the maximum — the imperative
+    binary-range computation (how many doublings span the column) that
+    a stored-procedure migration would write exactly this way. The
+    oracle replays the SAME loop declaratively as a recursive CTE:
+    doubling is an exact IEEE operation and min/max are exact reads,
+    so the loop trip count and final value are bit-identical across
+    the imperative/declarative pair — procedural scripting and
+    recursion are the same fixpoint, which is the point of the key.
+
+    Scripting executes statements sequentially on the driver; each
+    statement's PLAN is ordinary distributed SQL (the two scalar reads
+    here are combinable min/max aggregates), so scripting adds control
+    flow without changing the execution model — same posture as the
+    driver-loop graph operators.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    # snapshot with a NO-DEFAULT get (a caller default would be
+    # restored as if it had been set — the r6 conf-restore footgun)
+    try:
+        prev = spark.conf.get("spark.sql.scripting.enabled")
+    except Exception:  # noqa: BLE001 — key never set
+        prev = None
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        out = spark.sql(
+            """BEGIN
+                 DECLARE lo DOUBLE;
+                 DECLARE hi DOUBLE;
+                 DECLARE k INT DEFAULT 0;
+                 SET lo = (SELECT MIN(o_totalprice) FROM orders);
+                 SET hi = (SELECT MAX(o_totalprice) FROM orders);
+                 WHILE lo * 2 <= hi DO
+                   SET lo = lo * 2;
+                   SET k = k + 1;
+                 END WHILE;
+                 SELECT CAST(k AS BIGINT) AS doublings,
+                        lo AS final_value;
+               END"""
+        )
+        # the script's result must materialize before the conf restore
+        from target_s3_parquet_spark._snapshot import snapshot_small
+
+        return snapshot_small(out)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)

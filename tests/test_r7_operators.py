@@ -474,3 +474,24 @@ def test_pseudonymize_matches_raw_rollup(spark):  # noqa: F811
         .collect()
     }
     assert got == raw
+
+
+def test_sql_vars_and_scripting(spark):  # noqa: F811
+    from target_s3_parquet_spark.registry import get_queries
+    from target_s3_parquet_spark.session import load_table
+
+    qs = get_queries()
+    rows = qs["sql_session_variables"](spark, SF001).collect()
+    assert rows and all(r.n_above > 0 for r in rows)
+
+    s = qs["sql_scripting_control_flow"](spark, SF001).collect()[0]
+    o = load_table(spark, SF001, "orders").agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    ).collect()[0]
+    # the loop's postcondition: lo = mn * 2^k, lo <= mx < lo * 2
+    assert s.final_value == o.mn * (2.0 ** s.doublings)
+    assert s.final_value <= o.mx < s.final_value * 2
+    # scripting conf restored to its pre-key effective value (the
+    # Spark 4.1 session default is 'true'; the key's snapshot/restore
+    # must hand back exactly what the no-default get saw)
+    assert spark.conf.get("spark.sql.scripting.enabled") == "true"
