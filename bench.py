@@ -277,6 +277,8 @@ def main() -> None:
         "pii_pseudonymize_hmac",
         "sql_session_variables",
         "sql_scripting_control_flow",
+        "txlog_vacuum_retention",
+        "emb_text_pairing_audit",
     ]
     r7_t: dict[str, float] = {}
     for name in SWEEP_R7:

@@ -3161,3 +3161,73 @@ def emb_dim_stats(spark, sf_dir):
         F.min("qx").alias("min_q"),
         F.max("qx").alias("max_q"),
     )
+
+
+@query(
+    "emb_text_pairing_audit",
+    """
+    WITH pairs AS (
+      SELECT d.lang, e.label, d.n_chars
+      FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    tots AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT COUNT(*) FROM embeddings) AS n_vecs,
+             COUNT(*) AS n_paired
+      FROM pairs
+    )
+    SELECT p.lang, p.label,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(p.n_chars AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*) AS avg_chars,
+           t.n_docs, t.n_vecs, t.n_paired
+    FROM pairs p CROSS JOIN tots t
+    GROUP BY p.lang, p.label, t.n_docs, t.n_vecs, t.n_paired
+    """,
+)
+def emb_text_pairing_audit(spark, sf_dir):
+    """Paired-modality integrity audit: documents join their embedding
+    rows 1:1 on doc_id = vec_id, and the (lang, label) contingency
+    with per-cell mean length is the first table a multimodal-training
+    run inspects — is every text embedded (n_paired vs n_docs/n_vecs
+    catches drops), and does the label distribution stratify sanely
+    across languages? All cells are integer counts plus one
+    decimal-channel mean, so the audit is bit-exact cross-engine.
+
+    Distributed shape: one equi-join on the id (both sides shuffle on
+    the key — or co-locate for free if both tables are bucketed by id,
+    `join_bucketed_colocated`'s layout), one combinable groupBy over
+    the bounded (lang, label) grid, and a 1-row totals broadcast. At
+    100 TB the join is the cost and is the same join the training-data
+    assembly pays anyway.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    pairs = d.join(e, d.doc_id == e.vec_id)
+    tots = (
+        pairs.agg(F.count(F.lit(1)).alias("n_paired"))
+        .crossJoin(
+            F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+        )
+        .crossJoin(
+            F.broadcast(e.agg(F.count(F.lit(1)).alias("n_vecs")))
+        )
+    )
+    return (
+        pairs.groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            (
+                F.sum(F.col("n_chars").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_chars"),
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "lang", "label", "n_pairs", "avg_chars",
+            "n_docs", "n_vecs", "n_paired",
+        )
+    )

@@ -930,3 +930,71 @@ def txlog_clone_deep(spark, sf_dir):
         return snapshot_small(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "txlog_vacuum_retention",
+    """
+    SELECT 'pre' AS phase, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+           5 AS n_dirs_on_disk
+    FROM orders
+    UNION ALL
+    SELECT 'post', COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE),
+           1
+    FROM orders
+    """,
+)
+def txlog_vacuum_retention(spark, sf_dir):
+    """VACUUM end-to-end — the retention half of the lakehouse
+    maintenance pair (`txlog_optimize_compact` rewrites, vacuum
+    reclaims): four micro-appends then OPTIMIZE leave four data dirs
+    referenced only by pre-compaction manifests; vacuum with
+    retain_versions=1 deletes them and drops the old manifests, so
+    disk holds exactly the one live dir while the CURRENT snapshot is
+    byte-identical pre/post (the oracle pins both the aggregates and
+    the 5 -> 1 on-disk dir counts). retention_seconds=0 is safe here
+    because the key is provably the only writer of its temp table —
+    the guard exists for in-flight `commit()`s, which stage data
+    BEFORE claiming a manifest (`vacuum()`'s docstring contract).
+    Time travel past the retained window is gone after vacuum — the
+    Delta-style retention trade, asserted in the invariant test.
+
+    Reference scope check: the reference sink appends flat parquet
+    with no table log (`target_s3_parquet/__init__.py`); the txlog
+    family is declared extension surface (SURVEY.md §2C)."""
+    import shutil
+    import tempfile
+
+    o = t(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="txlog_vac_")
+    try:
+        root = f"{tmp}/orders_tbl"
+        for i in range(4):
+            commit(o.filter(F.col("o_orderkey") % 4 == i), root)
+        optimize_compact(spark, root, target_partitions=1)
+
+        def on_disk():
+            data_root = os.path.join(root, "data")
+            return len(os.listdir(data_root))
+
+        def phase_row(label, n_dirs):
+            return read_table(spark, root).agg(
+                F.lit(label).alias("phase"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double")
+                .alias("total"),
+                F.lit(n_dirs).alias("n_dirs_on_disk"),
+            )
+
+        pre = phase_row("pre", on_disk())
+        pre = snapshot_small(pre)  # materialize BEFORE files vanish
+        removed = vacuum(root, retain_versions=1, retention_seconds=0)
+        assert len(removed) == 4, removed
+        post = phase_row("post", on_disk())
+        out = pre.unionAll(post)
+        return snapshot_small(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -239,6 +239,7 @@ _BNLJ_BOUNDED_OK = {
     "agg_ks_test_two_sample",  # CDF rows x 1-row totals agg
     "sample_balanced_class",  # ranked rows x 1-row min-class-count agg
     "text_collocation_lift_topk",  # scored pairs x 1-row bigram-total agg
+    "emb_text_pairing_audit",  # grid cells x 1-row paired-totals agg
     "docs_quality_calibration",  # ranked rows x 1-row count agg
     "sim_ann_ivf_cell_stats",  # 16 cells x 1-row corpus-total agg
     "emb_random_projection_jl",  # 48-vector sample pair join, bcast side

@@ -495,3 +495,51 @@ def test_sql_vars_and_scripting(spark):  # noqa: F811
     # Spark 4.1 session default is 'true'; the key's snapshot/restore
     # must hand back exactly what the no-default get saw)
     assert spark.conf.get("spark.sql.scripting.enabled") == "true"
+
+
+def test_vacuum_and_pairing_invariants(spark):  # noqa: F811
+    import pytest as _pytest
+
+    from target_s3_parquet_spark.registry import get_queries
+
+    qs = get_queries()
+    rows = {r.phase: r for r in qs["txlog_vacuum_retention"](spark, SF001).collect()}
+    assert rows["pre"].n_rows == rows["post"].n_rows
+    assert rows["pre"].total == rows["post"].total
+    assert rows["pre"].n_dirs_on_disk == 5 and rows["post"].n_dirs_on_disk == 1
+
+    aud = qs["emb_text_pairing_audit"](spark, SF001).collect()
+    r0 = aud[0]
+    # 1:1 pairing on this corpus: every doc embedded, every vector used
+    assert r0.n_paired == r0.n_docs == r0.n_vecs
+    assert sum(r.n_pairs for r in aud) == r0.n_paired
+
+
+def test_vacuum_breaks_old_time_travel(spark):  # noqa: F811
+    """After vacuum(retain=1), reading a pre-compaction version must
+    fail (its dirs are gone) while the latest version stays intact."""
+    import tempfile
+
+    import pytest as _pytest
+
+    from target_s3_parquet_spark.session import load_table
+    from target_s3_parquet_spark.sources.txlog import (
+        commit,
+        latest_version,
+        optimize_compact,
+        read_table,
+        vacuum,
+    )
+
+    o = load_table(spark, SF001, "orders").limit(100)
+    with tempfile.TemporaryDirectory(prefix="vac_t_") as tmp:
+        root = f"{tmp}/tbl"
+        commit(o, root)
+        commit(o, root)
+        assert latest_version(root) == 1  # two commits
+        optimize_compact(spark, root, target_partitions=1)
+        removed = vacuum(root, retain_versions=1, retention_seconds=0)
+        assert removed
+        assert read_table(spark, root).count() == 200
+        with _pytest.raises(Exception):
+            read_table(spark, root, version=0).collect()
