@@ -279,6 +279,9 @@ def main() -> None:
         "sql_scripting_control_flow",
         "txlog_vacuum_retention",
         "emb_text_pairing_audit",
+        "ab_test_anova_f",
+        "text_hapax_ratio_by_lang",
+        "funnel_time_to_convert",
     ]
     r7_t: dict[str, float] = {}
     for name in SWEEP_R7:

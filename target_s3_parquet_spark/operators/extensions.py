@@ -863,3 +863,64 @@ def text_collocation_lift_topk(spark, sf_dir):
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@query(
+    "text_hapax_ratio_by_lang",
+    """
+    WITH toks AS (
+      SELECT lang, t AS token
+      FROM (SELECT lang,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    freq AS (
+      SELECT lang, token, COUNT(*) AS c FROM toks GROUP BY lang, token
+    )
+    SELECT lang,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_vocab_ratio,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(c) AS hapax_token_ratio
+    FROM freq GROUP BY lang
+    """,
+)
+def text_hapax_ratio_by_lang(spark, sf_dir):
+    """Hapax legomena ratio per language — the vocabulary-richness /
+    OCR-noise signal corpus linguists check first: a natural corpus
+    runs ~40-60% hapax of vocab (Zipf's tail); far above flags noisy
+    tokenization or OCR garbage, far below flags boilerplate or
+    deduplication debt. Pure integer counts and two identical-tree
+    double ratios — nothing to drift.
+
+    Distributed shape: tokenize map-side, ONE combinable groupBy to
+    per-(lang, token) counts, one combinable rollup to per-lang rows.
+    At 100 TB the token-frequency shuffle is the cost and is the same
+    shuffle every vocab/TF-IDF build already pays.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "lang",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    freq = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("c"))
+    hapax = F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+    return freq.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        hapax.cast("long").alias("hapax"),
+        (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_vocab_ratio"),
+        (hapax.cast("double") / F.sum("c")).alias("hapax_token_ratio"),
+    )

@@ -1092,3 +1092,132 @@ def ts_acf_lags(spark, sf_dir):
         n.cast("long").alias("n_pairs"),
         acf.cast("decimal(20,12)").cast("double").alias("acf"),
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+      GROUP BY e.user_id
+    ),
+    gaps AS (
+      SELECT 'view->click' AS stage,
+             epoch_us(c.t_click) - epoch_us(v.t_view) AS gap_us,
+             c.user_id
+      FROM c JOIN v ON v.user_id = c.user_id
+      UNION ALL
+      SELECT 'click->purchase',
+             epoch_us(p.t_purchase) - epoch_us(c.t_click), p.user_id
+      FROM p JOIN c ON c.user_id = p.user_id
+    ),
+    ranked AS (
+      SELECT stage, gap_us,
+             ROW_NUMBER() OVER (PARTITION BY stage
+                                ORDER BY gap_us, user_id) AS rn,
+             COUNT(*) OVER (PARTITION BY stage) AS n
+      FROM gaps
+    )
+    SELECT stage, CAST(MAX(n) AS BIGINT) AS n_users,
+           MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                    THEN gap_us END) AS p25_us,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                    THEN gap_us END) AS p50_us,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                    THEN gap_us END) AS p90_us
+    FROM ranked GROUP BY stage
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert quantiles for the ordered funnel — the latency
+    companion of `funnel_analysis` (counting users says the funnel
+    works; p50/p90 conversion lag says how fast). Gaps are exact
+    integer MICROSECONDS; quantiles are DISCRETE rank selections
+    (value at rank ceil(p*n), the tie-free percentile_disc rule —
+    interpolating percentile built-ins are engine-private float
+    paths), so every reported number is a value that actually occurred
+    and both engines pick the identical row. ceil(p*n) is evaluated on
+    the same IEEE product in both engines, so even the non-dyadic 0.9
+    boundary lands on the same rank.
+
+    Distributed shape: the funnel's keyed MINs as in
+    `funnel_analysis`; per-stage ranks come from `two_phase_rank`'s
+    range-partitioned prefix sum run per stage relation — NOT a
+    2-partition window over the union (PARTITION BY stage with two
+    values is the single-task-sort pathology in disguise at 100 TB).
+    The oracle states that naive window form.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def stage_quantiles(df, label):
+        ranked = two_phase_rank(df, ["gap_us", "user_id"], rank_name="rn")
+        n1 = df.agg(F.count(F.lit(1)).alias("n"))
+        j = ranked.crossJoin(F.broadcast(n1))
+        pick = {
+            "p25_us": 0.25, "p50_us": 0.5, "p90_us": 0.9,
+        }
+        aggs = [F.max("n").cast("long").alias("n_users")]
+        for alias, q in pick.items():
+            rank = F.ceil(F.lit(q) * F.col("n")).cast("long")
+            aggs.append(
+                F.max(F.when(F.col("rn") == rank, F.col("gap_us"))).alias(alias)
+            )
+        return j.agg(*aggs).select(
+            F.lit(label).alias("stage"), "n_users", "p25_us", "p50_us", "p90_us"
+        )
+
+    g1 = (
+        c.join(v, "user_id")
+        .select(
+            (F.unix_micros("t_click") - F.unix_micros("t_view")).alias("gap_us"),
+            "user_id",
+        )
+    )
+    g2 = (
+        p.join(c, "user_id")
+        .select(
+            (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias(
+                "gap_us"
+            ),
+            "user_id",
+        )
+    )
+    return stage_quantiles(g1, "view->click").unionByName(
+        stage_quantiles(g2, "click->purchase")
+    )

@@ -240,6 +240,8 @@ _BNLJ_BOUNDED_OK = {
     "sample_balanced_class",  # ranked rows x 1-row min-class-count agg
     "text_collocation_lift_topk",  # scored pairs x 1-row bigram-total agg
     "emb_text_pairing_audit",  # grid cells x 1-row paired-totals agg
+    "ab_test_anova_f",  # 7-slot pivot row x 1-row global sum-sq agg
+    "funnel_time_to_convert",  # per-stage ranked gaps x 1-row count agg
     "docs_quality_calibration",  # ranked rows x 1-row count agg
     "sim_ann_ivf_cell_stats",  # 16 cells x 1-row corpus-total agg
     "emb_random_projection_jl",  # 48-vector sample pair join, bcast side

@@ -550,3 +550,24 @@ def test_vacuum_breaks_old_time_travel(spark):  # noqa: F811
         assert read_table(spark, root).count() == 200
         with _pytest.raises(Exception):
             read_table(spark, root, version=0).collect()
+
+
+def test_anova_hapax_funnel_invariants(spark):  # noqa: F811
+    from target_s3_parquet_spark.registry import get_queries
+
+    qs = get_queries()
+    a = qs["ab_test_anova_f"](spark, SF001).collect()[0]
+    assert a.f_stat >= 0 and a.k_groups == 7 and a.n_rows > 0
+
+    hx = qs["text_hapax_ratio_by_lang"](spark, SF001).collect()
+    for r in hx:
+        assert r.hapax <= r.vocab <= r.n_tokens
+        assert 0.0 <= r.hapax_vocab_ratio <= 1.0
+        assert r.hapax_token_ratio <= r.hapax_vocab_ratio + 1e-12
+
+    fn = {r.stage: r for r in qs["funnel_time_to_convert"](spark, SF001).collect()}
+    assert set(fn) == {"view->click", "click->purchase"}
+    for r in fn.values():
+        # discrete quantiles are actual observed gaps, monotone, >= 0
+        assert 0 <= r.p25_us <= r.p50_us <= r.p90_us
+        assert r.n_users > 0
