@@ -399,10 +399,19 @@ def main() -> None:
     # last, after spark.stop(). Self-check: it must fit well inside the
     # driver's 2000-char tail window with headroom for trailing noise.
     final_line = json.dumps(headline_json)
-    assert len(final_line) < 1900, (
-        f"headline line {len(final_line)} chars — would overflow the "
-        "driver's 2000-char stdout tail; trim the queries map"
-    )
+    if len(final_line) >= 1900:
+        # Never lose the round's stdout artifact: emit a truncated but
+        # still-parseable headline (drop the queries map), THEN fail so
+        # the oversize is visible and gets fixed.
+        fallback = json.dumps(
+            {k: v for k, v in headline_json.items() if k != "queries"}
+        )
+        print(fallback, flush=True)
+        raise AssertionError(
+            f"headline line {len(final_line)} chars — would overflow "
+            "the driver's 2000-char stdout tail; emitted a truncated "
+            "headline without the queries map; trim the queries map"
+        )
     print(final_line, flush=True)
 
 

@@ -2349,8 +2349,8 @@ def agg_covariance_matrix(spark, sf_dir):
     "ab_test_anova_f",
     """
     WITH lab AS (
-      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
-               % 7 AS wd,
+      SELECT ((datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               % 7) + 7) % 7 AS wd,
              CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
       FROM orders
     ),
@@ -2399,8 +2399,10 @@ def ab_test_anova_f(spark, sf_dir):
     libm-banned). Exactness: values are integer cents; per-group
     (n, S) and the global Σx² are exact decimal sums cast to double;
     the group terms fold in a FIXED 7-slot chain (weekday is derived
-    engine-neutrally as days-since-epoch mod 7 — DuckDB and Spark
-    number dayofweek differently, so neither built-in is used) — no
+    engine-neutrally as days-since-anchor NON-NEGATIVE mod 7 — DuckDB
+    and Spark number dayofweek differently, so neither built-in is
+    used; pmod/((x%7)+7)%7 keeps pre-anchor dates in-slot instead of
+    silently dropping them from the pivot) — no
     aggregate-order freedom anywhere; DECIMAL(24,8) absorbs the FMA
     ulp of the final a*b/c chains.
 
@@ -2413,12 +2415,12 @@ def ab_test_anova_f(spark, sf_dir):
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
     o = t(spark, sf_dir, "orders")
     lab = o.select(
-        (
+        F.pmod(
             F.datediff(
                 F.col("o_orderdate").cast("date"),
                 F.to_date(F.lit("1995-01-01")),
-            )
-            % 7
+            ),
+            F.lit(7),
         ).alias("wd"),
         (F.col("o_totalprice").cast("decimal(18,2)") * 100)
         .cast("long")

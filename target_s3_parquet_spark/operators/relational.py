@@ -427,7 +427,8 @@ def sql_session_variables(spark, sf_dir):
     walk(lo, k) AS (
       SELECT mn, 0 FROM bounds
       UNION ALL
-      SELECT lo * 2, k + 1 FROM walk, bounds WHERE lo * 2 <= mx
+      SELECT lo * 2, k + 1 FROM walk, bounds
+      WHERE lo > 0 AND lo * 2 <= mx
     )
     SELECT CAST(MAX(k) AS BIGINT) AS doublings,
            CAST(MAX_BY(lo, k) AS DOUBLE) AS final_value
@@ -447,6 +448,9 @@ def sql_scripting_control_flow(spark, sf_dir):
     so the loop trip count and final value are bit-identical across
     the imperative/declarative pair — procedural scripting and
     recursion are the same fixpoint, which is the point of the key.
+    Both loop forms guard on lo > 0: doubling a zero or negative
+    minimum never terminates (0 stays 0, negatives diverge downward),
+    so on such data the loop exits with k = 0 instead of hanging.
 
     Scripting executes statements sequentially on the driver; each
     statement's PLAN is ordinary distributed SQL (the two scalar reads
@@ -473,7 +477,7 @@ def sql_scripting_control_flow(spark, sf_dir):
                  DECLARE k INT DEFAULT 0;
                  SET lo = (SELECT MIN(o_totalprice) FROM orders);
                  SET hi = (SELECT MAX(o_totalprice) FROM orders);
-                 WHILE lo * 2 <= hi DO
+                 WHILE lo > 0 AND lo * 2 <= hi DO
                    SET lo = lo * 2;
                    SET k = k + 1;
                  END WHILE;

@@ -1198,8 +1198,16 @@ def funnel_time_to_convert(spark, sf_dir):
             aggs.append(
                 F.max(F.when(F.col("rn") == rank, F.col("gap_us"))).alias(alias)
             )
-        return j.agg(*aggs).select(
-            F.lit(label).alias("stage"), "n_users", "p25_us", "p50_us", "p90_us"
+        return (
+            j.agg(*aggs)
+            .select(
+                F.lit(label).alias("stage"),
+                "n_users", "p25_us", "p50_us", "p90_us",
+            )
+            # An empty stage must emit NO row (the oracle's GROUP BY
+            # stage produces none); the global agg otherwise emits one
+            # all-NULL row and the engines disagree on degenerate data.
+            .filter(F.col("n_users").isNotNull() & (F.col("n_users") > 0))
         )
 
     g1 = (
