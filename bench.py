@@ -50,6 +50,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from target_s3_parquet_spark.operators._util import release_rank_caches
     from target_s3_parquet_spark.registry import get_queries
     from target_s3_parquet_spark.session import get_spark
 
@@ -80,6 +81,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         spark.catalog.clearCache()  # keys that cache must not leak across keys
+        release_rank_caches()  # drop two_phase_rank handles post-materialize
 
     # Build the headline JSON now, but DO NOT print it to stdout yet:
     # the driver records only a 2000-character stdout TAIL and parses

@@ -88,18 +88,30 @@ def snapshot(df: DataFrame, max_driver_rows: int = 10_000) -> DataFrame:
         return snapshot_persisted(df)
     return df.sparkSession.createDataFrame(rows, df.schema)
 
-def session_memo(cache: dict, key: tuple, builder):
+# Per-application entry cap for session_memo. One application's
+# distinct (sf_dir, variant) keys number ~15 across the whole catalog;
+# 32 gives headroom while making "the memo can't grow unboundedly
+# within one app" a hard property instead of a usage convention.
+_MEMO_CAP = 32
+
+
+def session_memo(cache: dict, key: tuple, builder, cap: int = _MEMO_CAP):
     """Bounded session-scoped memo for snapshot artifacts shared across
     query keys (`dedup._AP_SNAP`, `text_analysis._ER_MP_SNAP`, the BPE
     merge list). ``key[0]`` MUST be the live applicationId: on every
     miss, entries belonging to OTHER applications are evicted first, so
     a long-lived process cycling SparkSessions (pytest, a notebook)
-    never accumulates dangling handles into stopped JVMs — the dict is
-    bounded by one session's distinct (sf_dir, variant) keys."""
+    never accumulates dangling handles into stopped JVMs. Within one
+    application the dict is additionally FIFO-capped at ``cap``
+    entries: evicting a memo entry only drops the handle (the parquet
+    snapshot dir stays until interpreter exit), so a later call simply
+    rebuilds — never a correctness event."""
     hit = cache.get(key)
     if hit is None:
         for stale in [k for k in cache if k[0] != key[0]]:
             del cache[stale]
+        while len(cache) >= cap:
+            del cache[next(iter(cache))]
         hit = builder()
         cache[key] = hit
     return hit

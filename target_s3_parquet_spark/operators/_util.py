@@ -49,6 +49,30 @@ def sql_davg(expr: str, alias: str) -> str:
     )
 
 
+# Live cache handles created by two_phase_rank, released in bulk by
+# release_rank_caches() AFTER the caller materializes (collect,
+# snapshot, parquet write). Unpersisting earlier is a correctness
+# hazard — see the docstring below.
+_RANK_CACHES: list[DataFrame] = []
+
+
+def release_rank_caches() -> int:
+    """Unpersist every cache two_phase_rank has created since the last
+    release and drop the Python handles. Safe ONLY after the results
+    built on them are materialized (the lazy plans would otherwise
+    resample range bounds on re-execution). Returns the number of
+    caches released; harnesses call this per key to keep storage
+    memory flat across hundreds of invocations."""
+    n = len(_RANK_CACHES)
+    for df in _RANK_CACHES:
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+    _RANK_CACHES.clear()
+    return n
+
+
 def two_phase_rank(
     df: DataFrame,
     order_cols: list,
@@ -82,9 +106,14 @@ def two_phase_rank(
     samples its bounds per RDD id, so two independent materializations
     could pick different ranges and offsets would disagree with pids.
     The cache is NOT unpersisted here (the returned lazy plan still
-    references it); callers that invoke this repeatedly in one session
-    must ``spark.catalog.clearCache()`` after materializing the result
-    — the gate, bench, and test harnesses all do so per key.
+    references it, and dropping it BEFORE materialization would let
+    the two plan references resample different range bounds — a
+    correctness event, not a perf one); instead every cache handle is
+    registered in ``_RANK_CACHES`` and callers release them AFTER
+    materializing/snapshotting via :func:`release_rank_caches` — the
+    gate, bench, and test harnesses do so per key (alongside their
+    ``spark.catalog.clearCache()``), so repeated invocations keep
+    storage memory flat.
     """
     ordering = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     local = (
@@ -101,6 +130,7 @@ def two_phase_rank(
             ),
         )
     local = local.cache()
+    _RANK_CACHES.append(local)
     aggs = [F.count(F.lit(1)).alias("_n")]
     if sum_col is not None:
         aggs.append(F.sum(sum_col).alias("_s"))

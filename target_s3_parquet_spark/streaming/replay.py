@@ -90,9 +90,15 @@ def replay_stream(
         #   content hash replaces the fake lit(1) global sort.
         if order_col is not None:
             total = source.count()
+            # Clamp so every chunk is NON-EMPTY by construction (rank
+            # split of `total` rows into <= total chunks): callers rely
+            # on each micro-batch carrying data (tail_chunks' flush
+            # rides a data batch), and a tiny source must not turn the
+            # tail of the chunk ladder into empty files.
+            n_eff = max(1, min(n_chunks, total))
             numbered = two_phase_rank(source, [order_col]).withColumn(
                 "_chunk",
-                ((F.col("rnk") - 1) * n_chunks / total).cast("int"),
+                ((F.col("rnk") - 1) * n_eff / total).cast("int"),
             ).drop("rnk").cache()
         else:
             # CAVEAT (hash membership): duplicate rows always land in
@@ -102,9 +108,12 @@ def replay_stream(
             # micro-batch (the file exists), but carries no data. Any
             # future caller that needs a flush to ride a DATA batch
             # (see tail_chunks above) must pass order_col, whose
-            # rank-based split guarantees non-empty chunks whenever
-            # n_rows >= n_chunks; declared consumers of this branch are
-            # chunk-invariant (complete-mode / max-emission).
+            # rank-based split now guarantees non-empty chunks
+            # UNCONDITIONALLY (n_chunks is clamped to the row count);
+            # declared consumers of this branch are chunk-invariant
+            # (complete-mode / max-emission), pinned by
+            # tests/test_r8_operators.py's duplicate-heavy replay.
+            n_eff = n_chunks
             numbered = source.withColumn(
                 "_chunk",
                 F.pmod(
@@ -130,14 +139,14 @@ def replay_stream(
                     os.utime(full, (base + 2 * step, base + 2 * step))
                     written.add(full)
 
-        for i in range(n_chunks):
+        for i in range(n_eff):
             chunk = numbered.filter(F.col("_chunk") == i).drop("_chunk")
             chunk.coalesce(1).write.mode("append").parquet(stream_dir)
             _stamp(i)
         numbered.unpersist()
         for j, extra in enumerate(tail_chunks or []):
             extra.coalesce(1).write.mode("append").parquet(stream_dir)
-            _stamp(n_chunks + j)
+            _stamp(n_eff + j)
 
         reader = (
             spark.readStream.schema(source.schema)

@@ -155,3 +155,97 @@ def test_bench_overflow_prints_truncated_headline(monkeypatch, capsys):
     # and the in-repo source actually contains the fallback path
     src = open(os.path.join(os.path.dirname(bench.__file__), "bench.py")).read()
     assert "fallback" in src and "raise AssertionError" in src
+
+
+def test_rank_caches_release_keeps_storage_flat(spark):
+    """VERDICT r7 #4: repeated two_phase_rank invocations must not
+    accumulate cached RDDs once the harness releases them — the
+    flat-storage-memory invariant, asserted via the JVM's storage
+    status."""
+    from target_s3_parquet_spark.operators import _util as U
+
+    U.release_rank_caches()  # drain handles other tests registered
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    for _ in range(3):
+        out = U.two_phase_rank(df, ["k"], rank_name="rn")
+        assert out.count() == 1000  # materialize before release
+    assert len(U._RANK_CACHES) == 3
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getRDDStorageInfo(), "caches should be live pre-release"
+    released = U.release_rank_caches()
+    assert released == 3 and not U._RANK_CACHES
+    assert len(jsc.getRDDStorageInfo()) == 0, "storage must drain"
+    # idempotent
+    assert U.release_rank_caches() == 0
+
+
+def test_session_memo_caps_per_application():
+    """session_memo must FIFO-evict within one application once the
+    per-app cap is reached (the unbounded-snapshot-dict residual)."""
+    from target_s3_parquet_spark._snapshot import session_memo
+
+    cache: dict = {}
+    for i in range(10):
+        session_memo(cache, ("app", f"k{i}"), lambda i=i: i, cap=4)
+    assert len(cache) == 4
+    assert list(cache) == [("app", f"k{i}") for i in (6, 7, 8, 9)]
+    # hit does not evict, miss from another app clears the stale ones
+    assert session_memo(cache, ("app", "k9"), lambda: -1, cap=4) == 9
+    session_memo(cache, ("app2", "x"), lambda: 42, cap=4)
+    assert list(cache) == [("app2", "x")]
+
+
+def test_replay_duplicate_heavy_no_order_col(spark):
+    """VERDICT r7 #6: a duplicate-heavy source through the hash-chunk
+    (no order_col) path. Duplicates co-locate per chunk by
+    construction; an update-mode running count emits exactly one row
+    per DATA-carrying micro-batch, so the row count of the sink pins
+    the epoch structure and the max pins completeness."""
+    from target_s3_parquet_spark.streaming.replay import replay_stream
+
+    n_chunks = 4
+    src = spark.createDataFrame(
+        [(i % 6, f"doc{i % 6}") for i in range(60)], "k long, txt string"
+    )
+    # expected data-carrying chunks: distinct xxhash64 buckets
+    expected_chunks = (
+        src.select(
+            F.pmod(
+                F.xxhash64(F.struct(F.col("k"), F.col("txt"))),
+                F.lit(n_chunks),
+            ).alias("c")
+        )
+        .distinct()
+        .count()
+    )
+
+    out = replay_stream(
+        spark,
+        src,
+        lambda r: r.groupBy().count(),
+        output_mode="update",
+        n_chunks=n_chunks,
+    ).collect()
+    # one update row per data batch; empty hash buckets emit nothing
+    assert len(out) == expected_chunks, (len(out), expected_chunks)
+    assert max(r["count"] for r in out) == 60
+
+
+def test_replay_tiny_source_clamps_chunk_count(spark):
+    """The order_col split must clamp n_chunks to the row count so
+    every written chunk carries data (the flush-rides-a-data-batch
+    contract): 3 rows through n_chunks=8 must yield exactly 3
+    micro-batches of one row each."""
+    from target_s3_parquet_spark.streaming.replay import replay_stream
+
+    src = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    out = replay_stream(
+        spark,
+        src,
+        lambda r: r.groupBy().count(),
+        output_mode="update",
+        n_chunks=8,
+        order_col="k",
+    ).collect()
+    counts = sorted(r["count"] for r in out)
+    assert counts == [1, 2, 3], counts

@@ -90,6 +90,7 @@ def main() -> int:
     import duckdb
 
     import __spark_entry__ as entrymod
+    from target_s3_parquet_spark.operators._util import release_rank_caches
     from target_s3_parquet_spark.session import get_spark
 
     spark = get_spark("correctness-check")
@@ -132,6 +133,7 @@ def main() -> int:
             # assign_dense_ids); without this, cached relations pile up
             # in executor memory across a full 286-key session.
             spark.catalog.clearCache()
+            release_rank_caches()
         except Exception:
             print(f"FAIL {name}: spark raised")
             traceback.print_exc()
