@@ -302,6 +302,42 @@ def main() -> None:
             r7_t[name] = -1.0
             print(f"# r7 sweep {name} FAILED: {e}", file=sys.stderr)
     extras["r7_sweep_sec"] = r7_t
+    # Round-8 additions (stream_asof_join swept once, not min-of-2: a
+    # replayed streaming key's cost is dominated by fixed micro-batch
+    # scheduling, and one observation is the honest number).
+    SWEEP_R8 = [
+        "agg_corr_kendall_tau",
+        "sample_reservoir_per_group",
+    ]
+    r8_t: dict[str, float] = {}
+    for name in SWEEP_R8:
+        try:
+            fn = queries[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            r8_t[name] = round(best, 3)
+            print(f"# r8 sweep {name}: {r8_t[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+            release_rank_caches()
+        except Exception as e:  # noqa: BLE001
+            r8_t[name] = -1.0
+            print(f"# r8 sweep {name} FAILED: {e}", file=sys.stderr)
+    try:
+        t0 = time.time()
+        queries["stream_asof_join"](spark, sf_dir).count()
+        r8_t["stream_asof_join"] = round(time.time() - t0, 3)
+        print(f"# r8 sweep stream_asof_join: {r8_t['stream_asof_join']}s",
+              file=sys.stderr)
+        spark.catalog.clearCache()
+        release_rank_caches()
+    except Exception as e:  # noqa: BLE001
+        r8_t["stream_asof_join"] = -1.0
+        print(f"# r8 sweep stream_asof_join FAILED: {e}", file=sys.stderr)
+    extras["r8_sweep_sec"] = r8_t
     try:
         from tools.bench_ntile import run_ntile_scale
 

@@ -2577,3 +2577,69 @@ def pii_pseudonymize_hmac(spark, sf_dir):
             .alias("sum_price"),
         )
     )
+
+
+@query(
+    "sample_reservoir_per_group",
+    """
+    WITH h AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)
+               AS BIGINT) AS hash52
+      FROM orders
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY hash52, o_orderkey) AS sample_rank
+      FROM h
+    )
+    SELECT o_orderpriority, CAST(sample_rank AS BIGINT) AS sample_rank,
+           o_orderkey, o_totalprice, hash52
+    FROM ranked WHERE sample_rank <= 4
+    """,
+)
+def sample_reservoir_per_group(spark, sf_dir):
+    """Deterministic per-group reservoir sample: k=4 orders per
+    priority class, drawn as the k SMALLEST 52-bit md5 hashes of the
+    order key — the hash-rank formulation of reservoir sampling
+    (keeping the k min-hash rows IS a uniform k-reservoir, but
+    replayable: the same row set is drawn on any engine, any partition
+    layout, any day, and a re-run after new data arrives extends the
+    same ordering instead of reshuffling it — the property actual
+    training-data pipelines need that random() reservoirs lack).
+    Exactness: the hash is the established 52-bit md5 grid (integer),
+    ranks are integers, and the payload columns pass through.
+
+    Distributed shape: Spark rewrites the rank<=k filter over the
+    per-group window into WindowGroupLimit (rank-limit pushdown),
+    which keeps a k-row heap per group on the MAP side before the
+    shuffle — each partition ships at most k rows per group, the same
+    partial state a distributed reservoir would ship, so group count
+    x k bounds the shuffle regardless of data size. Pinned by
+    tests/test_r8_operators.py (plan contains WindowGroupLimit).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 13),"
+            " 16, 10) AS BIGINT)"
+        ).alias("hash52"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("hash52", "o_orderkey")
+    return (
+        o.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= 4)
+        .select(
+            "o_orderpriority",
+            "sample_rank",
+            "o_orderkey",
+            "o_totalprice",
+            "hash52",
+        )
+    )

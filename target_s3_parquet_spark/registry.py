@@ -125,7 +125,10 @@ def _sample_priority(name: str) -> tuple[int, int]:
     for i, prefixes in enumerate(_FAMILY_ORDER):
         if name.startswith(prefixes):
             return (len(rounds), i)
-    return (len(rounds), -1)
+    # No family: sort LAST within the same sample count, so newly
+    # registered keys never displace the standing never-sampled block
+    # at the head of the driver's 50-key sample window.
+    return (len(rounds), len(_FAMILY_ORDER))
 
 
 def get_queries() -> dict[str, QueryFn]:

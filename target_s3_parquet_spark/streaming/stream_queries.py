@@ -1661,3 +1661,111 @@ def stream_kmv_distinct(spark, sf_dir):
         return snapshot_small(out)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "stream_asof_join",
+    """
+    WITH pairs AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             v.event_id AS view_id, v.ts AS v_ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY p.event_id
+               ORDER BY v.ts DESC, v.event_id DESC) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ON p.user_id = v.user_id
+       AND v.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+    )
+    SELECT purchase_id, user_id,
+           view_id AS asof_view_id, v_ts AS asof_view_ts
+    FROM pairs WHERE rn = 1
+    """,
+)
+def stream_asof_join(spark, sf_dir):
+    """Stream-stream AS-OF join: each purchase matched to the LATEST
+    same-user view at or before it (within a 2-hour validity
+    window) — the one as-of variant the r1 asof family lacked, and the
+    canonical quotes/trades shape. Structured Streaming has no native
+    as-of, so it composes two supported stateful operators:
+    `stream_stream_join`'s interval join produces every candidate
+    (purchase, view) pair, and a CHAINED event-time aggregation
+    (Spark >= 3.5 multiple-stateful-operator support) reduces each
+    purchase to its max-(v_ts, view_id) candidate. The aggregation
+    groups by window(p_ts) so its own watermark is event-time-bound;
+    purchase_id inside the window keys the reduction. Append mode:
+    every emitted as-of row is FINAL (watermark has passed its
+    window), which is what lets the batch ROW_NUMBER oracle verify it
+    bit-for-bit; the deterministic (v_ts, view_id) tie-break makes the
+    argmax engine-neutral.
+
+    Flush mechanics: two sentinel waves (one per side, +12h/+24h)
+    push the watermark past every real purchase window so the final
+    windows emit before the harness stops — sentinel pairs land in a
+    far-future window and are dropped from the MATERIALIZED result
+    (a filter inside the plan would sit below the watermark operator).
+
+    State story at 100 TB/day: the join buffers 2 hours + watermark
+    delay per side (continuously evicted); the agg holds one window of
+    per-purchase argmax partials — both bounded by time, not data."""
+    events = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+
+    def sentinel_wave(hours):
+        return events.groupBy().agg(
+            (F.max("ts") + F.expr(f"INTERVAL {hours} HOURS")).alias("ts")
+        ).select(
+            F.explode(F.array(F.lit("view"), F.lit("purchase"))).alias(
+                "event_type"
+            ),
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(-1).cast("long").alias("user_id"),
+            "ts",
+        ).select(*events.columns)
+
+    def build(stream):
+        p = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "30 minutes")
+        )
+        v = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "30 minutes")
+        )
+        pairs = p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 2 HOURS"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+        )
+        return (
+            pairs.groupBy(
+                F.window("p_ts", "10 minutes"), "purchase_id", "user_id"
+            )
+            .agg(
+                F.max_by(
+                    "view_id", F.struct("v_ts", "view_id")
+                ).alias("asof_view_id"),
+                F.max("v_ts").alias("asof_view_ts"),
+            )
+            .select(
+                "purchase_id", "user_id", "asof_view_id", "asof_view_ts"
+            )
+        )
+
+    return replay_stream(
+        spark, events, build, output_mode="append", order_col="ts",
+        n_chunks=2,
+        tail_chunks=[sentinel_wave(12), sentinel_wave(24)],
+    ).filter(F.col("purchase_id") >= 0)

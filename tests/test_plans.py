@@ -241,6 +241,8 @@ _BNLJ_BOUNDED_OK = {
     "text_collocation_lift_topk",  # scored pairs x 1-row bigram-total agg
     "emb_text_pairing_audit",  # grid cells x 1-row paired-totals agg
     "ab_test_anova_f",  # 7-slot pivot row x 1-row global sum-sq agg
+    "agg_corr_kendall_tau",  # five 1-row aggregates (C_cross, C_within,
+    # EW, n, tie terms) fold into the final statistic row
     "funnel_time_to_convert",  # per-stage ranked gaps x 1-row count agg
     "docs_quality_calibration",  # ranked rows x 1-row count agg
     "sim_ann_ivf_cell_stats",  # 16 cells x 1-row corpus-total agg

@@ -249,3 +249,116 @@ def test_replay_tiny_source_clamps_chunk_count(spark):
     ).collect()
     counts = sorted(r["count"] for r in out)
     assert counts == [1, 2, 3], counts
+
+
+def test_kendall_tau_matches_brute_force(spark, tmp_path):
+    """agg_corr_kendall_tau vs an O(n^2) brute force on a small skewed
+    sample with heavy ties in both variables (the tie terms n1/n2/EW
+    and the bucketed C/D decomposition all exercised)."""
+    import math
+    import random
+
+    from target_s3_parquet_spark.operators.aggregates import (
+        agg_corr_kendall_tau,
+    )
+
+    rng = random.Random(8)
+    rows = [
+        (
+            i,
+            rng.randint(1, 7),           # quantity: few values, many ties
+            float(rng.randint(1, 40)),   # price: heavy ties too
+        )
+        for i in range(300)
+    ]
+    sf = str(tmp_path / "sf_tau")
+    spark.createDataFrame(
+        [(r[0], r[1] * 1.0, r[2]) for r in rows],
+        "l_orderkey long, l_quantity double, l_extendedprice double",
+    ).coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+
+    got = agg_corr_kendall_tau(spark, sf).collect()[0]
+
+    n = len(rows)
+    c = d = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            s = (rows[i][1] - rows[j][1]) * (rows[i][2] - rows[j][2])
+            if rows[i][1] != rows[j][1] and rows[i][2] != rows[j][2]:
+                if s > 0:
+                    c += 1
+                else:
+                    d += 1
+    from collections import Counter
+
+    cx = Counter(r[1] for r in rows)
+    cy = Counter(r[2] for r in rows)
+    n0 = n * (n - 1) // 2
+    n1 = sum(v * (v - 1) // 2 for v in cx.values())
+    n2 = sum(v * (v - 1) // 2 for v in cy.values())
+    tau = (c - d) / (math.sqrt(n0 - n1) * math.sqrt(n0 - n2))
+    assert (got.n_rows, got.n_concordant, got.n_discordant) == (n, c, d)
+    assert got.tau_b == pytest.approx(tau, abs=1e-9)
+
+
+def test_reservoir_sample_uses_window_group_limit(spark):
+    """sample_reservoir_per_group's rank<=k filter must compile to
+    WindowGroupLimit (map-side per-group top-k heap) — the property
+    that bounds the shuffle to groups x k at any scale — and the draw
+    must be deterministic across invocations."""
+    from target_s3_parquet_spark.operators.pipeline import (
+        sample_reservoir_per_group,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = sample_reservoir_per_group(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:500]
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, sample_reservoir_per_group(spark, sf).collect()))
+    assert a == b and len(a) == 20  # 5 priorities x k=4, replayable
+    ranks = {}
+    for r in a:
+        ranks.setdefault(r[0], []).append(r[1])
+    assert all(sorted(v) == [1, 2, 3, 4] for v in ranks.values())
+
+
+def test_stream_asof_join_picks_latest_view(spark):
+    """The chained interval-join + event-time argmax must select the
+    LATEST qualifying view per purchase with the deterministic
+    (v_ts, view_id) tie-break — pinned on a replayed micro-batch
+    stream whose purchase has three candidate views, two tied on ts."""
+    import datetime
+    import os as _os
+
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        stream_asof_join,
+    )
+
+    def ev(eid, minute, uid, typ):
+        return (
+            eid,
+            datetime.datetime(2024, 1, 1, 10, minute),
+            uid,
+            typ,
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 0, 7, "view"),
+        ev(2, 30, 7, "view"),
+        ev(3, 30, 7, "view"),     # tie on ts with event 2 -> pick id 3
+        ev(4, 45, 7, "purchase"),
+        ev(5, 50, 8, "purchase"),  # user 8 has no view -> no row
+    ]
+    sf = str(_os.path.join(str(spark.conf.get("spark.sql.warehouse.dir"))
+                           .removeprefix("file:"), "..", "asof_sf"))
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(_os.path.join(sf, "events.parquet"))
+    out = stream_asof_join(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.purchase_id, r.user_id, r.asof_view_id) == (4, 7, 3)
+    assert r.asof_view_ts == datetime.datetime(2024, 1, 1, 10, 30)

@@ -95,7 +95,17 @@ def test_bench_stdout_contract_headline_is_last_and_fits_tail():
         for m in re.finditer(r"print\((?:[^()]|\([^()]*\))*\)", src)
         if "sys.stderr" not in m.group(0)
     ]
-    assert stdout_prints == ["print(final_line, flush=True)"], stdout_prints
+    # exactly two sanctioned stdout prints: the headline, plus the
+    # truncated-headline fallback on the overflow path (ADVICE r7 —
+    # tripping the length self-check must not lose the artifact)
+    assert stdout_prints == [
+        "print(fallback, flush=True)",
+        "print(final_line, flush=True)",
+    ], stdout_prints
+    # and the fallback is gated behind the overflow branch, not
+    # unconditional (two stdout lines in the normal path would push
+    # the headline's predecessor into the driver's tail window)
+    assert "if len(final_line) >= 1900:" in src
     # the headline for the 24-key set serializes well under the window
     import bench
 
@@ -109,4 +119,4 @@ def test_bench_stdout_contract_headline_is_last_and_fits_tail():
     line = json.dumps(fake)
     assert len(line) < 1900, len(line)
     # the self-check guarding this at runtime must be present
-    assert "len(final_line) < 1900" in src
+    assert "len(final_line) >= 1900" in src
