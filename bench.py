@@ -308,6 +308,8 @@ def main() -> None:
     SWEEP_R8 = [
         "agg_corr_kendall_tau",
         "sample_reservoir_per_group",
+        "agg_kruskal_wallis_h",
+        "ts_cross_correlation_lags",
     ]
     r8_t: dict[str, float] = {}
     for name in SWEEP_R8:

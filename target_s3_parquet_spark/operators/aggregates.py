@@ -2690,3 +2690,136 @@ def agg_corr_kendall_tau(spark, sf_dir):
         dd.cast("long").alias("n_discordant"),
         tau.cast("decimal(20,12)").cast("double").alias("tau_b"),
     )
+
+
+@query(
+    "agg_kruskal_wallis_h",
+    """
+    WITH pts AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM orders
+    ),
+    r AS (
+      SELECT grp,
+             2 * RANK() OVER (ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY x) - 1 AS r2
+      FROM pts
+    ),
+    g AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(r2 AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s2
+      FROM r GROUP BY grp
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+    term AS (
+      SELECT CAST(SUM(CAST(
+               CAST((s2 - CAST(ng AS DECIMAL(19,0)) * (n + 1)
+                    ) * (s2 - CAST(ng AS DECIMAL(19,0)) * (n + 1))
+                    AS DOUBLE)
+               / CAST(4 * ng AS DOUBLE) AS DECIMAL(38,6)))
+               AS DOUBLE) AS t
+      FROM g CROSS JOIN nn
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(cnt AS DECIMAL(19,0))
+                      * CAST(cnt AS DECIMAL(19,0))
+                      * CAST(cnt AS DECIMAL(19,0))
+                      - CAST(cnt AS DECIMAL(19,0))) AS DECIMAL(38,0))
+               AS tsum
+      FROM (SELECT x, COUNT(*) AS cnt FROM pts GROUP BY x)
+    )
+    SELECT n AS n_rows,
+           (SELECT CAST(COUNT(DISTINCT grp) AS INTEGER) FROM pts)
+             AS k_groups,
+           CAST(CAST(
+             (12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * t)
+             / (1.0 - CAST(tsum AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+             AS DECIMAL(24,8)) AS DOUBLE) AS h_stat
+    FROM nn CROSS JOIN term CROSS JOIN ties
+    """,
+)
+def agg_kruskal_wallis_h(spark, sf_dir):
+    """Kruskal-Wallis H (does the order-price DISTRIBUTION differ by
+    priority class?) — the rank-based companion of `ab_test_anova_f`:
+    the same k-group question, robust to non-normality, with the
+    standard tie correction H' = H / (1 - sum(t^3 - t)/(n^3 - n)).
+    Exactness: values are integer cents; DOUBLED midranks
+    (2r = 2*below + ties + 1, the `agg_corr_spearman` channel) keep
+    every rank integral; per-group (S2g - ng*(n+1))^2 is an exact
+    DECIMAL(38,0) square whose double quotient by 4*ng is
+    IEEE-identical per group; the five quotients sum through
+    DECIMAL(38,6) so the total is order-independent; tie sums are
+    exact decimal cubes; DECIMAL(24,8) absorbs the final a*b/c ulp.
+    (With doubled ranks, ng*(rbar_g - (n+1)/2)^2 becomes
+    (S2g - ng*(n+1))^2 / (4*ng) — the whole statistic clears the
+    half-integer midpoints without a single fractional rank.)
+
+    Distributed shape: midranks come from the per-VALUE count table
+    via `two_phase_rank`'s range-partitioned prefix sum (never a
+    per-row rank window — the oracle states that naive form), joined
+    back on the value; everything downstream is one k-row groupBy and
+    three bounded 1-row aggregates folding into the statistic. One
+    data-sized join at any scale.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    pts = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("x"),
+    )
+    vals = pts.groupBy("x").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = two_phase_rank(
+        vals, ["x"], sum_col="cnt", rank_name="_r", cum_name="_cum"
+    )
+    mr = ranked.select(
+        "x",
+        (2 * F.col("_cum") - F.col("cnt") + 1).cast("long").alias("r2"),
+    )
+    joined = pts.join(mr, "x")
+    d19 = "decimal(19,0)"
+    g = joined.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.col("r2").cast(d19)).cast("decimal(38,0)").alias("s2"),
+    )
+    nn = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("grp").cast("int").alias("k_groups"),
+    )
+    dev = F.col("s2") - F.col("ng").cast(d19) * (F.col("n") + 1)
+    term = (
+        g.crossJoin(F.broadcast(nn))
+        .select(
+            ((dev * dev).cast("double") / (4 * F.col("ng")).cast("double"))
+            .cast("decimal(38,6)")
+            .alias("q")
+        )
+        .agg(F.sum("q").cast("double").alias("t"))
+    )
+    ties = vals.agg(
+        F.sum(
+            F.col("cnt").cast(d19) * F.col("cnt").cast(d19)
+            * F.col("cnt").cast(d19)
+            - F.col("cnt").cast(d19)
+        )
+        .cast("decimal(38,0)")
+        .alias("tsum")
+    )
+    w = nn.crossJoin(F.broadcast(term)).crossJoin(F.broadcast(ties))
+    nD = F.col("n").cast("double")
+    h = (F.lit(12.0) / (nD * (F.col("n") + 1).cast("double")) * F.col("t")) / (
+        F.lit(1.0)
+        - F.col("tsum").cast("double") / (nD * nD * nD - nD)
+    )
+    return w.select(
+        F.col("n").alias("n_rows"),
+        "k_groups",
+        h.cast("decimal(24,8)").cast("double").alias("h_stat"),
+    )

@@ -1229,3 +1229,107 @@ def funnel_time_to_convert(spark, sf_dir):
     return stage_quantiles(g1, "view->click").unionByName(
         stage_quantiles(g2, "click->purchase")
     )
+
+
+@query(
+    "ts_cross_correlation_lags",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST([0, 1, 7]) AS lag),
+    pairs AS (
+      SELECT l.lag, a.c AS xa, b.s AS yb
+      FROM lags l
+      JOIN daily a ON TRUE
+      JOIN daily b ON b.d = a.d - l.lag
+    ),
+    m AS (
+      SELECT lag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(xa AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(yb AS DECIMAL(19,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xa AS DECIMAL(19,0))
+                      * CAST(xa AS DECIMAL(19,0))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(yb AS DECIMAL(19,0))
+                      * CAST(yb AS DECIMAL(19,0))) AS DOUBLE) AS sy2,
+             CAST(SUM(CAST(xa AS DECIMAL(19,0))
+                      * CAST(yb AS DECIMAL(19,0))) AS DOUBLE) AS sxy
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(CAST((n * sxy - sx * sy)
+             / (SQRT(n * sx2 - sx * sx) * SQRT(n * sy2 - sy * sy))
+             AS DECIMAL(20,12)) AS DOUBLE) AS xcorr
+    FROM m
+    """,
+)
+def ts_cross_correlation_lags(spark, sf_dir):
+    """Lagged CROSS-correlation between two daily series — order
+    volume today vs revenue L days earlier (L = 0, 1, 7) — the
+    lead/lag probe behind demand forecasting and metric-causality
+    triage, completing the `ts_acf_lags` family (ACF asks "does the
+    series predict itself"; cross-correlation asks "does one metric
+    lead another"). Both series come from the SAME table (orders) —
+    the testdata's tables are deliberately not time-aligned across
+    tables, so a cross-TABLE pairing would be meaningless. Exactness:
+    counts and integer cents through the DECIMAL(19,0) Pearson-moment
+    channel, calendar-gap-aware integer-day alignment, DECIMAL(20,12)
+    rounding on the final statistic — bit-identical to the oracle's
+    windowed replay.
+
+    Distributed shape: one combinable groupBy compresses N rows to
+    ~|days| two-measure series points; the lag join and moments run on
+    the tiny series relation (broadcast), so at 100 TB the cost is the
+    scan plus a toy join — identical to `ts_acf_lags`.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.to_date(F.lit("1995-01-01")),
+        ).alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    lags = spark.createDataFrame([(0,), (1,), (7,)], "lag int")
+    a = daily.select(F.col("d").alias("da"), F.col("c").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("s").alias("yb"))
+    pairs = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(F.broadcast(b), F.col("db") == F.col("da") - F.col("lag"))
+    )
+    d19 = "decimal(19,0)"
+    xa, yb = F.col("xa").cast(d19), F.col("yb").cast(d19)
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(xa).cast("double").alias("sx"),
+        F.sum(yb).cast("double").alias("sy"),
+        F.sum(xa * xa).cast("double").alias("sx2"),
+        F.sum(yb * yb).cast("double").alias("sy2"),
+        F.sum(xa * yb).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    corr = (n * F.col("sxy") - sx * sy) / (
+        F.sqrt(n * F.col("sx2") - sx * sx)
+        * F.sqrt(n * F.col("sy2") - sy * sy)
+    )
+    return m.select(
+        "lag",
+        n.cast("long").alias("n_pairs"),
+        corr.cast("decimal(20,12)").cast("double").alias("xcorr"),
+    )

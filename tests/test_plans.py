@@ -243,6 +243,9 @@ _BNLJ_BOUNDED_OK = {
     "ab_test_anova_f",  # 7-slot pivot row x 1-row global sum-sq agg
     "agg_corr_kendall_tau",  # five 1-row aggregates (C_cross, C_within,
     # EW, n, tie terms) fold into the final statistic row
+    "agg_kruskal_wallis_h",  # k-row group table x 1-row n/tie aggregates
+    "ts_cross_correlation_lags",  # 3-row lag literals x per-day series
+    # (same bounded shape as ts_acf_lags)
     "funnel_time_to_convert",  # per-stage ranked gaps x 1-row count agg
     "docs_quality_calibration",  # ranked rows x 1-row count agg
     "sim_ann_ivf_cell_stats",  # 16 cells x 1-row corpus-total agg

@@ -366,3 +366,104 @@ def test_stream_asof_join_picks_latest_view(spark):
     r = out[0]
     assert (r.purchase_id, r.user_id, r.asof_view_id) == (4, 7, 3)
     assert r.asof_view_ts == datetime.datetime(2024, 1, 1, 10, 30)
+
+
+def test_kruskal_wallis_matches_reference(spark, tmp_path):
+    """agg_kruskal_wallis_h vs a direct midrank-formula reference on a
+    small tie-heavy dataset (the doubled-rank algebra, tie correction,
+    and decimal channel all exercised)."""
+    import random
+
+    from target_s3_parquet_spark.operators.aggregates import (
+        agg_kruskal_wallis_h,
+    )
+
+    rng = random.Random(88)
+    rows = [
+        (
+            i,
+            1,
+            "O",
+            float(rng.randint(1, 30)),  # heavy ties
+            datetime.datetime(1995, 6, 1),
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"]),
+        )
+        for i in range(400)
+    ]
+    sf = str(tmp_path / "sf_kw")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = agg_kruskal_wallis_h(spark, sf).collect()[0]
+
+    # reference: classic midrank H with tie correction
+    vals = sorted(round(r[3] * 100) for r in rows)
+    from collections import Counter
+
+    cnt = Counter(vals)
+    below = {}
+    run = 0
+    for v in sorted(cnt):
+        below[v] = run
+        run += cnt[v]
+    midrank = {v: below[v] + (cnt[v] + 1) / 2 for v in cnt}
+    n = len(rows)
+    groups = {}
+    for r in rows:
+        groups.setdefault(r[5], []).append(midrank[round(r[3] * 100)])
+    h = (12.0 / (n * (n + 1))) * sum(
+        len(g) * (sum(g) / len(g) - (n + 1) / 2) ** 2
+        for g in groups.values()
+    )
+    c = 1 - sum(t**3 - t for t in cnt.values()) / (n**3 - n)
+    expected = h / c
+    assert got.n_rows == n and got.k_groups == 3
+    # the operator quantizes through DECIMAL(24,8); the reference is
+    # unrounded, so compare at that grid
+    assert got.h_stat == pytest.approx(expected, abs=5.1e-9)
+
+
+def test_cross_correlation_lag_alignment(spark, tmp_path):
+    """ts_cross_correlation_lags pairs today's COUNT with the revenue
+    L days EARLIER — pinned on a 4-day series where the direction of
+    the shift flips the sign of the lag-1 correlation."""
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_cross_correlation_lags,
+    )
+
+    # day: n orders, each 1.00 -> count c_d, revenue 100*c_d cents
+    plan = {1: 1, 2: 5, 3: 2, 4: 6}
+    rows = []
+    k = 0
+    for day, m in plan.items():
+        for _ in range(m):
+            k += 1
+            rows.append(
+                (k, 1, "O", 1.0, datetime.datetime(1995, 1, day), "1-URGENT")
+            )
+    sf = str(tmp_path / "sf_xc")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    out = {r.lag: r for r in ts_cross_correlation_lags(spark, sf).collect()}
+    # lag 0: count vs own-day revenue = perfect correlation
+    assert out[0].n_pairs == 4 and out[0].xcorr == pytest.approx(1.0)
+    # lag 1: x=(c2,c3,c4)=(5,2,6) vs y=(rev1,rev2,rev3)=(100,500,200)
+    import math
+
+    x, y = [5, 2, 6], [100, 500, 200]
+    n = 3
+    sx, sy = sum(x), sum(y)
+    num = n * sum(a * b for a, b in zip(x, y)) - sx * sy
+    den = math.sqrt(n * sum(a * a for a in x) - sx * sx) * math.sqrt(
+        n * sum(b * b for b in y) - sy * sy
+    )
+    assert out[1].n_pairs == 3
+    assert out[1].xcorr == pytest.approx(num / den, rel=1e-9)
+    assert 7 not in out  # no pairs 7 days apart in a 4-day series
