@@ -188,7 +188,7 @@ def test_sample_ledger_fresh_and_ordering_front_loads_never_sampled():
 
 
 def test_opq_permutation_is_balanced_bijection(spark):  # noqa: F811
-    """The OPQ snake allocation must be a bijection dims -> (sub, slot)
+    """The OPQ LPT allocation must be a bijection dims -> (sub, slot)
     with every subspace receiving exactly one dimension from each
     variance block (the balance property that IS the operator)."""
     from target_s3_parquet_spark.operators.similarity import (
