@@ -1769,3 +1769,122 @@ def stream_asof_join(spark, sf_dir):
         n_chunks=2,
         tail_chunks=[sentinel_wave(12), sentinel_wave(24)],
     ).filter(F.col("purchase_id") >= 0)
+
+
+@query(
+    "stream_reservoir_sample",
+    """
+    WITH h AS (
+      SELECT event_type, event_id, user_id,
+             CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13)
+               AS BIGINT) AS hash52
+      FROM events
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY hash52, event_id) AS sample_rank
+      FROM h
+    )
+    SELECT event_type, CAST(sample_rank AS BIGINT) AS sample_rank,
+           event_id, user_id, hash52
+    FROM ranked WHERE sample_rank <= 4
+    """,
+)
+def stream_reservoir_sample(spark, sf_dir):
+    """Streaming per-group reservoir: `sample_reservoir_per_group`'s
+    hash-rank draw maintained INCREMENTALLY — each epoch's foreachBatch
+    folds the batch's rows into a persisted bottom-k=4 state per event
+    type. Convergence is provable, not approximate: bottom-k of
+    (bottom-k(state) UNION batch) = bottom-k of everything seen, for
+    ANY chunking and arrival order — the same mergeability
+    `stream_kmv_distinct` proves for the distinct sketch, here carrying
+    whole ROWS (the reservoir payload), which is exactly how a
+    distributed streaming engine keeps a uniform sample without RNG
+    state. The shared oracle pins the final reservoir bit-for-bit to
+    the one-shot batch draw.
+
+    Per-epoch work: the batch reduces map-side to its own bottom-k per
+    type (WindowGroupLimit); state is O(k * n_types) rows, so the
+    merge window ranks at most k + k rows per type — bounded state,
+    bounded shuffle, at any stream rate.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    _K = 4
+    events = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="fb_resv_")
+    try:
+        stream_dir = os.path.join(tmp, "stream")
+        state_dir = os.path.join(tmp, "state")
+        # chunk membership deliberately arbitrary (content hash) — the
+        # reservoir's mergeability makes the result chunk-invariant
+        chunked = events.withColumn(
+            "_chunk",
+            F.pmod(F.xxhash64("event_type", "event_id"), F.lit(3)).cast(
+                "int"
+            ),
+        ).cache()
+        for i in range(3):
+            chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(
+                1
+            ).write.mode("append").parquet(stream_dir)
+        chunked.unpersist()
+
+        h = F.expr(
+            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 13),"
+            " 16, 10) AS BIGINT)"
+        )
+        w = W.partitionBy("event_type").orderBy("h", "event_id")
+
+        def merge(batch, batch_id):
+            cand = batch.select("event_type", "event_id", "user_id", h.alias("h"))
+            if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+                prev = batch.sparkSession.read.parquet(state_dir)
+                cand = prev.unionByName(cand)
+            nxt = (
+                cand.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= _K)
+                .drop("rn")
+            )
+            staging = state_dir + f"._stage_{batch_id}"
+            nxt.coalesce(1).write.mode("overwrite").parquet(staging)
+            if os.path.exists(state_dir):
+                shutil.rmtree(state_dir)
+            os.rename(staging, state_dir)
+
+        reader = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        with stream_conf(spark):
+            q = (
+                reader.writeStream.foreachBatch(merge)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        res = spark.read.parquet(state_dir)
+        out = res.select(
+            "event_type",
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+            "event_id",
+            "user_id",
+            F.col("h").alias("hash52"),
+        )
+        return snapshot_small(out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

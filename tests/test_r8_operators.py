@@ -467,3 +467,38 @@ def test_cross_correlation_lag_alignment(spark, tmp_path):
     assert out[1].n_pairs == 3
     assert out[1].xcorr == pytest.approx(num / den, rel=1e-9)
     assert 7 not in out  # no pairs 7 days apart in a 4-day series
+
+
+def test_stream_reservoir_converges_to_batch_draw(spark):
+    """The streaming bottom-k reservoir's final state must equal the
+    one-shot batch hash draw row-for-row (the mergeability proof:
+    bottom-k(bottom-k(S) U B) = bottom-k(S U B)), regardless of the
+    content-hash chunking."""
+    from pyspark.sql import Window as W
+
+    from target_s3_parquet_spark.operators._util import t as _t
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        stream_reservoir_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(map(tuple, stream_reservoir_sample(spark, sf).collect()))
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 13),"
+        " 16, 10) AS BIGINT)"
+    )
+    w = W.partitionBy("event_type").orderBy("hash52", "event_id")
+    ref = sorted(
+        map(
+            tuple,
+            _t(spark, sf, "events")
+            .select("event_type", "event_id", "user_id", h.alias("hash52"))
+            .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("sample_rank") <= 4)
+            .select(
+                "event_type", "sample_rank", "event_id", "user_id", "hash52"
+            )
+            .collect(),
+        )
+    )
+    assert got == ref and len(got) == 20
