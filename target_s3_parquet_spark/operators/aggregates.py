@@ -2559,12 +2559,20 @@ def agg_corr_kendall_tau(spark, sf_dir):
     Reference scope check: codeG12/target-s3-parquet has no query
     surface (605-LoC Singer->Parquet sink); this key belongs to the
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
-    from target_s3_parquet_spark.operators._util import two_phase_rank
-
     pts = t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("int").alias("v"),
         F.col("l_extendedprice").alias("g"),
     )
+    return kendall_tau_from_points(pts)
+
+
+def kendall_tau_from_points(pts):
+    """The bucketed tau-b pipeline over a [v: int in 1..50, g: orderable]
+    point relation — shared by `agg_corr_kendall_tau` and the measured
+    dense-vs-bucketed crossover (`tools/bench_tau.py`)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    spark = pts.sparkSession
     d19 = "decimal(19,0)"
     cnt = pts.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
     gt = cnt.groupBy("g").agg(
