@@ -310,6 +310,7 @@ def main() -> None:
         "sample_reservoir_per_group",
         "agg_kruskal_wallis_h",
         "ts_cross_correlation_lags",
+        "ts_trend_mann_kendall",
     ]
     r8_t: dict[str, float] = {}
     for name in SWEEP_R8:

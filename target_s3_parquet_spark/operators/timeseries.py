@@ -1333,3 +1333,126 @@ def ts_cross_correlation_lags(spark, sf_dir):
         n.cast("long").alias("n_pairs"),
         corr.cast("decimal(20,12)").cast("double").alias("xcorr"),
     )
+
+
+@query(
+    "ts_trend_mann_kendall",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CASE WHEN b.s > a.s THEN 1
+                  WHEN b.s < a.s THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    stat AS (
+      SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(
+               CAST(t AS DECIMAL(19,0)) * (t - 1) * (2 * t + 5)), 0)
+               AS DECIMAL(38,0)) AS tie_term
+      FROM (SELECT s, COUNT(*) AS t FROM daily GROUP BY s HAVING COUNT(*) > 1)
+    )
+    SELECT n AS n_days, s_stat,
+           CAST(CAST(n AS DECIMAL(19,0)) * (n - 1) * (2 * n + 5) - tie_term
+             AS BIGINT) AS var_numer18,
+           CAST(CAST(
+             CAST(s_stat AS DOUBLE)
+             / SQRT(CAST(CAST(CAST(n AS DECIMAL(19,0)) * (n - 1) * (2 * n + 5)
+                              - tie_term AS BIGINT) AS DOUBLE) / 18.0)
+             AS DECIMAL(20,12)) AS DOUBLE) AS z_score
+    FROM nn CROSS JOIN stat CROSS JOIN ties
+    """,
+)
+def ts_trend_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test on the daily-revenue series — the
+    nonparametric "is this series trending" question every monitoring
+    and forecasting pipeline asks first, and the TIME-SERIES sibling
+    of `agg_corr_kendall_tau` (S is tau-b's numerator with time as the
+    x variable, where time has no ties by construction). Exactness:
+    daily revenue is integer cents, S is a pure integer sign-sum, the
+    variance numerator n(n-1)(2n+5) - sum t(t-1)(2t+5) is an exact
+    decimal integer, and z divides the integer S by one IEEE-exact
+    sqrt of an exactly-represented quotient — DECIMAL(20,12) absorbs
+    the final ulp.
+
+    Distributed shape: the groupBy compresses N rows to a
+    CALENDAR-BOUNDED series (~2.4k days for this dataset's 7-year
+    span — bounded at ANY data scale, 100 TB included, because the
+    calendar doesn't grow with volume), so the O(days^2) sign
+    self-join is a few million broadcast-side pairs regardless of
+    input size. The only data-sized operation is the first combinable
+    aggregate.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.to_date(F.lit("1995-01-01")),
+        ).alias("d")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("s")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("s").alias("sa"))
+    b = daily.select(F.col("d").alias("db"), F.col("s").alias("sb"))
+    sgn = (
+        F.when(F.col("sb") > F.col("sa"), 1)
+        .when(F.col("sb") < F.col("sa"), -1)
+        .otherwise(0)
+    )
+    stat = (
+        a.join(F.broadcast(b), F.col("db") > F.col("da"))
+        .select(sgn.alias("sgn"))
+        .agg(
+            F.sum("sgn").cast("long").alias("s_stat"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    d19 = "decimal(19,0)"
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+        .filter(F.col("tcnt") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("tcnt").cast(d19)
+                    * (F.col("tcnt") - 1)
+                    * (2 * F.col("tcnt") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("decimal(38,0)")
+            .alias("tie_term")
+        )
+    )
+    w = nn.crossJoin(F.broadcast(stat)).crossJoin(F.broadcast(ties))
+    n = F.col("n")
+    var18 = (
+        n.cast(d19) * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    ).cast("long")
+    z = F.col("s_stat").cast("double") / F.sqrt(
+        var18.cast("double") / F.lit(18.0)
+    )
+    return w.select(
+        n.alias("n_days"),
+        "s_stat",
+        var18.alias("var_numer18"),
+        z.cast("decimal(20,12)").cast("double").alias("z_score"),
+    )

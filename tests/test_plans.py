@@ -246,6 +246,8 @@ _BNLJ_BOUNDED_OK = {
     "agg_kruskal_wallis_h",  # k-row group table x 1-row n/tie aggregates
     "ts_cross_correlation_lags",  # 3-row lag literals x per-day series
     # (same bounded shape as ts_acf_lags)
+    "ts_trend_mann_kendall",  # calendar-bounded series sign self-join
+    # (non-equi d>d' against the broadcast per-day series) x 1-row aggs
     "funnel_time_to_convert",  # per-stage ranked gaps x 1-row count agg
     "docs_quality_calibration",  # ranked rows x 1-row count agg
     "sim_ann_ivf_cell_stats",  # 16 cells x 1-row corpus-total agg

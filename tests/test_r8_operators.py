@@ -502,3 +502,47 @@ def test_stream_reservoir_converges_to_batch_draw(spark):
         )
     )
     assert got == ref and len(got) == 20
+
+
+def test_mann_kendall_matches_brute_force(spark, tmp_path):
+    """ts_trend_mann_kendall vs a direct O(days^2) sign-sum on a small
+    series with a deliberate tie (the tie-corrected variance and the
+    z channel both exercised)."""
+    import math
+
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_trend_mann_kendall,
+    )
+
+    # daily revenue per day: one order of amount a_d on day d
+    series = {1: 10.0, 2: 30.0, 3: 20.0, 4: 30.0, 5: 50.0}
+    rows = [
+        (d, 1, "O", amt, datetime.datetime(1995, 1, d), "1-URGENT")
+        for d, amt in series.items()
+    ]
+    sf = str(tmp_path / "sf_mk")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = ts_trend_mann_kendall(spark, sf).collect()[0]
+
+    vals = [series[d] for d in sorted(series)]
+    s = sum(
+        (v2 > v1) - (v2 < v1)
+        for i, v1 in enumerate(vals)
+        for v2 in vals[i + 1 :]
+    )
+    n = len(vals)
+    from collections import Counter
+
+    ties = Counter(vals)
+    tie_term = sum(
+        t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+    )
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    z = s / math.sqrt(var18 / 18.0)
+    assert (got.n_days, got.s_stat, got.var_numer18) == (n, s, var18)
+    assert got.z_score == pytest.approx(z, abs=1e-11)
