@@ -311,6 +311,7 @@ def main() -> None:
         "agg_kruskal_wallis_h",
         "ts_cross_correlation_lags",
         "ts_trend_mann_kendall",
+        "ts_trend_theil_sen",
     ]
     r8_t: dict[str, float] = {}
     for name in SWEEP_R8:

@@ -1456,3 +1456,93 @@ def ts_trend_mann_kendall(spark, sf_dir):
         var18.alias("var_numer18"),
         z.cast("decimal(20,12)").cast("double").alias("z_score"),
     )
+
+
+@query(
+    "ts_trend_theil_sen",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    slopes AS (
+      SELECT CAST(b.s - a.s AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+               AS slope,
+             a.d AS da, b.d AS db
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    ranked AS (
+      SELECT slope,
+             ROW_NUMBER() OVER (ORDER BY slope, da, db) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           CAST(CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                         THEN slope END) AS DECIMAL(24,8)) AS DOUBLE)
+             AS sen_slope_cents_per_day
+    FROM ranked
+    """,
+)
+def ts_trend_theil_sen(spark, sf_dir):
+    """Theil-Sen slope of the daily-revenue series — the robust trend
+    MAGNITUDE that pairs with `ts_trend_mann_kendall`'s trend TEST
+    (the estimator every monitoring pipeline reports next to the
+    p-value question; immune to outlier days that wreck least
+    squares). The statistic is the DISCRETE median (value at rank
+    ceil(n/2), the funnel-quantile rule) of all pairwise slopes
+    (s_j - s_i)/(d_j - d_i): each slope is one IEEE division of two
+    exact integers, so both engines materialize identical doubles and
+    the rank selection picks the identical pair — (slope, da, db)
+    makes the order total. DECIMAL(24,8) absorbs nothing here (the
+    value is exact) but keeps the column on the family's channel.
+
+    Distributed shape: same as Mann-Kendall — the groupBy compresses
+    any input volume to the CALENDAR-BOUNDED series, so the pairwise
+    slope relation is a few million broadcast-side rows at any data
+    scale; the median rank comes from `two_phase_rank`'s
+    range-partitioned prefix sum over that bounded relation (the
+    oracle states the naive single-sort window).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.to_date(F.lit("1995-01-01")),
+        ).alias("d")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("s")
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("s").alias("sa"))
+    b = daily.select(F.col("d").alias("db"), F.col("s").alias("sb"))
+    slopes = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        (
+            (F.col("sb") - F.col("sa")).cast("double")
+            / (F.col("db") - F.col("da")).cast("double")
+        ).alias("slope"),
+        "da",
+        "db",
+    )
+    ranked = two_phase_rank(slopes, ["slope", "da", "db"], rank_name="rn")
+    n1 = slopes.agg(F.count(F.lit(1)).alias("n"))
+    j = ranked.crossJoin(F.broadcast(n1))
+    med_rank = F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+    return j.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        F.max(F.when(F.col("rn") == med_rank, F.col("slope")))
+        .cast("decimal(24,8)")
+        .cast("double")
+        .alias("sen_slope_cents_per_day"),
+    )

@@ -248,6 +248,7 @@ _BNLJ_BOUNDED_OK = {
     # (same bounded shape as ts_acf_lags)
     "ts_trend_mann_kendall",  # calendar-bounded series sign self-join
     # (non-equi d>d' against the broadcast per-day series) x 1-row aggs
+    "ts_trend_theil_sen",  # same bounded pair relation x 1-row count
     "funnel_time_to_convert",  # per-stage ranked gaps x 1-row count agg
     "docs_quality_calibration",  # ranked rows x 1-row count agg
     "sim_ann_ivf_cell_stats",  # 16 cells x 1-row corpus-total agg

@@ -546,3 +546,46 @@ def test_mann_kendall_matches_brute_force(spark, tmp_path):
     z = s / math.sqrt(var18 / 18.0)
     assert (got.n_days, got.s_stat, got.var_numer18) == (n, s, var18)
     assert got.z_score == pytest.approx(z, abs=1e-11)
+
+
+def test_theil_sen_matches_brute_force(spark, tmp_path):
+    """ts_trend_theil_sen vs a direct pairwise-slope median on a small
+    series with a gross outlier day (the robustness the estimator
+    exists for: the outlier must not drag the slope)."""
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_trend_theil_sen,
+    )
+
+    series = {1: 10.0, 2: 12.0, 3: 14.0, 4: 990.0, 5: 18.0, 6: 20.0}
+    rows = [
+        (d, 1, "O", amt, datetime.datetime(1995, 1, d), "1-URGENT")
+        for d, amt in series.items()
+    ]
+    sf = str(tmp_path / "sf_sen")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = ts_trend_theil_sen(spark, sf).collect()[0]
+
+    days = sorted(series)
+    cents = {d: round(series[d] * 100) for d in days}
+    slopes = sorted(
+        (
+            (cents[dj] - cents[di]) / (dj - di),
+            di - 1,  # da is days-since-1995-01-01 = day - 1
+            dj - 1,
+        )
+        for i, di in enumerate(days)
+        for dj in days[i + 1 :]
+    )
+    n = len(slopes)
+    import math
+
+    median = slopes[math.ceil(0.5 * n) - 1][0]
+    assert got.n_pairs == n
+    assert got.sen_slope_cents_per_day == pytest.approx(median, abs=5.1e-9)
+    # robustness: the outlier day must not drag the slope toward it
+    assert got.sen_slope_cents_per_day == pytest.approx(200.0, abs=1e-6)
