@@ -359,6 +359,14 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         extras["rank_stats_scale_error"] = str(e)[:120]
     try:
+        from tools.bench_tau import run_tau_scale
+
+        ts = run_tau_scale(spark)
+        extras["tau_scale"] = ts
+        print(f"# tau_scale: {ts}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["tau_scale_error"] = str(e)[:120]
+    try:
         from tools.bench_opq import run_opq_recall
 
         opq = run_opq_recall(spark, sf_dir)

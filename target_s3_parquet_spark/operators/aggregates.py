@@ -2566,6 +2566,31 @@ def agg_corr_kendall_tau(spark, sf_dir):
     return kendall_tau_from_points(pts)
 
 
+def _tau_within_kernel(pdf):
+    """Exact within-bucket dominance count for the bucketed tau-b plan
+    over a (v in 1..50, g, c) cell frame: pairs with strictly lower g
+    AND strictly lower v. Cumsums stay within int64 (each entry is
+    bounded by the bucket's row count), but the elementwise product
+    m * pfx can reach (bucket rows)^2 — past ~3e9 rows/bucket that
+    wraps int64 — so the final dominance sum runs in unbounded Python
+    ints (object dtype over the <=|g|x50 grid; grid-sized, cheap) and
+    is returned as DECIMAL(38,0), keeping the exactness contract on
+    the same channel as the SQL/cross-bucket paths."""
+    from decimal import Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    gs = np.sort(pdf["g"].unique())
+    gi = np.searchsorted(gs, pdf["g"].values)
+    m = np.zeros((len(gs), 50), dtype=np.int64)
+    np.add.at(m, (gi, pdf["v"].values - 1), pdf["c"].values)
+    hlt = np.cumsum(m, axis=0) - m       # same u, strictly lower g
+    pfx = np.cumsum(hlt, axis=1) - hlt   # sum over u < v
+    cw = int((m.astype(object) * pfx.astype(object)).sum())
+    return pd.DataFrame({"cw": [Decimal(cw)]})
+
+
 def kendall_tau_from_points(pts):
     """The bucketed tau-b pipeline over a [v: int in 1..50, g: orderable]
     point relation — shared by `agg_corr_kendall_tau` and the measured
@@ -2626,24 +2651,12 @@ def kendall_tau_from_points(pts):
         .agg(F.sum("t").cast("decimal(38,0)").alias("ccx"))
     )
 
-    # ---- within-bucket: exact int64 numpy dominance per bucket ------
-    def _tau_within(pdf):
-        import numpy as np
-        import pandas as pd
-
-        gs = np.sort(pdf["g"].unique())
-        gi = np.searchsorted(gs, pdf["g"].values)
-        m = np.zeros((len(gs), 50), dtype=np.int64)
-        np.add.at(m, (gi, pdf["v"].values - 1), pdf["c"].values)
-        hlt = np.cumsum(m, axis=0) - m       # same u, strictly lower g
-        pfx = np.cumsum(hlt, axis=1) - hlt   # sum over u < v
-        return pd.DataFrame({"cw": [int((m * pfx).sum())]})
-
+    # ---- within-bucket: exact numpy dominance per bucket ------------
     c_within = (
         cells.select("b", "v", "g", "c")
         .groupBy("b")
-        .applyInPandas(_tau_within, "cw long")
-        .agg(F.sum(F.col("cw").cast(d19)).cast("decimal(38,0)").alias("ccw"))
+        .applyInPandas(_tau_within_kernel, "cw decimal(38,0)")
+        .agg(F.sum(F.col("cw")).cast("decimal(38,0)").alias("ccw"))
     )
 
     # ---- sparse closed forms for ties ------------------------------

@@ -94,9 +94,10 @@ def load_all() -> None:
 # already checked them — so the rolling 50-key sample reaches every
 # key instead of resampling green ones.
 try:
-    from target_s3_parquet_spark._sample_ledger import SAMPLED
+    from target_s3_parquet_spark._sample_ledger import LATEST_RED, SAMPLED
 except ImportError:  # pragma: no cover — ledger not generated yet
     SAMPLED = {}
+    LATEST_RED: frozenset = frozenset()
 
 _FAMILY_ORDER = (
     ("tpch_", "q1_", "sql_api_", "subquery_"),  # 0: compound — 0 sampled r1
@@ -115,20 +116,23 @@ _FAMILY_ORDER = (
 )
 
 
-def _sample_priority(name: str) -> tuple[int, int]:
-    """Sort key for the driver-facing ordering: (times driver-sampled,
-    family index). Never-sampled keys (count 0) lead, interleaved by
-    family for a diverse 50-key window; among sampled keys the least-
-    checked come first. Ties break by registration order (sorted is
-    stable), so the ordering is deterministic."""
+def _sample_priority(name: str) -> tuple[int, int, int]:
+    """Sort key for the driver-facing ordering: (latest-red flag, times
+    driver-sampled, family index). Keys whose MOST RECENT driver record
+    was red lead absolutely — their fixes are in-tree and the external
+    ledger must self-correct. Then never-sampled keys (count 0),
+    interleaved by family for a diverse 50-key window; among sampled
+    keys the least-checked come first. Ties break by registration order
+    (sorted is stable), so the ordering is deterministic."""
     rounds = SAMPLED.get(name, ())
+    red = 0 if name in LATEST_RED else 1
     for i, prefixes in enumerate(_FAMILY_ORDER):
         if name.startswith(prefixes):
-            return (len(rounds), i)
+            return (red, len(rounds), i)
     # No family: sort LAST within the same sample count, so newly
     # registered keys never displace the standing never-sampled block
     # at the head of the driver's 50-key sample window.
-    return (len(rounds), len(_FAMILY_ORDER))
+    return (red, len(rounds), len(_FAMILY_ORDER))
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -1771,6 +1771,26 @@ def stream_asof_join(spark, sf_dir):
     ).filter(F.col("purchase_id") >= 0)
 
 
+def _reservoir_fold(state, batch, k=4):
+    """One fold of the bottom-k ROW reservoir: bottom-k per event_type
+    of (state UNION batch) on (h, event_id). The full-row dedup makes
+    the fold IDEMPOTENT — under at-least-once batch redelivery the
+    re-applied rows are already in state, and without the dedup a
+    duplicate would occupy two reservoir slots and evict a legitimate
+    row (bottom-k is a SET operation). fold(fold(s, b), b) ==
+    fold(s, b), pinned in tests/test_r9_operators.py."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("h", "event_id")
+    cand = state.unionByName(batch) if state is not None else batch
+    return (
+        cand.dropDuplicates(["event_type", "event_id", "user_id", "h"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 @query(
     "stream_reservoir_sample",
     """
@@ -1848,14 +1868,10 @@ def stream_reservoir_sample(spark, sf_dir):
 
         def merge(batch, batch_id):
             cand = batch.select("event_type", "event_id", "user_id", h.alias("h"))
+            prev = None
             if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
                 prev = batch.sparkSession.read.parquet(state_dir)
-                cand = prev.unionByName(cand)
-            nxt = (
-                cand.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= _K)
-                .drop("rn")
-            )
+            nxt = _reservoir_fold(prev, cand, k=_K)
             staging = state_dir + f"._stage_{batch_id}"
             nxt.coalesce(1).write.mode("overwrite").parquet(staging)
             if os.path.exists(state_dir):

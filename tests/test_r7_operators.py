@@ -160,7 +160,7 @@ def test_sample_ledger_fresh_and_ordering_front_loads_never_sampled():
     import json
     import os
 
-    from target_s3_parquet_spark._sample_ledger import SAMPLED
+    from target_s3_parquet_spark._sample_ledger import LATEST_RED, SAMPLED
     from target_s3_parquet_spark.registry import get_queries
 
     repo = os.path.join(os.path.dirname(__file__), "..")
@@ -181,8 +181,14 @@ def test_sample_ledger_fresh_and_ordering_front_loads_never_sampled():
     assert {k: set(v) for k, v in SAMPLED.items()} == expect
 
     keys = list(get_queries())
-    counts = [len(SAMPLED.get(k, ())) for k in keys]
-    # never-sampled (count 0) keys form a strict prefix; beyond that the
+    # latest-red keys (most recent driver record not fully green) form
+    # a strict prefix — their fixes are in-tree and the next driver
+    # sample must self-correct the external record (VERDICT r8 item 1)
+    n_red = sum(1 for k in keys if k in LATEST_RED)
+    assert all(k in LATEST_RED for k in keys[:n_red])
+    assert not any(k in LATEST_RED for k in keys[n_red:])
+    counts = [len(SAMPLED.get(k, ())) for k in keys[n_red:]]
+    # beyond the red prefix: never-sampled (count 0) keys lead, then the
     # sample count is non-decreasing (least-checked first)
     assert counts == sorted(counts), "ordering must ascend by sample count"
 

@@ -327,7 +327,7 @@ def test_reservoir_sample_uses_window_group_limit(spark):
     assert all(sorted(v) == [1, 2, 3, 4] for v in ranks.values())
 
 
-def test_stream_asof_join_picks_latest_view(spark):
+def test_stream_asof_join_picks_latest_view(spark, tmp_path):
     """The chained interval-join + event-time argmax must select the
     LATEST qualifying view per purchase with the deterministic
     (v_ts, view_id) tie-break — pinned on a replayed micro-batch
@@ -356,8 +356,7 @@ def test_stream_asof_join_picks_latest_view(spark):
         ev(4, 45, 7, "purchase"),
         ev(5, 50, 8, "purchase"),  # user 8 has no view -> no row
     ]
-    sf = str(_os.path.join(str(spark.conf.get("spark.sql.warehouse.dir"))
-                           .removeprefix("file:"), "..", "asof_sf"))
+    sf = str(tmp_path / "asof_sf")
     spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
         "overwrite"
     ).parquet(_os.path.join(sf, "events.parquet"))

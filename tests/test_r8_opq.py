@@ -102,10 +102,11 @@ def test_lpt_mapping_is_lpt_balanced(dvar_rows):
     heavy = max(loads, key=loads.get)
     light = min(loads, key=loads.get)
     smallest = min(var[d] for _, d in by_sub[heavy])
-    new_spread_bound = abs(
-        (loads[light] + smallest) - (loads[heavy] - smallest)
-    )
-    assert spread <= max(new_spread_bound, spread), "sanity"
+    moved = dict(loads)
+    moved[heavy] -= smallest
+    moved[light] += smallest
+    new_spread = max(moved.values()) - min(moved.values())
+    assert spread <= new_spread, (spread, new_spread, loads)
     # and the balance is tight in relative terms on this corpus
     assert spread / max(loads.values()) < 0.2, loads
 

@@ -1,0 +1,208 @@
+"""Invariant tests for the round-9 ADVICE fixes: the foreachBatch
+reservoir fold must be idempotent under at-least-once batch
+redelivery, the within-bucket tau kernel must stay exact past int64
+product range, and the ledger's latest-red classification must match
+the driver record semantics."""
+
+from __future__ import annotations
+
+import datetime
+
+
+def test_reservoir_fold_idempotent_under_redelivery(spark):
+    """ADVICE r8: re-applying an already-merged batch must leave the
+    reservoir unchanged — without full-row dedup the duplicate rows
+    rank separately and evict a legitimate row. fold(fold(s, b), b)
+    == fold(s, b), and the result equals bottom-k of the union SET."""
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        _reservoir_fold,
+    )
+
+    cols = "event_type string, event_id long, user_id long, h long"
+    state = spark.createDataFrame(
+        [("view", 1, 10, 100), ("view", 2, 11, 200), ("view", 3, 12, 300)],
+        cols,
+    )
+    # batch overlaps state (rows 2, 3 redelivered) and adds rows whose
+    # hashes would evict 3 ONLY if the duplicates double-counted
+    batch = spark.createDataFrame(
+        [
+            ("view", 2, 11, 200),
+            ("view", 3, 12, 300),
+            ("view", 4, 13, 150),
+            ("view", 5, 14, 250),
+        ],
+        cols,
+    )
+    once = sorted(map(tuple, _reservoir_fold(state, batch, k=4).collect()))
+    twice = sorted(
+        map(
+            tuple,
+            _reservoir_fold(
+                _reservoir_fold(state, batch, k=4), batch, k=4
+            ).collect(),
+        )
+    )
+    assert once == twice
+    # bottom-4 of the union set {100,150,200,250,300} by h
+    assert sorted(r[3] for r in once) == [100, 150, 200, 250]
+
+
+def test_reservoir_fold_duplicate_cannot_occupy_two_slots(spark):
+    """The exact failure mode from the advice: a k-sized state re-fed
+    its own rows must not evict any member."""
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        _reservoir_fold,
+    )
+
+    cols = "event_type string, event_id long, user_id long, h long"
+    rows = [("click", i, 20 + i, 100 * i) for i in range(1, 5)]
+    state = spark.createDataFrame(rows, cols)
+    redelivered = spark.createDataFrame(rows[:2], cols)
+    out = sorted(map(tuple, _reservoir_fold(state, redelivered, k=4).collect()))
+    assert out == sorted(map(tuple, (tuple(r) for r in rows)))
+
+
+def test_tau_within_kernel_exact_past_int64_product_range():
+    """ADVICE r8: with ~3.1e9 rows in two cells the dominance product
+    m * pfx is ~9.61e18 > int64 max (9.22e18); the kernel must return
+    the exact unbounded value, not a wrapped one."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from target_s3_parquet_spark.operators.aggregates import (
+        _tau_within_kernel,
+    )
+
+    c = 3_100_000_000
+    pdf = pd.DataFrame({"v": [1, 2], "g": [1.0, 2.0], "c": [c, c]})
+    out = _tau_within_kernel(pdf)
+    assert out["cw"].iloc[0] == Decimal(c) * Decimal(c)  # 9.61e18, exact
+
+
+def test_tau_within_kernel_matches_bruteforce_small():
+    """The kernel's dominance count vs an O(cells^2) brute force on a
+    tie-heavy cell frame (both strict inequalities)."""
+    import random
+
+    import pandas as pd
+
+    from target_s3_parquet_spark.operators.aggregates import (
+        _tau_within_kernel,
+    )
+
+    rng = random.Random(99)
+    cells = [
+        (rng.randint(1, 6), float(rng.randint(1, 4)), rng.randint(1, 9))
+        for _ in range(60)
+    ]
+    # collapse duplicate (v, g) cells the way groupBy(v, g) does
+    agg: dict = {}
+    for v, g, c in cells:
+        agg[(v, g)] = agg.get((v, g), 0) + c
+    pdf = pd.DataFrame(
+        {
+            "v": [k[0] for k in agg],
+            "g": [k[1] for k in agg],
+            "c": list(agg.values()),
+        }
+    )
+    got = int(_tau_within_kernel(pdf)["cw"].iloc[0])
+    want = sum(
+        ca * cb
+        for (va, ga), ca in agg.items()
+        for (vb, gb), cb in agg.items()
+        if va < vb and ga < gb
+    )
+    assert got == want
+
+
+def test_ledger_red_classification_matches_driver_semantics():
+    """_is_red must flag errs (incl. no_oracle) and any explicit False
+    flag, and pass a three-way green or a rows-only null-hash record."""
+    from tools.gen_sample_ledger import _is_red
+
+    green = {
+        "rows_match": True,
+        "schema_match": True,
+        "hash_match": True,
+        "err": None,
+    }
+    assert not _is_red(green)
+    assert _is_red({**green, "hash_match": False})
+    assert _is_red({**green, "rows_match": False})
+    assert _is_red({**green, "err": "no_oracle"})
+    assert _is_red({"err": "TypeError: unhashable type: 'list'"})
+    # rows-only record (hash never computed, no err) is not red — the
+    # driver recorded it as its weaker pass, and resampling it adds
+    # nothing until an oracle lands (oracle landing flips err instead)
+    assert not _is_red({**green, "hash_match": None})
+
+
+def test_registry_front_loads_latest_red_keys():
+    """The four keys whose most recent driver record is the historic
+    red must lead queries() so the r9 sample self-corrects them."""
+    from target_s3_parquet_spark._sample_ledger import LATEST_RED
+    from target_s3_parquet_spark.registry import get_queries
+
+    expected = {
+        "agg_collect_list",
+        "agg_quantile_array",
+        "sessionize_events",
+        "stream_watermark_late",
+    }
+    assert set(LATEST_RED) == expected
+    assert set(list(get_queries())[: len(expected)]) == expected
+
+
+def test_stream_reservoir_sample_matches_batch_draw(spark, tmp_path):
+    """End-to-end: the incremental reservoir over a replayed stream
+    equals the one-shot batch bottom-k draw on a tiny fixture."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        stream_reservoir_sample,
+    )
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1, 0, i % 60),
+            i % 7,
+            "view" if i % 2 else "click",
+            1.0,
+            "{}",
+        )
+        for i in range(40)
+    ]
+    sf = str(tmp_path / "sf_resv")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    got = {
+        (r.event_type, r.sample_rank): (r.event_id, r.hash52)
+        for r in stream_reservoir_sample(spark, sf).collect()
+    }
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 13),"
+        " 16, 10) AS BIGINT)"
+    )
+    batch = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .select("event_type", "event_id", h.alias("h"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in batch:
+        by_type.setdefault(r.event_type, []).append((r.h, r.event_id))
+    want = {}
+    for typ, hs in by_type.items():
+        for rank, (hv, eid) in enumerate(sorted(hs)[:4], start=1):
+            want[(typ, rank)] = (eid, hv)
+    assert got == want
