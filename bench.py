@@ -342,6 +342,49 @@ def main() -> None:
         r8_t["stream_asof_join"] = -1.0
         print(f"# r8 sweep stream_asof_join FAILED: {e}", file=sys.stderr)
     extras["r8_sweep_sec"] = r8_t
+    # Round-9 additions — both are replayed streaming keys, swept once
+    # (micro-batch scheduling dominates; one observation is the honest
+    # number). stream_reservoir_sample landed after the r8 bench and
+    # had no recorded sweep entry (VERDICT r8 item 6).
+    SWEEP_R9_STREAM = [
+        "stream_reservoir_sample",
+        "stream_windowed_distinct_count",
+        "stream_topk_per_group",
+    ]
+    r9_t: dict[str, float] = {}
+    for name in SWEEP_R9_STREAM:
+        try:
+            t0 = time.time()
+            queries[name](spark, sf_dir).count()
+            r9_t[name] = round(time.time() - t0, 3)
+            print(f"# r9 sweep {name}: {r9_t[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+            release_rank_caches()
+        except Exception as e:  # noqa: BLE001
+            r9_t[name] = -1.0
+            print(f"# r9 sweep {name} FAILED: {e}", file=sys.stderr)
+    # batch r9 key: min-of-2, like every other batch sweep entry
+    try:
+        fn = queries["agg_corr_concordance_stats"]
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        r9_t["agg_corr_concordance_stats"] = round(best, 3)
+        print(
+            f"# r9 sweep agg_corr_concordance_stats: "
+            f"{r9_t['agg_corr_concordance_stats']}s",
+            file=sys.stderr,
+        )
+        spark.catalog.clearCache()
+        release_rank_caches()
+    except Exception as e:  # noqa: BLE001
+        r9_t["agg_corr_concordance_stats"] = -1.0
+        print(f"# r9 sweep agg_corr_concordance_stats FAILED: {e}",
+              file=sys.stderr)
+    extras["r9_sweep_sec"] = r9_t
     try:
         from tools.bench_ntile import run_ntile_scale
 
@@ -366,6 +409,14 @@ def main() -> None:
         print(f"# tau_scale: {ts}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         extras["tau_scale_error"] = str(e)[:120]
+    try:
+        from tools.bench_topk import run_topk_scale
+
+        tk = run_topk_scale(spark)
+        extras["topk_scale"] = tk
+        print(f"# topk_scale: {tk}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["topk_scale_error"] = str(e)[:120]
     try:
         from tools.bench_opq import run_opq_recall
 

@@ -2566,6 +2566,117 @@ def agg_corr_kendall_tau(spark, sf_dir):
     return kendall_tau_from_points(pts)
 
 
+@query(
+    "agg_corr_concordance_stats",
+    """
+    WITH pts AS (
+      SELECT CAST(l_quantity AS INTEGER) AS v, l_extendedprice AS g
+      FROM lineitem
+    ),
+    cnt AS MATERIALIZED (SELECT v, g, COUNT(*) AS c FROM pts GROUP BY v, g),
+    dense AS (
+      SELECT gv.g, t.v, COALESCE(cnt.c, 0) AS c
+      FROM (SELECT DISTINCT g FROM cnt) gv
+      CROSS JOIN UNNEST(range(1, 51)) AS t(v)
+      LEFT JOIN cnt ON cnt.g = gv.g AND cnt.v = t.v
+    ),
+    grid AS (
+      SELECT g, v, c,
+             CAST(COALESCE(SUM(c) OVER (PARTITION BY v ORDER BY g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS hlt,
+             CAST(SUM(c) OVER (PARTITION BY g)
+                  - SUM(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS suf
+      FROM dense
+    ),
+    cd AS (
+      SELECT CAST(SUM(CAST(hlt AS DECIMAL(19,0))
+                      * CAST(suf AS DECIMAL(19,0)))
+               AS DECIMAL(38,0)) AS cc,
+             CAST(SUM(CAST(c AS DECIMAL(19,0))
+                      * CAST(suf AS DECIMAL(19,0)))
+               AS DECIMAL(38,0)) AS ew
+      FROM grid
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n FROM pts),
+    t1 AS (
+      SELECT CAST(SUM(CAST(tv AS DECIMAL(19,0))
+                      * CAST(tv - 1 AS DECIMAL(19,0)))
+               AS DECIMAL(38,0)) / 2 AS n1
+      FROM (SELECT v, CAST(SUM(c) AS BIGINT) AS tv FROM cnt GROUP BY v)
+    ),
+    t2 AS (
+      SELECT CAST(SUM(CAST(cg AS DECIMAL(19,0))
+                      * CAST(cg - 1 AS DECIMAL(19,0)))
+               AS DECIMAL(38,0)) / 2 AS n2
+      FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS cg FROM cnt GROUP BY g)
+    ),
+    k AS (
+      SELECT CAST(n AS BIGINT) AS n_rows,
+             CAST(cc AS BIGINT) AS c,
+             CAST(n * (n - 1) / 2 - n1 - cc - ew AS BIGINT) AS d,
+             CAST(n * (n - 1) / 2 - n1 AS BIGINT) AS untied_v,
+             CAST(n * (n - 1) / 2 - n2 AS BIGINT) AS untied_g
+      FROM cd, nn, t1, t2
+    )
+    SELECT n_rows, c AS n_concordant, d AS n_discordant,
+           CAST(CAST(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE)
+             AS DECIMAL(20,12)) AS DOUBLE) AS gk_gamma,
+           CAST(CAST(CAST(c - d AS DOUBLE) / CAST(untied_v AS DOUBLE)
+             AS DECIMAL(20,12)) AS DOUBLE) AS somers_d_price,
+           CAST(CAST(CAST(c - d AS DOUBLE) / CAST(untied_g AS DOUBLE)
+             AS DECIMAL(20,12)) AS DOUBLE) AS somers_d_qty
+    FROM k
+    """,
+)
+def agg_corr_concordance_stats(spark, sf_dir):
+    """Goodman-Kruskal gamma and both Somers' D asymmetries (quantity
+    vs extended price) — the ordinal-association companions of tau-b,
+    all derived from the SAME exact concordance counts
+    (`_concordance_counts`: the bounded merge-count plan, no O(n^2)
+    pair join, no data-sized dense grid — see `agg_corr_kendall_tau`
+    for the full decomposition): gamma = (C-D)/(C+D) ignores all
+    ties; d_price = (C-D)/(pairs untied on quantity) treats price as
+    dependent; d_qty = (C-D)/(pairs untied on price) the converse.
+    Each divides one exact integer by another (both < 2^53 at any
+    tested SF, so the doubles are exactly representable and the IEEE
+    quotient is engine-independent), rounded through DECIMAL(20,12) —
+    the Spearman/KS/AUC channel. The oracle restates the counts via
+    the naive dense-grid form, so the bucketed plan is value-pinned
+    end-to-end a second time on different final algebra.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    pts = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("int").alias("v"),
+        F.col("l_extendedprice").alias("g"),
+    )
+    n, cc, dd = F.col("n"), F.col("cc"), F.col("dd")
+    n0 = n * (n - 1) / 2
+    d12 = "decimal(20,12)"
+    cd_ = (cc - dd).cast("long").cast("double")
+    return _concordance_counts(pts).select(
+        n.cast("long").alias("n_rows"),
+        cc.cast("long").alias("n_concordant"),
+        dd.cast("long").alias("n_discordant"),
+        (cd_ / (cc + dd).cast("long").cast("double"))
+        .cast(d12)
+        .cast("double")
+        .alias("gk_gamma"),
+        (cd_ / (n0 - F.col("n1")).cast("long").cast("double"))
+        .cast(d12)
+        .cast("double")
+        .alias("somers_d_price"),
+        (cd_ / (n0 - F.col("n2")).cast("long").cast("double"))
+        .cast(d12)
+        .cast("double")
+        .alias("somers_d_qty"),
+    )
+
+
 def _tau_within_kernel(pdf):
     """Exact within-bucket dominance count for the bucketed tau-b plan
     over a (v in 1..50, g, c) cell frame: pairs with strictly lower g
@@ -2591,10 +2702,13 @@ def _tau_within_kernel(pdf):
     return pd.DataFrame({"cw": [Decimal(cw)]})
 
 
-def kendall_tau_from_points(pts):
-    """The bucketed tau-b pipeline over a [v: int in 1..50, g: orderable]
-    point relation — shared by `agg_corr_kendall_tau` and the measured
-    dense-vs-bucketed crossover (`tools/bench_tau.py`)."""
+def _concordance_counts(pts):
+    """The bucketed merge-count concordance machinery over a [v: int in
+    1..50, g: orderable] point relation: ONE row of exact DECIMAL(38,0)
+    [n, cc, dd, n1, n2] (row count, concordant pairs, discordant pairs,
+    v-tied pairs, g-tied pairs) — the shared base every rank-
+    correlation statistic derives from (`agg_corr_kendall_tau`,
+    `agg_corr_concordance_stats`, `tools/bench_tau.py`)."""
     from target_s3_parquet_spark.operators._util import two_phase_rank
 
     spark = pts.sparkSession
@@ -2701,11 +2815,26 @@ def kendall_tau_from_points(pts):
     n0 = n * (n - 1) / 2
     cc = F.col("ccx") + F.col("ccw")
     dd = n0 - F.col("n1") - cc - F.col("ew")
+    return w.select(
+        n.alias("n"),
+        cc.alias("cc"),
+        dd.alias("dd"),
+        F.col("n1"),
+        F.col("n2"),
+    )
+
+
+def kendall_tau_from_points(pts):
+    """The bucketed tau-b pipeline over a [v: int in 1..50, g: orderable]
+    point relation — shared by `agg_corr_kendall_tau` and the measured
+    dense-vs-bucketed crossover (`tools/bench_tau.py`)."""
+    n, cc, dd = F.col("n"), F.col("cc"), F.col("dd")
+    n0 = n * (n - 1) / 2
     tau = (cc - dd).cast("double") / (
         F.sqrt((n0 - F.col("n1")).cast("double"))
         * F.sqrt((n0 - F.col("n2")).cast("double"))
     )
-    return w.select(
+    return _concordance_counts(pts).select(
         n.cast("long").alias("n_rows"),
         cc.cast("long").alias("n_concordant"),
         dd.cast("long").alias("n_discordant"),

@@ -294,6 +294,67 @@ def stream_watermark_late(spark, sf_dir):
 
 
 @query(
+    "stream_windowed_distinct_count",
+    """
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+    """,
+)
+def stream_windowed_distinct_count(spark, sf_dir):
+    """Streaming windowed DISTINCT-count maintenance: exact distinct
+    users per (1-hour window, event_type), kept incrementally across
+    micro-batches. `count(DISTINCT ...)` is unsupported in streaming
+    aggregations, so the scalable form is CHAINED stateful operators —
+    a watermarked `dropDuplicates` on (window, event_type, user_id)
+    whose state holds one row per distinct triple and is EVICTED as
+    the watermark passes each window (the window struct is event-time
+    derived, so eviction is time-bounded, not data-bounded), feeding a
+    plain windowed count downstream. Chained stateful ops require
+    append output, so only watermark-closed windows emit — the oracle
+    restates that boundary relationally (same arithmetic as
+    `stream_watermark_late`). Pairs with `stream_kmv_distinct` (the
+    sketched twin: bounded state at unbounded cardinality; this key is
+    the exact twin: state linear in distinct triples per open window).
+
+    At 100 TB: dedup state is per-OPEN-window distinct triples, not
+    per-event; the downstream count is a standard combinable windowed
+    agg. Both shuffles key on the same (window, type) axis.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    events = t(spark, sf_dir, "events")
+
+    def build(stream):
+        return (
+            stream.withWatermark("ts", "30 minutes")
+            .select(
+                F.window("ts", "1 hour").alias("w"), "event_type", "user_id"
+            )
+            .dropDuplicates(["w", "event_type", "user_id"])
+            .groupBy("w", "event_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                "event_type",
+                "n_users",
+            )
+        )
+
+    # 3 ts-ordered chunks: the watermark advances across >=2 batch
+    # boundaries, so dedup state for early windows is evicted while
+    # later windows are still filling (the maintenance being exercised)
+    return replay_stream(
+        spark, events, build, output_mode="append", order_col="ts", n_chunks=3
+    )
+
+
+@query(
     "stream_stateful_running",
     """
     SELECT user_id, COUNT(*) AS total_events,
@@ -1771,6 +1832,69 @@ def stream_asof_join(spark, sf_dir):
     ).filter(F.col("purchase_id") >= 0)
 
 
+def _fold_replay(spark, source, fold, n_chunks=3):
+    """Replay ``source`` as ``n_chunks`` content-hash chunks through a
+    checkpointed foreachBatch query, folding each micro-batch into
+    parquet-persisted state via ``fold(prev_state_or_None, batch_df) ->
+    next_state``, and return the FINAL state materialized as a normal
+    DataFrame. The fold must be mergeable (fold of unions == fold of
+    folds) and idempotent under batch redelivery — the contracts
+    `_reservoir_fold` and `_topk_measure_fold` pin in tests. Chunk
+    membership is deliberately arbitrary (content hash): mergeability
+    makes the result chunk-invariant, which is what the shared oracle
+    checks. State stays O(k x groups) rows at any stream rate."""
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="fb_fold_")
+    try:
+        stream_dir = os.path.join(tmp, "stream")
+        state_dir = os.path.join(tmp, "state")
+        chunked = source.withColumn(
+            "_chunk",
+            F.pmod(
+                F.xxhash64(F.struct(*[F.col(c) for c in source.columns])),
+                F.lit(n_chunks),
+            ).cast("int"),
+        ).cache()
+        for i in range(n_chunks):
+            chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(
+                1
+            ).write.mode("append").parquet(stream_dir)
+        chunked.unpersist()
+
+        def merge(batch, batch_id):
+            prev = None
+            if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
+                prev = batch.sparkSession.read.parquet(state_dir)
+            nxt = fold(prev, batch)
+            staging = state_dir + f"._stage_{batch_id}"
+            nxt.coalesce(1).write.mode("overwrite").parquet(staging)
+            if os.path.exists(state_dir):
+                shutil.rmtree(state_dir)
+            os.rename(staging, state_dir)
+
+        reader = (
+            spark.readStream.schema(source.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        with stream_conf(spark):
+            q = (
+                reader.writeStream.foreachBatch(merge)
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        return snapshot_small(spark.read.parquet(state_dir))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _reservoir_fold(state, batch, k=4):
     """One fold of the bottom-k ROW reservoir: bottom-k per event_type
     of (state UNION batch) on (h, event_id). The full-row dedup makes
@@ -1785,6 +1909,24 @@ def _reservoir_fold(state, batch, k=4):
     cand = state.unionByName(batch) if state is not None else batch
     return (
         cand.dropDuplicates(["event_type", "event_id", "user_id", "h"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _topk_measure_fold(state, batch, k=4):
+    """One fold of the per-group top-k-by-measure state: top-k per
+    event_type of (state UNION batch) on (value DESC, event_id). The
+    full-row dedup keeps the fold idempotent under at-least-once batch
+    redelivery, exactly as `_reservoir_fold` — pinned in
+    tests/test_r9_operators.py."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    cand = state.unionByName(batch) if state is not None else batch
+    return (
+        cand.dropDuplicates(["event_type", "event_id", "user_id", "value"])
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .drop("rn")
@@ -1832,75 +1974,71 @@ def stream_reservoir_sample(spark, sf_dir):
     Reference scope check: codeG12/target-s3-parquet has no query
     surface (605-LoC Singer->Parquet sink); this key belongs to the
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
-    import os
-    import shutil
-    import tempfile
-
     from pyspark.sql import Window as W
 
-    _K = 4
-    events = t(spark, sf_dir, "events").select(
-        "event_type", "event_id", "user_id"
+    h = F.expr(
+        "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 13),"
+        " 16, 10) AS BIGINT)"
     )
-    tmp = tempfile.mkdtemp(prefix="fb_resv_")
-    try:
-        stream_dir = os.path.join(tmp, "stream")
-        state_dir = os.path.join(tmp, "state")
-        # chunk membership deliberately arbitrary (content hash) — the
-        # reservoir's mergeability makes the result chunk-invariant
-        chunked = events.withColumn(
-            "_chunk",
-            F.pmod(F.xxhash64("event_type", "event_id"), F.lit(3)).cast(
-                "int"
-            ),
-        ).cache()
-        for i in range(3):
-            chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(
-                1
-            ).write.mode("append").parquet(stream_dir)
-        chunked.unpersist()
+    events = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id", h.alias("h")
+    )
+    state = _fold_replay(spark, events, _reservoir_fold)
+    w = W.partitionBy("event_type").orderBy("h", "event_id")
+    return state.select(
+        "event_type",
+        F.row_number().over(w).cast("long").alias("sample_rank"),
+        "event_id",
+        "user_id",
+        F.col("h").alias("hash52"),
+    )
 
-        h = F.expr(
-            "CAST(conv(substring(md5(CAST(event_id AS STRING)), 1, 13),"
-            " 16, 10) AS BIGINT)"
-        )
-        w = W.partitionBy("event_type").orderBy("h", "event_id")
 
-        def merge(batch, batch_id):
-            cand = batch.select("event_type", "event_id", "user_id", h.alias("h"))
-            prev = None
-            if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
-                prev = batch.sparkSession.read.parquet(state_dir)
-            nxt = _reservoir_fold(prev, cand, k=_K)
-            staging = state_dir + f"._stage_{batch_id}"
-            nxt.coalesce(1).write.mode("overwrite").parquet(staging)
-            if os.path.exists(state_dir):
-                shutil.rmtree(state_dir)
-            os.rename(staging, state_dir)
+@query(
+    "stream_topk_per_group",
+    """
+    WITH ranked AS (
+      SELECT event_type, event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS topk_rank
+      FROM events
+    )
+    SELECT event_type, CAST(topk_rank AS BIGINT) AS topk_rank,
+           event_id, user_id, value
+    FROM ranked WHERE topk_rank <= 4
+    """,
+)
+def stream_topk_per_group(spark, sf_dir):
+    """Streaming per-group top-k BY MEASURE: the top 4 events per type
+    by (value DESC, event_id) maintained incrementally — each epoch's
+    foreachBatch folds the batch into a persisted k-row state per
+    type. Same mergeability as `stream_reservoir_sample`'s bottom-k
+    (top-k of (top-k(state) UNION batch) = top-k of everything seen,
+    for ANY chunking) with a MEASURE ordering instead of a hash rank —
+    the streaming twin of the batch `window_topk_per_group` /
+    `sample_reservoir_per_group` WindowGroupLimit plan, and the
+    leaderboard shape (top sellers, hottest documents) a pipeline
+    maintains without re-scanning history. The shared oracle pins the
+    final state bit-for-bit to the one-shot batch ROW_NUMBER.
 
-        reader = (
-            spark.readStream.schema(events.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stream_dir)
-        )
-        with stream_conf(spark):
-            q = (
-                reader.writeStream.foreachBatch(merge)
-                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
-        res = spark.read.parquet(state_dir)
-        out = res.select(
-            "event_type",
-            F.row_number().over(w).cast("long").alias("sample_rank"),
-            "event_id",
-            "user_id",
-            F.col("h").alias("hash52"),
-        )
-        return snapshot_small(out)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    Per-epoch work: the batch reduces map-side to its own top-k per
+    type (WindowGroupLimit); the merge window ranks at most k + k rows
+    per type — bounded state, bounded shuffle, at any stream rate.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from pyspark.sql import Window as W
+
+    events = t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "user_id", "value"
+    )
+    state = _fold_replay(spark, events, _topk_measure_fold)
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), "event_id")
+    return state.select(
+        "event_type",
+        F.row_number().over(w).cast("long").alias("topk_rank"),
+        "event_id",
+        "user_id",
+        "value",
+    )

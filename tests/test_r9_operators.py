@@ -63,6 +63,101 @@ def test_reservoir_fold_duplicate_cannot_occupy_two_slots(spark):
     assert out == sorted(map(tuple, (tuple(r) for r in rows)))
 
 
+def test_topk_measure_fold_idempotent_and_correct(spark):
+    """The measure-ordered twin of the reservoir fold: redelivery must
+    not evict a legitimate row, and the fold must keep the top-k by
+    (value DESC, event_id)."""
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        _topk_measure_fold,
+    )
+
+    cols = "event_type string, event_id long, user_id long, value double"
+    state = spark.createDataFrame(
+        [("view", 1, 10, 9.0), ("view", 2, 11, 8.0), ("view", 3, 12, 7.0)],
+        cols,
+    )
+    batch = spark.createDataFrame(
+        [
+            ("view", 2, 11, 8.0),   # redelivered
+            ("view", 4, 13, 8.5),
+            ("view", 5, 14, 6.0),   # below the new cut -> out
+        ],
+        cols,
+    )
+    once = sorted(map(tuple, _topk_measure_fold(state, batch, k=4).collect()))
+    twice = sorted(
+        map(
+            tuple,
+            _topk_measure_fold(
+                _topk_measure_fold(state, batch, k=4), batch, k=4
+            ).collect(),
+        )
+    )
+    assert once == twice
+    assert sorted((r[3] for r in once), reverse=True) == [9.0, 8.5, 8.0, 7.0]
+
+
+def test_concordance_stats_match_bruteforce(spark, tmp_path):
+    """gamma / Somers' D vs direct O(n^2) pair counting on a small
+    tie-heavy lineitem fixture — same channel as the tau pin."""
+    import os
+    import random
+
+    from target_s3_parquet_spark.operators.aggregates import (
+        agg_corr_concordance_stats,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (
+            i,
+            1,
+            float(rng.randint(1, 8)),                 # l_quantity, heavy ties
+            float(rng.choice([100.25, 200.5, 300.75, 400.0])),  # price ties
+            datetime.datetime(1995, 6, 1),
+        )
+        for i in range(120)
+    ]
+    sf = str(tmp_path / "sf_conc")
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_quantity double, "
+        "l_extendedprice double, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+
+    got = agg_corr_concordance_stats(spark, sf).collect()[0]
+
+    pts = [(int(r[2]), r[3]) for r in rows]
+    c = d = 0
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            (va, ga), (vb, gb) = pts[i], pts[j]
+            if va == vb or ga == gb:
+                continue
+            if (va < vb) == (ga < gb):
+                c += 1
+            else:
+                d += 1
+    assert (got.n_rows, got.n_concordant, got.n_discordant) == (n, c, d)
+    assert abs(got.gk_gamma - (c - d) / (c + d)) < 1e-12
+    # untied_v = pairs not tied on quantity; untied_g = not tied on price
+    untied_v = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if pts[i][0] != pts[j][0]
+    )
+    untied_g = sum(
+        1
+        for i in range(n)
+        for j in range(i + 1, n)
+        if pts[i][1] != pts[j][1]
+    )
+    assert abs(got.somers_d_price - (c - d) / untied_v) < 1e-12
+    assert abs(got.somers_d_qty - (c - d) / untied_g) < 1e-12
+
+
 def test_tau_within_kernel_exact_past_int64_product_range():
     """ADVICE r8: with ~3.1e9 rows in two cells the dominance product
     m * pfx is ~9.61e18 > int64 max (9.22e18); the kernel must return
@@ -154,6 +249,56 @@ def test_registry_front_loads_latest_red_keys():
     }
     assert set(LATEST_RED) == expected
     assert set(list(get_queries())[: len(expected)]) == expected
+
+
+def test_stream_windowed_distinct_count_dedups_across_batches(spark, tmp_path):
+    """The chained dedup -> windowed count must count each user ONCE
+    per (window, type) even when their duplicate events straddle
+    micro-batch boundaries, and must emit only watermark-closed
+    windows. Fixture: user 1 hits hour-0 five times (3 chunks spread
+    the repeats across batches), hour 1 stays open at the final
+    watermark (max ts 2:59 - 30 min = 2:29 < 2:00+1h)."""
+    import os
+
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        stream_windowed_distinct_count,
+    )
+
+    def ev(eid, hour, minute, uid):
+        return (
+            eid,
+            datetime.datetime(2024, 1, 1, hour, minute),
+            uid,
+            "view",
+            1.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 0, 0, 1),
+        ev(2, 0, 10, 1),
+        ev(3, 0, 20, 1),
+        ev(4, 0, 30, 1),
+        ev(5, 0, 40, 1),   # user 1 x5 in hour 0 -> counts once
+        ev(6, 0, 50, 2),   # second distinct user in hour 0
+        ev(7, 1, 30, 1),   # hour 1: closed by the final watermark
+        ev(8, 2, 59, 3),   # hour 2 stays OPEN (wm = 2:29) -> withheld
+    ]
+    sf = str(tmp_path / "sf_wdc")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    got = {
+        (r.window_start, r.event_type): r.n_users
+        for r in stream_windowed_distinct_count(spark, sf).collect()
+    }
+    assert got == {
+        (datetime.datetime(2024, 1, 1, 0), "view"): 2,
+        (datetime.datetime(2024, 1, 1, 1), "view"): 1,
+    }
 
 
 def test_stream_reservoir_sample_matches_batch_draw(spark, tmp_path):
