@@ -350,6 +350,7 @@ def main() -> None:
         "stream_reservoir_sample",
         "stream_windowed_distinct_count",
         "stream_topk_per_group",
+        "stream_histogram_quantile",
     ]
     r9_t: dict[str, float] = {}
     for name in SWEEP_R9_STREAM:

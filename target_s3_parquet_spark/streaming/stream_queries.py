@@ -1842,11 +1842,19 @@ def _fold_replay(spark, source, fold, n_chunks=3):
     `_reservoir_fold` and `_topk_measure_fold` pin in tests. Chunk
     membership is deliberately arbitrary (content hash): mergeability
     makes the result chunk-invariant, which is what the shared oracle
-    checks. State stays O(k x groups) rows at any stream rate."""
+    checks. State stays O(k x groups) rows at any stream rate.
+
+    Set-semantics folds (bottom-k / top-k) are idempotent through
+    full-row dedup alone; COUNT-semantics folds (histograms) cannot
+    be — they declare a third ``batch_id`` parameter and the harness
+    passes it through so the fold can skip re-applied batches (the
+    standard foreachBatch idempotent-write pattern)."""
+    import inspect
     import os
     import shutil
     import tempfile
 
+    wants_batch_id = "batch_id" in inspect.signature(fold).parameters
     tmp = tempfile.mkdtemp(prefix="fb_fold_")
     try:
         stream_dir = os.path.join(tmp, "stream")
@@ -1868,7 +1876,10 @@ def _fold_replay(spark, source, fold, n_chunks=3):
             prev = None
             if os.path.exists(os.path.join(state_dir, "_SUCCESS")):
                 prev = batch.sparkSession.read.parquet(state_dir)
-            nxt = fold(prev, batch)
+            if wants_batch_id:
+                nxt = fold(prev, batch, batch_id=batch_id)
+            else:
+                nxt = fold(prev, batch)
             staging = state_dir + f"._stage_{batch_id}"
             nxt.coalesce(1).write.mode("overwrite").parquet(staging)
             if os.path.exists(state_dir):
@@ -1991,6 +2002,116 @@ def stream_reservoir_sample(spark, sf_dir):
         "event_id",
         "user_id",
         F.col("h").alias("hash52"),
+    )
+
+
+def _histogram_fold(state, batch, batch_id):
+    """One fold of the per-group integer-cents histogram: the batch
+    reduces map-side to (event_type, bin, cnt) partials, which merge
+    into state by summed counts. COUNT semantics cannot be made
+    idempotent by dedup, so the fold records the last applied
+    ``batch_id`` on every state row (`_b`) and RETURNS STATE UNCHANGED
+    when a batch is redelivered — the foreachBatch idempotent-write
+    pattern. Pinned in tests/test_r9_operators.py."""
+    agg = (
+        batch.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("_b", F.lit(batch_id).cast("long"))
+    )
+    if state is None:
+        return agg
+    applied = state.agg(F.max("_b")).collect()[0][0]
+    if applied is not None and batch_id <= applied:
+        return state
+    return (
+        state.unionByName(agg)
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum("cnt").cast("long").alias("cnt"),
+            F.max("_b").alias("_b"),
+        )
+    )
+
+
+@query(
+    "stream_histogram_quantile",
+    """
+    WITH b AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS bin
+      FROM events
+    ),
+    c AS (SELECT event_type, bin, COUNT(*) AS cnt FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM c
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           MIN(CASE WHEN cum * 2 >= n THEN bin END) AS p50_cents,
+           MIN(CASE WHEN cum * 100 >= 95 * n THEN bin END) AS p95_cents,
+           MIN(CASE WHEN cum * 100 >= 99 * n THEN bin END) AS p99_cents
+    FROM cum GROUP BY event_type
+    """,
+)
+def stream_histogram_quantile(spark, sf_dir):
+    """Streaming quantile maintenance via a MERGEABLE fixed-grid
+    histogram: each epoch folds the batch's (event_type, integer-cents
+    bin) partial counts into persisted per-group histogram state —
+    counts merge by addition for ANY chunking, so the final p50/p95/
+    p99 are a deterministic function of the merged histogram and the
+    oracle restates them relationally (type-1 lower quantile: smallest
+    bin whose cumulative count reaches ceil(q*n), compared in pure
+    integers as 100*cum >= q100*n — no float quantile arithmetic to
+    drift cross-engine). This is the fixed-bucket member of the
+    mergeable-summary family (`stream_kmv_distinct` bounds distinct
+    state; this bounds QUANTILE state by value-domain granularity —
+    the DDSketch/fixed-histogram pattern production metric pipelines
+    maintain, exact rather than epsilon-approximate on a bounded
+    grid). COUNT semantics cannot be dedup-idempotent, so the fold
+    skips re-applied batches by recorded batch_id (`_histogram_fold`).
+
+    Per-epoch work: map-side combinable batch groupBy + a state merge
+    keyed on (type, bin); state is O(types x observed bins), never
+    O(rows). At 100 TB the histogram IS the shuffle payload.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from pyspark.sql import Window as W
+
+    events = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("bin"),
+    )
+    state = _fold_replay(spark, events, _histogram_fold)
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_all = W.partitionBy("event_type")
+    cum = state.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("bin"))).alias(
+            "p50_cents"
+        ),
+        F.min(
+            F.when(F.col("cum") * 100 >= 95 * F.col("n"), F.col("bin"))
+        ).alias("p95_cents"),
+        F.min(
+            F.when(F.col("cum") * 100 >= 99 * F.col("n"), F.col("bin"))
+        ).alias("p99_cents"),
     )
 
 

@@ -243,6 +243,8 @@ _BNLJ_BOUNDED_OK = {
     "ab_test_anova_f",  # 7-slot pivot row x 1-row global sum-sq agg
     "agg_corr_kendall_tau",  # five 1-row aggregates (C_cross, C_within,
     # EW, n, tie terms) fold into the final statistic row
+    "agg_corr_concordance_stats",  # same _concordance_counts base:
+    # the identical five 1-row aggregate folds, different final algebra
     "agg_kruskal_wallis_h",  # k-row group table x 1-row n/tie aggregates
     "ts_cross_correlation_lags",  # 3-row lag literals x per-day series
     # (same bounded shape as ts_acf_lags)

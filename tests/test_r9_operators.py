@@ -97,6 +97,76 @@ def test_topk_measure_fold_idempotent_and_correct(spark):
     assert sorted((r[3] for r in once), reverse=True) == [9.0, 8.5, 8.0, 7.0]
 
 
+def test_histogram_fold_skips_redelivered_batches(spark):
+    """COUNT-semantics fold: merging sums counts; a re-applied batch_id
+    must leave state unchanged (the batch_id guard, since dedup cannot
+    make counts idempotent)."""
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        _histogram_fold,
+    )
+
+    cols = "event_type string, bin long"
+    b0 = spark.createDataFrame(
+        [("view", 100), ("view", 100), ("view", 200)], cols
+    )
+    b1 = spark.createDataFrame([("view", 100), ("click", 50)], cols)
+    s0 = _histogram_fold(None, b0, batch_id=0)
+    s1 = _histogram_fold(s0, b1, batch_id=1)
+    merged = {(r.event_type, r.bin): r.cnt for r in s1.collect()}
+    assert merged == {("view", 100): 3, ("view", 200): 1, ("click", 50): 1}
+    # redelivery of batch 1 (and of any earlier batch) is a no-op
+    again = {
+        (r.event_type, r.bin): r.cnt
+        for r in _histogram_fold(s1, b1, batch_id=1).collect()
+    }
+    assert again == merged
+    stale = {
+        (r.event_type, r.bin): r.cnt
+        for r in _histogram_fold(s1, b0, batch_id=0).collect()
+    }
+    assert stale == merged
+
+
+def test_stream_histogram_quantile_type1_boundaries(spark, tmp_path):
+    """The integer threshold 100*cum >= q*n must select the TYPE-1
+    lower quantile exactly at boundary counts (n=20: p95 is the 19th
+    value, not the 20th — the float 0.95*20 = 19.000000000000004
+    rounding trap the integer form avoids)."""
+    import os
+
+    from target_s3_parquet_spark.streaming.stream_queries import (
+        stream_histogram_quantile,
+    )
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1, 0, i % 60),
+            i,
+            "view",
+            float(i + 1),  # values 1.00 .. 20.00
+            "{}",
+        )
+        for i in range(20)
+    ]
+    sf = str(tmp_path / "sf_hq")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    r = stream_histogram_quantile(spark, sf).collect()[0]
+    # ceil(0.5*20)=10th value=10.00; ceil(0.95*20)=19th=19.00;
+    # ceil(0.99*20)=20th=20.00
+    assert (r.n_events, r.p50_cents, r.p95_cents, r.p99_cents) == (
+        20,
+        1000,
+        1900,
+        2000,
+    )
+
+
 def test_concordance_stats_match_bruteforce(spark, tmp_path):
     """gamma / Somers' D vs direct O(n^2) pair counting on a small
     tie-heavy lineitem fixture — same channel as the tau pin."""
