@@ -2973,3 +2973,362 @@ def agg_kruskal_wallis_h(spark, sf_dir):
         "k_groups",
         h.cast("decimal(24,8)").cast("double").alias("h_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: categorical effect size, threshold average precision,
+# robust (trimmed / winsorized) means
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_cramers_v_effect_size",
+    """
+    WITH cnt AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    ),
+    segs AS (SELECT DISTINCT seg FROM cnt),
+    nats AS (SELECT DISTINCT nat FROM cnt),
+    grid AS (
+      SELECT s.seg, t.nat, COALESCE(c.o, 0) AS o
+      FROM segs s CROSS JOIN nats t
+      LEFT JOIN cnt c ON c.seg = s.seg AND c.nat = t.nat
+    ),
+    rs AS (SELECT seg, CAST(SUM(o) AS BIGINT) AS rt FROM grid GROUP BY seg),
+    cs AS (SELECT nat, CAST(SUM(o) AS BIGINT) AS ct FROM grid GROUP BY nat),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST((SELECT COUNT(*) FROM segs) AS BIGINT) AS r,
+             CAST((SELECT COUNT(*) FROM nats) AS BIGINT) AS c
+      FROM grid
+    ),
+    chi AS (
+      SELECT CAST(SUM(CAST(
+               CAST((g.o * t.n - rs.rt * cs.ct) AS DECIMAL(38,0))
+                 * CAST((g.o * t.n - rs.rt * cs.ct) AS DECIMAL(38,0))
+                 / CAST(CAST(t.n AS DECIMAL(38,0)) * rs.rt * cs.ct
+                        AS DOUBLE)
+               AS DECIMAL(38,12)) ) AS DOUBLE) AS chi2
+      FROM grid g
+      JOIN rs ON rs.seg = g.seg
+      JOIN cs ON cs.nat = g.nat
+      CROSS JOIN tot t
+    )
+    SELECT t.n, t.r AS r_levels, t.c AS c_levels,
+           (t.r - 1) * (t.c - 1) AS dof,
+           chi.chi2,
+           chi.chi2 / t.n AS phi2,
+           SQRT(chi.chi2 / t.n
+                / CAST(LEAST(t.r - 1, t.c - 1) AS DOUBLE)) AS cramers_v,
+           SQRT(
+             GREATEST(0.0,
+               chi.chi2 / t.n
+                 - CAST((t.r - 1) * (t.c - 1) AS DOUBLE) / (t.n - 1))
+             / CAST(LEAST(
+                 CAST(t.r AS DOUBLE)
+                   - CAST((t.r - 1) * (t.r - 1) AS DOUBLE) / (t.n - 1) - 1,
+                 CAST(t.c AS DOUBLE)
+                   - CAST((t.c - 1) * (t.c - 1) AS DOUBLE) / (t.n - 1) - 1
+               ) AS DOUBLE)) AS cramers_v_corrected
+    FROM tot t CROSS JOIN chi
+    """,
+)
+def agg_cramers_v_effect_size(spark, sf_dir):
+    """Cramér's V (raw and Bergsma bias-corrected) for the
+    market-segment × nation contingency — the categorical effect size
+    that tells a corpus curator whether two metadata facets are
+    actually associated or the chi-square is just big because n is.
+
+    Cross-engine exactness without libm: every chi-square cell is the
+    integer rational (O·n − rt·ct)² / (n·rt·ct) — numerator built in
+    DECIMAL(38,0) (exact past int64 at warehouse row counts), ONE IEEE
+    division per cell, per-cell terms summed through DECIMAL(38,12)
+    (order-independent), and the only transcendental is SQRT, which
+    IEEE 754 requires correctly rounded — bit-identical in the JVM and
+    DuckDB. Empty grid cells participate with O=0 exactly as the
+    statistic demands (the grid is the cross join of the observed
+    level sets, not the observed cells).
+
+    Distributed shape: ONE map-combinable groupBy compresses the data
+    to the bounded (segments × nations) grid; every downstream op
+    (grid completion, marginals, the 125-cell chi-square sum) is
+    control-plane. At 100 TB the data-sized cost is the single
+    combinable aggregate — the same shape as `ab_test_chi2_independence`,
+    which reports the test statistic where this key reports the
+    effect-size family (phi², V, bias-corrected V).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d38 = "decimal(38,0)"
+    cnt = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    segs = cnt.select("seg").distinct()
+    nats = cnt.select("nat").distinct()
+    grid = (
+        segs.crossJoin(F.broadcast(nats))
+        .join(F.broadcast(cnt), ["seg", "nat"], "left")
+        .select("seg", "nat", F.coalesce(F.col("o"), F.lit(0)).alias("o"))
+    )
+    rs = grid.groupBy("seg").agg(F.sum("o").cast("long").alias("rt"))
+    cs = grid.groupBy("nat").agg(F.sum("o").cast("long").alias("ct"))
+    tot = (
+        grid.agg(F.sum("o").cast("long").alias("n"))
+        .crossJoin(F.broadcast(segs.agg(F.count(F.lit(1)).alias("r"))))
+        .crossJoin(F.broadcast(nats.agg(F.count(F.lit(1)).alias("c"))))
+    )
+    dev = (
+        F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    ).cast(d38)
+    cell = (dev * dev).cast("double") / (
+        F.col("n").cast(d38) * F.col("rt") * F.col("ct")
+    ).cast("double")
+    chi = (
+        grid.join(F.broadcast(rs), "seg")
+        .join(F.broadcast(cs), "nat")
+        .crossJoin(F.broadcast(tot))
+        .select(cell.cast("decimal(38,12)").alias("q"))
+        .agg(F.sum("q").cast("double").alias("chi2"))
+    )
+    nD = F.col("n").cast("double")
+    rL, cL = F.col("r").cast("long"), F.col("c").cast("long")
+    phi2 = F.col("chi2") / nD
+    phi2corr = F.greatest(
+        F.lit(0.0),
+        phi2 - ((rL - 1) * (cL - 1)).cast("double") / (nD - 1),
+    )
+    rcorr = rL.cast("double") - ((rL - 1) * (rL - 1)).cast("double") / (
+        nD - 1
+    )
+    ccorr = cL.cast("double") - ((cL - 1) * (cL - 1)).cast("double") / (
+        nD - 1
+    )
+    return tot.crossJoin(F.broadcast(chi)).select(
+        "n",
+        rL.alias("r_levels"),
+        cL.alias("c_levels"),
+        ((rL - 1) * (cL - 1)).alias("dof"),
+        "chi2",
+        phi2.alias("phi2"),
+        F.sqrt(
+            phi2 / F.least(rL - 1, cL - 1).cast("double")
+        ).alias("cramers_v"),
+        F.sqrt(
+            phi2corr / F.least(rcorr - 1, ccorr - 1)
+        ).alias("cramers_v_corrected"),
+    )
+
+
+@query(
+    "eval_average_precision",
+    """
+    WITH lab AS (
+      SELECT o_totalprice AS s,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    g AS (
+      SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+             CAST(COUNT(*) AS BIGINT) AS tcnt
+      FROM lab GROUP BY s
+    ),
+    c AS (
+      SELECT p, tcnt,
+             CAST(SUM(p) OVER (ORDER BY s DESC) AS BIGINT) AS cum_p,
+             CAST(SUM(tcnt) OVER (ORDER BY s DESC) AS BIGINT) AS cum_t
+      FROM g
+    ),
+    tots AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab
+    )
+    SELECT t.n, t.n_pos,
+           (SELECT COUNT(*) FROM g) AS n_thresholds,
+           CAST(SUM(CAST(
+             CAST(CAST(c.p AS DECIMAL(38,0)) * c.cum_p AS DOUBLE)
+               / CAST(CAST(t.n_pos AS DECIMAL(38,0)) * c.cum_t AS DOUBLE)
+             AS DECIMAL(38,12))) AS DOUBLE) AS average_precision
+    FROM c CROSS JOIN tots t
+    GROUP BY t.n, t.n_pos
+    """,
+)
+def eval_average_precision(spark, sf_dir):
+    """Average precision (the area under the precision-recall curve at
+    threshold granularity — sklearn's ``average_precision_score``
+    definition: AP = Σ_s (R_s − R_{s-1})·P_s over DISTINCT score
+    thresholds, descending) for the same learned-filter labeling as
+    `eval_auc_rank_sum`. PR-AUC is the eval a quality-classifier
+    shipping gate reports alongside ROC-AUC: with heavy class
+    imbalance — the normal case for "keep this document" filters — AP
+    moves when the top of the ranking degrades while AUC barely does.
+
+    Exactness: per threshold s the term is the integer rational
+    (p_s · cum_p) / (P · cum_t) — DECIMAL(38,0) products (exact past
+    int64), ONE IEEE division per distinct score, terms summed through
+    DECIMAL(38,12). Ties need no arbitrary tie-break because the curve
+    is evaluated per DISTINCT score, not per row.
+
+    Distributed shape: ONE combinable groupBy to the per-score table,
+    BOTH running sums (positives and rows) carried by a SINGLE
+    `two_phase_rank` prefix pass over a packed DECIMAL channel
+    (cum = 10¹²·cum_t + cum_p — exact while any partition holds fewer
+    than 10¹² positives, i.e. at any realistic scale), a 1-row totals
+    broadcast, and a final combinable sum. The prefix pass touches
+    |distinct scores| rows per partition, never the data — the same
+    scale shape as `eval_auc_rank_sum`.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    d38 = "decimal(38,0)"
+    PACK = 10**12
+    lab = t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("s"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    g = lab.groupBy("s").agg(
+        F.sum("y").cast("long").alias("p"),
+        F.count(F.lit(1)).cast("long").alias("tcnt"),
+    ).select(
+        "s", "p", "tcnt",
+        (F.col("tcnt").cast(d38) * PACK + F.col("p")).alias("packed"),
+    )
+    c = two_phase_rank(
+        g, [F.col("s").desc()], sum_col="packed",
+        rank_name="_r", cum_name="_cum",
+    )
+    cum_p = (F.col("_cum") % PACK).cast("long")
+    cum_t = ((F.col("_cum") - F.col("_cum") % PACK) / PACK).cast("long")
+    c = c.select(
+        "p", "tcnt", cum_p.alias("cum_p"), cum_t.alias("cum_t")
+    )
+    tots = lab.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    nthr = g.agg(F.count(F.lit(1)).alias("n_thresholds"))
+    term = (
+        (F.col("p").cast(d38) * F.col("cum_p")).cast("double")
+        / (F.col("n_pos").cast(d38) * F.col("cum_t")).cast("double")
+    )
+    ap = (
+        c.crossJoin(F.broadcast(tots))
+        .select(term.cast("decimal(38,12)").alias("q"), "n", "n_pos")
+        .groupBy("n", "n_pos")
+        .agg(F.sum("q").cast("double").alias("average_precision"))
+    )
+    return ap.crossJoin(F.broadcast(nthr)).select(
+        "n", "n_pos", "n_thresholds", "average_precision"
+    )
+
+
+@query(
+    "agg_trimmed_winsorized_mean",
+    """
+    WITH r AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS v,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    s AS (
+      SELECT grp, n, CAST(n // 10 AS BIGINT) AS k,
+             CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10
+                           THEN CAST(v AS DECIMAL(38,6)) END)
+                  AS DECIMAL(38,6)) AS mid_sum,
+             MAX(CASE WHEN rn = n // 10 + 1 THEN v END) AS lo_v,
+             MAX(CASE WHEN rn = n - n // 10 THEN v END) AS hi_v,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS all_sum
+      FROM r GROUP BY grp, n
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n, k,
+           CAST(all_sum AS DOUBLE) / n AS mean,
+           CAST(mid_sum AS DOUBLE) / (n - 2 * k) AS trimmed_mean,
+           CAST(mid_sum
+                + CAST(k AS DECIMAL(18,0)) * CAST(lo_v AS DECIMAL(18,6))
+                + CAST(k AS DECIMAL(18,0)) * CAST(hi_v AS DECIMAL(18,6))
+                AS DOUBLE) / n AS winsorized_mean
+    FROM s
+    """,
+)
+def agg_trimmed_winsorized_mean(spark, sf_dir):
+    """Robust location estimates per order-priority group: the 10%
+    two-sided TRIMMED mean (drop the k = ⌊n/10⌋ smallest and largest)
+    and the WINSORIZED mean (clamp them to the (k+1)-th / (n−k)-th
+    order statistics) next to the plain mean — the outlier-resistant
+    summary a data-quality dashboard shows when heavy tails make the
+    mean lie.
+
+    Exactness: order statistics are exact ranks (ties land on equal
+    values, so rank assignment among ties cannot change any output);
+    all sums run through DECIMAL(38,6) (o_totalprice has 2 decimals —
+    exactly representable), the winsorized clamp contributes
+    k·x₍k+1₎ + k·x₍n−k₎ in DECIMAL(18,0)×DECIMAL(18,6) products (width
+    36 — inside both engines' 38 cap), and each mean is ONE IEEE
+    division of identical operands.
+
+    Distributed shape: one hash shuffle on the group key, a
+    PARTITIONED window (per-group sort — the standard distributed
+    order-statistics plan; never a global window), one combinable
+    group aggregate. At 100 TB with a huge single group the refinement
+    is an approx-quantile threshold pass plus exact boundary
+    resolution, or `two_phase_rank` range-partitioned within the
+    group; for the bounded-cardinality group keys here the per-group
+    sort IS the right plan.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    w = W.partitionBy("grp").orderBy("v")
+    r = (
+        t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_totalprice").alias("v"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("grp")))
+    )
+    k = (F.col("n") / 10).cast("long")
+    mid = F.when(
+        (F.col("rn") > k) & (F.col("rn") <= F.col("n") - k), dec("v")
+    )
+    s = r.groupBy("grp", "n").agg(
+        F.sum(mid).cast("decimal(38,6)").alias("mid_sum"),
+        F.max(F.when(F.col("rn") == k + 1, F.col("v"))).alias("lo_v"),
+        F.max(F.when(F.col("rn") == F.col("n") - k, F.col("v"))).alias(
+            "hi_v"
+        ),
+        F.sum(dec("v")).cast("decimal(38,6)").alias("all_sum"),
+    )
+    kc = (F.col("n") / 10).cast("long")
+    win_sum = (
+        F.col("mid_sum")
+        + kc.cast("decimal(18,0)") * F.col("lo_v").cast("decimal(18,6)")
+        + kc.cast("decimal(18,0)") * F.col("hi_v").cast("decimal(18,6)")
+    )
+    return s.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        kc.alias("k"),
+        (F.col("all_sum").cast("double") / F.col("n")).alias("mean"),
+        (
+            F.col("mid_sum").cast("double") / (F.col("n") - 2 * kc)
+        ).alias("trimmed_mean"),
+        (win_sum.cast("double") / F.col("n")).alias("winsorized_mean"),
+    )

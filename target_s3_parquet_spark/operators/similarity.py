@@ -3276,3 +3276,218 @@ def emb_text_pairing_audit(spark, sf_dir):
             "n_docs", "n_vecs", "n_paired",
         )
     )
+
+
+@query(
+    "search_rrf_fusion",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (SELECT doc_id,
+                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS tok
+            FROM documents)
+      WHERE tok <> ''
+    ),
+    per_doc AS MATERIALIZED (
+      SELECT doc_id, count(*) AS dl,
+             count(*) FILTER (WHERE tok = 'merge')  AS tf1,
+             count(*) FILTER (WHERE tok = 'vector') AS tf2,
+             count(*) FILTER (WHERE tok = 'scan')   AS tf3
+      FROM toks GROUP BY doc_id
+    ),
+    corpus AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS BIGINT) AS tt,
+             CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
+             CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2,
+             CAST(count(*) FILTER (WHERE tf3 > 0) AS BIGINT) AS df3
+      FROM per_doc
+    ),
+    lex AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
+      FROM (
+        SELECT doc_id,
+               CAST(2*n - 2*df1 + 1 AS DOUBLE) / CAST(2*df1 + 1 AS DOUBLE)
+                 * (CAST(22*tf1*tt AS DOUBLE)
+                    / CAST(10*tf1*tt + 3*tt + 9*n*dl AS DOUBLE))
+             + CAST(2*n - 2*df2 + 1 AS DOUBLE) / CAST(2*df2 + 1 AS DOUBLE)
+                 * (CAST(22*tf2*tt AS DOUBLE)
+                    / CAST(10*tf2*tt + 3*tt + 9*n*dl AS DOUBLE))
+             + CAST(2*n - 2*df3 + 1 AS DOUBLE) / CAST(2*df3 + 1 AS DOUBLE)
+                 * (CAST(22*tf3*tt AS DOUBLE)
+                    / CAST(10*tf3*tt + 3*tt + 9*n*dl AS DOUBLE))
+                 AS score
+        FROM per_doc CROSS JOIN corpus
+        ORDER BY score DESC, doc_id LIMIT 100
+      )
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (
+      SELECT v AS qv FROM v
+      WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    vec AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r_vec
+      FROM (
+        SELECT b.vec_id,
+               list_sum(list_transform(range(1, len(q.qv) + 1),
+                                       i -> q.qv[i] * b.v[i]))
+               / (SQRT(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                               i -> q.qv[i] * q.qv[i])))
+                  * SQRT(list_sum(list_transform(range(1, len(b.v) + 1),
+                                                 i -> b.v[i] * b.v[i]))))
+                 AS cosine
+        FROM q CROSS JOIN v b
+        ORDER BY cosine DESC, vec_id LIMIT 100
+      )
+    )
+    SELECT COALESCE(l.doc_id, e.vec_id) AS doc_id,
+           COALESCE(CAST(l.r_lex AS DOUBLE), 0.0) AS lex_rank,
+           COALESCE(CAST(e.r_vec AS DOUBLE), 0.0) AS vec_rank,
+           COALESCE(1.0 / (60 + l.r_lex), 0.0)
+             + COALESCE(1.0 / (60 + e.r_vec), 0.0) AS rrf_score
+    FROM lex l FULL OUTER JOIN vec e ON e.vec_id = l.doc_id
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+)
+def search_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    SIGIR'09; k=60): fuse the BM25 lexical top-100 for the query
+    {merge, vector, scan} with the embedding-cosine top-100 for a
+    deterministic query vector (the MIN(vec_id) embedding — documents
+    pair 1:1 with embeddings on doc_id = vec_id), then return the
+    top-20 by RRF score = Σ_arms 1/(60 + rank). This is the fusion
+    step every hybrid (lexical + vector) search stack runs — rank-only
+    fusion, so the two arms' incomparable score scales never touch.
+
+    Exactness: both arms' scores are the repo's proven bit-exact
+    channels (the BM25 rational-odds scoring of `search_bm25_topk`;
+    the unrolled left-associated dot/SQRT cosine of `sim_knn_cosine`),
+    ranks are ROW_NUMBER with full deterministic tie-breaks
+    (score DESC, id), each RRF term is ONE IEEE division of identical
+    integer operands, and the two-term sum is a FIXED lex+vec chain.
+    Absent-arm ranks surface as DOUBLE 0.0 (never NULL) so the
+    comparator sees one dtype on both engines.
+
+    Distributed shape: each arm ends in TakeOrderedAndProject
+    (per-partition top-K + driver merge — no global sort); the fusion
+    itself joins two ≤100-row lists (broadcast, control-plane). At
+    100 TB the lexical arm is the inverted-index posting scan restated
+    as a full-scan aggregate and the vector arm is the brute-force
+    baseline whose scale path is the IVF/LSH family — fusion cost is
+    unchanged at any corpus size.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+    )
+    terms = ("merge", "vector", "scan")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == term, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, term in enumerate(terms, 1)
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("tt"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(1, 4)
+        ],
+    )
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        n, tt, dl = F.col("n"), F.col("tt"), F.col("dl")
+        idf = (2 * n - 2 * df + 1).cast("double") / (2 * df + 1).cast(
+            "double"
+        )
+        w = (22 * tf * tt).cast("double") / (
+            10 * tf * tt + 3 * tt + 9 * n * dl
+        ).cast("double")
+        return idf * w
+
+    lex_top = (
+        per_doc.crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            (term_score(1) + term_score(2) + term_score(3)).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(100)
+    )
+    lex = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("r_lex"),
+    )
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    qmin = e.agg(F.min("vec_id").alias("qid"))
+    q = (
+        e.join(F.broadcast(qmin), F.col("vec_id") == F.col("qid"))
+        .select(F.col("v").alias("qv"))
+    )
+    vec_top = (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (
+                _dot(F.col("qv"), F.col("v"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("v"), F.col("v")))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(100)
+    )
+    vec = vec_top.select(
+        "vec_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), "vec_id"))
+        .alias("r_vec"),
+    )
+    fused = lex.join(
+        vec, lex.doc_id == vec.vec_id, "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+        F.coalesce(F.col("r_lex").cast("double"), F.lit(0.0)).alias(
+            "lex_rank"
+        ),
+        F.coalesce(F.col("r_vec").cast("double"), F.lit(0.0)).alias(
+            "vec_rank"
+        ),
+        (
+            F.coalesce(
+                F.lit(1.0) / (60 + F.col("r_lex")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (60 + F.col("r_vec")), F.lit(0.0)
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)

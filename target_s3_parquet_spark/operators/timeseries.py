@@ -1546,3 +1546,139 @@ def ts_trend_theil_sen(spark, sf_dir):
         .cast("double")
         .alias("sen_slope_cents_per_day"),
     )
+
+
+@query(
+    "ts_seasonal_decompose_ma",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    ma AS (
+      SELECT a.d, a.s, a.d % 7 AS dow,
+             COUNT(*) AS w_cnt, MIN(b.d) AS w_lo, MAX(b.d) AS w_hi,
+             CAST(SUM(b.s) AS BIGINT) AS w_sum
+      FROM daily a JOIN daily b ON b.d BETWEEN a.d - 3 AND a.d + 3
+      GROUP BY a.d, a.s
+    ),
+    detr AS (
+      SELECT dow, CAST(7 * s - w_sum AS BIGINT) AS detr7
+      FROM ma
+      WHERE w_cnt = 7 AND w_hi - w_lo = 6 AND d - w_lo = 3
+    ),
+    seas AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_valid,
+             CAST(SUM(CAST(detr7 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s7
+      FROM detr GROUP BY dow
+    )
+    SELECT s.dow, s.n_valid,
+           CAST(s.s7 AS DOUBLE) / (7.0 * s.n_valid) AS seasonal_cents,
+           CAST(SUM(CAST(ABS(s.n_valid * CAST(t.detr7 AS DECIMAL(38,0))
+                             - s.s7) AS DECIMAL(38,0))) AS DOUBLE)
+             / (7.0 * s.n_valid * s.n_valid) AS mean_abs_residual_cents
+    FROM detr t JOIN seas s ON s.dow = t.dow
+    GROUP BY s.dow, s.n_valid, s.s7
+    """,
+)
+def ts_seasonal_decompose_ma(spark, sf_dir):
+    """Classical additive seasonal decomposition of the daily-revenue
+    series (trend = centered 7-day moving average, seasonal = per
+    day-of-week mean of the detrended series, residual = the rest) —
+    the first decomposition a forecasting/monitoring pipeline runs,
+    reported as the 7-row weekly seasonal profile with per-dow
+    residual magnitude.
+
+    Exactness: daily revenue is integer CENTS, and the whole
+    decomposition is kept in EXACT INTEGERS by scaling out the /7:
+    detr7 = 7·s − Σwindow(s) is an exact BIGINT, the per-dow seasonal
+    sum S7 = Σ detr7 is an exact decimal integer, and the residual
+    channel |n·detr7 − S7| is an exact DECIMAL(38,0) — so
+    seasonal = S7/(7n) and the mean absolute residual
+    = Σ|n·detr7 − S7|/(7n²) are each ONE IEEE division of identical
+    operands. No double is ever rounded into a decimal (the
+    cross-engine double→decimal rounding paths differ in the last ulp
+    for full-precision doubles — observed at sf0.01 before this
+    integer-scaled form). Day-of-week is the engine-neutral d % 7;
+    windows straddling a calendar gap or the series edge are excluded
+    by the explicit contiguity predicate (w_cnt = 7, span = 6,
+    centered), not by row-frame accident.
+
+    Distributed shape: ONE data-sized combinable groupBy compresses
+    any input volume to the CALENDAR-BOUNDED daily series (~2.4k rows
+    for this 7-year span); the 7-day MA is a bounded band self-join on
+    that series (broadcast, ~17k pairs), never a global window over
+    data; seasonal/residual stages are 7-row broadcast joins. Same
+    scale argument as `ts_trend_mann_kendall`: the only thing that
+    grows with volume is the first aggregate.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d38 = "decimal(38,0)"
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("s")
+    )
+    a = daily.select(F.col("d"), F.col("s"))
+    b = daily.select(F.col("d").alias("bd"), F.col("s").alias("bs"))
+    ma = (
+        a.join(
+            F.broadcast(b),
+            (F.col("bd") >= F.col("d") - 3) & (F.col("bd") <= F.col("d") + 3),
+        )
+        .groupBy("d", "s")
+        .agg(
+            F.count(F.lit(1)).alias("w_cnt"),
+            F.min("bd").alias("w_lo"),
+            F.max("bd").alias("w_hi"),
+            F.sum("bs").cast("long").alias("w_sum"),
+        )
+    )
+    detr = ma.filter(
+        (F.col("w_cnt") == 7)
+        & (F.col("w_hi") - F.col("w_lo") == 6)
+        & (F.col("d") - F.col("w_lo") == 3)
+    ).select(
+        (F.col("d") % 7).alias("dow"),
+        (7 * F.col("s") - F.col("w_sum")).cast("long").alias("detr7"),
+    )
+    seas = detr.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_valid"),
+        F.sum(F.col("detr7").cast(d38)).cast(d38).alias("s7"),
+    )
+    return (
+        detr.join(F.broadcast(seas), "dow")
+        .groupBy("dow", "n_valid", "s7")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("n_valid") * F.col("detr7").cast(d38) - F.col("s7")
+                ).cast(d38)
+            )
+            .cast("double")
+            .alias("_mar_num")
+        )
+        .select(
+            "dow",
+            "n_valid",
+            (F.col("s7").cast("double") / (7.0 * F.col("n_valid"))).alias(
+                "seasonal_cents"
+            ),
+            (
+                F.col("_mar_num")
+                / (7.0 * F.col("n_valid") * F.col("n_valid"))
+            ).alias("mean_abs_residual_cents"),
+        )
+    )

@@ -261,6 +261,15 @@ _BNLJ_BOUNDED_OK = {
     "text_bpe_merge_loop", "text_bpe_merge_step", "text_ngram_jaccard_dup",
     "text_tokenize_tfidf", "tpch_q11_important_stock",
     "tpch_q22_sales_opportunity", "ts_rolling_wau",
+    # r9 breadth keys: every bnlj side is a 1-row totals agg or a
+    # bounded-by-construction list (125-cell grid, 13-bin table,
+    # <=100-row arm lists, calendar-bounded daily series band join)
+    "agg_cramers_v_effect_size",  # 5x25 grid x 1-row n/r/c + chi2 aggs
+    "eval_average_precision",  # per-score rows x 1-row totals/nthr aggs
+    "dq_numeric_drift_chi2",  # 13-bin grid x 1-row (na, nb) totals agg
+    "search_rrf_fusion",  # 1-row corpus-stats + 1-vector query bcasts
+    "ts_seasonal_decompose_ma",  # calendar-bounded daily series band
+    # self-join (same bounded shape as ts_trend_mann_kendall)
 }
 
 
@@ -276,6 +285,9 @@ _GLOBAL_WINDOW_OK = {
     # exact references of registered _prod twins (LSH demo/prod
     # precedent):
     "customer_rfm_segments", "pareto_revenue_share", "window_ntile",
+    # bounded by declared contract: both rank windows order a
+    # LIMIT-100 arm list (TakeOrderedAndProject output), never data
+    "search_rrf_fusion",
     # (data_skew_diagnostics and text_bpe_merge_step left this list in
     # r6: their top-K row_number windows were rewritten as
     # orderBy+limit = TakeOrderedAndProject)
