@@ -385,6 +385,38 @@ def main() -> None:
         r9_t["agg_corr_concordance_stats"] = -1.0
         print(f"# r9 sweep agg_corr_concordance_stats FAILED: {e}",
               file=sys.stderr)
+    # r9 breadth batch keys: min-of-2 steady state, same protocol as
+    # every other batch sweep bucket.
+    SWEEP_R9_BATCH = [
+        "agg_cramers_v_effect_size",
+        "eval_average_precision",
+        "agg_trimmed_winsorized_mean",
+        "search_rrf_fusion",
+        "ts_seasonal_decompose_ma",
+        "dq_numeric_drift_chi2",
+        "ab_test_mann_whitney_u",
+        "eval_confusion_matrix_metrics",
+        "vocab_simpson_diversity",
+        "agg_hhi_concentration",
+        "ts_forecast_eval_naive",
+        "eval_ndcg_at_k",
+    ]
+    for name in SWEEP_R9_BATCH:
+        try:
+            fn = queries[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            r9_t[name] = round(best, 3)
+            print(f"# r9 sweep {name}: {r9_t[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+            release_rank_caches()
+        except Exception as e:  # noqa: BLE001
+            r9_t[name] = -1.0
+            print(f"# r9 sweep {name} FAILED: {e}", file=sys.stderr)
     extras["r9_sweep_sec"] = r9_t
     try:
         from tools.bench_ntile import run_ntile_scale

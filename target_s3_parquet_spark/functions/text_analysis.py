@@ -2119,3 +2119,96 @@ def er_survivorship_golden_record(spark, sf_dir):
         )
         .filter(F.col("n_records") > 1)
     )
+
+
+@query(
+    "vocab_simpson_diversity",
+    """
+    WITH toks AS (
+      SELECT t AS tok
+      FROM (SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS t
+            FROM documents)
+      WHERE t <> ''
+    ),
+    c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+    s AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab_size,
+             CAST(SUM(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))
+               AS sum_sq,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c
+    )
+    SELECT n_tokens, vocab_size,
+           CAST(sum_sq - n_tokens AS DOUBLE)
+             / CAST(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)
+                    AS DOUBLE) AS simpson_lambda,
+           1.0 - CAST(sum_sq - n_tokens AS DOUBLE)
+             / CAST(CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)
+                    AS DOUBLE) AS simpson_diversity,
+           CAST(CAST(n_tokens AS DECIMAL(38,0)) * n_tokens AS DOUBLE)
+             / CAST(sum_sq AS DOUBLE) AS effective_vocab,
+           CAST(max_cnt AS DOUBLE) / n_tokens AS berger_parker_dominance
+    FROM s
+    """,
+)
+def vocab_simpson_diversity(spark, sf_dir):
+    """Corpus-level lexical diversity without logarithms: the UNBIASED
+    Simpson concentration λ = Σc(c−1) / (N(N−1)) (the probability two
+    tokens drawn WITHOUT replacement are the same type), its
+    complement (Simpson/Gini-Simpson diversity), the inverse-Simpson
+    effective vocabulary N²/Σc² (how many equally-common types would
+    give the same concentration), and Berger-Parker dominance
+    max(c)/N — the diversity panel a corpus-mixing pipeline tracks
+    where Shannon entropy would need ln (the documented cross-engine
+    libm hazard; inverse-Simpson is the Hill number of order 2, the
+    log-free member of the same family).
+
+    Exactness: token counts are integers, Σc·(c−1) and N² are built in
+    DECIMAL(38,0) (past int64 at corpus scale), and each reported
+    number is ONE IEEE division of identical operands.
+
+    Distributed shape: tokenize map-side, ONE combinable groupBy to
+    the per-type count table, ONE combinable 1-row reduction over it.
+    The vocabulary table is the only shuffle; at 100 TB this is the
+    same two-aggregate cascade as `vocab_top_tokens`.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d38 = "decimal(38,0)"
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    c = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    s = c.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.sum(F.col("cnt").cast(d38) * F.col("cnt")).cast(d38).alias(
+            "sum_sq"
+        ),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    nt = F.col("n_tokens")
+    lam = (F.col("sum_sq") - nt).cast("double") / (
+        nt.cast(d38) * (nt - 1)
+    ).cast("double")
+    return s.select(
+        "n_tokens",
+        "vocab_size",
+        lam.alias("simpson_lambda"),
+        (F.lit(1.0) - lam).alias("simpson_diversity"),
+        (
+            (nt.cast(d38) * nt).cast("double")
+            / F.col("sum_sq").cast("double")
+        ).alias("effective_vocab"),
+        (F.col("max_cnt").cast("double") / nt).alias(
+            "berger_parker_dominance"
+        ),
+    )

@@ -3332,3 +3332,368 @@ def agg_trimmed_winsorized_mean(spark, sf_dir):
         ).alias("trimmed_mean"),
         (win_sum.cast("double") / F.col("n")).alias("winsorized_mean"),
     )
+
+
+@query(
+    "ab_test_mann_whitney_u",
+    """
+    WITH lab AS (
+      SELECT l_quantity AS v,
+             CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS ya
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+    ),
+    g AS (
+      SELECT v, CAST(SUM(ya) AS BIGINT) AS a,
+             CAST(COUNT(*) - SUM(ya) AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS tcnt
+      FROM lab GROUP BY v
+    ),
+    c AS (
+      SELECT a, b,
+             COALESCE(SUM(b) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bnb
+      FROM g
+    ),
+    u AS (
+      SELECT CAST(SUM(CAST(a * (2 * bnb + b) AS DECIMAL(38,0)))
+                  AS DECIMAL(38,0)) AS u2
+      FROM c
+    ),
+    tots AS (
+      SELECT CAST(SUM(ya) AS BIGINT) AS n_a,
+             CAST(COUNT(*) - SUM(ya) AS BIGINT) AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab
+    ),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(
+               CAST(tcnt AS DECIMAL(19,0)) * tcnt * tcnt - tcnt), 0)
+             AS DECIMAL(38,0)) AS tie3
+      FROM g WHERE tcnt > 1
+    )
+    SELECT t.n_a, t.n_b,
+           CAST(u.u2 AS DOUBLE) / 2.0 AS u_stat,
+           CAST(CAST(t.n_a AS DECIMAL(38,0)) * t.n_b
+                * (CAST(t.n AS DECIMAL(19,0)) * t.n * t.n - t.n - ties.tie3)
+                AS DOUBLE)
+             / CAST(12 * CAST(t.n AS DECIMAL(19,0)) * (t.n - 1) AS DOUBLE)
+             AS var_u,
+           CAST(CAST(
+             CAST(u.u2 - CAST(t.n_a AS DECIMAL(38,0)) * t.n_b AS DOUBLE)
+             / (2.0 * SQRT(
+                 CAST(CAST(t.n_a AS DECIMAL(38,0)) * t.n_b
+                      * (CAST(t.n AS DECIMAL(19,0)) * t.n * t.n - t.n
+                         - ties.tie3) AS DOUBLE)
+                 / CAST(12 * CAST(t.n AS DECIMAL(19,0)) * (t.n - 1)
+                        AS DOUBLE)))
+             AS DECIMAL(20,12)) AS DOUBLE) AS z_score
+    FROM u CROSS JOIN tots t CROSS JOIN ties
+    """,
+)
+def ab_test_mann_whitney_u(spark, sf_dir):
+    """Mann-Whitney U (Wilcoxon rank-sum) two-sample test between the
+    'A' and 'R' return-flag populations on the tie-heavy integer
+    l_quantity — the NONPARAMETRIC member that completes the ab_test
+    family (t-test, ANOVA F, chi-square), the test an experimentation
+    pipeline reaches for when the metric is skewed or ordinal. Normal
+    approximation with EXACT tie-corrected variance
+    Var(U) = nA·nB·(n³−n−Σ(t³−t)) / (12·n·(n−1)); no continuity
+    correction (documented, matches scipy's default `use_continuity`
+    only when False).
+
+    Exactness: the same doubled merge-count channel as
+    `eval_auc_rank_sum` (2U = Σ_v a·(2·cnb + b) — pure integers through
+    DECIMAL(38,0), clearing the half-per-tied-pair), tie term Σ(t³−t)
+    exact decimal, mean and variance exact integer rationals, and the
+    z-score is ONE integer-difference divided by 2·SQRT of an exactly
+    represented quotient (IEEE sqrt — correctly rounded in both
+    engines); DECIMAL(20,12) absorbs the final ulp, the
+    `ts_trend_mann_kendall` pattern.
+
+    Distributed shape: ONE combinable groupBy to the per-value table
+    (l_quantity has ~50 distinct values — bounded), a `two_phase_rank`
+    prefix sum over THAT table (never a per-row window), 1-row
+    broadcast aggregates. At 100 TB only the first aggregate sees
+    data.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    d38 = "decimal(38,0)"
+    d19 = "decimal(19,0)"
+    lab = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .select(
+            F.col("l_quantity").alias("v"),
+            F.when(F.col("l_returnflag") == "A", 1).otherwise(0).alias(
+                "ya"
+            ),
+        )
+    )
+    g = lab.groupBy("v").agg(
+        F.sum("ya").cast("long").alias("a"),
+        (F.count(F.lit(1)) - F.sum("ya")).cast("long").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("tcnt"),
+    )
+    c = two_phase_rank(g, ["v"], sum_col="b", rank_name="_r", cum_name="_cum")
+    c = c.select("a", "b", (F.col("_cum") - F.col("b")).alias("bnb"))
+    u = c.agg(
+        F.sum(
+            (F.col("a") * (2 * F.col("bnb") + F.col("b"))).cast(d38)
+        )
+        .cast(d38)
+        .alias("u2")
+    )
+    tots = lab.agg(
+        F.sum("ya").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("ya")).cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    ties = g.filter(F.col("tcnt") > 1).agg(
+        F.coalesce(
+            F.sum(
+                F.col("tcnt").cast(d19) * F.col("tcnt") * F.col("tcnt")
+                - F.col("tcnt")
+            ),
+            F.lit(0),
+        )
+        .cast(d38)
+        .alias("tie3")
+    )
+    w = u.crossJoin(F.broadcast(tots)).crossJoin(F.broadcast(ties))
+    nab = F.col("n_a").cast(d38) * F.col("n_b")
+    n3n = (
+        F.col("n").cast(d19) * F.col("n") * F.col("n") - F.col("n")
+    )
+    var_u = (nab * (n3n - F.col("tie3"))).cast("double") / (
+        12 * F.col("n").cast(d19) * (F.col("n") - 1)
+    ).cast("double")
+    z = (F.col("u2") - nab).cast("double") / (2.0 * F.sqrt(var_u))
+    return w.select(
+        "n_a",
+        "n_b",
+        (F.col("u2").cast("double") / 2.0).alias("u_stat"),
+        var_u.alias("var_u"),
+        z.cast("decimal(20,12)").cast("double").alias("z_score"),
+    )
+
+
+@query(
+    "eval_confusion_matrix_metrics",
+    """
+    WITH lab AS (
+      SELECT CASE WHEN o_totalprice >= 150000.0 THEN 1 ELSE 0 END AS yhat,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(SUM(y * yhat) AS BIGINT) AS tp,
+             CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
+             CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
+             CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn
+      FROM lab
+    )
+    SELECT tp, fp, fn, tn,
+           CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy,
+           CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
+           CAST(tp AS DOUBLE) / (tp + fn) AS recall_,
+           CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) AS f1,
+           (CAST(tp AS DOUBLE) / (tp + fn)
+            + CAST(tn AS DOUBLE) / (tn + fp)) / 2.0 AS balanced_accuracy,
+           CAST(CAST(tp AS DECIMAL(38,0)) * tn
+                - CAST(fp AS DECIMAL(38,0)) * fn AS DOUBLE)
+             / SQRT(CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
+                         * (tn + fp) * (tn + fn) AS DOUBLE)) AS mcc
+    FROM m
+    """,
+)
+def eval_confusion_matrix_metrics(spark, sf_dir):
+    """Thresholded-classifier confusion matrix and its derived metric
+    panel (accuracy, precision, recall, F1, balanced accuracy,
+    Matthews correlation) for the fixed operating point
+    score ≥ 150000 against the urgent/high label — the single-threshold
+    companion to the ranking metrics (`eval_auc_rank_sum` sweeps all
+    thresholds, `eval_average_precision` integrates the PR curve; a
+    deployed filter runs at ONE threshold and reports this panel).
+
+    Exactness: the four cells are one combinable integer aggregate;
+    every metric is an integer rational with ONE IEEE division — MCC's
+    denominator product (tp+fp)(tp+fn)(tn+fp)(tn+fn) reaches n⁴ (past
+    int64 at warehouse scale) and is built in DECIMAL(38,0); SQRT is
+    IEEE-correctly-rounded in both engines. `precision_`/`recall_`
+    carry the trailing underscore because PRECISION is a DuckDB
+    reserved word — the Spark aliases match exactly (comparator
+    contract).
+
+    Distributed shape: ONE map-combinable aggregate over a scan-side
+    projection; everything else is arithmetic on a 1-row frame. Same
+    shape at any scale.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d38 = "decimal(38,0)"
+    lab = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") >= 150000.0, 1).otherwise(0).alias(
+            "yhat"
+        ),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    m = lab.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("long").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    return m.select(
+        tp, fp, fn, tn,
+        ((tp + tn).cast("double") / (tp + fp + fn + tn)).alias("accuracy"),
+        (tp.cast("double") / (tp + fp)).alias("precision_"),
+        (tp.cast("double") / (tp + fn)).alias("recall_"),
+        ((2 * tp).cast("double") / (2 * tp + fp + fn)).alias("f1"),
+        (
+            (
+                tp.cast("double") / (tp + fn)
+                + tn.cast("double") / (tn + fp)
+            )
+            / 2.0
+        ).alias("balanced_accuracy"),
+        (
+            (tp.cast(d38) * tn - fp.cast(d38) * fn).cast("double")
+            / F.sqrt(
+                (
+                    (tp + fp).cast(d38)
+                    * (tp + fn)
+                    * (tn + fp)
+                    * (tn + fn)
+                ).cast("double")
+            )
+        ).alias("mcc"),
+    )
+
+
+# 1/log2(i+1) for ranks i = 1..10, as EXACT double literals shared by
+# the Spark expression and the DuckDB oracle (both engines parse
+# decimal literals with correctly-rounded strtod, so the doubles are
+# bit-identical without either engine calling log2 at query time).
+_NDCG_DISC = (
+    "1.0", "0.6309297535714575", "0.5", "0.43067655807339306",
+    "0.38685280723454163", "0.3562071871080222", "0.3333333333333333",
+    "0.31546487678572877", "0.3010299956639812", "0.2890648263178879",
+)
+
+
+def _ndcg_chain_sql(prefix: str) -> str:
+    """Fixed left-associated 10-term DCG chain over pivoted rank slots."""
+    # the e0 suffix forces a DOUBLE literal in DuckDB (a bare decimal
+    # literal parses as DECIMAL and the 10-term chain overflows its
+    # inferred scale); Spark-side literals are F.lit(float(d)).
+    return "\n             + ".join(
+        f"COALESCE({prefix}{i}, 0) * {d}e0"
+        for i, d in enumerate(_NDCG_DISC, 1)
+    )
+
+
+@query(
+    "eval_ndcg_at_k",
+    f"""
+    WITH lab AS (
+      SELECT o_orderkey AS id, o_totalprice AS score,
+             CASE o_orderpriority
+               WHEN '1-URGENT' THEN 7 WHEN '2-HIGH' THEN 3
+               WHEN '3-MEDIUM' THEN 1 ELSE 0 END AS g
+      FROM orders
+    ),
+    top_rank AS (
+      SELECT g, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rn
+      FROM (SELECT * FROM lab ORDER BY score DESC, id LIMIT 10)
+    ),
+    top_ideal AS (
+      SELECT g, ROW_NUMBER() OVER (ORDER BY g DESC, id) AS rn
+      FROM (SELECT * FROM lab ORDER BY g DESC, id LIMIT 10)
+    ),
+    dcg AS (
+      SELECT {_ndcg_chain_sql("r")} AS v
+      FROM (SELECT {", ".join(f"MAX(CASE WHEN rn = {i} THEN g END) AS r{i}" for i in range(1, 11))}
+            FROM top_rank)
+    ),
+    idcg AS (
+      SELECT {_ndcg_chain_sql("r")} AS v
+      FROM (SELECT {", ".join(f"MAX(CASE WHEN rn = {i} THEN g END) AS r{i}" for i in range(1, 11))}
+            FROM top_ideal)
+    )
+    SELECT dcg.v AS dcg_at_10, idcg.v AS idcg_at_10,
+           dcg.v / idcg.v AS ndcg_at_10
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def eval_ndcg_at_k(spark, sf_dir):
+    """NDCG@10 for the price-ranked order list against graded
+    priority relevance (urgent→7, high→3, medium→1 via the standard
+    2^rel − 1 gains) — the graded-relevance ranking metric that
+    completes the eval family (AUC sweeps thresholds, AP integrates
+    the PR curve, the confusion panel fixes one threshold; NDCG is
+    what a search/recommendation eval reports when relevance isn't
+    binary).
+
+    Exactness without calling log2 at query time: the ten discounts
+    1/log2(i+1) are EXACT DOUBLE LITERALS shared verbatim by both
+    engines (strtod is correctly rounded in both, so the parsed
+    doubles are bit-identical); each arm's top-10 is pivoted into
+    rank slots and the DCG is a FIXED left-associated 10-term chain
+    (the `search_bm25_topk` 3-term-chain pattern, widened) — never a
+    float SUM aggregate; ties at the rank-10 boundary are resolved by
+    the deterministic (score DESC, id) / (gain DESC, id) orders.
+
+    Distributed shape: both arms end in TakeOrderedAndProject
+    (per-partition top-10 + driver merge — no global sort at any
+    scale); the rank windows and pivots run on 10-row frames
+    (control-plane), and the final NDCG is one division of a
+    1-row × 1-row crossJoin.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    lab = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 7)
+        .when(F.col("o_orderpriority") == "2-HIGH", 3)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(0)
+        .alias("g"),
+    )
+
+    def arm(df, order_cols, name):
+        top = df.orderBy(*order_cols).limit(10)
+        ranked = top.select(
+            "g", F.row_number().over(W.orderBy(*order_cols)).alias("rn")
+        )
+        pivoted = ranked.agg(
+            *[
+                F.max(F.when(F.col("rn") == i, F.col("g"))).alias(f"r{i}")
+                for i in range(1, 11)
+            ]
+        )
+        chain = None
+        for i, d in enumerate(_NDCG_DISC, 1):
+            term = F.coalesce(F.col(f"r{i}"), F.lit(0)) * F.lit(float(d))
+            chain = term if chain is None else chain + term
+        return pivoted.select(chain.alias(name))
+
+    dcg = arm(lab, [F.col("score").desc(), F.col("id")], "dcg_at_10")
+    idcg = arm(lab, [F.col("g").desc(), F.col("id")], "idcg_at_10")
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "dcg_at_10",
+        "idcg_at_10",
+        (F.col("dcg_at_10") / F.col("idcg_at_10")).alias("ndcg_at_10"),
+    )

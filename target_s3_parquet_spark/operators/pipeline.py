@@ -2779,3 +2779,92 @@ def dq_numeric_drift_chi2(spark, sf_dir):
             ).alias("tv_dist"),
         )
     )
+
+
+@query(
+    "agg_hhi_concentration",
+    """
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS r
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_nationkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(r) AS BIGINT) AS total,
+             CAST(SUM(CAST(r AS DECIMAL(38,0)) * r) AS DECIMAL(38,0))
+               AS sum_sq,
+             CAST(MAX(r) AS BIGINT) AS max_r
+      FROM rev
+    )
+    SELECT n_groups,
+           CAST(sum_sq AS DOUBLE)
+             / CAST(CAST(total AS DECIMAL(38,0)) * total AS DOUBLE) AS hhi,
+           (CAST(sum_sq AS DOUBLE)
+              / CAST(CAST(total AS DECIMAL(38,0)) * total AS DOUBLE)
+            - 1.0 / n_groups) / (1.0 - 1.0 / n_groups) AS hhi_normalized,
+           CAST(CAST(total AS DECIMAL(38,0)) * total AS DOUBLE)
+             / CAST(sum_sq AS DOUBLE) AS effective_n,
+           CAST(max_r AS DOUBLE) / total AS top_share
+    FROM s
+    """,
+)
+def agg_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration of revenue across customer
+    nations: HHI = Σ share², its min-max normalization, the
+    inverse-HHI effective group count, and the top-1 share — the
+    concentration panel a corpus/revenue-mixing pipeline tracks next
+    to `corpus_gini_concentration` (Gini measures inequality of the
+    Lorenz curve; HHI is the quadratic concentration index — the two
+    move differently when the tail thins vs the head grows, which is
+    why monitoring stacks report both).
+
+    Exactness: per-nation revenue is integer CENTS, Σr² and total²
+    are DECIMAL(38,0) integers (past int64 at warehouse scale), and
+    every reported number is IEEE divisions/subtractions of identical
+    operands — no libm anywhere.
+
+    Distributed shape: one equi-join (customer side small → broadcast
+    at this scale; co-partitioned hash join at 100 TB), ONE
+    combinable groupBy to the 25-nation table, ONE 1-row reduction.
+    Only the join and first aggregate see data.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d38 = "decimal(38,0)"
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("r")
+        )
+    )
+    s = rev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum("r").cast("long").alias("total"),
+        F.sum(F.col("r").cast(d38) * F.col("r")).cast(d38).alias("sum_sq"),
+        F.max("r").cast("long").alias("max_r"),
+    )
+    tot2 = (F.col("total").cast(d38) * F.col("total")).cast("double")
+    hhi = F.col("sum_sq").cast("double") / tot2
+    return s.select(
+        "n_groups",
+        hhi.alias("hhi"),
+        (
+            (hhi - 1.0 / F.col("n_groups"))
+            / (1.0 - 1.0 / F.col("n_groups"))
+        ).alias("hhi_normalized"),
+        (tot2 / F.col("sum_sq").cast("double")).alias("effective_n"),
+        (F.col("max_r").cast("double") / F.col("total")).alias("top_share"),
+    )

@@ -1682,3 +1682,101 @@ def ts_seasonal_decompose_ma(spark, sf_dir):
             ).alias("mean_abs_residual_cents"),
         )
     )
+
+
+@query(
+    "ts_forecast_eval_naive",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    ev AS (
+      SELECT a.d, a.s AS y, f.s AS yhat, n1.s AS y_prev
+      FROM daily a
+      JOIN daily f ON f.d = a.d - 7
+      JOIN daily n1 ON n1.d = a.d - 1
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+             CAST(SUM(ABS(y - yhat)) AS BIGINT) AS sae,
+             CAST(SUM(y - yhat) AS BIGINT) AS se,
+             CAST(SUM(ABS(y)) AS BIGINT) AS say,
+             CAST(SUM(ABS(y - y_prev)) AS BIGINT) AS sae_naive1
+      FROM ev
+    )
+    SELECT n_eval,
+           CAST(sae AS DOUBLE) / say AS wape,
+           CAST(sae AS DOUBLE) / n_eval / 100.0 AS mae_dollars,
+           CAST(se AS DOUBLE) / say AS bias,
+           CAST(sae AS DOUBLE) / sae_naive1 AS mase_vs_naive1
+    FROM agg
+    """,
+)
+def ts_forecast_eval_naive(spark, sf_dir):
+    """Forecast-accuracy panel for the SEASONAL-NAIVE forecast
+    ŷ(d) = y(d−7) on the daily-revenue series: WAPE (Σ|e|/Σ|y| — the
+    scale-free error retail/capacity pipelines report), MAE, signed
+    bias, and MASE against the one-step naive ŷ(d) = y(d−1) (MASE < 1
+    ⇔ the weekly-seasonal forecast beats last-day-carried-forward —
+    the standard "is seasonality real" check, and the evaluation
+    companion to `ts_seasonal_decompose_ma`'s decomposition).
+
+    Exactness: daily revenue is integer CENTS, every error sum
+    (Σ|e|, Σe, Σ|y|, Σ|e_naive1|) is an exact BIGINT, and each metric
+    is ONE IEEE division (MAE adds the fixed /100.0 cents→dollars
+    step — two identical divisions). Evaluation days are exactly
+    those where BOTH lag-7 and lag-1 days exist (inner joins on the
+    calendar), so every metric is over the same day set.
+
+    Distributed shape: ONE data-sized combinable groupBy to the
+    calendar-bounded daily series; the lag alignment is two
+    broadcast self-equi-joins on day index over ~2.4k rows
+    (control-plane at any input volume); one 1-row reduction.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("s")
+    )
+    a = daily.select("d", F.col("s").alias("y"))
+    f7 = daily.select(
+        (F.col("d") + 7).alias("d"), F.col("s").alias("yhat")
+    )
+    n1 = daily.select(
+        (F.col("d") + 1).alias("d"), F.col("s").alias("y_prev")
+    )
+    ev = a.join(F.broadcast(f7), "d").join(F.broadcast(n1), "d")
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum(F.abs(F.col("y") - F.col("yhat"))).cast("long").alias("sae"),
+        F.sum(F.col("y") - F.col("yhat")).cast("long").alias("se"),
+        F.sum(F.abs(F.col("y"))).cast("long").alias("say"),
+        F.sum(F.abs(F.col("y") - F.col("y_prev")))
+        .cast("long")
+        .alias("sae_naive1"),
+    )
+    return agg.select(
+        "n_eval",
+        (F.col("sae").cast("double") / F.col("say")).alias("wape"),
+        (
+            F.col("sae").cast("double") / F.col("n_eval") / 100.0
+        ).alias("mae_dollars"),
+        (F.col("se").cast("double") / F.col("say")).alias("bias"),
+        (
+            F.col("sae").cast("double") / F.col("sae_naive1")
+        ).alias("mase_vs_naive1"),
+    )

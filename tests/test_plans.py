@@ -268,6 +268,8 @@ _BNLJ_BOUNDED_OK = {
     "eval_average_precision",  # per-score rows x 1-row totals/nthr aggs
     "dq_numeric_drift_chi2",  # 13-bin grid x 1-row (na, nb) totals agg
     "search_rrf_fusion",  # 1-row corpus-stats + 1-vector query bcasts
+    "ab_test_mann_whitney_u",  # 1-row U/totals/tie aggs crossJoined
+    # (the eval_auc_rank_sum shape with the tie-variance channel)
     "ts_seasonal_decompose_ma",  # calendar-bounded daily series band
     # self-join (same bounded shape as ts_trend_mann_kendall)
 }

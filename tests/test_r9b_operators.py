@@ -275,3 +275,236 @@ def test_numeric_drift_chi2_matches_bruteforce(spark, tmp_path):
     assert abs(got.chi2_divergence - chi2) < 1e-9
     assert abs(got.triangular_disc - tri) < 1e-9
     assert abs(got.tv_dist - tv) < 1e-12
+
+
+def test_mann_whitney_u_matches_bruteforce(spark, tmp_path):
+    """U and tie-corrected z vs direct pair counting on a tie-heavy
+    fixture (scipy's asymptotic method without continuity
+    correction)."""
+    from target_s3_parquet_spark.operators.aggregates import (
+        ab_test_mann_whitney_u,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(160):
+        flag = rng.choice(["A", "R", "N"])  # N must be ignored
+        q = float(rng.randint(1, 9) + (1 if flag == "A" else 0))
+        rows.append((i, flag, q))
+    sf = str(tmp_path / "sf_mwu")
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_returnflag string, l_quantity double"
+    ).coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+
+    got = ab_test_mann_whitney_u(spark, sf).collect()[0]
+
+    a = [q for _, f, q in rows if f == "A"]
+    b = [q for _, f, q in rows if f == "R"]
+    u = sum(
+        1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
+    )
+    n = len(a) + len(b)
+    from collections import Counter
+
+    cnt = Counter(a + b)
+    tie3 = sum(t**3 - t for t in cnt.values())
+    var = len(a) * len(b) * (n**3 - n - tie3) / (12 * n * (n - 1))
+    z = (u - len(a) * len(b) / 2) / math.sqrt(var)
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert got.u_stat == u
+    assert abs(got.var_u - var) < 1e-6
+    assert abs(got.z_score - z) < 1e-9
+
+
+def test_confusion_metrics_match_bruteforce(spark, tmp_path):
+    """All six derived metrics vs direct confusion-cell arithmetic."""
+    from target_s3_parquet_spark.operators.aggregates import (
+        eval_confusion_matrix_metrics,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        (
+            i,
+            float(rng.uniform(50000, 250000)),
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+        )
+        for i in range(180)
+    ]
+    sf = str(tmp_path / "sf_cm")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderpriority string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = eval_confusion_matrix_metrics(spark, sf).collect()[0]
+
+    tp = fp = fn = tn = 0
+    for _, s, p in rows:
+        yhat = 1 if s >= 150000.0 else 0
+        y = 1 if p in ("1-URGENT", "2-HIGH") else 0
+        tp += y * yhat
+        fp += (1 - y) * yhat
+        fn += y * (1 - yhat)
+        tn += (1 - y) * (1 - yhat)
+    assert (got.tp, got.fp, got.fn, got.tn) == (tp, fp, fn, tn)
+    assert abs(got.accuracy - (tp + tn) / len(rows)) < 1e-12
+    assert abs(got.precision_ - tp / (tp + fp)) < 1e-12
+    assert abs(got.recall_ - tp / (tp + fn)) < 1e-12
+    assert abs(got.f1 - 2 * tp / (2 * tp + fp + fn)) < 1e-12
+    assert (
+        abs(
+            got.balanced_accuracy
+            - (tp / (tp + fn) + tn / (tn + fp)) / 2
+        )
+        < 1e-12
+    )
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+    )
+    assert abs(got.mcc - mcc) < 1e-12
+
+
+def test_simpson_diversity_matches_bruteforce(spark, tmp_path):
+    """Unbiased Simpson / inverse-Simpson / Berger-Parker vs direct
+    token counting."""
+    from target_s3_parquet_spark.functions.text_analysis import (
+        vocab_simpson_diversity,
+    )
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog ate the bone and the cat"),
+        (2, "a cat a dog a bird"),
+    ]
+    sf = str(tmp_path / "sf_simp")
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+
+    got = vocab_simpson_diversity(spark, sf).collect()[0]
+
+    import re
+    from collections import Counter
+
+    cnt = Counter(
+        tok
+        for _, txt in docs
+        for tok in re.split("[^a-z]+", txt.lower())
+        if tok
+    )
+    n = sum(cnt.values())
+    lam = sum(c * (c - 1) for c in cnt.values()) / (n * (n - 1))
+    assert (got.n_tokens, got.vocab_size) == (n, len(cnt))
+    assert abs(got.simpson_lambda - lam) < 1e-12
+    assert abs(got.simpson_diversity - (1 - lam)) < 1e-12
+    assert abs(got.effective_vocab - n * n / sum(c * c for c in cnt.values())) < 1e-12
+    assert abs(got.berger_parker_dominance - max(cnt.values()) / n) < 1e-12
+
+
+def test_hhi_concentration_matches_bruteforce(spark, tmp_path):
+    """HHI panel vs direct share arithmetic on planted revenue."""
+    from target_s3_parquet_spark.operators.pipeline import (
+        agg_hhi_concentration,
+    )
+
+    rng = random.Random(3)
+    custs = [(c, c % 4) for c in range(20)]  # 4 nations
+    orders = [
+        (i, rng.choice(range(20)), round(rng.uniform(100, 9000), 2))
+        for i in range(120)
+    ]
+    sf = str(tmp_path / "sf_hhi")
+    spark.createDataFrame(
+        custs, "c_custkey long, c_nationkey long"
+    ).coalesce(1).write.parquet(os.path.join(sf, "customer.parquet"))
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = agg_hhi_concentration(spark, sf).collect()[0]
+
+    nation_of = dict(custs)
+    rev = {}
+    for _, cust, price in orders:
+        cents = int(round(price * 100))
+        rev[nation_of[cust]] = rev.get(nation_of[cust], 0) + cents
+    total = sum(rev.values())
+    hhi = sum(r * r for r in rev.values()) / total**2
+    k = len(rev)
+    assert got.n_groups == k
+    assert abs(got.hhi - hhi) < 1e-15
+    assert abs(got.hhi_normalized - (hhi - 1 / k) / (1 - 1 / k)) < 1e-12
+    assert abs(got.effective_n - 1 / hhi) < 1e-9
+    assert abs(got.top_share - max(rev.values()) / total) < 1e-15
+
+
+def test_forecast_eval_naive_matches_bruteforce(spark, tmp_path):
+    """WAPE / MAE / bias / MASE vs direct arithmetic on a planted
+    series with a gap: evaluation days require BOTH lag-7 and lag-1."""
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_forecast_eval_naive,
+    )
+
+    base = datetime.date(1995, 1, 1)
+    rows = []
+    series = {}
+    for d in range(30):
+        if d == 20:  # gap: days 21 (lag-1) and 27 (lag-7) drop out
+            continue
+        v = 100.0 + 7 * (d % 7) + d  # weekly-ish + trend
+        series[d] = int(round(v * 100))
+        rows.append((d, base + datetime.timedelta(days=d), v))
+    sf = str(tmp_path / "sf_fc")
+    spark.createDataFrame(
+        [(i, dt, v) for i, (_, dt, v) in enumerate(rows)],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = ts_forecast_eval_naive(spark, sf).collect()[0]
+
+    ev = [
+        d for d in series if d - 7 in series and d - 1 in series
+    ]
+    sae = sum(abs(series[d] - series[d - 7]) for d in ev)
+    se = sum(series[d] - series[d - 7] for d in ev)
+    say = sum(abs(series[d]) for d in ev)
+    sae1 = sum(abs(series[d] - series[d - 1]) for d in ev)
+    assert got.n_eval == len(ev)
+    assert 21 not in ev and 27 not in ev
+    assert abs(got.wape - sae / say) < 1e-15
+    assert abs(got.mae_dollars - sae / len(ev) / 100) < 1e-12
+    assert abs(got.bias - se / say) < 1e-15
+    assert abs(got.mase_vs_naive1 - sae / sae1) < 1e-15
+
+
+def test_ndcg_matches_bruteforce(spark, tmp_path):
+    """DCG/IDCG/NDCG@10 vs direct computation with ties at the rank-10
+    boundary resolved by the deterministic id tie-break."""
+    from target_s3_parquet_spark.operators.aggregates import eval_ndcg_at_k
+
+    rng = random.Random(8)
+    rows = [
+        (
+            i,
+            float(rng.choice([100.0, 200.0, 300.0])),  # boundary ties
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+        )
+        for i in range(40)
+    ]
+    sf = str(tmp_path / "sf_ndcg")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderpriority string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = eval_ndcg_at_k(spark, sf).collect()[0]
+
+    gain = {"1-URGENT": 7, "2-HIGH": 3, "3-MEDIUM": 1, "5-LOW": 0}
+    disc = [1.0 / math.log2(i + 1) for i in range(1, 11)]
+    by_score = sorted(rows, key=lambda r: (-r[1], r[0]))[:10]
+    by_gain = sorted(rows, key=lambda r: (-gain[r[2]], r[0]))[:10]
+    dcg = sum(gain[r[2]] * disc[i] for i, r in enumerate(by_score))
+    idcg = sum(gain[r[2]] * disc[i] for i, r in enumerate(by_gain))
+    assert abs(got.dcg_at_10 - dcg) < 1e-12
+    assert abs(got.idcg_at_10 - idcg) < 1e-12
+    assert abs(got.ndcg_at_10 - dcg / idcg) < 1e-12
+    assert got.ndcg_at_10 < 1.0  # the random ranking is not ideal
