@@ -270,6 +270,7 @@ _BNLJ_BOUNDED_OK = {
     "search_rrf_fusion",  # 1-row corpus-stats + 1-vector query bcasts
     "ab_test_mann_whitney_u",  # 1-row U/totals/tie aggs crossJoined
     # (the eval_auc_rank_sum shape with the tie-variance channel)
+    "eval_ndcg_at_k",  # 1-row DCG frame x 1-row IDCG frame crossJoin
     "ts_seasonal_decompose_ma",  # calendar-bounded daily series band
     # self-join (same bounded shape as ts_trend_mann_kendall)
 }
@@ -290,6 +291,8 @@ _GLOBAL_WINDOW_OK = {
     # bounded by declared contract: both rank windows order a
     # LIMIT-100 arm list (TakeOrderedAndProject output), never data
     "search_rrf_fusion",
+    # same contract at k=10: both rank windows order a LIMIT-10 arm
+    "eval_ndcg_at_k",
     # (data_skew_diagnostics and text_bpe_merge_step left this list in
     # r6: their top-K row_number windows were rewritten as
     # orderBy+limit = TakeOrderedAndProject)
