@@ -400,6 +400,8 @@ def main() -> None:
         "agg_hhi_concentration",
         "ts_forecast_eval_naive",
         "eval_ndcg_at_k",
+        "ab_test_two_proportion_z",
+        "eval_cohens_kappa",
     ]
     for name in SWEEP_R9_BATCH:
         try:

@@ -508,3 +508,81 @@ def test_ndcg_matches_bruteforce(spark, tmp_path):
     assert abs(got.idcg_at_10 - idcg) < 1e-12
     assert abs(got.ndcg_at_10 - dcg / idcg) < 1e-12
     assert got.ndcg_at_10 < 1.0  # the random ranking is not ideal
+
+
+def test_two_proportion_z_matches_bruteforce(spark, tmp_path):
+    """p1/p2/lift/odds-ratio/pooled z vs direct arithmetic."""
+    from target_s3_parquet_spark.operators.aggregates import (
+        ab_test_two_proportion_z,
+    )
+
+    rng = random.Random(55)
+    rows = [
+        (
+            i,
+            # arm 0 converts ~30%, arm 1 ~20%
+            "purchase"
+            if rng.random() < (0.3 if i % 2 == 0 else 0.2)
+            else "view",
+        )
+        for i in range(500)
+    ]
+    sf = str(tmp_path / "sf_2p")
+    spark.createDataFrame(
+        rows, "event_id long, event_type string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    got = ab_test_two_proportion_z(spark, sf).collect()[0]
+
+    n1 = sum(1 for i, _ in rows if i % 2 == 0)
+    c1 = sum(1 for i, t_ in rows if i % 2 == 0 and t_ == "purchase")
+    n2 = len(rows) - n1
+    c2 = sum(1 for i, t_ in rows if i % 2 == 1 and t_ == "purchase")
+    p1, p2 = c1 / n1, c2 / n2
+    pp = (c1 + c2) / (n1 + n2)
+    z = (p1 - p2) / math.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    assert (got.n1, got.c1, got.n2, got.c2) == (n1, c1, n2, c2)
+    assert abs(got.p1 - p1) < 1e-15 and abs(got.p2 - p2) < 1e-15
+    assert abs(got.lift_abs - (p1 - p2)) < 1e-15
+    assert abs(got.odds_ratio - (c1 * (n2 - c2)) / (c2 * (n1 - c1))) < 1e-12
+    assert abs(got.z_score - z) < 1e-12
+
+
+def test_cohens_kappa_matches_bruteforce(spark, tmp_path):
+    """kappa vs the textbook (p_o - p_e)/(1 - p_e) on planted cells."""
+    from target_s3_parquet_spark.operators.aggregates import (
+        eval_cohens_kappa,
+    )
+
+    rng = random.Random(66)
+    rows = [
+        (
+            i,
+            float(rng.uniform(50000, 250000)),
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+        )
+        for i in range(200)
+    ]
+    sf = str(tmp_path / "sf_kappa")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderpriority string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = eval_cohens_kappa(spark, sf).collect()[0]
+
+    tp = fp = fn = tn = 0
+    for _, s, p in rows:
+        yhat = 1 if s >= 150000.0 else 0
+        y = 1 if p in ("1-URGENT", "2-HIGH") else 0
+        tp += y * yhat
+        fp += (1 - y) * yhat
+        fn += y * (1 - yhat)
+        tn += (1 - y) * (1 - yhat)
+    n = len(rows)
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / n**2
+    kappa = (po - pe) / (1 - pe)
+    assert (got.tp, got.fp, got.fn, got.tn) == (tp, fp, fn, tn)
+    assert abs(got.p_observed - po) < 1e-15
+    assert abs(got.p_expected - pe) < 1e-15
+    assert abs(got.kappa - kappa) < 1e-12
