@@ -605,9 +605,17 @@ def search_inverted_index_build(spark, sf_dir):
     )
 
 
-@query(
-    "search_bm25_topk",
-    """
+# ---------------------------------------------------------------------------
+# Shared BM25 scoring (rational-odds form) for the fixed 3-term query
+# {merge, vector, scan} — used verbatim by `search_bm25_topk` here and
+# by `search_rrf_fusion`'s lexical arm (operators/similarity.py), so
+# the scoring can never silently diverge between the standalone
+# ranking and the fused one.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("merge", "vector", "scan")
+
+# toks -> per_doc -> corpus CTE prefix shared by both oracles.
+BM25_CORE_SQL = """
     WITH toks AS (
       SELECT doc_id, tok
       FROM (SELECT doc_id,
@@ -629,9 +637,11 @@ def search_inverted_index_build(spark, sf_dir):
              CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2,
              CAST(count(*) FILTER (WHERE tf3 > 0) AS BIGINT) AS df3
       FROM per_doc
-    )
-    SELECT doc_id, dl, tf1, tf2, tf3,
-           CAST(2*n - 2*df1 + 1 AS DOUBLE) / CAST(2*df1 + 1 AS DOUBLE)
+    )"""
+
+# the fixed left-to-right 3-term score chain (rational odds, k1=6/5,
+# b=3/4 cleared to BIGINT rationals — see search_bm25_topk docstring).
+BM25_SCORE_SQL = """CAST(2*n - 2*df1 + 1 AS DOUBLE) / CAST(2*df1 + 1 AS DOUBLE)
              * (CAST(22*tf1*tt AS DOUBLE)
                 / CAST(10*tf1*tt + 3*tt + 9*n*dl AS DOUBLE))
            + CAST(2*n - 2*df2 + 1 AS DOUBLE) / CAST(2*df2 + 1 AS DOUBLE)
@@ -639,7 +649,73 @@ def search_inverted_index_build(spark, sf_dir):
                 / CAST(10*tf2*tt + 3*tt + 9*n*dl AS DOUBLE))
            + CAST(2*n - 2*df3 + 1 AS DOUBLE) / CAST(2*df3 + 1 AS DOUBLE)
              * (CAST(22*tf3*tt AS DOUBLE)
-                / CAST(10*tf3*tt + 3*tt + 9*n*dl AS DOUBLE))
+                / CAST(10*tf3*tt + 3*tt + 9*n*dl AS DOUBLE))"""
+
+
+def bm25_scored(spark, sf_dir):
+    """Per-doc BM25-scored frame (doc_id, dl, tf1..tf3, score) for the
+    fixed 3-term query — the Spark twin of BM25_CORE_SQL +
+    BM25_SCORE_SQL. One combinable groupBy, a 1-row corpus broadcast,
+    map-side scoring."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+                "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("tok") == term, 1).otherwise(0))
+            .cast("long")
+            .alias(f"tf{i}")
+            for i, term in enumerate(_BM25_TERMS, 1)
+        ],
+    )
+    corpus = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dl").cast("long").alias("tt"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df{i}")
+            for i in range(1, 4)
+        ],
+    )
+
+    def term_score(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        n, tt, dl = F.col("n"), F.col("tt"), F.col("dl")
+        idf = (2 * n - 2 * df + 1).cast("double") / (2 * df + 1).cast(
+            "double"
+        )
+        w = (22 * tf * tt).cast("double") / (
+            10 * tf * tt + 3 * tt + 9 * n * dl
+        ).cast("double")
+        return idf * w
+
+    return per_doc.crossJoin(F.broadcast(corpus)).select(
+        "doc_id",
+        "dl",
+        "tf1",
+        "tf2",
+        "tf3",
+        (term_score(1) + term_score(2) + term_score(3)).alias("score"),
+    )
+
+
+@query(
+    "search_bm25_topk",
+    BM25_CORE_SQL
+    + """
+    SELECT doc_id, dl, tf1, tf2, tf3,
+           """
+    + BM25_SCORE_SQL
+    + """
              AS score
     FROM per_doc CROSS JOIN corpus
     ORDER BY score DESC, doc_id LIMIT 10
@@ -670,58 +746,8 @@ def search_bm25_topk(spark, sf_dir):
     shuffle. At 100 TB the per-doc aggregate is the posting scan of
     the 3 query terms against the inverted index; the plan here is
     its full-scan restatement with identical scoring."""
-    d = t(spark, sf_dir, "documents")
-    toks = (
-        d.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
-                "tok"
-            ),
-        )
-        .filter(F.col("tok") != "")
-    )
-    terms = ("merge", "vector", "scan")
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum(F.when(F.col("tok") == term, 1).otherwise(0))
-            .cast("long")
-            .alias(f"tf{i}")
-            for i, term in enumerate(terms, 1)
-        ],
-    )
-    corpus = per_doc.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("tt"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
-            .cast("long")
-            .alias(f"df{i}")
-            for i in range(1, 4)
-        ],
-    )
-
-    def term_score(i: int):
-        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
-        n, tt, dl = F.col("n"), F.col("tt"), F.col("dl")
-        idf = (2 * n - 2 * df + 1).cast("double") / (2 * df + 1).cast(
-            "double"
-        )
-        w = (22 * tf * tt).cast("double") / (
-            10 * tf * tt + 3 * tt + 9 * n * dl
-        ).cast("double")
-        return idf * w
-
     return (
-        per_doc.crossJoin(F.broadcast(corpus))
-        .select(
-            "doc_id",
-            "dl",
-            "tf1",
-            "tf2",
-            "tf3",
-            (term_score(1) + term_score(2) + term_score(3)).alias("score"),
-        )
+        bm25_scored(spark, sf_dir)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )

@@ -3006,8 +3006,10 @@ def agg_kruskal_wallis_h(spark, sf_dir):
     ),
     chi AS (
       SELECT CAST(SUM(CAST(
-               CAST((g.o * t.n - rs.rt * cs.ct) AS DECIMAL(38,0))
-                 * CAST((g.o * t.n - rs.rt * cs.ct) AS DECIMAL(38,0))
+               (CAST(g.o AS DECIMAL(19,0)) * t.n
+                  - CAST(rs.rt AS DECIMAL(19,0)) * cs.ct)
+                 * (CAST(g.o AS DECIMAL(19,0)) * t.n
+                      - CAST(rs.rt AS DECIMAL(19,0)) * cs.ct)
                  / CAST(CAST(t.n AS DECIMAL(38,0)) * rs.rt * cs.ct
                         AS DOUBLE)
                AS DECIMAL(38,12)) ) AS DOUBLE) AS chi2
@@ -3042,8 +3044,9 @@ def agg_cramers_v_effect_size(spark, sf_dir):
     actually associated or the chi-square is just big because n is.
 
     Cross-engine exactness without libm: every chi-square cell is the
-    integer rational (O·n − rt·ct)² / (n·rt·ct) — numerator built in
-    DECIMAL(38,0) (exact past int64 at warehouse row counts), ONE IEEE
+    integer rational (O·n − rt·ct)² / (n·rt·ct) — numerator built from
+    DECIMAL(19,0)-cast OPERANDS (cast-then-multiply, so the products
+    are exact past int64 at warehouse row counts), ONE IEEE
     division per cell, per-cell terms summed through DECIMAL(38,12)
     (order-independent), and the only transcendental is SQRT, which
     IEEE 754 requires correctly rounded — bit-identical in the JVM and
@@ -3062,8 +3065,14 @@ def agg_cramers_v_effect_size(spark, sf_dir):
     Reference scope check: codeG12/target-s3-parquet has no query
     surface (605-LoC Singer->Parquet sink); this key belongs to the
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
-    d38 = "decimal(38,0)"
-    cnt = (
+    from target_s3_parquet_spark._snapshot import snapshot_small
+
+    d19 = "decimal(19,0)"
+    # ONE data-sized aggregate; the bounded (segments x nations) cell
+    # table is snapshotted so the seven downstream control-plane
+    # branches (level sets, grid, marginals, totals, chi2) never
+    # re-scan and re-aggregate the input.
+    cnt = snapshot_small(
         t(spark, sf_dir, "customer")
         .groupBy(
             F.col("c_mktsegment").alias("seg"),
@@ -3086,10 +3095,11 @@ def agg_cramers_v_effect_size(spark, sf_dir):
         .crossJoin(F.broadcast(nats.agg(F.count(F.lit(1)).alias("c"))))
     )
     dev = (
-        F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
-    ).cast(d38)
+        F.col("o").cast(d19) * F.col("n")
+        - F.col("rt").cast(d19) * F.col("ct")
+    )
     cell = (dev * dev).cast("double") / (
-        F.col("n").cast(d38) * F.col("rt") * F.col("ct")
+        F.col("n").cast("decimal(38,0)") * F.col("rt") * F.col("ct")
     ).cast("double")
     chi = (
         grid.join(F.broadcast(rs), "seg")
@@ -3181,8 +3191,10 @@ def eval_average_precision(spark, sf_dir):
     Distributed shape: ONE combinable groupBy to the per-score table,
     BOTH running sums (positives and rows) carried by a SINGLE
     `two_phase_rank` prefix pass over a packed DECIMAL channel
-    (cum = 10¹²·cum_t + cum_p — exact while any partition holds fewer
-    than 10¹² positives, i.e. at any realistic scale), a 1-row totals
+    (cum = 10¹⁸·cum_t + cum_p — the prefix sum is GLOBAL after the
+    offset merge, so the bound is on the TOTAL positive count, which
+    10¹⁸ keeps above any BIGINT row count; cum_t·10¹⁸ stays inside
+    DECIMAL(38,0) to 10²⁰ rows), a 1-row totals
     broadcast, and a final combinable sum. The prefix pass touches
     |distinct scores| rows per partition, never the data — the same
     scale shape as `eval_auc_rank_sum`.
@@ -3193,7 +3205,7 @@ def eval_average_precision(spark, sf_dir):
     from target_s3_parquet_spark.operators._util import two_phase_rank
 
     d38 = "decimal(38,0)"
-    PACK = 10**12
+    PACK = 10**18
     lab = t(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("s"),
         F.when(
@@ -3355,7 +3367,7 @@ def agg_trimmed_winsorized_mean(spark, sf_dir):
       FROM g
     ),
     u AS (
-      SELECT CAST(SUM(CAST(a * (2 * bnb + b) AS DECIMAL(38,0)))
+      SELECT CAST(SUM(CAST(a AS DECIMAL(19,0)) * (2 * bnb + b))
                   AS DECIMAL(38,0)) AS u2
       FROM c
     ),
@@ -3402,8 +3414,11 @@ def ab_test_mann_whitney_u(spark, sf_dir):
     only when False).
 
     Exactness: the same doubled merge-count channel as
-    `eval_auc_rank_sum` (2U = Σ_v a·(2·cnb + b) — pure integers through
-    DECIMAL(38,0), clearing the half-per-tied-pair), tie term Σ(t³−t)
+    `eval_auc_rank_sum` (2U = Σ_v a·(2·cnb + b) with the per-value
+    count cast to DECIMAL(19,0) BEFORE the multiply, so each term is
+    exact past int64 — the remaining BIGINT factor 2·cnb + b is valid
+    to n < 4.6e18 rows, beyond any storable input — and the half-per-
+    tied-pair clears by doubling), tie term Σ(t³−t)
     exact decimal, mean and variance exact integer rationals, and the
     z-score is ONE integer-difference divided by 2·SQRT of an exactly
     represented quotient (IEEE sqrt — correctly rounded in both
@@ -3442,7 +3457,7 @@ def ab_test_mann_whitney_u(spark, sf_dir):
     c = c.select("a", "b", (F.col("_cum") - F.col("b")).alias("bnb"))
     u = c.agg(
         F.sum(
-            (F.col("a") * (2 * F.col("bnb") + F.col("b"))).cast(d38)
+            F.col("a").cast(d19) * (2 * F.col("bnb") + F.col("b"))
         )
         .cast(d38)
         .alias("u2")
@@ -3481,9 +3496,14 @@ def ab_test_mann_whitney_u(spark, sf_dir):
     )
 
 
-@query(
-    "eval_confusion_matrix_metrics",
-    """
+
+# ---------------------------------------------------------------------------
+# Shared confusion-matrix operating point (score >= 150000 predicts the
+# urgent/high label) — `eval_confusion_matrix_metrics` and
+# `eval_cohens_kappa` must describe the SAME classifier, so both build
+# their four cells from this single helper / SQL fragment.
+# ---------------------------------------------------------------------------
+CONFUSION_CELLS_SQL = """
     WITH lab AS (
       SELECT CASE WHEN o_totalprice >= 150000.0 THEN 1 ELSE 0 END AS yhat,
              CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -3496,7 +3516,34 @@ def ab_test_mann_whitney_u(spark, sf_dir):
              CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
              CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn
       FROM lab
+    )"""
+
+
+def _confusion_cells(spark, sf_dir):
+    """1-row (tp, fp, fn, tn) frame at the shared operating point —
+    the Spark twin of CONFUSION_CELLS_SQL."""
+    lab = t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") >= 150000.0, 1).otherwise(0).alias(
+            "yhat"
+        ),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
     )
+    return lab.agg(
+        F.sum(F.col("y") * F.col("yhat")).cast("long").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
+        .cast("long")
+        .alias("tn"),
+    )
+
+
+@query(
+    "eval_confusion_matrix_metrics",
+    CONFUSION_CELLS_SQL
+    + """
     SELECT tp, fp, fn, tn,
            CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy,
            CAST(tp AS DOUBLE) / (tp + fp) AS precision_,
@@ -3537,22 +3584,7 @@ def eval_confusion_matrix_metrics(spark, sf_dir):
     surface (605-LoC Singer->Parquet sink); this key belongs to the
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
     d38 = "decimal(38,0)"
-    lab = t(spark, sf_dir, "orders").select(
-        F.when(F.col("o_totalprice") >= 150000.0, 1).otherwise(0).alias(
-            "yhat"
-        ),
-        F.when(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
-        ).otherwise(0).alias("y"),
-    )
-    m = lab.agg(
-        F.sum(F.col("y") * F.col("yhat")).cast("long").alias("tp"),
-        F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("fp"),
-        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("long").alias("fn"),
-        F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
-        .cast("long")
-        .alias("tn"),
-    )
+    m = _confusion_cells(spark, sf_dir)
     tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
     return m.select(
         tp, fp, fn, tn,
@@ -3738,9 +3770,11 @@ def ab_test_two_proportion_z(spark, sf_dir):
     chi-square). Reports both proportions, absolute lift, the odds
     ratio, and the pooled z.
 
-    Exactness: the conversion flag is a per-user MAX over an integer
-    indicator (one combinable groupBy), the four cells are one more
-    combinable aggregate, the odds ratio is a DECIMAL(38,0) integer
+    Exactness: the conversion flag is a scan-side integer indicator,
+    the four cells are ONE combinable aggregate over it (no per-user
+    rollup — the unit of randomization here is the impression; the
+    user-level variant is the same plan prefixed by a per-user
+    groupBy), the odds ratio is a DECIMAL(38,0) integer
     cross-product ratio with ONE division per side, and the z-score
     is a FIXED chain of IEEE divisions/multiplies on identical
     operands with one correctly-rounded SQRT — no libm.
@@ -3798,20 +3832,8 @@ def ab_test_two_proportion_z(spark, sf_dir):
 
 @query(
     "eval_cohens_kappa",
-    """
-    WITH lab AS (
-      SELECT CASE WHEN o_totalprice >= 150000.0 THEN 1 ELSE 0 END AS yhat,
-             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                  THEN 1 ELSE 0 END AS y
-      FROM orders
-    ),
-    m AS (
-      SELECT CAST(SUM(y * yhat) AS BIGINT) AS tp,
-             CAST(SUM((1 - y) * yhat) AS BIGINT) AS fp,
-             CAST(SUM(y * (1 - yhat)) AS BIGINT) AS fn,
-             CAST(SUM((1 - y) * (1 - yhat)) AS BIGINT) AS tn
-      FROM lab
-    )
+    CONFUSION_CELLS_SQL
+    + """
     SELECT tp, fp, fn, tn,
            CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS p_observed,
            CAST(CAST(tp + fp AS DECIMAL(38,0)) * (tp + fn)
@@ -3854,22 +3876,7 @@ def eval_cohens_kappa(spark, sf_dir):
     surface (605-LoC Singer->Parquet sink); this key belongs to the
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
     d38 = "decimal(38,0)"
-    lab = t(spark, sf_dir, "orders").select(
-        F.when(F.col("o_totalprice") >= 150000.0, 1).otherwise(0).alias(
-            "yhat"
-        ),
-        F.when(
-            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
-        ).otherwise(0).alias("y"),
-    )
-    m = lab.agg(
-        F.sum(F.col("y") * F.col("yhat")).cast("long").alias("tp"),
-        F.sum((1 - F.col("y")) * F.col("yhat")).cast("long").alias("fp"),
-        F.sum(F.col("y") * (1 - F.col("yhat"))).cast("long").alias("fn"),
-        F.sum((1 - F.col("y")) * (1 - F.col("yhat")))
-        .cast("long")
-        .alias("tn"),
-    )
+    m = _confusion_cells(spark, sf_dir)
     tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
     n = tp + fp + fn + tn
     me = (tp + fp).cast(d38) * (tp + fn) + (fn + tn).cast(d38) * (

@@ -2667,20 +2667,27 @@ def sample_reservoir_per_group(spark, sf_dir):
            CAST(COUNT(*) AS BIGINT) AS n_bins,
            CAST(COUNT(*) FILTER (c.a = 0) AS BIGINT) AS n_bins_zero_ref,
            CAST(SUM(CAST(CASE WHEN c.a > 0 THEN
-             CAST(CAST((c.b * n.na - c.a * n.nb) AS DECIMAL(38,0))
-                  * (c.b * n.na - c.a * n.nb) AS DOUBLE)
+             CAST((CAST(c.b AS DECIMAL(19,0)) * n.na
+                     - CAST(c.a AS DECIMAL(19,0)) * n.nb)
+                  * (CAST(c.b AS DECIMAL(19,0)) * n.na
+                       - CAST(c.a AS DECIMAL(19,0)) * n.nb) AS DOUBLE)
              / CAST(CAST(n.na AS DECIMAL(38,0)) * n.nb * n.nb * c.a
                     AS DOUBLE)
              ELSE 0.0 END AS DECIMAL(38,18))) AS DOUBLE)
              AS chi2_divergence,
-           CAST(SUM(CAST(CASE WHEN c.a * n.nb + c.b * n.na > 0 THEN
-             CAST(CAST((c.a * n.nb - c.b * n.na) AS DECIMAL(38,0))
-                  * (c.a * n.nb - c.b * n.na) AS DOUBLE)
+           CAST(SUM(CAST(CASE WHEN c.a + c.b > 0 THEN
+             CAST((CAST(c.b AS DECIMAL(19,0)) * n.na
+                     - CAST(c.a AS DECIMAL(19,0)) * n.nb)
+                  * (CAST(c.b AS DECIMAL(19,0)) * n.na
+                       - CAST(c.a AS DECIMAL(19,0)) * n.nb) AS DOUBLE)
              / CAST(CAST(n.na AS DECIMAL(38,0)) * n.nb
-                    * (c.a * n.nb + c.b * n.na) AS DOUBLE)
+                    * (CAST(c.a AS DECIMAL(19,0)) * n.nb
+                         + CAST(c.b AS DECIMAL(19,0)) * n.na)
+                    AS DOUBLE)
              ELSE 0.0 END AS DECIMAL(38,18))) AS DOUBLE)
              AS triangular_disc,
-           CAST(SUM(ABS(c.a * n.nb - c.b * n.na)) AS DOUBLE)
+           CAST(SUM(ABS(CAST(c.a AS DECIMAL(19,0)) * n.nb
+                        - CAST(c.b AS DECIMAL(19,0)) * n.na)) AS DOUBLE)
              / (2.0 * n.na * n.nb) AS tv_dist
     FROM c CROSS JOIN n
     GROUP BY n.na, n.nb
@@ -2702,6 +2709,8 @@ def dq_numeric_drift_chi2(spark, sf_dir):
     integer rational (b·na − a·nb)² over a DECIMAL(38,0) denominator
     (na·nb²·a reaches ~1e22 at sf0.1 — past int64, inside decimal),
     ONE IEEE division per bin, terms summed through DECIMAL(38,18).
+    Divergence-term operands are cast to DECIMAL(19,0) BEFORE every
+    multiply (cast-then-multiply — exact past int64 totals).
     Zero-reference bins are EXCLUDED from chi² (the statistic is
     undefined there) and surfaced as the n_bins_zero_ref column
     instead of being silently epsilon-smoothed; triangular and TV
@@ -2737,7 +2746,11 @@ def dq_numeric_drift_chi2(spark, sf_dir):
         F.sum("b").cast("long").alias("nb"),
     )
     j = c.crossJoin(F.broadcast(n))
-    dev = (F.col("b") * F.col("na") - F.col("a") * F.col("nb")).cast(d38)
+    d19 = "decimal(19,0)"
+    dev = (
+        F.col("b").cast(d19) * F.col("na")
+        - F.col("a").cast(d19) * F.col("nb")
+    )
     chi_term = F.when(
         F.col("a") > 0,
         (dev * dev).cast("double")
@@ -2748,9 +2761,12 @@ def dq_numeric_drift_chi2(spark, sf_dir):
             * F.col("a")
         ).cast("double"),
     ).otherwise(F.lit(0.0))
-    tri_denom = F.col("a") * F.col("nb") + F.col("b") * F.col("na")
+    tri_denom = (
+        F.col("a").cast(d19) * F.col("nb")
+        + F.col("b").cast(d19) * F.col("na")
+    )
     tri_term = F.when(
-        tri_denom > 0,
+        F.col("a") + F.col("b") > 0,
         (dev * dev).cast("double")
         / (F.col("na").cast(d38) * F.col("nb") * tri_denom).cast(
             "double"
@@ -2770,11 +2786,7 @@ def dq_numeric_drift_chi2(spark, sf_dir):
             .cast("double")
             .alias("triangular_disc"),
             (
-                F.sum(
-                    F.abs(
-                        F.col("a") * F.col("nb") - F.col("b") * F.col("na")
-                    )
-                ).cast("double")
+                F.sum(F.abs(dev)).cast("double")
                 / (F.lit(2.0) * F.col("na") * F.col("nb"))
             ).alias("tv_dist"),
         )

@@ -3278,45 +3278,25 @@ def emb_text_pairing_audit(spark, sf_dir):
     )
 
 
+from target_s3_parquet_spark.functions.scalars import (  # noqa: E402
+    BM25_CORE_SQL,
+    BM25_SCORE_SQL,
+    bm25_scored,
+)
+
+
 @query(
     "search_rrf_fusion",
-    """
-    WITH toks AS (
-      SELECT doc_id, tok
-      FROM (SELECT doc_id,
-                   UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS tok
-            FROM documents)
-      WHERE tok <> ''
-    ),
-    per_doc AS MATERIALIZED (
-      SELECT doc_id, count(*) AS dl,
-             count(*) FILTER (WHERE tok = 'merge')  AS tf1,
-             count(*) FILTER (WHERE tok = 'vector') AS tf2,
-             count(*) FILTER (WHERE tok = 'scan')   AS tf3
-      FROM toks GROUP BY doc_id
-    ),
-    corpus AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(SUM(dl) AS BIGINT) AS tt,
-             CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
-             CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2,
-             CAST(count(*) FILTER (WHERE tf3 > 0) AS BIGINT) AS df3
-      FROM per_doc
-    ),
+    BM25_CORE_SQL
+    + """,
     lex AS (
       SELECT doc_id,
              ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_lex
       FROM (
         SELECT doc_id,
-               CAST(2*n - 2*df1 + 1 AS DOUBLE) / CAST(2*df1 + 1 AS DOUBLE)
-                 * (CAST(22*tf1*tt AS DOUBLE)
-                    / CAST(10*tf1*tt + 3*tt + 9*n*dl AS DOUBLE))
-             + CAST(2*n - 2*df2 + 1 AS DOUBLE) / CAST(2*df2 + 1 AS DOUBLE)
-                 * (CAST(22*tf2*tt AS DOUBLE)
-                    / CAST(10*tf2*tt + 3*tt + 9*n*dl AS DOUBLE))
-             + CAST(2*n - 2*df3 + 1 AS DOUBLE) / CAST(2*df3 + 1 AS DOUBLE)
-                 * (CAST(22*tf3*tt AS DOUBLE)
-                    / CAST(10*tf3*tt + 3*tt + 9*n*dl AS DOUBLE))
+               """
+    + BM25_SCORE_SQL
+    + """
                  AS score
         FROM per_doc CROSS JOIN corpus
         ORDER BY score DESC, doc_id LIMIT 100
@@ -3366,8 +3346,10 @@ def search_rrf_fusion(spark, sf_dir):
     fusion, so the two arms' incomparable score scales never touch.
 
     Exactness: both arms' scores are the repo's proven bit-exact
-    channels (the BM25 rational-odds scoring of `search_bm25_topk`;
-    the unrolled left-associated dot/SQRT cosine of `sim_knn_cosine`),
+    channels — the lexical arm calls the SAME `bm25_scored` helper
+    (and splices the SAME SQL fragments) as `search_bm25_topk`, so
+    the scoring cannot silently diverge; the vector arm is the
+    unrolled left-associated dot/SQRT cosine of `sim_knn_cosine` —
     ranks are ROW_NUMBER with full deterministic tie-breaks
     (score DESC, id), each RRF term is ONE IEEE division of identical
     integer operands, and the two-term sum is a FIXED lex+vec chain.
@@ -3385,54 +3367,9 @@ def search_rrf_fusion(spark, sf_dir):
     Reference scope check: codeG12/target-s3-parquet has no query
     surface (605-LoC Singer->Parquet sink); this key belongs to the
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
-    d = t(spark, sf_dir, "documents")
-    toks = (
-        d.select(
-            "doc_id",
-            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
-                "tok"
-            ),
-        )
-        .filter(F.col("tok") != "")
-    )
-    terms = ("merge", "vector", "scan")
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("dl"),
-        *[
-            F.sum(F.when(F.col("tok") == term, 1).otherwise(0))
-            .cast("long")
-            .alias(f"tf{i}")
-            for i, term in enumerate(terms, 1)
-        ],
-    )
-    corpus = per_doc.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("dl").cast("long").alias("tt"),
-        *[
-            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
-            .cast("long")
-            .alias(f"df{i}")
-            for i in range(1, 4)
-        ],
-    )
-
-    def term_score(i: int):
-        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
-        n, tt, dl = F.col("n"), F.col("tt"), F.col("dl")
-        idf = (2 * n - 2 * df + 1).cast("double") / (2 * df + 1).cast(
-            "double"
-        )
-        w = (22 * tf * tt).cast("double") / (
-            10 * tf * tt + 3 * tt + 9 * n * dl
-        ).cast("double")
-        return idf * w
-
     lex_top = (
-        per_doc.crossJoin(F.broadcast(corpus))
-        .select(
-            "doc_id",
-            (term_score(1) + term_score(2) + term_score(3)).alias("score"),
-        )
+        bm25_scored(spark, sf_dir)
+        .select("doc_id", "score")
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(100)
     )

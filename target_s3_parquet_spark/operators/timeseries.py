@@ -1559,7 +1559,7 @@ def ts_trend_theil_sen(spark, sf_dir):
       FROM orders GROUP BY 1
     ),
     ma AS (
-      SELECT a.d, a.s, a.d % 7 AS dow,
+      SELECT a.d, a.s, ((a.d % 7) + 7) % 7 AS dow,
              COUNT(*) AS w_cnt, MIN(b.d) AS w_lo, MAX(b.d) AS w_hi,
              CAST(SUM(b.s) AS BIGINT) AS w_sum
       FROM daily a JOIN daily b ON b.d BETWEEN a.d - 3 AND a.d + 3
@@ -1602,7 +1602,11 @@ def ts_seasonal_decompose_ma(spark, sf_dir):
     operands. No double is ever rounded into a decimal (the
     cross-engine double→decimal rounding paths differ in the last ulp
     for full-precision doubles — observed at sf0.01 before this
-    integer-scaled form). Day-of-week is the engine-neutral d % 7;
+    integer-scaled form). Day-of-week is the engine-neutral
+    NON-NEGATIVE pmod(d, 7) (((d%7)+7)%7 in the oracle — plain % is
+    C-style and would split each weekday in two for any order dated
+    before the 1995-01-01 anchor, the pre-anchor hazard already
+    pinned on ab_test_anova_f);
     windows straddling a calendar gap or the series edge are excluded
     by the explicit contiguity predicate (w_cnt = 7, span = 6,
     centered), not by row-frame accident.
@@ -1651,7 +1655,7 @@ def ts_seasonal_decompose_ma(spark, sf_dir):
         & (F.col("w_hi") - F.col("w_lo") == 6)
         & (F.col("d") - F.col("w_lo") == 3)
     ).select(
-        (F.col("d") % 7).alias("dow"),
+        F.pmod(F.col("d"), F.lit(7)).alias("dow"),
         (7 * F.col("s") - F.col("w_sum")).cast("long").alias("detr7"),
     )
     seas = detr.groupBy("dow").agg(
