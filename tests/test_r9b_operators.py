@@ -586,3 +586,40 @@ def test_cohens_kappa_matches_bruteforce(spark, tmp_path):
     assert abs(got.p_observed - po) < 1e-15
     assert abs(got.p_expected - pe) < 1e-15
     assert abs(got.kappa - kappa) < 1e-12
+
+
+def test_seasonal_decompose_pre_anchor_dates_keep_seven_dows(spark, tmp_path):
+    """Review-pass regression pin: orders dated BEFORE the 1995-01-01
+    anchor produce negative day indices; plain % would emit dow in
+    -6..-1 and split each weekday in two. pmod keeps exactly 7 buckets
+    and the per-dow means must match brute force across the anchor."""
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_seasonal_decompose_ma,
+    )
+
+    base = datetime.date(1995, 1, 1)
+    rows = []
+    for d in range(-21, 21):  # 3 weeks before + 3 after the anchor
+        v = 500.0 + 100 * (((d % 7) + 7) % 7)
+        rows.append((d, base + datetime.timedelta(days=d), v))
+    sf = str(tmp_path / "sf_preanchor")
+    spark.createDataFrame(
+        [(i, dt, v) for i, (_, dt, v) in enumerate(rows)],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = {r.dow: r for r in ts_seasonal_decompose_ma(spark, sf).collect()}
+
+    assert set(got) <= set(range(7)) and len(got) == 7
+    series = {d: int(round(v * 100)) for d, _, v in rows}
+    by_dow = {}
+    for d in series:
+        win = [series.get(d + o) for o in range(-3, 4)]
+        if any(w is None for w in win):
+            continue
+        by_dow.setdefault(((d % 7) + 7) % 7, []).append(
+            series[d] - sum(win) / 7.0
+        )
+    for dow, vs in by_dow.items():
+        assert got[dow].n_valid == len(vs)
+        assert abs(got[dow].seasonal_cents - sum(vs) / len(vs)) < 1e-6
