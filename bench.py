@@ -402,6 +402,9 @@ def main() -> None:
         "eval_ndcg_at_k",
         "ab_test_two_proportion_z",
         "eval_cohens_kappa",
+        "eval_brier_score",
+        "ts_runs_test_median",
+        "ts_fano_burstiness",
     ]
     for name in SWEEP_R9_BATCH:
         try:

@@ -3897,3 +3897,116 @@ def eval_cohens_kappa(spark, sf_dir):
             / ((n.cast(d38) * n) - me).cast("double")
         ).alias("kappa"),
     )
+
+
+@query(
+    "eval_brier_score",
+    """
+    WITH lab AS (
+      SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT), 30000000) AS cents,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(CAST(
+             CAST(SUM(CAST(cents - y * 30000000 AS DECIMAL(19,0))
+                      * (cents - y * 30000000)) AS DOUBLE)
+             / CAST(900000000000000 * CAST(COUNT(*) AS DECIMAL(19,0))
+                    AS DOUBLE) AS DECIMAL(20,12)) AS DOUBLE)
+             AS brier_score,
+           CAST(CAST(
+             CAST(SUM(CASE WHEN y = 1 THEN
+                    CAST(cents - 30000000 AS DECIMAL(19,0))
+                      * (cents - 30000000) END) AS DOUBLE)
+             / CAST(900000000000000 * CAST(SUM(y) AS DECIMAL(19,0))
+                    AS DOUBLE) AS DECIMAL(20,12)) AS DOUBLE)
+             AS brier_pos,
+           CAST(CAST(
+             CAST(SUM(CASE WHEN y = 0 THEN
+                    CAST(cents AS DECIMAL(19,0)) * cents END) AS DOUBLE)
+             / CAST(900000000000000
+                    * CAST(COUNT(*) - SUM(y) AS DECIMAL(19,0))
+                    AS DOUBLE) AS DECIMAL(20,12)) AS DOUBLE)
+             AS brier_neg
+    FROM lab
+    """,
+)
+def eval_brier_score(spark, sf_dir):
+    """Brier score (mean squared error of a probabilistic prediction
+    against the binary label) for the rational score-to-probability
+    map p = min(price, 300000)/300000 against the urgent/high label —
+    the CALIBRATION member of the eval family (AUC/AP/NDCG rank,
+    the confusion panel classifies, kappa agrees; Brier is what a
+    probability-emitting quality filter must also report, since a
+    perfectly-ranked but mis-calibrated scorer can still have a bad
+    Brier). Per-class conditional Briers decompose where the
+    calibration error lives.
+
+    Exactness: with integer CENTS c and the 3·10⁷-cent cap, each term
+    (p − y)² = (c − y·3·10⁷)² / 9·10¹⁴ has an EXACT INTEGER numerator
+    — DECIMAL(19,0)-cast operands (cast-then-multiply), summed exactly
+    in decimal, ONE terminal IEEE division per reported number, and
+    the DECIMAL(20,12) ulp guard on each output (the mann_kendall
+    pattern): the exact integer sums exceed 2^63 at sf0.1 and the two
+    engines' wide-decimal→double conversion was OBSERVED to differ in
+    the last ulp — the guard collapses that conversion ulp while the
+    value stays a single exact-integer ratio.
+
+    Distributed shape: ONE map-combinable aggregate over a scan-side
+    projection; 1-row arithmetic after. Same shape at any scale.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d19 = "decimal(19,0)"
+    CAP = 30000000  # 300000.00 dollars in cents -> p = cents/CAP
+    CAP2 = 900000000000000  # CAP^2 — kept INTEGER; the denominator
+    # CAP^2 * count is built exactly in DECIMAL and cast to double
+    # ONCE (a double-multiply denominator differed by 1 ulp between
+    # engines at sf0.1 — the same conversion-path hazard as the
+    # decimal-rounding one, fixed the same way: exact integers, one
+    # terminal conversion, one division)
+    lab = t(spark, sf_dir, "orders").select(
+        F.least(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            ),
+            F.lit(CAP),
+        ).alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    dev = (F.col("cents") - F.col("y") * CAP).cast(d19)
+    devpos = (F.col("cents") - CAP).cast(d19)
+    return lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        (
+            F.sum(dev * (F.col("cents") - F.col("y") * CAP)).cast("double")
+            / (CAP2 * F.count(F.lit(1)).cast(d19)).cast("double")
+        ).cast("decimal(20,12)").cast("double").alias("brier_score"),
+        (
+            F.sum(
+                F.when(
+                    F.col("y") == 1, devpos * (F.col("cents") - CAP)
+                )
+            ).cast("double")
+            / (CAP2 * F.sum("y").cast(d19)).cast("double")
+        ).cast("decimal(20,12)").cast("double").alias("brier_pos"),
+        (
+            F.sum(
+                F.when(
+                    F.col("y") == 0,
+                    F.col("cents").cast(d19) * F.col("cents"),
+                )
+            ).cast("double")
+            / (
+                CAP2
+                * (F.count(F.lit(1)) - F.sum("y")).cast(d19)
+            ).cast("double")
+        ).cast("decimal(20,12)").cast("double").alias("brier_neg"),
+    )

@@ -1784,3 +1784,255 @@ def ts_forecast_eval_naive(spark, sf_dir):
             F.col("sae").cast("double") / F.col("sae_naive1")
         ).alias("mase_vs_naive1"),
     )
+
+
+@query(
+    "ts_runs_test_median",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    med AS (
+      SELECT s AS m FROM daily ORDER BY s
+      LIMIT 1 OFFSET ((SELECT (COUNT(*) + 1) // 2 FROM daily) - 1)
+    ),
+    seq AS (
+      SELECT d, CASE WHEN s > (SELECT m FROM med) THEN 1 ELSE 0 END AS up,
+             ROW_NUMBER() OVER (ORDER BY d) AS rn
+      FROM daily WHERE s <> (SELECT m FROM med)
+    ),
+    stats AS (
+      SELECT CAST(SUM(up) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(up) AS BIGINT) AS n2
+      FROM seq
+    ),
+    runs AS (
+      SELECT CAST(1 + COUNT(*) FILTER (a.up <> b.up) AS BIGINT) AS r
+      FROM seq a JOIN seq b ON b.rn = a.rn + 1
+    )
+    SELECT s.n1, s.n2, r.r AS n_runs,
+           2.0 * s.n1 * s.n2 / (s.n1 + s.n2) + 1.0 AS mu_runs,
+           CAST(2 * CAST(s.n1 AS DECIMAL(19,0)) * s.n2
+                * (2 * CAST(s.n1 AS DECIMAL(19,0)) * s.n2 - s.n1 - s.n2)
+                AS DOUBLE)
+             / CAST(CAST(s.n1 + s.n2 AS DECIMAL(19,0)) * (s.n1 + s.n2)
+                    * (s.n1 + s.n2 - 1) AS DOUBLE) AS var_runs,
+           CAST(CAST(
+             (r.r - (2.0 * s.n1 * s.n2 / (s.n1 + s.n2) + 1.0))
+             / SQRT(CAST(2 * CAST(s.n1 AS DECIMAL(19,0)) * s.n2
+                  * (2 * CAST(s.n1 AS DECIMAL(19,0)) * s.n2 - s.n1 - s.n2)
+                  AS DOUBLE)
+               / CAST(CAST(s.n1 + s.n2 AS DECIMAL(19,0)) * (s.n1 + s.n2)
+                      * (s.n1 + s.n2 - 1) AS DOUBLE))
+             AS DECIMAL(20,12)) AS DOUBLE) AS z_score
+    FROM stats s CROSS JOIN runs r
+    """,
+)
+def ts_runs_test_median(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of the daily-revenue
+    sequence around its median (days equal to the median excluded,
+    the standard convention): too FEW runs means the series is sticky
+    (trend/regimes — what `ts_trend_mann_kendall` quantifies
+    directionally), too MANY means alternation; the z-score says
+    whether the above/below pattern is compatible with exchangeable
+    noise — the nonparametric randomness gate a monitoring pipeline
+    runs before trusting i.i.d.-assuming alarms.
+
+    Exactness: daily revenue is integer cents, the median is an EXACT
+    ORDER STATISTIC (rank ⌈n/2⌉ — both engines pick the identical
+    value, no interpolation), the run count is an integer boundary
+    count over adjacent PRESENT days, μ and σ² are integer rationals
+    with DECIMAL(19,0)-cast operands (cast-then-multiply), and z is
+    one subtraction and one IEEE division by a correctly-rounded SQRT
+    with the DECIMAL(20,12) ulp guard (the mann_kendall pattern).
+
+    Distributed shape: ONE data-sized combinable groupBy to the
+    calendar-bounded daily series; the median pick, sequence ranking
+    (`two_phase_rank` — never a data-sized global window), adjacency
+    self-join and boundary count all run on the ~2.4k-row series
+    (control-plane at any input volume).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    d19 = "decimal(19,0)"
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("s")
+    )
+    ranked = two_phase_rank(daily, ["s"], rank_name="_r", cum_name="_c")
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    med = (
+        ranked.crossJoin(F.broadcast(nn))
+        .filter(F.col("_r") == F.floor((F.col("n") + 1) / 2))
+        .select(F.col("s").alias("m"))
+    )
+    seq = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("s") != F.col("m"))
+        .select(
+            "d",
+            F.when(F.col("s") > F.col("m"), 1).otherwise(0).alias("up"),
+        )
+    )
+    seq = two_phase_rank(seq, ["d"], rank_name="rn", cum_name="_c2").select(
+        "up", "rn"
+    )
+    stats = seq.agg(
+        F.sum("up").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("long").alias("n2"),
+    )
+    nxt = seq.select((F.col("rn") - 1).alias("rn"), F.col("up").alias("up2"))
+    runs = (
+        seq.join(F.broadcast(nxt), "rn")
+        .agg(
+            (
+                1
+                + F.sum(
+                    F.when(F.col("up") != F.col("up2"), 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias("r")
+        )
+    )
+    w = stats.crossJoin(F.broadcast(runs))
+    n1, n2, r = F.col("n1"), F.col("n2"), F.col("r")
+    mu = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+    var_num = (
+        2 * n1.cast(d19) * n2 * (2 * n1.cast(d19) * n2 - n1 - n2)
+    ).cast("double")
+    var_den = (
+        (n1 + n2).cast(d19) * (n1 + n2) * (n1 + n2 - 1)
+    ).cast("double")
+    var = var_num / var_den
+    z = (r - mu) / F.sqrt(var)
+    return w.select(
+        n1, n2, r.alias("n_runs"),
+        mu.alias("mu_runs"),
+        var.alias("var_runs"),
+        z.cast("decimal(20,12)").cast("double").alias("z_score"),
+    )
+
+
+@query(
+    "ts_fano_burstiness",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, d.day, COALESCE(c.c, 0) AS c
+      FROM days d CROSS JOIN types t
+      LEFT JOIN cnt c ON c.day = d.day AND c.event_type = t.event_type
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(c) AS BIGINT) AS sc,
+             CAST(SUM(CAST(c AS DECIMAL(19,0)) * c) AS DECIMAL(38,0)) AS sc2
+      FROM grid GROUP BY event_type
+    )
+    SELECT event_type, n_days, sc AS n_events,
+           CAST(sc AS DOUBLE) / n_days AS mean_daily,
+           CAST(CAST(n_days AS DECIMAL(19,0)) * sc2
+                - CAST(sc AS DECIMAL(19,0)) * sc AS DOUBLE)
+             / CAST(CAST(n_days AS DECIMAL(19,0)) * n_days AS DOUBLE)
+             AS var_daily,
+           CAST(CAST(n_days AS DECIMAL(19,0)) * sc2
+                - CAST(sc AS DECIMAL(19,0)) * sc AS DOUBLE)
+             / CAST(CAST(n_days AS DECIMAL(19,0)) * sc AS DOUBLE)
+             AS fano_factor,
+           (SQRT(CAST(CAST(n_days AS DECIMAL(19,0)) * sc2
+                      - CAST(sc AS DECIMAL(19,0)) * sc AS DOUBLE)
+                 / CAST(CAST(n_days AS DECIMAL(19,0)) * n_days AS DOUBLE))
+              - CAST(sc AS DOUBLE) / n_days)
+           / (SQRT(CAST(CAST(n_days AS DECIMAL(19,0)) * sc2
+                        - CAST(sc AS DECIMAL(19,0)) * sc AS DOUBLE)
+                   / CAST(CAST(n_days AS DECIMAL(19,0)) * n_days AS DOUBLE))
+              + CAST(sc AS DOUBLE) / n_days) AS burstiness_b
+    FROM s
+    """,
+)
+def ts_fano_burstiness(spark, sf_dir):
+    """Overdispersion panel for the per-type daily event counts: the
+    Fano factor Var/Mean (1 under a Poisson process — the index of
+    dispersion a traffic/ingest monitor alarms on) and the
+    Goh-Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1) per event
+    type, with ZERO-count calendar days included explicitly (the grid
+    is days × types — omitting silent days understates variance, the
+    classic dispersion-audit bug).
+
+    Exactness: daily counts are integers, population variance and
+    Fano reduce to the integer rationals (n·Σc² − (Σc)²)/n² and
+    /(n·Σc) with DECIMAL(19,0)-cast operands (cast-then-multiply),
+    each reported number is IEEE divisions plus one correctly-rounded
+    SQRT in a FIXED chain — no full-precision double is ever rounded
+    into a decimal.
+
+    Distributed shape: ONE map-combinable groupBy to the bounded
+    (days × types) grid (calendar-bounded at any volume — the r8/r9
+    daily-series argument), grid completion by a broadcast cross
+    join, one combinable reduction per type. Only the first aggregate
+    sees data.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d19 = "decimal(19,0)"
+    e = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    )
+    days = e.select("day").distinct()
+    types = e.select("event_type").distinct()
+    cnt = e.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    grid = (
+        days.crossJoin(F.broadcast(types))
+        .join(F.broadcast(cnt), ["day", "event_type"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    s = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c").cast(d19) * F.col("c"))
+        .cast("decimal(38,0)")
+        .alias("sc2"),
+    )
+    nd, sc, sc2 = F.col("n_days"), F.col("sc"), F.col("sc2")
+    var_num = (nd.cast(d19) * sc2 - sc.cast(d19) * sc).cast("double")
+    mean = sc.cast("double") / nd
+    var = var_num / (nd.cast(d19) * nd).cast("double")
+    sig = F.sqrt(var)
+    return s.select(
+        "event_type",
+        nd.alias("n_days"),
+        sc.alias("n_events"),
+        mean.alias("mean_daily"),
+        var.alias("var_daily"),
+        (var_num / (nd.cast(d19) * sc).cast("double")).alias(
+            "fano_factor"
+        ),
+        ((sig - mean) / (sig + mean)).alias("burstiness_b"),
+    )

@@ -273,6 +273,10 @@ _BNLJ_BOUNDED_OK = {
     "eval_ndcg_at_k",  # 1-row DCG frame x 1-row IDCG frame crossJoin
     "ts_seasonal_decompose_ma",  # calendar-bounded daily series band
     # self-join (same bounded shape as ts_trend_mann_kendall)
+    "ts_runs_test_median",  # calendar-bounded series: 1-row median /
+    # n / runs aggregates crossJoined (two_phase_rank offsets included)
+    "ts_fano_burstiness",  # bounded (days x types) grid completion x
+    # 1-row/deduped-day broadcast sides
 }
 
 

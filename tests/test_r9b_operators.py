@@ -623,3 +623,122 @@ def test_seasonal_decompose_pre_anchor_dates_keep_seven_dows(spark, tmp_path):
     for dow, vs in by_dow.items():
         assert got[dow].n_valid == len(vs)
         assert abs(got[dow].seasonal_cents - sum(vs) / len(vs)) < 1e-6
+
+
+def test_brier_score_matches_bruteforce(spark, tmp_path):
+    """Brier + per-class conditionals vs direct arithmetic, including
+    the probability cap at price >= 300000."""
+    from target_s3_parquet_spark.operators.aggregates import (
+        eval_brier_score,
+    )
+
+    rng = random.Random(77)
+    rows = [
+        (
+            i,
+            float(rng.choice([50000.0, 150000.0, 299999.99, 350000.0])),
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+        )
+        for i in range(120)
+    ]
+    sf = str(tmp_path / "sf_brier")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderpriority string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = eval_brier_score(spark, sf).collect()[0]
+
+    terms = []
+    for _, price, pr in rows:
+        p = min(price, 300000.0) / 300000.0
+        y = 1 if pr in ("1-URGENT", "2-HIGH") else 0
+        terms.append((p, y))
+    brier = sum((p - y) ** 2 for p, y in terms) / len(terms)
+    pos = [(p - 1) ** 2 for p, y in terms if y == 1]
+    neg = [p**2 for p, y in terms if y == 0]
+    assert (got.n, got.n_pos) == (len(terms), len(pos))
+    assert abs(got.brier_score - brier) < 1e-9
+    assert abs(got.brier_pos - sum(pos) / len(pos)) < 1e-9
+    assert abs(got.brier_neg - sum(neg) / len(neg)) < 1e-9
+
+
+def test_runs_test_matches_bruteforce(spark, tmp_path):
+    """Runs count / mu / var / z vs direct computation on a planted
+    regime-switching series (few runs -> strongly negative z)."""
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_runs_test_median,
+    )
+
+    base = datetime.date(1995, 1, 1)
+    # 15 low days, then 15 high days, interleaved noise in each half
+    vals = [100.0 + i for i in range(15)] + [900.0 + i for i in range(15)]
+    rows = [
+        (d, base + datetime.timedelta(days=d), vals[d]) for d in range(30)
+    ]
+    sf = str(tmp_path / "sf_runs")
+    spark.createDataFrame(
+        [(i, dt, v) for i, (_, dt, v) in enumerate(rows)],
+        "o_orderkey long, o_orderdate date, o_totalprice double",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = ts_runs_test_median(spark, sf).collect()[0]
+
+    series = [int(round(v * 100)) for _, _, v in rows]
+    med = sorted(series)[(len(series) + 1) // 2 - 1]
+    seq = [1 if s > med else 0 for s in series if s != med]
+    n1, n2 = sum(seq), len(seq) - sum(seq)
+    r = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    mu = 2 * n1 * n2 / (n1 + n2) + 1
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+        / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+    )
+    assert (got.n1, got.n2, got.n_runs) == (n1, n2, r)
+    assert abs(got.mu_runs - mu) < 1e-12
+    assert abs(got.var_runs - var) < 1e-12
+    assert abs(got.z_score - (r - mu) / math.sqrt(var)) < 1e-9
+    assert got.z_score < -3  # two regimes -> far too few runs
+
+
+def test_fano_burstiness_counts_zero_days(spark, tmp_path):
+    """Fano / burstiness vs brute force with a type that is SILENT on
+    most days — zero-count days must enter the variance."""
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_fano_burstiness,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 11):  # 10 calendar days (every day has 'view')
+        for _ in range(5):
+            rows.append((eid, datetime.datetime(2024, 1, day, 9), "view"))
+            eid += 1
+    for _ in range(30):  # 'burst' fires on ONE day only
+        rows.append((eid, datetime.datetime(2024, 1, 4, 12), "burst"))
+        eid += 1
+    sf = str(tmp_path / "sf_fano")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    got = {r.event_type: r for r in ts_fano_burstiness(spark, sf).collect()}
+
+    # view: constant 5/day -> var 0, fano 0, burstiness -1
+    assert got["view"].n_days == 10
+    assert got["view"].var_daily == 0.0
+    assert got["view"].fano_factor == 0.0
+    assert got["view"].burstiness_b == -1.0
+    # burst: [30,0,...,0] over 10 days
+    cs = [30] + [0] * 9
+    n = len(cs)
+    mean = sum(cs) / n
+    var = sum((c - mean) ** 2 for c in cs) / n
+    b = got["burst"]
+    assert b.n_days == 10 and b.n_events == 30
+    assert abs(b.mean_daily - mean) < 1e-12
+    assert abs(b.var_daily - var) < 1e-9
+    assert abs(b.fano_factor - var / mean) < 1e-9
+    assert abs(
+        b.burstiness_b
+        - (math.sqrt(var) - mean) / (math.sqrt(var) + mean)
+    ) < 1e-12
