@@ -405,6 +405,9 @@ def main() -> None:
         "eval_brier_score",
         "ts_runs_test_median",
         "ts_fano_burstiness",
+        "privacy_sensitivity_audit",
+        "eval_expected_calibration_error",
+        "feature_scaling_params",
     ]
     for name in SWEEP_R9_BATCH:
         try:

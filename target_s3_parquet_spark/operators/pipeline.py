@@ -2880,3 +2880,212 @@ def agg_hhi_concentration(spark, sf_dir):
         (tot2 / F.col("sum_sq").cast("double")).alias("effective_n"),
         (F.col("max_r").cast("double") / F.col("total")).alias("top_share"),
     )
+
+
+@query(
+    "privacy_sensitivity_audit",
+    """
+    WITH per_user AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, user_id
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS l1_sensitivity,
+           CAST(SUM(c) AS DOUBLE) / COUNT(*) AS mean_contribution,
+           CAST(SUM(CASE WHEN c > 10 THEN c - 10 ELSE 0 END) AS BIGINT)
+             AS rows_clipped_at_10,
+           CAST(SUM(CASE WHEN c > 10 THEN 1 ELSE 0 END) AS BIGINT)
+             AS users_over_cap
+    FROM per_user GROUP BY event_type
+    """,
+)
+def privacy_sensitivity_audit(spark, sf_dir):
+    """Per-cell user-contribution (L1 sensitivity) audit — the table a
+    differential-privacy release pipeline computes BEFORE adding
+    noise: for each aggregation cell (event_type), the maximum number
+    of rows any single user contributes bounds how much one user can
+    move a count (the sensitivity that calibrates the noise scale),
+    and the clipping columns quantify what a contribution cap of 10
+    would discard (the bias/variance trade the DP engineer tunes).
+    Completes the privacy family's release-side slot
+    (k-anonymity/l-diversity/t-closeness audit the quasi-identifier
+    side; this audits the aggregate side).
+
+    Exactness: pure integer counts and ONE IEEE division for the mean
+    — nothing else.
+
+    Distributed shape: one combinable groupBy to (cell, user) — the
+    same per-user rollup every funnel/cohort key pays — then one
+    combinable reduction per cell. At 100 TB the first aggregate is
+    the only data-sized op; skew on a hot user is AQE's case.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    c = F.col("c")
+    return per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(c).cast("long").alias("n_rows"),
+        F.max(c).cast("long").alias("l1_sensitivity"),
+        (F.sum(c).cast("double") / F.count(F.lit(1))).alias(
+            "mean_contribution"
+        ),
+        F.sum(F.when(c > 10, c - 10).otherwise(0))
+        .cast("long")
+        .alias("rows_clipped_at_10"),
+        F.sum(F.when(c > 10, 1).otherwise(0))
+        .cast("long")
+        .alias("users_over_cap"),
+    )
+
+
+@query(
+    "feature_scaling_params",
+    """
+    WITH s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(l_quantity) AS min_q, MAX(l_quantity) AS max_q,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s_q,
+             CAST(SUM(CAST(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                                AS BIGINT) AS DECIMAL(19,0))
+                      * CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS DECIMAL(38,0)) AS s2_q,
+             MIN(l_extendedprice) AS min_p, MAX(l_extendedprice) AS max_p,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s_p,
+             CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * 100 AS BIGINT) AS DECIMAL(19,0))
+                      * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS DECIMAL(38,0)) AS s2_p,
+             MIN(l_discount) AS min_d, MAX(l_discount) AS max_d,
+             CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s_d,
+             CAST(SUM(CAST(CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                                AS BIGINT) AS DECIMAL(19,0))
+                      * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS DECIMAL(38,0)) AS s2_d,
+             MIN(l_tax) AS min_t, MAX(l_tax) AS max_t,
+             CAST(SUM(CAST(CAST(l_tax AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s_t,
+             CAST(SUM(CAST(CAST(CAST(l_tax AS DECIMAL(18,2)) * 100
+                                AS BIGINT) AS DECIMAL(19,0))
+                      * CAST(CAST(l_tax AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS DECIMAL(38,0)) AS s2_t
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS feature, n, min_q AS min_v, max_q AS max_v,
+           CAST(s_q AS DOUBLE) / CAST(100 * CAST(n AS DECIMAL(19,0))
+                                      AS DOUBLE) AS mean_v,
+           SQRT(CAST(CAST(n AS DECIMAL(19,0)) * s2_q
+                     - CAST(s_q AS DECIMAL(19,0)) * s_q AS DOUBLE))
+             / CAST(100 * CAST(n AS DECIMAL(19,0)) AS DOUBLE) AS std_v
+    FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', n, min_p, max_p,
+           CAST(s_p AS DOUBLE) / CAST(100 * CAST(n AS DECIMAL(19,0))
+                                      AS DOUBLE),
+           SQRT(CAST(CAST(n AS DECIMAL(19,0)) * s2_p
+                     - CAST(s_p AS DECIMAL(19,0)) * s_p AS DOUBLE))
+             / CAST(100 * CAST(n AS DECIMAL(19,0)) AS DOUBLE)
+    FROM s
+    UNION ALL
+    SELECT 'l_discount', n, min_d, max_d,
+           CAST(s_d AS DOUBLE) / CAST(100 * CAST(n AS DECIMAL(19,0))
+                                      AS DOUBLE),
+           SQRT(CAST(CAST(n AS DECIMAL(19,0)) * s2_d
+                     - CAST(s_d AS DECIMAL(19,0)) * s_d AS DOUBLE))
+             / CAST(100 * CAST(n AS DECIMAL(19,0)) AS DOUBLE)
+    FROM s
+    UNION ALL
+    SELECT 'l_tax', n, min_t, max_t,
+           CAST(s_t AS DOUBLE) / CAST(100 * CAST(n AS DECIMAL(19,0))
+                                      AS DOUBLE),
+           SQRT(CAST(CAST(n AS DECIMAL(19,0)) * s2_t
+                     - CAST(s_t AS DECIMAL(19,0)) * s_t AS DOUBLE))
+             / CAST(100 * CAST(n AS DECIMAL(19,0)) AS DOUBLE)
+    FROM s
+    """,
+)
+def feature_scaling_params(spark, sf_dir):
+    """Normalization-parameter table (min / max / mean / population
+    std per numeric feature of lineitem) — the small broadcastable
+    table a feature-engineering pipeline fits ONCE and applies
+    everywhere (min-max scaling needs min/max, z-scoring needs
+    mean/std; serving must reuse the training-time values, which is
+    why this is a first-class artifact and not an ad-hoc describe()).
+
+    Exactness: every input has ≤2 decimals, so values scale to exact
+    INTEGER hundredths; mean = S/(100n) and
+    std = √(n·S2 − S²)/(100n) are integer rationals with
+    DECIMAL(19,0)-cast operands, DECIMAL-built denominators (the
+    conversion-hazard-safe form), one division and one IEEE SQRT per
+    number. min/max of 2-decimal doubles are exact.
+
+    Distributed shape: ONE map-combinable aggregate computes all 4
+    features' 4 stats in a single scan (never 4 passes); the 4-row
+    unpivot is control-plane. Same shape at any scale.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d19 = "decimal(19,0)"
+    li = t(spark, sf_dir, "lineitem")
+
+    def cents(col):
+        return (F.col(col).cast("decimal(18,2)") * 100).cast("long")
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for col, tag in (
+        ("l_quantity", "q"),
+        ("l_extendedprice", "p"),
+        ("l_discount", "d"),
+        ("l_tax", "t"),
+    ):
+        aggs += [
+            F.min(col).alias(f"min_{tag}"),
+            F.max(col).alias(f"max_{tag}"),
+            F.sum(cents(col)).cast("long").alias(f"s_{tag}"),
+            F.sum(cents(col).cast(d19) * cents(col))
+            .cast("decimal(38,0)")
+            .alias(f"s2_{tag}"),
+        ]
+    s = li.agg(*aggs)
+    outs = []
+    for col, tag in (
+        ("l_quantity", "q"),
+        ("l_extendedprice", "p"),
+        ("l_discount", "d"),
+        ("l_tax", "t"),
+    ):
+        den = (100 * F.col("n").cast(d19)).cast("double")
+        outs.append(
+            s.select(
+                F.lit(col).alias("feature"),
+                F.col("n"),
+                F.col(f"min_{tag}").alias("min_v"),
+                F.col(f"max_{tag}").alias("max_v"),
+                (F.col(f"s_{tag}").cast("double") / den).alias("mean_v"),
+                (
+                    F.sqrt(
+                        (
+                            F.col("n").cast(d19) * F.col(f"s2_{tag}")
+                            - F.col(f"s_{tag}").cast(d19)
+                            * F.col(f"s_{tag}")
+                        ).cast("double")
+                    )
+                    / den
+                ).alias("std_v"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -271,6 +271,7 @@ _BNLJ_BOUNDED_OK = {
     "ab_test_mann_whitney_u",  # 1-row U/totals/tie aggs crossJoined
     # (the eval_auc_rank_sum shape with the tie-variance channel)
     "eval_ndcg_at_k",  # 1-row DCG frame x 1-row IDCG frame crossJoin
+    "eval_expected_calibration_error",  # 10-bin table x 1-row n agg
     "ts_seasonal_decompose_ma",  # calendar-bounded daily series band
     # self-join (same bounded shape as ts_trend_mann_kendall)
     "ts_runs_test_median",  # calendar-bounded series: 1-row median /

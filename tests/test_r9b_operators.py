@@ -742,3 +742,121 @@ def test_fano_burstiness_counts_zero_days(spark, tmp_path):
         b.burstiness_b
         - (math.sqrt(var) - mean) / (math.sqrt(var) + mean)
     ) < 1e-12
+
+
+def test_privacy_sensitivity_audit_matches_bruteforce(spark, tmp_path):
+    """L1 sensitivity / clipping columns vs direct per-user counting,
+    with one heavy user planted over the cap."""
+    from target_s3_parquet_spark.operators.pipeline import (
+        privacy_sensitivity_audit,
+    )
+
+    rows, eid = [], 0
+    for u in range(8):
+        for _ in range(3):  # 3 clicks per normal user
+            rows.append((eid, u, "click")); eid += 1
+    for _ in range(25):  # one heavy user: 25 clicks
+        rows.append((eid, 99, "click")); eid += 1
+    sf = str(tmp_path / "sf_sens")
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    got = privacy_sensitivity_audit(spark, sf).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_users, r.n_rows, r.l1_sensitivity) == (9, 49, 25)
+    assert abs(r.mean_contribution - 49 / 9) < 1e-12
+    assert r.rows_clipped_at_10 == 15  # 25 - 10
+    assert r.users_over_cap == 1
+
+
+def test_ece_matches_bruteforce(spark, tmp_path):
+    """ECE / MCE vs direct 10-bin reliability arithmetic."""
+    from target_s3_parquet_spark.operators.aggregates import (
+        eval_expected_calibration_error,
+    )
+
+    rng = random.Random(99)
+    rows = [
+        (
+            i,
+            float(rng.uniform(10000, 350000)),
+            rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW"]),
+        )
+        for i in range(300)
+    ]
+    sf = str(tmp_path / "sf_ece")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderpriority string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    got = eval_expected_calibration_error(spark, sf).collect()[0]
+
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for _, price, pr in rows:
+        cents = min(int(round(price * 100)), 30000000)
+        y = 1 if pr in ("1-URGENT", "2-HIGH") else 0
+        b = min(cents * 10 // 30000000, 9)
+        bins[b].append((cents / 30000000, y))
+    n = len(rows)
+    ece = sum(
+        len(v) / n * abs(sum(p for p, _ in v) / len(v)
+                         - sum(y for _, y in v) / len(v))
+        for v in bins.values()
+    )
+    mce = max(
+        abs(sum(p for p, _ in v) / len(v) - sum(y for _, y in v) / len(v))
+        for v in bins.values()
+    )
+    assert (got.n, got.n_bins) == (n, len(bins))
+    assert abs(got.ece - ece) < 1e-9
+    assert abs(got.mce - mce) < 1e-9
+
+
+def test_feature_scaling_params_match_bruteforce(spark, tmp_path):
+    """min/max/mean/population-std per feature vs direct arithmetic."""
+    from target_s3_parquet_spark.operators.pipeline import (
+        feature_scaling_params,
+    )
+
+    rng = random.Random(17)
+    rows = [
+        (
+            i,
+            float(rng.randint(1, 50)),
+            round(rng.uniform(900.0, 90000.0), 2),
+            round(rng.choice([0.0, 0.05, 0.1]), 2),
+            round(rng.choice([0.0, 0.04, 0.08]), 2),
+        )
+        for i in range(200)
+    ]
+    sf = str(tmp_path / "sf_scale")
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double",
+    ).coalesce(1).write.parquet(os.path.join(sf, "lineitem.parquet"))
+
+    got = {r.feature: r for r in feature_scaling_params(spark, sf).collect()}
+
+    cols = {
+        "l_quantity": [r[1] for r in rows],
+        "l_extendedprice": [r[2] for r in rows],
+        "l_discount": [r[3] for r in rows],
+        "l_tax": [r[4] for r in rows],
+    }
+    assert set(got) == set(cols)
+    for name, xs in cols.items():
+        cents = [int(round(x * 100)) for x in xs]
+        n = len(cents)
+        mean = sum(cents) / (100 * n)
+        var_num = n * sum(c * c for c in cents) - sum(cents) ** 2
+        std = math.sqrt(var_num) / (100 * n)
+        r = got[name]
+        assert r.n == n
+        assert r.min_v == min(xs) and r.max_v == max(xs)
+        assert abs(r.mean_v - mean) < 1e-12
+        assert abs(r.std_v - std) < 1e-9
