@@ -2838,10 +2838,11 @@ def agg_hhi_concentration(spark, sf_dir):
     every reported number is IEEE divisions/subtractions of identical
     operands — no libm anywhere.
 
-    Distributed shape: one equi-join (customer side small → broadcast
-    at this scale; co-partitioned hash join at 100 TB), ONE
-    combinable groupBy to the 25-nation table, ONE 1-row reduction.
-    Only the join and first aggregate see data.
+    Distributed shape: one equi-join (customer is sf-proportional, so
+    broadcast-vs-shuffle is left to AQE's runtime sizing — same
+    convention as TPC-H Q5/Q10), ONE combinable groupBy to the
+    25-nation table, ONE 1-row reduction. Only the join and first
+    aggregate see data.
 
     Reference scope check: codeG12/target-s3-parquet has no query
     surface (605-LoC Singer->Parquet sink); this key belongs to the
@@ -2850,7 +2851,7 @@ def agg_hhi_concentration(spark, sf_dir):
     o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_nationkey").alias("nation"))
         .agg(
             F.sum(

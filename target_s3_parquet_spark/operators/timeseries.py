@@ -1902,8 +1902,11 @@ def ts_runs_test_median(spark, sf_dir):
         .agg(
             (
                 1
-                + F.sum(
-                    F.when(F.col("up") != F.col("up2"), 1).otherwise(0)
+                + F.coalesce(
+                    F.sum(
+                        F.when(F.col("up") != F.col("up2"), 1).otherwise(0)
+                    ),
+                    F.lit(0),
                 )
             )
             .cast("long")
