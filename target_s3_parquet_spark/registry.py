@@ -117,22 +117,27 @@ _FAMILY_ORDER = (
 
 
 def _sample_priority(name: str) -> tuple[int, int, int]:
-    """Sort key for the driver-facing ordering: (latest-red flag, times
-    driver-sampled, family index). Keys whose MOST RECENT driver record
-    was red lead absolutely — their fixes are in-tree and the external
-    ledger must self-correct. Then never-sampled keys (count 0),
-    interleaved by family for a diverse 50-key window; among sampled
-    keys the least-checked come first. Ties break by registration order
-    (sorted is stable), so the ordering is deterministic."""
+    """Sort key for the driver-facing ordering: (latest-red flag,
+    round of most recent driver sample, family index). Keys whose MOST
+    RECENT driver record was red lead absolutely — their fixes are
+    in-tree and the external ledger must self-correct. Beyond that the
+    criterion is pure LEAST-RECENTLY-SAMPLED (VERDICT r9 item 1): a
+    never-sampled key has latest round 0 and leads, then keys whose
+    last driver check is oldest — so the rolling 50-key sample
+    continuously refreshes the stalest external evidence instead of
+    resampling recently-confirmed keys. Ties break by family for
+    per-round diversity, then by registration order (sorted is
+    stable), so the ordering is deterministic."""
     rounds = SAMPLED.get(name, ())
+    latest = max(rounds, default=0)
     red = 0 if name in LATEST_RED else 1
     for i, prefixes in enumerate(_FAMILY_ORDER):
         if name.startswith(prefixes):
-            return (red, len(rounds), i)
-    # No family: sort LAST within the same sample count, so newly
+            return (red, latest, i)
+    # No family: sort LAST within the same latest-round tier, so newly
     # registered keys never displace the standing never-sampled block
     # at the head of the driver's 50-key sample window.
-    return (red, len(rounds), len(_FAMILY_ORDER))
+    return (red, latest, len(_FAMILY_ORDER))
 
 
 def get_queries() -> dict[str, QueryFn]:

@@ -305,20 +305,20 @@ def test_ledger_red_classification_matches_driver_semantics():
     assert not _is_red({**green, "hash_match": None})
 
 
-def test_registry_front_loads_latest_red_keys():
-    """The four keys whose most recent driver record is the historic
-    red must lead queries() so the r9 sample self-corrects them."""
-    from target_s3_parquet_spark._sample_ledger import LATEST_RED
+def test_registry_front_loads_stale_r1_r2_keys():
+    """With the r9 reds self-corrected (all four went green in the r9
+    driver sample) LATEST_RED is empty, and the ordering criterion is
+    pure least-recently-sampled (VERDICT r9 item 1): the driver's
+    50-key window must be drawn entirely from the block whose latest
+    driver record dates to r1/r2 — the stalest external evidence."""
+    from target_s3_parquet_spark._sample_ledger import LATEST_RED, SAMPLED
     from target_s3_parquet_spark.registry import get_queries
 
-    expected = {
-        "agg_collect_list",
-        "agg_quantile_array",
-        "sessionize_events",
-        "stream_watermark_late",
-    }
-    assert set(LATEST_RED) == expected
-    assert set(list(get_queries())[: len(expected)]) == expected
+    assert LATEST_RED == frozenset()
+    head = list(get_queries())[:50]
+    assert all(max(SAMPLED.get(k, ()), default=0) <= 2 for k in head), (
+        "driver sample window must cover only r1/r2-stale keys"
+    )
 
 
 def test_stream_windowed_distinct_count_dedups_across_batches(spark, tmp_path):
