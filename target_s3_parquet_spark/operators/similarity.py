@@ -37,20 +37,34 @@ def _vec_d(col):
 
 
 def _dot(a, b, dim: int = _EMB_DIM):
-    """Unrolled left-associated dot product: a[0]*b[0] + a[1]*b[1] + …
+    """Sequential left-to-right dot product as a higher-order fold:
+    ``aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,t) -> acc+t)``.
 
-    Equivalent bit-for-bit to a sequential `aggregate` fold with 0.0
-    seed (0.0 + t0 == t0 in IEEE-754, and both associate strictly left
-    to right, matching the oracle's `list_sum(list_transform(...))`
-    fold) — but unlike `aggregate`/`zip_with`, plain getItem/multiply/
-    add chains stay inside whole-stage codegen, which is worth ~10× on
-    the LSH verify step where this runs once per candidate pair.
+    Bit-identical to the unrolled chain ``a[0]*b[0] + a[1]*b[1] + …``
+    (0.0 + t0 == t0 in IEEE-754 and both associate strictly left to
+    right), matching the oracle's `list_sum(list_transform(...))` fold.
 
-    Built as ONE parsed SQL expression (not 64 chained Column ops) so
-    plan construction is a single py4j round trip."""
+    Why a fold and not the unrolled chain: at dim=64 the unrolled
+    expression inflates the fused whole-stage-codegen method past
+    HotSpot's JIT bytecode ceiling (-XX:-DontCompileHugeMethods limit,
+    8000 bytecodes), so the ENTIRE fused stage — join probes included —
+    silently drops to the bytecode interpreter. Measured on the LSH
+    verify (1.01M candidate pairs, sf0.1, r10 probe): unrolled 3.59 s,
+    same plan with codegen disabled 0.55 s, this fold 0.43 s — the
+    "codegen-friendly" unrolling was an 8× JIT-compilation cliff, and
+    the round-over-round 2.7↔4.6 s drift was tiered-compilation
+    nondeterminism around that cliff. The fold keeps the generated
+    method small, so the stage compiles and the cliff is gone.
+
+    Built as ONE parsed SQL expression so plan construction is a
+    single py4j round trip."""
     an, bn = _expr_name(a), _expr_name(b)
-    terms = " + ".join(f"({an})[{i}] * ({bn})[{i}]" for i in range(dim))
-    return F.expr(terms)
+    if dim != _EMB_DIM:
+        an, bn = f"slice({an}, 1, {dim})", f"slice({bn}, 1, {dim})"
+    return F.expr(
+        f"aggregate(zip_with({an}, {bn}, (x, y) -> x * y), 0D,"
+        " (acc, t) -> acc + t)"
+    )
 
 
 def _expr_name(c) -> str:
