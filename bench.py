@@ -65,20 +65,23 @@ def main() -> None:
     r.join(n, r.r_regionkey == n.n_regionkey).groupBy("r_name").count().collect()
 
     timings: dict[str, float] = {}
+    floors: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        # min of 2 runs: the second run reuses compiled codegen and OS
-        # page cache, so min-of-2 reports steady-state query cost and
-        # strips one-off JIT noise from round-over-round comparisons.
-        best, n = None, 0
-        for _ in range(2):
+        # Headline stays min-of-2 (the protocol every prior round's
+        # artifact used, so round-over-round totals remain comparable);
+        # a third run extends each key to the min-of-3 FLOOR recorded
+        # in extras (VERDICT r9 item 3) — the ambience-free number that
+        # decides regression-vs-noise without consuming a judge cycle.
+        runs, n = [], 0
+        for _ in range(3):
             t0 = time.time()
             # count() forces the full plan; write-less action keeps the
             # number comparable across operators.
             n = fn(spark, sf_dir).count()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs[:2]), 3)
+        floors[name] = round(min(runs), 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         spark.catalog.clearCache()  # keys that cache must not leak across keys
         release_rank_caches()  # drop two_phase_rank handles post-materialize
@@ -107,6 +110,15 @@ def main() -> None:
     # throughput from the engine's own progress events. Failures here
     # must never sink the headline bench line.
     extras: dict = {}
+    # The bench floor protocol (VERDICT r9 item 3): per-key min-of-3
+    # next to the min-of-2 headline. `value` is the floor total —
+    # BASELINE.md's regression criterion compares floors, not single
+    # contended observations.
+    extras["headline_floor"] = {
+        "value": round(sum(floors.values()), 3),
+        "queries": floors,
+        "runs_per_key": 3,
+    }
     # Round-3 second-sweep operators, timed OUTSIDE the headline total
     # so the headline stays comparable across rounds (same 24-key set
     # since r2). min-of-2 steady state, same protocol.
