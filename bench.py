@@ -367,9 +367,17 @@ def main() -> None:
     r9_t: dict[str, float] = {}
     for name in SWEEP_R9_STREAM:
         try:
-            t0 = time.time()
-            queries[name](spark, sf_dir).count()
-            r9_t[name] = round(time.time() - t0, 3)
+            # min-of-2 (VERDICT r9 item 6): the r9 artifact's streaming
+            # numbers were single observations on a loaded container;
+            # each run replays the full micro-batch sequence, so the
+            # min is a genuine second independent measurement.
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                queries[name](spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            r9_t[name] = round(best, 3)
             print(f"# r9 sweep {name}: {r9_t[name]}s", file=sys.stderr)
             spark.catalog.clearCache()
             release_rank_caches()
