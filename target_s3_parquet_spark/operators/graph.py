@@ -539,3 +539,401 @@ def graph_shortest_path_bfs(spark, sf_dir):
     return dist.select(
         F.col("node").alias("nationkey"), F.col("hop").cast("long").alias("hop")
     )
+
+
+# Weighted-LPA oracle scaffolding: sparsified undirected WEIGHTED trade
+# graph (strongw keeps the weight `strong` drops) + one synchronous
+# label-propagation round per CTE pair (scores; deterministic argmax
+# with the (score DESC, label ASC) tie-break).
+_LPA_BASE = """
+    edges AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    pairs AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(w) AS s FROM pairs),
+    strongw AS MATERIALIZED (
+      SELECT a, b, pairs.w FROM pairs, tot
+      WHERE 2 * tot.n * pairs.w > 3 * tot.s
+    ),
+    und AS (SELECT a AS src, b AS dst, w FROM strongw
+            UNION ALL SELECT b, a, w FROM strongw),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    lab0 AS (SELECT node, node AS lab FROM nodes)"""
+
+_LPA_ITER = """,
+    sc{i} AS (SELECT e.src AS node, l.lab, CAST(SUM(e.w) AS BIGINT) AS s
+             FROM und e JOIN lab{p} l ON e.dst = l.node GROUP BY 1, 2),
+    b{i} AS (SELECT node, lab FROM (
+      SELECT node, lab,
+             ROW_NUMBER() OVER (PARTITION BY node ORDER BY s DESC, lab)
+               AS rn
+      FROM sc{i}) WHERE rn = 1),
+    lab{i} AS (SELECT n.node, COALESCE(b.lab, n.node) AS lab
+              FROM nodes n LEFT JOIN b{i} b ON b.node = n.node)"""
+
+_LPA_CTES = "WITH " + _LPA_BASE + "".join(
+    _LPA_ITER.format(i=i, p=i - 1) for i in (1, 2, 3)
+)
+
+
+def _strong_pairs_w(spark, sf_dir):
+    """`_strong_pairs` keeping the pair weight (weighted-LPA input)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    edges = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pairs = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .agg(F.sum("w").alias("w"))
+    )
+    tot = pairs.agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("s"))
+    return (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("n") * F.col("w") > 3 * F.col("s"))
+        .select("a", "b", "w")
+    )
+
+
+def _lpa_labels(spark, sf_dir, iters: int = 3):
+    """Synchronous weighted label propagation, `iters` rounds, as a
+    driver-side loop over pure DataFrame ops (the PageRank pattern):
+    each round scores every node's neighbor labels by total incident
+    weight and adopts the argmax with the deterministic
+    (score DESC, label ASC) tie-break; isolated nodes keep their own
+    label. Labels and edges stay distributed throughout."""
+    from pyspark.sql import Window as W
+
+    pw = _strong_pairs_w(spark, sf_dir)
+    # cache the BOUNDED sparsified edge list: every propagation round
+    # (and the modularity key's degree/intra passes) reuses it — without
+    # this the plan re-expands the fact-fact edge build once per reuse
+    und = pw.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(
+        pw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
+    ).cache()
+    nodes = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    lab = nodes.select("node", F.col("node").alias("lab"))
+    rk = W.partitionBy("node").orderBy(F.col("s").desc(), F.col("lab"))
+    for _ in range(iters):
+        sc = (
+            und.join(
+                lab.select(F.col("node").alias("dst"), "lab"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lab")
+            .agg(F.sum("w").cast("long").alias("s"))
+        )
+        best = (
+            sc.withColumn("rn", F.row_number().over(rk))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lab").alias("blab"))
+        )
+        lab = nodes.join(best, "node", "left").select(
+            "node", F.coalesce(F.col("blab"), F.col("node")).alias("lab")
+        )
+    return lab
+
+
+@query(
+    "graph_label_propagation",
+    _LPA_CTES
+    + """
+    SELECT node AS nationkey, lab AS community FROM lab3
+    """,
+)
+def graph_label_propagation(spark, sf_dir):
+    """Community detection by synchronous weighted LABEL PROPAGATION
+    (3 rounds) over the sparsified trade graph — the classic
+    near-linear community algorithm (Raghavan et al. 2007), VERDICT
+    r9 item 5c, extending the graph family beyond PageRank/CC/
+    triangles/BFS. Each node starts as its own community; each round
+    it adopts the neighbor label with the largest total incident
+    weight (ties broken to the SMALLEST label so both engines decide
+    identically — randomized LPA's tie coin is the only thing
+    replaced). Fixed round count keeps the result well-defined under
+    synchronous updates (LPA's known bipartite oscillation makes
+    "run to convergence" ill-posed; fixed-epoch synchronous LPA is
+    the standard deterministic variant).
+
+    Exactness: edge weights and scores are exact integers; the argmax
+    is a rank window with a total ordering — no floats anywhere.
+
+    Distributed shape: the edge build is the expensive part (two
+    fact-fact joins) and runs ONCE; each round is one equi-join of the
+    distributed label table onto the edge list + one combinable
+    groupBy + one per-node rank window (partitioned by node — never a
+    global sort). At a billion-node graph the loop is identical with
+    labels and edges hash-partitioned on node — co-partitioned joins,
+    driver orchestrates only. The DuckDB oracle unrolls the same 3
+    rounds as CTEs.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    return _lpa_labels(spark, sf_dir).select(
+        F.col("node").alias("nationkey"), F.col("lab").alias("community")
+    )
+
+
+@query(
+    "graph_lpa_modularity",
+    _LPA_CTES
+    + """,
+    m AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM strongw),
+    deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS deg
+            FROM und GROUP BY 1),
+    comm AS (SELECT l.lab, CAST(SUM(d.deg) AS BIGINT) AS deg_c,
+                    CAST(COUNT(*) AS BIGINT) AS sz
+             FROM lab3 l LEFT JOIN deg d ON d.node = l.node GROUP BY 1),
+    win AS (SELECT CAST(COALESCE(SUM(s.w), 0) AS BIGINT) AS w_in
+            FROM strongw s
+            JOIN lab3 la ON la.node = s.a
+            JOIN lab3 lb ON lb.node = s.b
+            WHERE la.lab = lb.lab),
+    numer AS (
+      SELECT CAST(SUM(4 * m.m * ci.w_in_c - ci.deg_c * ci.deg_c)
+                  AS DECIMAL(38,0)) AS num
+      FROM (SELECT c.lab, c.deg_c,
+                   CAST(COALESCE(SUM(s.w), 0) AS BIGINT) AS w_in_c
+            FROM comm c
+            LEFT JOIN (SELECT la.lab, s.w FROM strongw s
+                       JOIN lab3 la ON la.node = s.a
+                       JOIN lab3 lb ON lb.node = s.b
+                       WHERE la.lab = lb.lab) s ON s.lab = c.lab
+            GROUP BY c.lab, c.deg_c) ci
+      CROSS JOIN m
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM comm) AS n_communities,
+           (SELECT CAST(MAX(sz) AS BIGINT) FROM comm) AS largest_community,
+           m.m AS total_weight,
+           win.w_in AS intra_weight,
+           CAST(CAST(numer.num AS DOUBLE)
+                / CAST(4 * m.m * m.m AS DOUBLE) AS DOUBLE) AS modularity
+    FROM m CROSS JOIN win CROSS JOIN numer
+    """,
+)
+def graph_lpa_modularity(spark, sf_dir):
+    """Newman MODULARITY of the 3-round LPA partition — the quality
+    score community pipelines report next to the labels (Louvain IS
+    greedy modularity ascent; this key pins the objective on the LPA
+    partition): Q = SUM over communities c of
+    [w_in_c/m - (deg_c/(2m))^2] with edge weights m counted once per
+    undirected pair.
+
+    Exactness: computed as ONE exact-integer numerator
+    SUM(4*m*w_in_c - deg_c^2) over communities (DECIMAL(38,0) — past
+    int64 at warehouse scale) divided by the exact integer 4*m^2 in
+    ONE terminal IEEE division; community/degree/intra-weight sums
+    are all integers, so Q is a single exact rational on both engines.
+
+    Distributed shape: reuses the LPA loop's shapes; the modularity
+    arithmetic adds two broadcast-joined label lookups on the bounded
+    pair list, one bounded groupBy per community, and 1-row folds.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d38 = "decimal(38,0)"
+    lab = _lpa_labels(spark, sf_dir).cache()
+    # bounded sparsified pair list, reused by m / degrees / intra —
+    # cached so the fact-fact edge build runs once
+    pw = _strong_pairs_w(spark, sf_dir).cache()
+    und = pw.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+    ).unionAll(pw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
+    m = pw.agg(F.sum("w").cast("long").alias("m"))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.sum("w").cast("long").alias("deg")
+    )
+    comm = (
+        lab.join(deg, "node", "left")
+        .groupBy("lab")
+        .agg(
+            F.sum("deg").cast("long").alias("deg_c"),
+            F.count(F.lit(1)).cast("long").alias("sz"),
+        )
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("lab").alias("la"))
+    lb = lab.select(F.col("node").alias("b"), F.col("lab").alias("lb"))
+    intra = (
+        pw.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .filter(F.col("la") == F.col("lb"))
+    )
+    win = intra.agg(
+        F.coalesce(F.sum("w"), F.lit(0)).cast("long").alias("w_in")
+    )
+    wic = (
+        comm.join(
+            intra.groupBy(F.col("la").alias("lab")).agg(
+                F.sum("w").cast("long").alias("w_in_c")
+            ),
+            "lab",
+            "left",
+        )
+        .select(
+            "lab",
+            "deg_c",
+            F.coalesce(F.col("w_in_c"), F.lit(0)).cast("long").alias("w_in_c"),
+        )
+    )
+    numer = wic.crossJoin(F.broadcast(m)).agg(
+        F.sum(
+            (4 * F.col("m").cast(d38) * F.col("w_in_c")).cast(d38)
+            - (F.col("deg_c").cast(d38) * F.col("deg_c")).cast(d38)
+        )
+        .cast(d38)
+        .alias("num")
+    )
+    stats = comm.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("sz").cast("long").alias("largest_community"),
+    )
+    return (
+        stats.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(win))
+        .crossJoin(F.broadcast(numer))
+        .select(
+            "n_communities",
+            "largest_community",
+            F.col("m").alias("total_weight"),
+            F.col("w_in").alias("intra_weight"),
+            (
+                F.col("num").cast("double")
+                / (4 * F.col("m").cast(d38) * F.col("m")).cast("double")
+            ).alias("modularity"),
+        )
+    )
+
+
+_KCORE_ITER = """,
+    deg{i} AS (SELECT a.node, CAST(COUNT(e.dst) AS BIGINT) AS deg
+              FROM alive{p} a
+              LEFT JOIN und e ON e.src = a.node
+                AND e.dst IN (SELECT node FROM alive{p})
+              GROUP BY a.node),
+    alive{i} AS (SELECT node FROM deg{i} WHERE deg >= 2)"""
+
+
+@query(
+    "graph_kcore_decomposition",
+    """
+    WITH edges AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    pairs AS MATERIALIZED (
+      SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+      FROM edges WHERE src <> dst GROUP BY 1, 2
+    ),
+    tot AS (SELECT COUNT(*) AS n, SUM(w) AS s FROM pairs),
+    strong AS MATERIALIZED (
+      SELECT a, b FROM pairs, tot WHERE 2 * tot.n * pairs.w > 3 * tot.s
+    ),
+    und AS (SELECT a AS src, b AS dst FROM strong
+            UNION ALL SELECT b, a FROM strong),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    alive0 AS (SELECT node FROM nodes)"""
+    + "".join(_KCORE_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT n.node AS nationkey,
+           CAST(COALESCE(d0.deg, 0) AS BIGINT) AS degree_initial,
+           CAST(CASE WHEN a3.node IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS in_2core
+    FROM nodes n
+    LEFT JOIN (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+               FROM und GROUP BY 1) d0 ON d0.node = n.node
+    LEFT JOIN alive3 a3 ON a3.node = n.node
+    """,
+)
+def graph_kcore_decomposition(spark, sf_dir):
+    """2-CORE decomposition by iterative peeling (3 synchronous
+    rounds): repeatedly delete nodes whose degree within the surviving
+    subgraph is < 2 — the standard dense-substructure filter (cores
+    survive, pendant chains and isolated nodes peel away) that
+    complements LPA communities and triangle counts in the graph
+    family. A node can have high INITIAL degree yet peel (its
+    neighbors vanish first); the emitted (degree_initial, in_2core)
+    pair makes exactly that distinction auditable.
+
+    Exactness: pure integer degrees and set membership — no floats.
+
+    Distributed shape: the edge build runs ONCE; each peeling round is
+    one semi-join of the edge list against the surviving node set +
+    one combinable degree groupBy — at a billion-node graph the rounds
+    are co-partitioned hash joins on node, the driver only
+    orchestrates. The DuckDB oracle unrolls the same 3 rounds as CTEs.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    pairs = _strong_pairs(spark, sf_dir)
+    # cache the BOUNDED sparsified edge list: each peeling round's
+    # semi-join and degree pass reuses it — without this the plan
+    # re-expands the fact-fact edge build once per round
+    und = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).cache()
+    nodes = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    d0 = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    alive = nodes
+    for _ in range(3):
+        live_edges = und.join(
+            alive.select(F.col("node").alias("dst")), "dst", "semi"
+        )
+        deg = (
+            alive.join(
+                live_edges.groupBy(F.col("src").alias("node")).agg(
+                    F.count(F.lit(1)).alias("deg")
+                ),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg"))
+        )
+        alive = deg.filter(F.col("deg") >= 2).select("node")
+    return (
+        nodes.join(d0, "node", "left")
+        .join(alive.withColumn("_in", F.lit(1)), "node", "left")
+        .select(
+            F.col("node").alias("nationkey"),
+            F.coalesce(F.col("deg"), F.lit(0))
+            .cast("long")
+            .alias("degree_initial"),
+            F.coalesce(F.col("_in"), F.lit(0)).cast("long").alias("in_2core"),
+        )
+    )

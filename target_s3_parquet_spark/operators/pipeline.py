@@ -3090,3 +3090,423 @@ def feature_scaling_params(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+@query(
+    "dq_completeness_profile",
+    """
+    WITH a AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS nn1,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+             CAST(COUNT(o_custkey) AS BIGINT) AS nn2,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd2,
+             CAST(COUNT(o_orderstatus) AS BIGINT) AS nn3,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+             CAST(COUNT(o_totalprice) AS BIGINT) AS nn4,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd4,
+             CAST(COUNT(o_orderdate) AS BIGINT) AS nn5,
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd5,
+             CAST(COUNT(o_orderpriority) AS BIGINT) AS nn6,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd6
+      FROM orders
+    )
+    SELECT c.col_name, a.n AS n_rows, c.n_nonnull, c.n_distinct,
+           CAST(c.n_nonnull AS DOUBLE) / a.n AS completeness,
+           CAST(c.n_distinct AS DOUBLE) / c.n_nonnull AS uniqueness
+    FROM a, (
+      SELECT 'o_orderkey' AS col_name, nn1 AS n_nonnull, nd1 AS n_distinct
+        FROM a
+      UNION ALL SELECT 'o_custkey', nn2, nd2 FROM a
+      UNION ALL SELECT 'o_orderstatus', nn3, nd3 FROM a
+      UNION ALL SELECT 'o_totalprice', nn4, nd4 FROM a
+      UNION ALL SELECT 'o_orderdate', nn5, nd5 FROM a
+      UNION ALL SELECT 'o_orderpriority', nn6, nd6 FROM a
+    ) c
+    """,
+)
+def dq_completeness_profile(spark, sf_dir):
+    """Per-column COMPLETENESS / UNIQUENESS profile of the orders
+    table — the first screen of any data-quality audit (null ratio
+    per column, distinct ratio per column) as one 6-row report:
+    n_rows, non-null count, exact distinct count, completeness
+    (non-null share) and uniqueness (distinct per non-null).
+
+    Exactness: counts only; one IEEE division per ratio.
+
+    Distributed shape: ONE aggregate pass over the scan computes all
+    13 counts (Spark plans the multi-distinct via Expand — a 6x row
+    multiply before the partial aggregate; the honest exact-distinct
+    cost, and the reason production profilers swap in
+    approx_count_distinct per column when 2% error is acceptable —
+    `agg_approx_distinct` is that key); the 1-row result unpivots to
+    the 6-row report via a literal array, pure control-plane.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, c in enumerate(cols, 1):
+        aggs.append(F.count(c).cast("long").alias(f"nn{i}"))
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd{i}"))
+    a = t(spark, sf_dir, "orders").agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"nn{i}").alias("n_nonnull"),
+                F.col(f"nd{i}").alias("n_distinct"),
+            )
+            for i, c in enumerate(cols, 1)
+        ]
+    )
+    return (
+        a.select("n", F.explode(rows).alias("r"))
+        .select(
+            F.col("r.col_name").alias("col_name"),
+            F.col("n").alias("n_rows"),
+            F.col("r.n_nonnull").alias("n_nonnull"),
+            F.col("r.n_distinct").alias("n_distinct"),
+            (F.col("r.n_nonnull").cast("double") / F.col("n")).alias(
+                "completeness"
+            ),
+            (
+                F.col("r.n_distinct").cast("double") / F.col("r.n_nonnull")
+            ).alias("uniqueness"),
+        )
+    )
+
+
+@query(
+    "corpus_budget_apportionment",
+    """
+    WITH w AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(chars) AS BIGINT) AS total FROM w),
+    quota AS (
+      SELECT w.lang, w.chars,
+             (1000000 * w.chars) // tot.total AS base,
+             (1000000 * w.chars) % tot.total AS rem
+      FROM w CROSS JOIN tot
+    ),
+    lo AS (SELECT CAST(1000000 - SUM(base) AS BIGINT) AS leftover
+           FROM quota),
+    rk AS (
+      SELECT lang, chars, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rnk
+      FROM quota
+    )
+    SELECT lang, chars,
+           CAST(base AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocation
+    FROM rk CROSS JOIN lo
+    """,
+)
+def corpus_budget_apportionment(spark, sf_dir):
+    """Token-budget APPORTIONMENT across languages by the largest-
+    remainder (Hamilton) method — the training-data mixing step that
+    turns per-language corpus weights into an integer sampling budget:
+    allocate B = 1,000,000 budget units proportional to each
+    language's total characters, floor the quotas, and hand the
+    leftover units to the largest remainders (ties to the smaller
+    language code, so both engines decide identically). Guarantees
+    sum(allocation) == B exactly and every allocation within 1 of its
+    real-valued quota — the property proportional corpus mixing needs
+    and naive rounding violates.
+
+    Exactness: pure integer arithmetic — products B*chars stay in
+    int64 for corpora up to ~9.2e12 characters (the identity lifts to
+    DECIMAL(38,0) unchanged beyond that), floor-div/mod are exact, the
+    leftover count and rank comparison are integers. No doubles at
+    all.
+
+    Distributed shape: ONE combinable groupBy(lang) sees the data;
+    everything else is control-plane on the bounded language table
+    (1-row total broadcast, bounded rank window partitioned by
+    pmod(rem, 1) — one <=|langs|-row group, never a data sort).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    B = 1000000
+    w = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum("n_chars").cast("long").alias("chars"))
+    )
+    tot = w.agg(F.sum("chars").cast("long").alias("total"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "chars",
+        F.floor((B * F.col("chars")) / F.col("total"))
+        .cast("long")
+        .alias("base"),
+        ((B * F.col("chars")) % F.col("total")).cast("long").alias("rem"),
+    )
+    lo = quota.agg((B - F.sum("base")).cast("long").alias("leftover"))
+    wrk = W.partitionBy(F.pmod(F.col("rem"), F.lit(1))).orderBy(
+        F.col("rem").desc(), F.col("lang")
+    )
+    rk = quota.withColumn("rnk", F.row_number().over(wrk))
+    return rk.crossJoin(F.broadcast(lo)).select(
+        "lang",
+        "chars",
+        F.col("base").alias("base_alloc"),
+        F.when(F.col("rnk") <= F.col("leftover"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("extra"),
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocation"),
+    )
+
+
+@query(
+    "dq_referential_integrity_audit",
+    """
+    WITH fk1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(COUNT(*) FILTER (WHERE o.o_custkey IS NULL)
+                  AS BIGINT) AS n_null_fk,
+             CAST(COUNT(*) FILTER (WHERE o.o_custkey IS NOT NULL
+                    AND c.c_custkey IS NULL) AS BIGINT) AS n_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    fk2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(COUNT(*) FILTER (WHERE l.l_orderkey IS NULL)
+                  AS BIGINT) AS n_null_fk,
+             CAST(COUNT(*) FILTER (WHERE l.l_orderkey IS NOT NULL
+                    AND o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    fk3 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(COUNT(*) FILTER (WHERE l.l_suppkey IS NULL)
+                  AS BIGINT) AS n_null_fk,
+             CAST(COUNT(*) FILTER (WHERE l.l_suppkey IS NOT NULL
+                    AND s.s_suppkey IS NULL) AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    fk4 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_child,
+             CAST(COUNT(*) FILTER (WHERE l.l_partkey IS NULL)
+                  AS BIGINT) AS n_null_fk,
+             CAST(COUNT(*) FILTER (WHERE l.l_partkey IS NOT NULL
+                    AND p.p_partkey IS NULL) AS BIGINT) AS n_orphans
+      FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    )
+    SELECT fk, n_child, n_null_fk, n_orphans,
+           CAST(n_child - n_null_fk - n_orphans AS DOUBLE) / n_child
+             AS integrity_ratio
+    FROM (
+      SELECT 'orders.o_custkey->customer' AS fk, * FROM fk1
+      UNION ALL SELECT 'lineitem.l_orderkey->orders', * FROM fk2
+      UNION ALL SELECT 'lineitem.l_suppkey->supplier', * FROM fk3
+      UNION ALL SELECT 'lineitem.l_partkey->part', * FROM fk4
+    )
+    """,
+)
+def dq_referential_integrity_audit(spark, sf_dir):
+    """REFERENTIAL-INTEGRITY audit across the schema's four foreign
+    keys: for each child->parent edge, the child row count, NULL-FK
+    count, ORPHAN count (non-null FK with no parent row), and the
+    integrity ratio — the check every warehouse loader runs before
+    trusting downstream joins, as one 4-row report.
+
+    Exactness: counts only; one IEEE division per ratio.
+
+    Distributed shape: one LEFT equi-join + ONE map-combinable
+    aggregate per FK (each probes the parent key column only — column
+    pruning reaches the parent scans; at scale each join is
+    co-partitioned or AQE-broadcast on its own key). No orphan rows
+    are materialized — this is the COUNTING form; a quarantine
+    pipeline would swap the aggregate for the anti-join row sink.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    def fk_audit(child, fk_col, parent, pk_col, label):
+        ch = t(spark, sf_dir, child)
+        pa = t(spark, sf_dir, parent).select(pk_col)
+        j = ch.join(pa, F.col(fk_col) == F.col(pk_col), "left")
+        return j.agg(
+            F.lit(label).alias("fk"),
+            F.count(F.lit(1)).cast("long").alias("n_child"),
+            F.sum(F.when(F.col(fk_col).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null_fk"),
+            F.sum(
+                F.when(
+                    F.col(fk_col).isNotNull() & F.col(pk_col).isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_orphans"),
+        )
+    rows = (
+        fk_audit("orders", "o_custkey", "customer", "c_custkey",
+                 "orders.o_custkey->customer")
+        .unionAll(fk_audit("lineitem", "l_orderkey", "orders", "o_orderkey",
+                           "lineitem.l_orderkey->orders"))
+        .unionAll(fk_audit("lineitem", "l_suppkey", "supplier", "s_suppkey",
+                           "lineitem.l_suppkey->supplier"))
+        .unionAll(fk_audit("lineitem", "l_partkey", "part", "p_partkey",
+                           "lineitem.l_partkey->part"))
+    )
+    return rows.select(
+        "fk",
+        "n_child",
+        "n_null_fk",
+        "n_orphans",
+        (
+            (
+                F.col("n_child") - F.col("n_null_fk") - F.col("n_orphans")
+            ).cast("double")
+            / F.col("n_child")
+        ).alias("integrity_ratio"),
+    )
+
+
+@query(
+    "sample_neyman_allocation",
+    """
+    WITH s AS (
+      SELECT c_nationkey AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                                AS BIGINT) AS DECIMAL(19,0))
+                      * CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS DECIMAL(38,0)) AS sxx
+      FROM customer GROUP BY c_nationkey
+    ),
+    w AS (
+      SELECT nation, n_units,
+             CAST(FLOOR(SQRT(CAST(
+               CAST(n_units AS DECIMAL(38,0)) * sxx
+               - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)))
+               AS BIGINT) AS wq
+      FROM s
+    ),
+    tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS wt FROM w),
+    quota AS (
+      SELECT w.nation, w.n_units, w.wq,
+             (10000 * w.wq) // tot.wt AS base,
+             (10000 * w.wq) % tot.wt AS rem
+      FROM w CROSS JOIN tot
+    ),
+    lo AS (SELECT CAST(10000 - SUM(base) AS BIGINT) AS leftover
+           FROM quota),
+    rk AS (
+      SELECT nation, n_units, wq, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, nation) AS rnk
+      FROM quota
+    )
+    SELECT nation, n_units, wq AS sigma_weight,
+           CAST(base AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS allocation
+    FROM rk CROSS JOIN lo
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """NEYMAN-optimal stratified-sample ALLOCATION: split a 10,000-unit
+    sampling budget across nation strata proportional to N_h * sigma_h
+    (the allocation that minimizes the estimator variance for a fixed
+    budget — Neyman 1934), integerized by the largest-remainder method
+    so allocations sum exactly to the budget. The design step a
+    data-quality sampling pipeline runs before drawing the actual
+    stratified sample (`sample_stratified_exact`).
+
+    Exactness: the weight N_h*sigma_h collapses algebraically to
+    sqrt(N_h*SUM(x^2) - SUM(x)^2) — ONE correctly-rounded IEEE sqrt of
+    an EXACT DECIMAL(38,0) integer — and is floored to an integer
+    weight immediately, so the entire apportionment (floor-div, mod,
+    leftover, rank) is pure integer arithmetic; a constant stratum has
+    weight exactly 0. Products 10000*wq stay in int64 up to
+    sigma-weights of ~9.2e14 (the identity lifts to DECIMAL(38,0)
+    beyond).
+
+    Distributed shape: ONE combinable groupBy(nation) sees the data;
+    the apportionment is control-plane on the bounded 25-row stratum
+    table (1-row total/leftover broadcasts, bounded pmod rank window).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    B = 10000
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    s = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum(cents).cast("long").alias("sx"),
+            F.sum(cents.cast(d19) * cents).cast(d38).alias("sxx"),
+        )
+    )
+    w = s.select(
+        "nation",
+        "n_units",
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("n_units").cast(d38) * F.col("sxx")
+                    - F.col("sx").cast(d38) * F.col("sx")
+                ).cast("double")
+            )
+        )
+        .cast("long")
+        .alias("wq"),
+    )
+    tot = w.agg(F.sum("wq").cast("long").alias("wt"))
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "n_units",
+        "wq",
+        F.floor((B * F.col("wq")) / F.col("wt")).cast("long").alias("base"),
+        ((B * F.col("wq")) % F.col("wt")).cast("long").alias("rem"),
+    )
+    lo = quota.agg((B - F.sum("base")).cast("long").alias("leftover"))
+    wrk = W.partitionBy(F.pmod(F.col("rem"), F.lit(1))).orderBy(
+        F.col("rem").desc(), F.col("nation")
+    )
+    rk = quota.withColumn("rnk", F.row_number().over(wrk))
+    return rk.crossJoin(F.broadcast(lo)).select(
+        "nation",
+        "n_units",
+        F.col("wq").alias("sigma_weight"),
+        F.col("base").alias("base_alloc"),
+        F.when(F.col("rnk") <= F.col("leftover"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("extra"),
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocation"),
+    )

@@ -2039,3 +2039,240 @@ def ts_fano_burstiness(spark, sf_dir):
         ),
         ((sig - mean) / (sig + mean)).alias("burstiness_b"),
     )
+
+
+# Shared KM scaffolding: the curve CTE chain (both survival keys) —
+# see survival_kaplan_meier for the exactness/channel documentation.
+_KM_CTES = """
+    WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders),
+    f AS (SELECT o_custkey, MIN(d) AS fd FROM o GROUP BY 1),
+    s AS (SELECT o.o_custkey, MIN(o.d) AS sd FROM o JOIN f USING (o_custkey)
+          WHERE o.d > f.fd GROUP BY 1),
+    mx AS (SELECT MAX(d) AS md FROM o),
+    u AS (SELECT f.o_custkey,
+            CAST(FLOOR(datediff('day', f.fd, COALESCE(s.sd, mx.md)) / 7)
+                 AS BIGINT) AS w,
+            CASE WHEN s.sd IS NULL THEN 0 ELSE 1 END AS evt
+          FROM f LEFT JOIN s USING (o_custkey) CROSS JOIN mx),
+    wk AS (SELECT w, CAST(SUM(evt) AS BIGINT) AS d,
+                  CAST(COUNT(*) - SUM(evt) AS BIGINT) AS c
+           FROM u GROUP BY w),
+    risk AS (SELECT w, d, c,
+                    CAST(SUM(d + c) OVER (ORDER BY w DESC) AS BIGINT) AS n
+             FROM wk),
+    ew AS (SELECT w, n, d, c FROM risk WHERE d > 0),
+    l AS (SELECT list(struct_pack(w := w, n := n, d := d, c := c)
+                      ORDER BY w) AS fl FROM ew),
+    ex AS (SELECT UNNEST(list_transform(fl, (s, i) -> struct_pack(
+        t_week := s.w, n_risk := s.n, n_events := s.d, n_censored := s.c,
+        survival_km := list_reduce(
+          list_prepend(CAST(1.0 AS DOUBLE),
+            list_transform(fl[1:i],
+              x -> (CAST(x.n AS DOUBLE) - CAST(x.d AS DOUBLE))
+                   / CAST(x.n AS DOUBLE))),
+          (a, b) -> a * b),
+        cum_hazard_na := list_reduce(
+          list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(fl[1:i],
+              x -> CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE))),
+          (a, b) -> a + b)
+      ))) AS r FROM l),
+    curve AS (
+      SELECT r.t_week AS t_week, r.n_risk AS n_risk,
+             r.n_events AS n_events, r.n_censored AS n_censored,
+             r.survival_km AS survival_km,
+             r.cum_hazard_na AS cum_hazard_na
+      FROM ex)"""
+
+
+@query(
+    "survival_kaplan_meier",
+    _KM_CTES
+    + """
+    SELECT * FROM curve
+    """,
+)
+def survival_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier product-limit survival curve + Nelson-Aalen
+    cumulative hazard for customer REPEAT-PURCHASE behavior: per
+    customer, duration = weeks from first order to second order
+    (the "time-to-repeat" churn question a retention pipeline asks);
+    customers with no second order are right-CENSORED at the end of
+    the observation window (global max order date). Emits one row per
+    event week: at-risk count n, events d, censored c,
+    S(t) = PRODUCT over j<=t of (n_j - d_j)/n_j (KM), and
+    H(t) = SUM over j<=t of d_j/n_j (Nelson-Aalen) — the survival /
+    churn panel VERDICT r9 item 5a asked for.
+
+    Exactness (the log-free ordered-fold channel): n_j and d_j are
+    exact integers; each KM factor is ONE IEEE division of
+    integer-valued doubles; S(t) and H(t) are then SEQUENTIAL
+    LEFT-TO-RIGHT folds over the factor list sorted by week —
+    Spark `aggregate(slice(fl, 1, i+1), seed, ..)` vs DuckDB
+    `list_reduce(list_prepend(seed, list_transform(fl[1:i], ..)), ..)`
+    fold the identical factor sequence in the identical order with the
+    identical seed (1.0*x == x, 0.0+x == x in IEEE-754), so every
+    curve point is bit-identical across engines — no exp/ln anywhere.
+
+    Distributed shape: two combinable customer-keyed groupBys + one
+    equi-join on o_custkey (first/second order dates — co-partitioned
+    at scale, AQE decides broadcast here), ONE combinable groupBy onto
+    the CALENDAR-BOUNDED week table (<= ~350 rows at any corpus size),
+    then pure control-plane: the suffix-sum window partitions on
+    pmod(w, 1) (one bounded group — the two_phase_rank offsets
+    pattern, never a data-sized sort), and the O(K^2) fold runs inside
+    ONE row's array column. The 1-row max-date broadcast is the only
+    nested-loop side.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    return _km_curve(spark, sf_dir)
+
+
+def _km_curve(spark, sf_dir):
+    """The KM/Nelson-Aalen curve construction shared by
+    `survival_kaplan_meier` (which returns it) and
+    `survival_median_landmarks` (which derives the churn panel)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    f = o.groupBy("o_custkey").agg(F.min("d").alias("fd"))
+    s = (
+        o.join(f, "o_custkey")
+        .filter(F.col("d") > F.col("fd"))
+        .groupBy("o_custkey")
+        .agg(F.min("d").alias("sd"))
+    )
+    mx = o.agg(F.max("d").alias("md"))
+    u = (
+        f.join(s, "o_custkey", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.floor(
+                F.datediff(
+                    F.coalesce(F.col("sd"), F.col("md")), F.col("fd")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("w"),
+            F.when(F.col("sd").isNull(), 0).otherwise(1).alias("evt"),
+        )
+    )
+    wk = u.groupBy("w").agg(
+        F.sum("evt").cast("long").alias("d"),
+        (F.count(F.lit(1)) - F.sum("evt")).cast("long").alias("c"),
+    )
+    # suffix sum over the bounded week table: pmod(w, 1) = one bounded
+    # group (the two_phase_rank offsets-window pattern) — this orders
+    # <= ~350 calendar rows, never the data
+    wsuf = (
+        W.partitionBy(F.pmod(F.col("w"), F.lit(1)))
+        .orderBy(F.col("w").desc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    risk = wk.withColumn(
+        "n", F.sum(F.col("d") + F.col("c")).over(wsuf).cast("long")
+    )
+    ew = risk.filter(F.col("d") > 0).select("w", "n", "d", "c")
+    lst = ew.agg(
+        F.sort_array(F.collect_list(F.struct("w", "n", "d", "c"))).alias(
+            "fl"
+        )
+    )
+    return (
+        lst.select(
+            F.explode(
+                F.expr(
+                    """
+      transform(fl, (s, i) -> struct(
+        s.w AS t_week, s.n AS n_risk, s.d AS n_events, s.c AS n_censored,
+        aggregate(slice(fl, 1, i + 1), CAST(1.0 AS DOUBLE),
+          (acc, x) -> acc * ((CAST(x.n AS DOUBLE) - CAST(x.d AS DOUBLE))
+                             / CAST(x.n AS DOUBLE))) AS survival_km,
+        aggregate(slice(fl, 1, i + 1), CAST(0.0 AS DOUBLE),
+          (acc, x) -> acc + (CAST(x.d AS DOUBLE) / CAST(x.n AS DOUBLE)))
+          AS cum_hazard_na
+      ))
+    """
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+    )
+
+
+@query(
+    "survival_median_landmarks",
+    _KM_CTES
+    + """
+    SELECT
+      (SELECT CAST(MIN(t_week) AS BIGINT) FROM curve
+        WHERE survival_km <= 0.5) AS median_week,
+      (SELECT COALESCE(arg_max(survival_km, t_week), CAST(1.0 AS DOUBLE))
+        FROM curve WHERE t_week <= 4) AS s_4w,
+      (SELECT COALESCE(arg_max(survival_km, t_week), CAST(1.0 AS DOUBLE))
+        FROM curve WHERE t_week <= 12) AS s_12w,
+      (SELECT COALESCE(arg_max(survival_km, t_week), CAST(1.0 AS DOUBLE))
+        FROM curve WHERE t_week <= 26) AS s_26w,
+      (SELECT COALESCE(arg_max(survival_km, t_week), CAST(1.0 AS DOUBLE))
+        FROM curve WHERE t_week <= 52) AS s_52w,
+      (SELECT MIN(survival_km) FROM curve) AS final_survival,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM curve) AS n_curve_points,
+      (SELECT CAST(SUM(n_events) AS BIGINT) FROM curve) AS total_events
+    """,
+)
+def survival_median_landmarks(spark, sf_dir):
+    """The CHURN PANEL derived from the Kaplan-Meier curve: median
+    time-to-repeat (first event week where S(t) <= 0.5 — NULL when
+    survival never crosses a half), landmark survival at 4/12/26/52
+    weeks (the "how many customers have NOT reordered by one month /
+    quarter / half / year" numbers a retention dashboard reports;
+    1.0 when no event precedes the landmark), the end-of-curve
+    survival, and curve totals. Same bit-exact curve as
+    `survival_kaplan_meier` (the shared `_km_curve` fold); each
+    landmark is the curve value at the LATEST event week <= the
+    landmark (step-function semantics, arg_max with the unique week
+    as the argument — both engines pick identically).
+
+    Distributed shape: everything beyond the shared curve
+    construction is 1-row aggregates over the calendar-bounded curve
+    — pure control-plane.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    curve = _km_curve(spark, sf_dir).cache()
+    med = curve.filter(F.col("survival_km") <= 0.5).agg(
+        F.min("t_week").cast("long").alias("median_week")
+    )
+    lms = []
+    for wk in (4, 12, 26, 52):
+        lms.append(
+            curve.filter(F.col("t_week") <= wk).agg(
+                F.coalesce(
+                    F.max_by("survival_km", "t_week"),
+                    F.lit(1.0),
+                ).alias(f"s_{wk}w")
+            )
+        )
+    tot = curve.agg(
+        F.min("survival_km").alias("final_survival"),
+        F.count(F.lit(1)).cast("long").alias("n_curve_points"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+    out = med
+    for lm in lms:
+        out = out.crossJoin(F.broadcast(lm))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "median_week",
+        "s_4w",
+        "s_12w",
+        "s_26w",
+        "s_52w",
+        "final_survival",
+        "n_curve_points",
+        "total_events",
+    )

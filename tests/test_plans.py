@@ -278,6 +278,28 @@ _BNLJ_BOUNDED_OK = {
     # n / runs aggregates crossJoined (two_phase_rank offsets included)
     "ts_fano_burstiness",  # bounded (days x types) grid completion x
     # 1-row/deduped-day broadcast sides
+    # r10 breadth keys
+    "survival_kaplan_meier",  # 1-row max-date broadcast onto the
+    # customer duration table; the curve fold is inside one array row
+    "survival_median_landmarks",  # same curve + its 1-row landmark /
+    # median / totals aggregates crossJoined
+    "graph_kcore_decomposition",  # _strong_pairs' 1-row mean-weight bcast
+    "ab_test_cuped_adjustment",  # 1-row pooled-moments (theta) agg
+    # crossJoined onto the 2-row group table
+    "agg_mergeable_rank_sketch",  # 5-row quantile-target probe and
+    # 5-row estimate verify broadcasts (the approx_quantile_bound shape)
+    "graph_label_propagation",  # _strong_pairs' 1-row mean-weight bcast
+    "graph_lpa_modularity",  # same 1-row mean-weight bcast (x3: the
+    # LPA loop, degree table, and modularity arithmetic each rebuild it)
+    "eval_lift_gains_decile",  # two_phase_rank offsets + 1-row totals
+    "eval_precision_recall_at_k",  # 4-row cutoff broadcast (r <= k)
+    # + two_phase_rank offsets + 1-row totals agg
+    "corpus_budget_apportionment",  # 1-row corpus-total / leftover
+    # broadcasts onto the bounded language table
+    "sample_neyman_allocation",  # same 1-row total/leftover broadcasts
+    # onto the bounded 25-row stratum table
+    "agg_rank_sketch_merge_check",  # 5-row quantile probe / estimate
+    # verify broadcasts (the agg_mergeable_rank_sketch shape, merged)
 }
 
 
