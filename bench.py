@@ -446,6 +446,41 @@ def main() -> None:
             r9_t[name] = -1.0
             print(f"# r9 sweep {name} FAILED: {e}", file=sys.stderr)
     extras["r9_sweep_sec"] = r9_t
+    # r10 breadth batch: min-of-2 steady state, same protocol.
+    SWEEP_R10 = [
+        "survival_kaplan_meier",
+        "survival_median_landmarks",
+        "agg_mergeable_rank_sketch",
+        "agg_rank_sketch_merge_check",
+        "graph_label_propagation",
+        "graph_lpa_modularity",
+        "graph_kcore_decomposition",
+        "eval_lift_gains_decile",
+        "eval_precision_recall_at_k",
+        "dq_completeness_profile",
+        "dq_referential_integrity_audit",
+        "corpus_budget_apportionment",
+        "sample_neyman_allocation",
+        "ab_test_cuped_adjustment",
+    ]
+    r10_t: dict[str, float] = {}
+    for name in SWEEP_R10:
+        try:
+            fn = queries[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            r10_t[name] = round(best, 3)
+            print(f"# r10 sweep {name}: {r10_t[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+            release_rank_caches()
+        except Exception as e:  # noqa: BLE001
+            r10_t[name] = -1.0
+            print(f"# r10 sweep {name} FAILED: {e}", file=sys.stderr)
+    extras["r10_sweep_sec"] = r10_t
     try:
         from tools.bench_ntile import run_ntile_scale
 
