@@ -462,6 +462,8 @@ def main() -> None:
         "corpus_budget_apportionment",
         "sample_neyman_allocation",
         "ab_test_cuped_adjustment",
+        "cohort_ltv_curves",
+        "pareto_frontier_skyline",
     ]
     r10_t: dict[str, float] = {}
     for name in SWEEP_R10:

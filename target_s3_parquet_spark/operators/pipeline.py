@@ -3510,3 +3510,121 @@ def sample_neyman_allocation(spark, sf_dir):
         .cast("long")
         .alias("allocation"),
     )
+
+
+@query(
+    "pareto_frontier_skyline",
+    """
+    WITH cs AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    ),
+    g AS (
+      SELECT revenue_cents, CAST(MAX(n_orders) AS BIGINT) AS maxc
+      FROM cs GROUP BY revenue_cents
+    ),
+    p AS (
+      SELECT revenue_cents, maxc,
+             MAX(maxc) OVER (ORDER BY revenue_cents DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS strict_max
+      FROM g
+    )
+    SELECT cs.o_custkey AS custkey, cs.revenue_cents, cs.n_orders
+    FROM cs JOIN p USING (revenue_cents)
+    WHERE cs.n_orders = p.maxc
+      AND cs.n_orders > COALESCE(p.strict_max, -1)
+    """,
+)
+def pareto_frontier_skyline(spark, sf_dir):
+    """2-D SKYLINE (Pareto frontier): customers not dominated on
+    (total revenue, order count) — the classic dominance operator
+    (Borzsony/Kossmann/Stocker 2001) that relational engines ship as
+    SKYLINE OF; here it surfaces the "more revenue AND more orders"
+    frontier a customer-value analysis walks. A customer is dominated
+    when another is >= on both measures and > on at least one;
+    duplicate points co-survive (neither strictly dominates).
+
+    Algorithm: the frontier test factors through one running maximum —
+    i is on the frontier iff its order count (a) equals the max count
+    at its exact revenue and (b) strictly exceeds the max count over
+    all HIGHER revenues. The strict prefix-max over the distinct-
+    revenue table runs as the two-phase range-partitioned shape
+    (partition-local strict-prefix window over UNIQUE keys + a
+    bounded per-partition-max offsets table broadcast back — the
+    `two_phase_rank` pattern with MAX), so there is NO data-sized
+    single-task sort and no O(n^2) dominance join at any scale.
+
+    Exactness: integers only.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    cs = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    g = cs.groupBy("revenue_cents").agg(
+        F.max("n_orders").cast("long").alias("maxc")
+    )
+    # two-phase strict prefix max in revenue-DESC order: range
+    # partitioning keeps partition p strictly above p+1; keys are
+    # UNIQUE (distinct revenues), so the strict window has no tie
+    # ambiguity; the offsets table is one bounded pmod-partitioned
+    # window over <= nparts rows
+    local = g.repartitionByRange(8, F.col("revenue_cents").desc())
+    local = local.withColumn("_pid", F.spark_partition_id())
+    w_loc = (
+        W.partitionBy("_pid")
+        .orderBy(F.col("revenue_cents").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local = local.withColumn("_loc_strict", F.max("maxc").over(w_loc))
+    local = local.cache()
+    from target_s3_parquet_spark.operators._util import _RANK_CACHES
+
+    _RANK_CACHES.append(local)
+    w_off = (
+        W.partitionBy(F.pmod(F.col("_pid"), F.lit(1)))
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.max("maxc").alias("_pmax"))
+        .withColumn("_prev_max", F.max("_pmax").over(w_off))
+        .drop("_pmax")
+    )
+    p = local.join(F.broadcast(offsets), "_pid").select(
+        "revenue_cents",
+        "maxc",
+        F.greatest(
+            F.coalesce(F.col("_loc_strict"), F.lit(-1)),
+            F.coalesce(F.col("_prev_max"), F.lit(-1)),
+        ).alias("strict_max"),
+    )
+    return (
+        cs.join(p, "revenue_cents")
+        .filter(
+            (F.col("n_orders") == F.col("maxc"))
+            & (F.col("n_orders") > F.col("strict_max"))
+        )
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "revenue_cents",
+            "n_orders",
+        )
+    )

@@ -2276,3 +2276,110 @@ def survival_median_landmarks(spark, sf_dir):
         "n_curve_points",
         "total_events",
     )
+
+
+@query(
+    "cohort_ltv_curves",
+    """
+    WITH o AS (
+      SELECT o_custkey,
+             (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    f AS (SELECT o_custkey, CAST(MIN(m) AS BIGINT) AS cohort_m
+          FROM o GROUP BY 1),
+    sz AS (SELECT cohort_m, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM f GROUP BY 1),
+    aged AS (
+      SELECT f.cohort_m, o.m - f.cohort_m AS age, o.o_custkey, o.cents
+      FROM o JOIN f USING (o_custkey)
+    ),
+    per AS (
+      SELECT cohort_m, CAST(age AS BIGINT) AS age,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_active,
+             CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      FROM aged GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_m, age, n_active, revenue_cents,
+             CAST(SUM(revenue_cents) OVER (
+               PARTITION BY cohort_m ORDER BY age) AS BIGINT)
+               AS cum_revenue_cents
+      FROM per
+    )
+    SELECT c.cohort_m, c.age, c.n_active, c.revenue_cents,
+           c.cum_revenue_cents, s.cohort_size,
+           CAST(c.cum_revenue_cents AS DOUBLE) / s.cohort_size
+             AS ltv_cents_per_customer
+    FROM cum c JOIN sz s USING (cohort_m)
+    """,
+)
+def cohort_ltv_curves(spark, sf_dir):
+    """Cohort LIFETIME-VALUE curves: customers grouped by first-order
+    month, revenue accumulated per months-since-first-order — the LTV
+    triangle a growth/retention pipeline reports next to the activity
+    retention triangle (`cohort_retention`, which counts users on
+    events; this one accumulates REVENUE on orders). Each row is
+    (cohort, age): active customers, period revenue, cumulative
+    revenue, and LTV per original cohort member.
+
+    Exactness: month indexes and cents are integers; the cumulative
+    is an integer window sum over the CALENDAR-BOUNDED (cohort, age)
+    grid (<= ~80x80 rows at any corpus size — partitioned by cohort,
+    never a data-sized sort); LTV is one IEEE division.
+
+    Distributed shape: one combinable first-order groupBy, one
+    customer-keyed equi-join (AQE decides broadcast), ONE
+    count-distinct groupBy onto the bounded grid, control-plane after.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("m"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    f = o.groupBy("o_custkey").agg(
+        F.min("m").cast("long").alias("cohort_m")
+    )
+    sz = f.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    aged = o.join(f, "o_custkey").select(
+        "cohort_m",
+        (F.col("m") - F.col("cohort_m")).cast("long").alias("age"),
+        "o_custkey",
+        "cents",
+    )
+    per = aged.groupBy("cohort_m", "age").agg(
+        F.count_distinct("o_custkey").cast("long").alias("n_active"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    wc = (
+        W.partitionBy("cohort_m")
+        .orderBy("age")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = per.withColumn(
+        "cum_revenue_cents",
+        F.sum("revenue_cents").over(wc).cast("long"),
+    )
+    return cum.join(F.broadcast(sz), "cohort_m").select(
+        "cohort_m",
+        "age",
+        "n_active",
+        "revenue_cents",
+        "cum_revenue_cents",
+        "cohort_size",
+        (
+            F.col("cum_revenue_cents").cast("double")
+            / F.col("cohort_size")
+        ).alias("ltv_cents_per_customer"),
+    )

@@ -694,3 +694,106 @@ def test_rank_sketch_merge_stays_in_doubled_bound(spark, tmp_path):
         lo = sum(1 for v in allv if v < est) + 1
         hi = sum(1 for v in allv if v <= est)
         assert r.rank_err == max(0, lo - target, target - hi)
+
+
+def test_cohort_ltv_matches_bruteforce(spark, tmp_path):
+    import decimal
+
+    from target_s3_parquet_spark.operators.timeseries import (
+        cohort_ltv_curves,
+    )
+
+    rng = random.Random(18)
+    orders = []
+    ok = 0
+    for c in range(50):
+        first = rng.randrange(0, 12)
+        for _ in range(rng.randrange(1, 6)):
+            m = first + rng.randrange(0, 24)
+            p = round(rng.uniform(10, 5000), 2)
+            orders.append((ok, c, p, datetime.datetime(1995 + m // 12,
+                                                       m % 12 + 1, 15)))
+            ok += 1
+        # guarantee the first-month order exists
+        orders.append((ok, c, 100.0,
+                       datetime.datetime(1995 + first // 12,
+                                         first % 12 + 1, 1)))
+        ok += 1
+    sf = str(tmp_path / "sf_ltv")
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderdate timestamp",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    cents = lambda p: int(
+        (decimal.Decimal(str(p)) * 100).quantize(decimal.Decimal("1"))
+    )
+    midx = lambda d: (d.year - 1995) * 12 + d.month - 1
+    first_m: dict = {}
+    for _, c, _, d in orders:
+        first_m[c] = min(first_m.get(c, 10**9), midx(d))
+    per: dict = {}
+    for _, c, p, d in orders:
+        key = (first_m[c], midx(d) - first_m[c])
+        rev, users = per.get(key, (0, set()))
+        users = users | {c}
+        per[key] = (rev + cents(p), users)
+    sizes: dict = {}
+    for c, m in first_m.items():
+        sizes[m] = sizes.get(m, 0) + 1
+    got = {(r.cohort_m, r.age): r for r in cohort_ltv_curves(spark, sf).collect()}
+    assert set(got) == set(per)
+    for (cm, age), (rev, users) in per.items():
+        r = got[(cm, age)]
+        assert (r.n_active, r.revenue_cents) == (len(users), rev)
+        cum = sum(v for (c2, a2), (v, _) in per.items()
+                  if c2 == cm and a2 <= age)
+        assert r.cum_revenue_cents == cum
+        assert r.cohort_size == sizes[cm]
+        assert abs(r.ltv_cents_per_customer - cum / sizes[cm]) < 1e-9
+
+
+def test_pareto_skyline_matches_bruteforce(spark, tmp_path):
+    import decimal
+
+    from target_s3_parquet_spark.operators.pipeline import (
+        pareto_frontier_skyline,
+    )
+
+    rng = random.Random(19)
+    orders, ok = [], 0
+    counts: dict = {}
+    for c in range(120):
+        n = rng.randrange(1, 9)
+        counts[c] = n
+        for _ in range(n):
+            # price inversely related to order count, so count and
+            # revenue genuinely trade off and the frontier is multi-point
+            orders.append((ok, c, round(rng.uniform(10, 20000 / n), 2)))
+            ok += 1
+    sf = str(tmp_path / "sf_sky")
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_custkey long, o_totalprice double"
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    rev: dict = {}
+    for _, c, p in orders:
+        rev[c] = rev.get(c, 0) + int(
+            (decimal.Decimal(str(p)) * 100).quantize(decimal.Decimal("1"))
+        )
+    pts = {c: (rev[c], counts[c]) for c in rev}
+    frontier = {
+        c
+        for c, (r_, n_) in pts.items()
+        if not any(
+            (r2 >= r_ and n2 >= n_ and (r2 > r_ or n2 > n_))
+            for c2, (r2, n2) in pts.items()
+            if c2 != c
+        )
+    }
+    got = {r.custkey: r for r in pareto_frontier_skyline(spark, sf).collect()}
+    assert set(got) == frontier
+    assert len(frontier) >= 2  # fixture produces a real multi-point front
+    for c in frontier:
+        assert (got[c].revenue_cents, got[c].n_orders) == pts[c]
