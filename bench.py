@@ -464,6 +464,7 @@ def main() -> None:
         "ab_test_cuped_adjustment",
         "cohort_ltv_curves",
         "pareto_frontier_skyline",
+        "events_path_trigrams",
     ]
     r10_t: dict[str, float] = {}
     for name in SWEEP_R10:

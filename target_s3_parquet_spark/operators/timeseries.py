@@ -2383,3 +2383,79 @@ def cohort_ltv_curves(spark, sf_dir):
             / F.col("cohort_size")
         ).alias("ltv_cents_per_customer"),
     )
+
+
+@query(
+    "events_path_trigrams",
+    """
+    WITH e AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    tri AS (
+      SELECT a.user_id,
+             a.event_type || '>' || b.event_type || '>' || c.event_type
+               AS path
+      FROM e a
+      JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+      JOIN e c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tri
+    GROUP BY path
+    ORDER BY n_occurrences DESC, path
+    LIMIT 20
+    """,
+)
+def events_path_trigrams(spark, sf_dir):
+    """USER-JOURNEY PATH MINING: the top-20 length-3 event-type paths
+    (trigrams of each user's time-ordered event sequence) with
+    occurrence and distinct-user counts — the "what do users actually
+    do in sequence" report funnels are built from, and the sequence
+    analog of `events_transition_matrix`'s single-step counts.
+
+    Determinism: each user's sequence is totally ordered by
+    (ts, event_id) — duplicate timestamps tie-break on the unique id,
+    so row numbers and therefore trigrams are identical under any
+    partitioning; the top-20 orders by (count DESC, path ASC).
+
+    Distributed shape: ONE per-user rank window (partitioned by
+    user_id — parallel across users at any scale), two SELF-equi-joins
+    on (user_id, rn±k) that co-partition with the window's shuffle,
+    one combinable groupBy(path), and a TakeOrderedAndProject top-20
+    (never a global sort). At 100 TB the three aligned sequences never
+    leave their user partitions.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.row_number()
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    a = e.select("user_id", F.col("event_type").alias("t0"), "rn")
+    b = e.select(
+        "user_id", F.col("event_type").alias("t1"), (F.col("rn") - 1).alias("rn")
+    )
+    c = e.select(
+        "user_id", F.col("event_type").alias("t2"), (F.col("rn") - 2).alias("rn")
+    )
+    tri = a.join(b, ["user_id", "rn"]).join(c, ["user_id", "rn"]).select(
+        "user_id",
+        F.concat_ws(">", "t0", "t1", "t2").alias("path"),
+    )
+    return (
+        tri.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "path")
+        .limit(20)
+    )

@@ -797,3 +797,42 @@ def test_pareto_skyline_matches_bruteforce(spark, tmp_path):
     assert len(frontier) >= 2  # fixture produces a real multi-point front
     for c in frontier:
         assert (got[c].revenue_cents, got[c].n_orders) == pts[c]
+
+
+def test_path_trigrams_match_bruteforce(spark, tmp_path):
+    from target_s3_parquet_spark.operators.timeseries import (
+        events_path_trigrams,
+    )
+
+    rng = random.Random(20)
+    types = ["view", "click", "purchase"]
+    rows, eid = [], 0
+    seqs: dict = {}
+    t0 = datetime.datetime(2024, 1, 1)
+    for u in range(25):
+        seq = [rng.choice(types) for _ in range(rng.randrange(1, 12))]
+        seqs[u] = seq
+        for i, ty in enumerate(seq):
+            # duplicate timestamps inside a user: event_id breaks the tie
+            ts = t0 + datetime.timedelta(minutes=i // 2)
+            rows.append((eid, ts, u, ty))
+            eid += 1
+    sf = str(tmp_path / "sf_path")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "events.parquet"))
+
+    # brute force: per-user order is (ts, event_id) == insertion order
+    occ: dict = {}
+    users: dict = {}
+    for u, seq in seqs.items():
+        for i in range(len(seq) - 2):
+            p = ">".join(seq[i : i + 3])
+            occ[p] = occ.get(p, 0) + 1
+            users.setdefault(p, set()).add(u)
+    top = sorted(occ, key=lambda p: (-occ[p], p))[:20]
+    got = events_path_trigrams(spark, sf).collect()
+    assert [r.path for r in got] == top or {r.path for r in got} == set(top)
+    for r in got:
+        assert r.n_occurrences == occ[r.path]
+        assert r.n_users == len(users[r.path])
