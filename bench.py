@@ -465,6 +465,9 @@ def main() -> None:
         "cohort_ltv_curves",
         "pareto_frontier_skyline",
         "events_path_trigrams",
+        "dq_candidate_key_audit",
+        "docs_dup_cluster_histogram",
+        "ts_ljung_box_q",
     ]
     r10_t: dict[str, float] = {}
     for name in SWEEP_R10:

@@ -1759,3 +1759,78 @@ def docs_boilerplate_line_ratio(spark, sf_dir):
             F.expr("n_boiler * 1000000 div n_blocks"),
         )
     )
+
+
+@query(
+    "docs_dup_cluster_histogram",
+    """
+    WITH h AS (
+      SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM documents GROUP BY md5(text)
+    ),
+    g AS (
+      SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+      FROM h GROUP BY sz
+    ),
+    tot AS (SELECT CAST(SUM(cluster_size * n_clusters) AS BIGINT)
+               AS n_docs FROM g)
+    SELECT g.cluster_size, g.n_clusters,
+           CAST(g.cluster_size * g.n_clusters AS BIGINT) AS n_docs_in_bin,
+           CAST(CASE WHEN g.cluster_size > 1
+                THEN (g.cluster_size - 1) * g.n_clusters
+                ELSE 0 END AS BIGINT) AS n_removable,
+           CAST(g.cluster_size * g.n_clusters AS DOUBLE) / tot.n_docs
+             AS doc_share
+    FROM g CROSS JOIN tot
+    """,
+)
+def docs_dup_cluster_histogram(spark, sf_dir):
+    """DUPLICATE-CLUSTER SIZE DISTRIBUTION for exact text dedup: how
+    many fingerprint clusters exist at each size, how many documents
+    they hold, and how many a keep-one policy would remove — the
+    diagnostic a dedup pipeline reports BEFORE deleting anything
+    (cluster-size tails decide whether dedup is worth a pass and
+    whether near-dup thresholds need tightening;
+    `text_exact_dedup` is the removal, this is its audit).
+
+    Exactness: md5 fingerprints agree across engines on identical
+    strings; everything else is integer counts + one share division.
+
+    Distributed shape: two combinable groupBys (fingerprint, then
+    size — the second input is one row per CLUSTER, already
+    dedup-compressed) and a 1-row total broadcast. The histogram is
+    bounded by the max cluster size, not the corpus.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents").select(
+        F.md5(F.col("text")).alias("fp")
+    )
+    h = d.groupBy("fp").agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    g = h.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    tot = g.agg(
+        F.sum(F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs")
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs_in_bin"),
+        F.when(
+            F.col("cluster_size") > 1,
+            (F.col("cluster_size") - 1) * F.col("n_clusters"),
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("n_removable"),
+        (
+            (F.col("cluster_size") * F.col("n_clusters")).cast("double")
+            / F.col("n_docs")
+        ).alias("doc_share"),
+    )

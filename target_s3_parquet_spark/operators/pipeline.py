@@ -3628,3 +3628,87 @@ def pareto_frontier_skyline(spark, sf_dir):
             "n_orders",
         )
     )
+
+
+@query(
+    "dq_candidate_key_audit",
+    """
+    WITH a AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS k1,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS k2,
+             CAST(COUNT(DISTINCT (o_custkey, o_orderdate)) AS BIGINT)
+               AS k3,
+             CAST(COUNT(DISTINCT (o_custkey, o_orderdate, o_totalprice))
+                  AS BIGINT) AS k4
+      FROM orders
+    )
+    SELECT c.candidate, a.n AS n_rows, c.n_distinct,
+           CAST(a.n - c.n_distinct AS BIGINT) AS n_violations,
+           CAST(CASE WHEN c.n_distinct = a.n THEN 1 ELSE 0 END AS BIGINT)
+             AS is_key
+    FROM a, (
+      SELECT 'o_orderkey' AS candidate, k1 AS n_distinct FROM a
+      UNION ALL SELECT 'o_custkey', k2 FROM a
+      UNION ALL SELECT 'o_custkey,o_orderdate', k3 FROM a
+      UNION ALL SELECT 'o_custkey,o_orderdate,o_totalprice', k4 FROM a
+    ) c
+    """,
+)
+def dq_candidate_key_audit(spark, sf_dir):
+    """CANDIDATE-KEY audit: for each declared key candidate (the
+    primary key, and ascending column combinations a modeler would
+    try), the exact distinct count, the violation count (duplicate
+    rows under that key), and whether it is a real key — the
+    uniqueness-constraint check a warehouse loader runs before
+    declaring merge keys (`merge_upsert_cdc` assumes one; this key
+    VERIFIES it).
+
+    Exactness: counts only.
+
+    Distributed shape: ONE aggregate pass computes all four exact
+    distinct counts (multi-distinct Expand — the same honest cost as
+    `dq_completeness_profile`, with the same approx_count_distinct
+    swap at tolerance); the 4-row report unpivots control-plane.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count_distinct("o_orderkey").cast("long").alias("k1"),
+        F.count_distinct("o_custkey").cast("long").alias("k2"),
+        F.count_distinct("o_custkey", "o_orderdate")
+        .cast("long")
+        .alias("k3"),
+        F.count_distinct("o_custkey", "o_orderdate", "o_totalprice")
+        .cast("long")
+        .alias("k4"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("candidate"),
+                F.col(k).alias("n_distinct"),
+            )
+            for name, k in [
+                ("o_orderkey", "k1"),
+                ("o_custkey", "k2"),
+                ("o_custkey,o_orderdate", "k3"),
+                ("o_custkey,o_orderdate,o_totalprice", "k4"),
+            ]
+        ]
+    )
+    return a.select("n", F.explode(rows).alias("r")).select(
+        F.col("r.candidate").alias("candidate"),
+        F.col("n").alias("n_rows"),
+        F.col("r.n_distinct").alias("n_distinct"),
+        (F.col("n") - F.col("r.n_distinct")).cast("long").alias(
+            "n_violations"
+        ),
+        F.when(F.col("r.n_distinct") == F.col("n"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_key"),
+    )

@@ -2459,3 +2459,177 @@ def events_path_trigrams(spark, sf_dir):
         .orderBy(F.col("n_occurrences").desc(), "path")
         .limit(20)
     )
+
+
+@query(
+    "ts_ljung_box_q",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(s AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(s AS DECIMAL(19,0)) * s) AS DECIMAL(38,0))
+               AS sxx
+      FROM daily
+    ),
+    lags AS (SELECT UNNEST([1, 2, 3, 7]) AS lag),
+    pairs AS (
+      SELECT l.lag, a.s AS sa, b.s AS sb
+      FROM lags l JOIN daily a ON TRUE JOIN daily b ON b.d = a.d - l.lag
+    ),
+    mk AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CAST(sa AS DECIMAL(19,0)) * sb) AS DECIMAL(38,0))
+               AS sxy,
+             CAST(SUM(CAST(sa AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sha,
+             CAST(SUM(CAST(sb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS shb
+      FROM pairs GROUP BY lag
+    ),
+    rk AS (
+      SELECT mk.lag, mk.m,
+             CAST(CAST(
+               CAST(CAST(CAST(g.n AS DECIMAL(38,0)) * g.n * mk.sxy
+                         - g.n * g.sx * (mk.sha + mk.shb)
+                         + mk.m * g.sx * g.sx AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(CAST(g.n * (g.n * g.sxx - g.sx * g.sx)
+                           AS DECIMAL(38,0)) AS DOUBLE)
+               AS DECIMAL(20,12)) AS DOUBLE) AS r
+      FROM mk CROSS JOIN g
+    )
+    SELECT g.n AS n_days,
+           (SELECT m FROM rk WHERE lag = 1) AS m1,
+           (SELECT r FROM rk WHERE lag = 1) AS acf1,
+           (SELECT r FROM rk WHERE lag = 2) AS acf2,
+           (SELECT r FROM rk WHERE lag = 3) AS acf3,
+           (SELECT r FROM rk WHERE lag = 7) AS acf7,
+           CAST(CAST(
+             g.n * (g.n + 2.0) * (
+               (SELECT r * r / m FROM rk WHERE lag = 1)
+               + (SELECT r * r / m FROM rk WHERE lag = 2)
+               + (SELECT r * r / m FROM rk WHERE lag = 3)
+               + (SELECT r * r / m FROM rk WHERE lag = 7))
+             AS DECIMAL(20,12)) AS DOUBLE) AS q_stat
+    FROM g
+    """,
+)
+def ts_ljung_box_q(spark, sf_dir):
+    """LJUNG-BOX portmanteau statistic Q over lags {1,2,3,7} of the
+    daily-revenue series — the "is there ANY autocorrelation left"
+    test run on forecast residuals and randomness checks
+    (Q ~ chi2(4) under the null), completing the ACF story
+    (`ts_acf_lags` reports per-lag correlation; this is the joint
+    test). ACF here is the standard GLOBAL-mean estimator
+    r_k = sum((x_t - xbar)(x_{t+k} - xbar)) / sum((x_t - xbar)^2),
+    gap-aware: lagged pairs align on the integer day calendar, a
+    missing day yields no pair, and each lag's term divides by its
+    ACTUAL pair count m_k (= n-k on a gapless calendar).
+
+    Exactness: clearing xbar = S/n denominators gives the exact
+    integer numerator n^2*sum(x_t x_{t+k}) - n*S*(head+tail sums)
+    + m_k*S^2 and denominator n*(n*sum(x^2) - S^2), both
+    DECIMAL(38,0); each r_k is ONE division of their double casts
+    with the DECIMAL(20,12) guard; Q compounds the four guarded r_k
+    through an IDENTICAL expression tree in both engines (fixed
+    left-associated term order over the literal lag list) with a
+    terminal guard.
+
+    Distributed shape: one combinable groupBy to the calendar-bounded
+    series, the 4-lag band self-join on the bounded series, 1-row
+    arithmetic after — the ts_acf_lags shape plus one fold.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).alias("d")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("s")
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("s").cast(d19)).cast(d38).alias("sx"),
+        F.sum(F.col("s").cast(d19) * F.col("s")).cast(d38).alias("sxx"),
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (1, 2, 3, 7)])).alias("lag")
+    )
+    a = daily.select("d", F.col("s").alias("sa"))
+    b = daily.select(F.col("d").alias("bd"), F.col("s").alias("sb"))
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(
+            F.broadcast(b), F.col("bd") == F.col("d") - F.col("lag")
+        )
+    )
+    mk = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("sa").cast(d19) * F.col("sb")).cast(d38).alias("sxy"),
+        F.sum(F.col("sa").cast(d19)).cast(d38).alias("sha"),
+        F.sum(F.col("sb").cast(d19)).cast(d38).alias("shb"),
+    )
+    rk = mk.crossJoin(F.broadcast(g)).select(
+        "lag",
+        "m",
+        (
+            (
+                F.col("n").cast(d38) * F.col("n") * F.col("sxy")
+                - F.col("n") * F.col("sx") * (F.col("sha") + F.col("shb"))
+                + F.col("m") * F.col("sx") * F.col("sx")
+            )
+            .cast(d38)
+            .cast("double")
+            / (
+                F.col("n")
+                * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            )
+            .cast(d38)
+            .cast("double")
+        )
+        .cast("decimal(20,12)")
+        .cast("double")
+        .alias("r"),
+    )
+    one = rk.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in (1, 2, 3, 7)
+        ],
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("m"))).alias(f"m{k}")
+            for k in (1, 2, 3, 7)
+        ],
+    )
+    q = (
+        F.col("n")
+        * (F.col("n") + F.lit(2.0))
+        * (
+            F.col("r1") * F.col("r1") / F.col("m1")
+            + F.col("r2") * F.col("r2") / F.col("m2")
+            + F.col("r3") * F.col("r3") / F.col("m3")
+            + F.col("r7") * F.col("r7") / F.col("m7")
+        )
+    )
+    return one.crossJoin(F.broadcast(g)).select(
+        F.col("n").alias("n_days"),
+        F.col("m1"),
+        F.col("r1").alias("acf1"),
+        F.col("r2").alias("acf2"),
+        F.col("r3").alias("acf3"),
+        F.col("r7").alias("acf7"),
+        q.cast("decimal(20,12)").cast("double").alias("q_stat"),
+    )

@@ -300,6 +300,10 @@ _BNLJ_BOUNDED_OK = {
     # onto the bounded 25-row stratum table
     "agg_rank_sketch_merge_check",  # 5-row quantile probe / estimate
     # verify broadcasts (the agg_mergeable_rank_sketch shape, merged)
+    "docs_dup_cluster_histogram",  # bounded histogram x 1-row total agg
+    "ts_ljung_box_q",  # 4-row lag-literal crossJoin onto the
+    # calendar-bounded daily series + 1-row moments aggs (ts_acf_lags'
+    # bounded shape plus the Q fold)
 }
 
 

@@ -836,3 +836,103 @@ def test_path_trigrams_match_bruteforce(spark, tmp_path):
     for r in got:
         assert r.n_occurrences == occ[r.path]
         assert r.n_users == len(users[r.path])
+
+
+def test_candidate_key_audit_counts(spark, tmp_path):
+    from target_s3_parquet_spark.operators.pipeline import (
+        dq_candidate_key_audit,
+    )
+
+    rows = [
+        (1, 10, datetime.datetime(1995, 1, 1), 5.0),
+        (2, 10, datetime.datetime(1995, 1, 1), 5.0),  # same (cust, date, price)
+        (3, 10, datetime.datetime(1995, 1, 2), 7.0),
+        (4, 11, datetime.datetime(1995, 1, 1), 5.0),
+    ]
+    sf = str(tmp_path / "sf_ck")
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double",
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+    got = {r.candidate: r for r in dq_candidate_key_audit(spark, sf).collect()}
+    expect = {
+        "o_orderkey": (4, 0, 1),
+        "o_custkey": (2, 2, 0),
+        "o_custkey,o_orderdate": (3, 1, 0),
+        "o_custkey,o_orderdate,o_totalprice": (3, 1, 0),
+    }
+    assert set(got) == set(expect)
+    for cand, (nd, viol, is_key) in expect.items():
+        r = got[cand]
+        assert (r.n_rows, r.n_distinct, r.n_violations, r.is_key) == (
+            4, nd, viol, is_key), cand
+
+
+def test_dup_cluster_histogram_counts(spark, tmp_path):
+    from target_s3_parquet_spark.operators.dedup import (
+        docs_dup_cluster_histogram,
+    )
+
+    texts = (
+        ["unique %d" % i for i in range(6)]  # 6 singletons
+        + ["pair"] * 2 + ["pair2"] * 2       # 2 clusters of 2
+        + ["triple"] * 3                     # 1 cluster of 3
+    )
+    sf = str(tmp_path / "sf_dh")
+    spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(os.path.join(sf, "documents.parquet"))
+    got = {r.cluster_size: r for r in
+           docs_dup_cluster_histogram(spark, sf).collect()}
+    n = len(texts)
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_clusters, got[1].n_docs_in_bin, got[1].n_removable) == (6, 6, 0)
+    assert (got[2].n_clusters, got[2].n_docs_in_bin, got[2].n_removable) == (2, 4, 2)
+    assert (got[3].n_clusters, got[3].n_docs_in_bin, got[3].n_removable) == (1, 3, 2)
+    for sz, r in got.items():
+        assert abs(r.doc_share - r.n_docs_in_bin / n) < 1e-15
+
+
+def test_ljung_box_matches_bruteforce(spark, tmp_path):
+    """Q statistic vs direct global-mean gap-aware ACF computation on
+    a planted daily series with calendar gaps."""
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_ljung_box_q,
+    )
+
+    rng = random.Random(21)
+    base = datetime.date(1995, 1, 1)
+    series = {}
+    d = 0
+    for _ in range(120):
+        series[d] = rng.randrange(100, 100000)  # cents
+        d += rng.choice([1, 1, 1, 1, 2, 3])  # occasional calendar gaps
+    rows = []
+    for i, (day, cents) in enumerate(series.items()):
+        rows.append(
+            (i, cents / 100.0,
+             datetime.datetime.combine(
+                 base + datetime.timedelta(days=day), datetime.time()))
+        )
+    sf = str(tmp_path / "sf_lb")
+    spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, o_orderdate timestamp"
+    ).coalesce(1).write.parquet(os.path.join(sf, "orders.parquet"))
+
+    xs = series
+    n = len(xs)
+    xbar = sum(xs.values()) / n
+    c0 = sum((v - xbar) ** 2 for v in xs.values())
+    got = ts_ljung_box_q(spark, sf).collect()[0]
+    assert got.n_days == n
+    q = 0.0
+    for k, col in [(1, "acf1"), (2, "acf2"), (3, "acf3"), (7, "acf7")]:
+        pairs = [(xs[d], xs[d - k]) for d in xs if d - k in xs]
+        m = len(pairs)
+        r = sum((a - xbar) * (b - xbar) for a, b in pairs) / c0
+        assert abs(getattr(got, col) - r) < 1e-9, k
+        q += r * r / m
+        if k == 1:
+            assert got.m1 == m
+    assert abs(got.q_stat - n * (n + 2) * q) < 1e-6
