@@ -73,6 +73,19 @@ def release_rank_caches() -> int:
     return n
 
 
+def register_cache(df: DataFrame) -> DataFrame:
+    """``df.cache()`` with the handle registered in ``_RANK_CACHES`` so
+    :func:`release_rank_caches` drops it alongside the rank caches.
+    For operator-internal caches (graph edge lists, survival curves,
+    ...) whose release must wait until the caller materializes — a
+    long-lived session that runs many keys outside the gate/bench
+    harnesses would otherwise accumulate cached DataFrames unless it
+    remembered to ``spark.catalog.clearCache()`` itself."""
+    local = df.cache()
+    _RANK_CACHES.append(local)
+    return local
+
+
 def two_phase_rank(
     df: DataFrame,
     order_cols: list,

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.operators._util import register_cache, t
 from target_s3_parquet_spark.registry import query
 
 _GRID = 1099511627776.0  # 2^40
@@ -132,7 +132,7 @@ def graph_pagerank(spark, sf_dir):
     e2 = edges.join(outw, "src").select("src", "dst", "w", "outw")
     # 25 src x 25 dst max: cache the built graph so the 3 iterations
     # don't re-run the fact joins
-    e2 = e2.cache()
+    e2 = register_cache(e2)
 
     nodes = n.select(F.col("n_nationkey").alias("node"))
     ranks = nodes.select("node", F.lit(0.04).cast("double").alias("pr"))
@@ -233,7 +233,7 @@ def graph_connected_components(spark, sf_dir):
     und = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    und = und.cache()
+    und = register_cache(und)
 
     labels = n.select(
         F.col("n_nationkey").alias("node"),
@@ -270,6 +270,9 @@ def graph_connected_components(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+    # the loop unpersists each superseded labels cache; the FINAL one
+    # survives into the returned plan — register it for bulk release
+    register_cache(labels)
     return labels.select(
         F.col("node").alias("nationkey"), F.col("lab").alias("component")
     )
@@ -296,7 +299,7 @@ def graph_triangle_count(spark, sf_dir):
     same plan runs with the edge list hash-partitioned on the join key
     and high-degree hubs handled by AQE skew splitting. Both engines
     run the identical integer-only SQL shape."""
-    pairs = _strong_pairs(spark, sf_dir).cache()
+    pairs = register_cache(_strong_pairs(spark, sf_dir))
     e1 = pairs.select(F.col("a").alias("e1a"), F.col("b").alias("e1b"))
     e2 = pairs.select(F.col("a").alias("e2a"), F.col("b").alias("e2b"))
     e3 = pairs.select(F.col("a").alias("e3a"), F.col("b").alias("e3b"))
@@ -438,7 +441,7 @@ def graph_link_prediction(spark, sf_dir):
     fan out quadratically, which is bounded in practice by the same
     sparsification that builds `strong` (or a max-degree cap) and by
     AQE skew splits — documented in SCALE.md's graph section."""
-    pairs = _strong_pairs(spark, sf_dir).cache()
+    pairs = register_cache(_strong_pairs(spark, sf_dir))
     adj = pairs.select(F.col("a").alias("node"), F.col("b").alias("nbr")).union(
         pairs.select(F.col("b").alias("node"), F.col("a").alias("nbr"))
     )
@@ -512,7 +515,7 @@ def graph_shortest_path_bfs(spark, sf_dir):
     und = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    und = und.cache()
+    und = register_cache(und)
 
     dist = (
         n.filter(F.col("n_regionkey") == 0)
@@ -527,15 +530,20 @@ def graph_shortest_path_bfs(spark, sf_dir):
             .distinct()
             .join(dist, "node", "left_anti")
             .select("node", F.lit(level).alias("hop"))
-            .cache()
         )
+        # per-level frontier caches survive until the caller
+        # materializes (new_dist's plan references them) — register
+        # for bulk release rather than leak one cache per level
+        nxt = register_cache(nxt)
         if nxt.isEmpty():
-            nxt.unpersist()
             break
         new_dist = dist.unionAll(nxt).cache()
         dist.unpersist()
         dist = new_dist
         frontier = nxt
+    # loop unpersists superseded dist caches; the final one survives
+    # into the returned plan — register it for bulk release
+    register_cache(dist)
     return dist.select(
         F.col("node").alias("nationkey"), F.col("hop").cast("long").alias("hop")
     )
@@ -629,11 +637,11 @@ def _lpa_labels(spark, sf_dir, iters: int = 3):
     # cache the BOUNDED sparsified edge list: every propagation round
     # (and the modularity key's degree/intra passes) reuses it — without
     # this the plan re-expands the fact-fact edge build once per reuse
-    und = pw.select(
+    und = register_cache(pw.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).unionAll(
         pw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w")
-    ).cache()
+    ))
     nodes = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )
@@ -758,10 +766,10 @@ def graph_lpa_modularity(spark, sf_dir):
     surface (605-LoC Singer->Parquet sink); this key belongs to the
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
     d38 = "decimal(38,0)"
-    lab = _lpa_labels(spark, sf_dir).cache()
+    lab = register_cache(_lpa_labels(spark, sf_dir))
     # bounded sparsified pair list, reused by m / degrees / intra —
     # cached so the fact-fact edge build runs once
-    pw = _strong_pairs_w(spark, sf_dir).cache()
+    pw = register_cache(_strong_pairs_w(spark, sf_dir))
     und = pw.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "w"
     ).unionAll(pw.select(F.col("b").alias("src"), F.col("a").alias("dst"), "w"))
@@ -899,11 +907,11 @@ def graph_kcore_decomposition(spark, sf_dir):
     # cache the BOUNDED sparsified edge list: each peeling round's
     # semi-join and degree pass reuses it — without this the plan
     # re-expands the fact-fact edge build once per round
-    und = pairs.select(
+    und = register_cache(pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(
         pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).cache()
+    ))
     nodes = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )

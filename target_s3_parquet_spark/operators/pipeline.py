@@ -3440,11 +3440,19 @@ def sample_neyman_allocation(spark, sf_dir):
     stratified sample (`sample_stratified_exact`).
 
     Exactness: the weight N_h*sigma_h collapses algebraically to
-    sqrt(N_h*SUM(x^2) - SUM(x)^2) — ONE correctly-rounded IEEE sqrt of
-    an EXACT DECIMAL(38,0) integer — and is floored to an integer
-    weight immediately, so the entire apportionment (floor-div, mod,
-    leftover, rank) is pure integer arithmetic; a constant stratum has
-    weight exactly 0. Products 10000*wq stay in int64 up to
+    sqrt(N_h*SUM(x^2) - SUM(x)^2) where the radicand is an EXACT
+    DECIMAL(38,0) integer. The radicand is then cast to DOUBLE before
+    SQRT — for radicands past 2^53 (~1e22 at sf1) that cast rounds, so
+    wq = FLOOR(SQRT(double(radicand))) is the floor of a correctly-
+    rounded sqrt of a correctly-rounded double, not of the exact
+    integer; both engines perform the identical round-to-nearest
+    decimal->double conversion and IEEE sqrt, so the channel is
+    cross-engine deterministic, but a radicand within ~1 ulp of an
+    exact square could floor differently from the mathematically
+    exact Neyman weight (documented, not observed at any gated SF).
+    After that one floor, the entire apportionment (floor-div, mod,
+    leftover, rank) is pure integer arithmetic; a constant stratum
+    has weight exactly 0. Products 10000*wq stay in int64 up to
     sigma-weights of ~9.2e14 (the identity lifts to DECIMAL(38,0)
     beyond).
 

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from target_s3_parquet_spark.operators._util import dec, t
+from target_s3_parquet_spark.operators._util import dec, register_cache, t
 from target_s3_parquet_spark.registry import query
 
 
@@ -2244,7 +2244,7 @@ def survival_median_landmarks(spark, sf_dir):
     Reference scope check: codeG12/target-s3-parquet has no query
     surface (605-LoC Singer->Parquet sink); this key belongs to the
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
-    curve = _km_curve(spark, sf_dir).cache()
+    curve = register_cache(_km_curve(spark, sf_dir))
     med = curve.filter(F.col("survival_km") <= 0.5).agg(
         F.min("t_week").cast("long").alias("median_week")
     )

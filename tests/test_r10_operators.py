@@ -18,9 +18,7 @@ def test_kaplan_meier_matches_bruteforce(spark, tmp_path):
     rng = random.Random(10)
     base = datetime.date(1995, 1, 1)
     rows = []
-    ok = 0
     durations = {}  # cust -> (weeks, event)
-    last = base
     orders = []
     for c in range(60):
         fd = base + datetime.timedelta(days=rng.randrange(0, 200))
@@ -33,7 +31,7 @@ def test_kaplan_meier_matches_bruteforce(spark, tmp_path):
                 orders.append((c, sd + datetime.timedelta(days=30)))
     last = max(d for _, d in orders)
     for i, (c, d) in enumerate(orders):
-        rows.append((ok + i, c, datetime.datetime.combine(d, datetime.time())))
+        rows.append((i, c, datetime.datetime.combine(d, datetime.time())))
     sf = str(tmp_path / "sf_km")
     spark.createDataFrame(
         rows, "o_orderkey long, o_custkey long, o_orderdate timestamp"
