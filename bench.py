@@ -73,8 +73,12 @@ def main() -> None:
         # a third run extends each key to the min-of-3 FLOOR recorded
         # in extras (VERDICT r9 item 3) — the ambience-free number that
         # decides regression-vs-noise without consuming a judge cycle.
+        # SPARK_GRAFT_FLOOR_RUNS=2 opts out of the third run when bench
+        # latency matters more than the floor (r10 ADVICE); the driver
+        # default keeps min-of-3.
+        floor_runs = max(2, int(os.environ.get("SPARK_GRAFT_FLOOR_RUNS", "3")))
         runs, n = [], 0
-        for _ in range(3):
+        for _ in range(floor_runs):
             t0 = time.time()
             # count() forces the full plan; write-less action keeps the
             # number comparable across operators.
@@ -117,7 +121,49 @@ def main() -> None:
     extras["headline_floor"] = {
         "value": round(sum(floors.values()), 3),
         "queries": floors,
-        "runs_per_key": 3,
+        "runs_per_key": floor_runs,
+    }
+    # Extended floor set (VERDICT r10 item 3): the 24-key headline is
+    # frozen-since-r1 for comparability, so the catalog's heaviest
+    # post-r1 keys — streaming replays, graph community loops, the
+    # rank-sketch merge, Kendall tau, the txlog vacuum — are tracked
+    # only as one-shot sweeps. HEADLINE2 records per-key min-of-3
+    # FLOORS for a FIXED 10-key extended set, OUTSIDE the headline
+    # total (BASELINE.md documents the regression criterion). Freeze
+    # this list: comparability is the whole point.
+    HEADLINE2 = [
+        "stream_asof_join",
+        "stream_windowed_distinct_count",
+        "stream_histogram_quantile",
+        "stream_kmv_distinct",
+        "txlog_vacuum_retention",
+        "agg_corr_kendall_tau",
+        "graph_lpa_modularity",
+        "graph_kcore_decomposition",
+        "agg_rank_sketch_merge_check",
+        "docs_dup_source_matrix",
+    ]
+    h2: dict[str, float] = {}
+    for name in HEADLINE2:
+        try:
+            fn = queries[name]
+            best = None
+            for _ in range(floor_runs):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            h2[name] = round(best, 3)
+            print(f"# headline2 {name}: {h2[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+            release_rank_caches()
+        except Exception as e:  # noqa: BLE001
+            h2[name] = -1.0
+            print(f"# headline2 {name} FAILED: {e}", file=sys.stderr)
+    extras["headline2_floor"] = {
+        "value": round(sum(v for v in h2.values() if v > 0), 3),
+        "queries": h2,
+        "runs_per_key": floor_runs,
     }
     # Round-3 second-sweep operators, timed OUTSIDE the headline total
     # so the headline stays comparable across rounds (same 24-key set
