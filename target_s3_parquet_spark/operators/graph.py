@@ -945,3 +945,193 @@ def graph_kcore_decomposition(spark, sf_dir):
             F.coalesce(F.col("_in"), F.lit(0)).cast("long").alias("in_2core"),
         )
     )
+
+
+# One HITS round (oracle side): authority from hubs over the directed
+# normalized edges, L2-normalize, then hubs from authorities,
+# L2-normalize. Every SUM term is grid-quantized (FLOOR(x*2^40)/2^40)
+# so the aggregate adds exact dyadic rationals — order-independent and
+# cross-engine bit-identical; the L2 norm is SQRT of such a sum (IEEE
+# sqrt is correctly rounded on both engines) and the normalization is
+# one IEEE division per node.
+_HITS_ROUND = """
+a{r}raw AS (
+  SELECT n.node,
+         COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS a
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(FLOOR(CAST(e.w AS DOUBLE) / tw.w * h.h * 1099511627776.0)
+               / 1099511627776.0) AS s
+    FROM edges e CROSS JOIN tw JOIN {hprev} h ON e.src = h.node
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+),
+a{r}n AS (SELECT SQRT(SUM(FLOOR(a * a * 1099511627776.0)
+                          / 1099511627776.0)) AS nrm FROM a{r}raw),
+a{r} AS (SELECT node, CASE WHEN nrm > 0 THEN a / nrm
+                           ELSE CAST(0.0 AS DOUBLE) END AS a
+         FROM a{r}raw CROSS JOIN a{r}n),
+h{r}raw AS (
+  SELECT n.node,
+         COALESCE(s.s, CAST(0.0 AS DOUBLE)) AS h
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node,
+           SUM(FLOOR(CAST(e.w AS DOUBLE) / tw.w * a.a * 1099511627776.0)
+               / 1099511627776.0) AS s
+    FROM edges e CROSS JOIN tw JOIN a{r} a ON e.dst = a.node
+    GROUP BY e.src
+  ) s ON n.node = s.node
+),
+h{r}n AS (SELECT SQRT(SUM(FLOOR(h * h * 1099511627776.0)
+                          / 1099511627776.0)) AS nrm FROM h{r}raw),
+h{r} AS (SELECT node, CASE WHEN nrm > 0 THEN h / nrm
+                           ELSE CAST(0.0 AS DOUBLE) END AS h
+         FROM h{r}raw CROSS JOIN h{r}n)"""
+
+_HITS_ORACLE = (
+    """
+    WITH edges AS MATERIALIZED (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    tw AS (SELECT CAST(SUM(w) AS DOUBLE) AS w FROM edges),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS h FROM nodes),"""
+    + ",".join(
+        _HITS_ROUND.format(r=i, hprev=f"h{i - 1}") for i in (1, 2)
+    )
+    + """
+    SELECT n.node AS nationkey, h.h AS hub, a.a AS authority
+    FROM nodes n JOIN h2 h ON h.node = n.node JOIN a2 a ON a.node = n.node
+    """
+)
+
+
+@query("graph_hits_scores", _HITS_ORACLE)
+def graph_hits_scores(spark, sf_dir):
+    """HITS hubs-and-authorities (Kleinberg 1999, 2 synchronous
+    rounds) over the DIRECTED trade graph — nation -> nation edges
+    weighted by lineitems that customers of the source nation bought
+    from suppliers of the destination nation (the pagerank key's edge
+    relation): authority = weighted in-sum of hub scores, hub =
+    weighted out-sum of authority scores, each L2-normalized per
+    round. VERDICT r10 item 6, completing the link-analysis pair next
+    to `graph_pagerank`.
+
+    Exactness: edge weights are exact integers normalized ONCE by the
+    exact total weight (one IEEE division per edge); every aggregated
+    term is grid-quantized (FLOOR(x*2^40)/2^40 — the pagerank channel)
+    so sums add exact dyadic rationals and are order-independent; the
+    L2 norm is an IEEE-correctly-rounded SQRT of such a sum; the
+    normalization is one IEEE division per node. Normalized scores
+    stay in [0,1], so every quantized numerator is < 2^45 — far
+    inside double's exact-integer range.
+
+    Distributed shape: the edge build (two fact-fact joins) runs ONCE
+    into a CACHED bounded edge list (register_cache — the r10 LPA
+    pattern); each round is two broadcast-joined aggregations over
+    that bounded list plus a 1-row norm fold collected driver-side
+    (control-plane, like the catalog's other O(1) sketch scalars —
+    a broadcast-exchange subtree per half-round tripled wall-clock).
+    At web scale the same
+    loop runs with scores and edges hash-partitioned on node —
+    co-partitioned joins, driver orchestrates only; the DuckDB oracle
+    unrolls the same 2 rounds as CTEs.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+
+    edges = register_cache(
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    # total weight: ONE exact-integer scalar, collected (control-plane)
+    # so the four half-round jobs don't each rebuild a broadcast of it
+    tw = float(edges.agg(F.sum("w").cast("double").alias("tw")).collect()[0]["tw"])
+    # normalized edge weight: one IEEE division of exact integers;
+    # cache the bounded normalized list — every half-round probes it
+    e2 = register_cache(
+        edges.select(
+            "src", "dst", (F.col("w").cast("double") / F.lit(tw)).alias("wn")
+        )
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    grid = 1099511627776.0  # 2^40
+
+    def _q(col):
+        return F.floor(col * grid) / grid
+
+    def _step(scores, score_col, join_on, group_on):
+        """One half-round: propagate `scores` across edges, quantized
+        sum per target node, L2-normalize."""
+        # cache the 25-row per-half-round tables: `raw` is referenced
+        # twice (norm fold + normalization) and the round outputs feed
+        # the next round twice over — without these the lazy plan
+        # re-expands the whole upstream per reference (2^rounds blowup)
+        raw = register_cache(
+            nodes.join(
+                e2.join(
+                    scores.withColumnRenamed("node", join_on), join_on
+                )
+                .groupBy(F.col(group_on).alias("node"))
+                .agg(F.sum(_q(F.col("wn") * F.col(score_col))).alias("s")),
+                "node",
+                "left",
+            )
+            .select(
+                "node",
+                F.coalesce(F.col("s"), F.lit(0.0)).alias(score_col),
+            )
+        )
+        # the L2 norm is ONE scalar off the 25-row cached table —
+        # collect it (control-plane, like the catalog's other O(1)
+        # sketch scalars) and embed as a literal: a broadcast-exchange
+        # subtree per half-round costs 8 serial broadcast stages and
+        # tripled the key's wall-clock at sf0.001
+        row = raw.agg(
+            F.sqrt(F.sum(_q(F.col(score_col) * F.col(score_col)))).alias(
+                "nrm"
+            )
+        ).collect()[0]
+        nrm = float(row["nrm"] or 0.0)
+        return register_cache(
+            raw.select(
+                "node",
+                (
+                    (F.col(score_col) / F.lit(nrm))
+                    if nrm > 0
+                    else F.lit(0.0)
+                ).alias(score_col),
+            )
+        )
+
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(2):
+        a = _step(h, "h", "src", "dst").withColumnRenamed("h", "a")
+        h = _step(a, "a", "dst", "src").withColumnRenamed("a", "h")
+    return (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .select(
+            F.col("node").alias("nationkey"),
+            F.col("h").alias("hub"),
+            F.col("a").alias("authority"),
+        )
+    )

@@ -3442,3 +3442,185 @@ def search_rrf_fusion(spark, sf_dir):
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)
+
+
+# Bitext-margin channel: every cross-row SUM term (the k-NN cosine
+# means) is grid-quantized (FLOOR(x*2^40)/2^40) before summation, so
+# the 4-term sums add exact dyadic rationals — order-independent and
+# cross-engine identical; /8 is an exact power-of-two division. The
+# per-pair cosine itself is the sequential fold both engines share.
+_BQ = "1099511627776.0"  # 2^40
+_BITEXT_K = 4  # k-NN pool per side for the margin denominator
+_BITEXT_NQ = 24  # bounded query batch (even vec_ids < 48)
+
+
+@query(
+    "sim_bitext_margin_knn",
+    f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id % 2 = 0 AND vec_id < {2 * _BITEXT_NQ}),
+    y AS (SELECT * FROM v WHERE vec_id % 2 = 1),
+    pairs AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, b.vec_id AS cand_id,
+             {_DOT_SQL.replace('a.v', 'q.v')}
+             / (SQRT({_DOT_SQL.replace('a.v', 'q.v').replace('b.v', 'q.v')})
+                * SQRT({_DOT_SQL.replace('a.v', 'b.v')})) AS cosine
+      FROM q, y b
+    ),
+    mx AS (
+      SELECT query_id,
+             SUM(FLOOR(cosine * {_BQ}) / {_BQ}) / {_BITEXT_K} AS mx
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, cand_id) AS rn FROM pairs)
+      WHERE rn <= {_BITEXT_K} GROUP BY query_id
+    ),
+    my AS (
+      SELECT cand_id,
+             SUM(FLOOR(cosine * {_BQ}) / {_BQ}) / {_BITEXT_K} AS my
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id
+                    ORDER BY cosine DESC, query_id) AS rn FROM pairs)
+      WHERE rn <= {_BITEXT_K} GROUP BY cand_id
+    ),
+    scored AS MATERIALIZED (
+      SELECT p.query_id, p.cand_id, p.cosine,
+             CASE WHEN (mx.mx + my.my) <> 0
+                  THEN p.cosine / ((mx.mx + my.my) / 2)
+                  ELSE CAST(0.0 AS DOUBLE) END AS margin
+      FROM pairs p
+      JOIN mx ON mx.query_id = p.query_id
+      JOIN my ON my.cand_id = p.cand_id
+    ),
+    fwd AS (
+      SELECT query_id, cand_id, cosine, margin
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY margin DESC, cand_id) AS rn FROM scored)
+      WHERE rn = 1
+    ),
+    rev AS (
+      SELECT cand_id, query_id AS best_query
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cand_id
+                    ORDER BY margin DESC, query_id) AS rn FROM scored)
+      WHERE rn = 1
+    )
+    SELECT f.query_id, f.cand_id AS matched_id, f.cosine, f.margin,
+           CAST(CASE WHEN r.best_query = f.query_id THEN 1 ELSE 0 END
+                AS BIGINT) AS mutual
+    FROM fwd f JOIN rev r ON r.cand_id = f.cand_id
+    """,
+)
+def sim_bitext_margin_knn(spark, sf_dir):
+    """Cross-lingual BITEXT MINING by ratio-margin scoring over
+    mutual k-NN (Artetxe & Schwenk 2019, the LASER mining criterion;
+    VERDICT r10 item 4): for a bounded query batch X (even vec_ids,
+    one "language" side) against the odd-id corpus Y (the other
+    side), score every pair by margin(x,y) = cos(x,y) /
+    ((mean_{{k-NN of x}} cos + mean_{{k-NN of y}} cos) / 2) — the
+    denominator calibrates away hubness, which raw cosine thresholds
+    can't — then emit each query's best-margin match with a MUTUAL
+    flag (the match's own best query is x), the standard acceptance
+    test for mined pairs.
+
+    Exactness: cosines are the sequential zip_with/aggregate fold both
+    engines share (`_dot`); each k-NN mean sums GRID-QUANTIZED terms
+    (FLOOR(cos*2^40)/2^40 — exact dyadic rationals, order-independent
+    sum; the decimal-cast channel is NOT safe for computed doubles) and
+    divides by the exact power-of-two 4; the margin is one IEEE
+    division per pair. Rank ties break on (score DESC, id ASC) so both
+    engines pick identical rows.
+
+    Distributed shape: the candidate relation is query-batch × corpus
+    with the 24-row batch BROADCAST (bounded by construction —
+    whitelisted); the two k-NN means are windows partitioned by
+    query/candidate (never a global sort). The 100 TB shape replaces
+    the exact candidate relation with the IVF-probed candidates
+    (`sim_ann_ivf`'s bucketing — assign both sides to cells, probe
+    top-nprobe cells, margin over candidates only), keeping the margin
+    arithmetic unchanged; see SCALE.md.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    grid = 1099511627776.0  # 2^40
+    k = _BITEXT_K
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    q = v.filter(
+        (F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 2 * _BITEXT_NQ)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    y = v.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("cand_id"), F.col("v").alias("yv")
+    )
+    pairs = (
+        y.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "cand_id",
+            (
+                _dot("qv", "yv")
+                / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("yv", "yv")))
+            ).alias("cosine"),
+        )
+    )
+
+    def _knn_mean(part_col, order_col, out):
+        w = W.partitionBy(part_col).orderBy(
+            F.col("cosine").desc(), F.col(order_col)
+        )
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .groupBy(part_col)
+            .agg(
+                (
+                    F.sum(F.floor(F.col("cosine") * grid) / grid) / k
+                ).alias(out)
+            )
+        )
+
+    mx = _knn_mean("query_id", "cand_id", "mx")
+    my = _knn_mean("cand_id", "query_id", "my")
+    scored = (
+        pairs.join(mx, "query_id")
+        .join(my, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "cosine",
+            F.when(
+                (F.col("mx") + F.col("my")) != 0,
+                F.col("cosine") / ((F.col("mx") + F.col("my")) / 2),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("margin"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.col("margin").desc(), F.col("cand_id")
+    )
+    wr = W.partitionBy("cand_id").orderBy(
+        F.col("margin").desc(), F.col("query_id")
+    )
+    fwd = (
+        scored.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    rev = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("cand_id", F.col("query_id").alias("best_query"))
+    )
+    return fwd.join(rev, "cand_id").select(
+        "query_id",
+        F.col("cand_id").alias("matched_id"),
+        "cosine",
+        "margin",
+        F.when(F.col("best_query") == F.col("query_id"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("mutual"),
+    )

@@ -304,6 +304,11 @@ _BNLJ_BOUNDED_OK = {
     "ts_ljung_box_q",  # 4-row lag-literal crossJoin onto the
     # calendar-bounded daily series + 1-row moments aggs (ts_acf_lags'
     # bounded shape plus the Q fold)
+    # r11 breadth keys
+    "sim_bitext_margin_knn",  # 24-row query-batch broadcast x corpus
+    # (the sim_knn_cosine shape with the margin windows on top)
+    "corpus_dsir_importance_weights",  # 1-row gram-totals agg onto the
+    # 256-row bucket table + 1-row weight-total agg onto the doc table
 }
 
 
