@@ -600,6 +600,14 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         extras["scale10_error"] = str(e)[:120]
     try:
+        from tools.bench_scale_r10 import run_scale_r10
+
+        sc10 = run_scale_r10(spark, sf_dir, factor=10)
+        extras["scale10_r10"] = sc10
+        print(f"# scale10_r10: {sc10}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["scale10_r10_error"] = str(e)[:120]
+    try:
         from tools.bench_stream import run_stream
 
         st = run_stream(spark, n=50_000, n_files=4)
