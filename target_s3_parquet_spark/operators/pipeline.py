@@ -3929,3 +3929,865 @@ def corpus_dsir_importance_weights(spark, sf_dir):
             F.col("w_scaled").cast("double") / F.col("tw").cast("double")
         ).alias("weight"),
     )
+
+
+@query(
+    "dq_freshness_audit",
+    """
+    WITH src AS (
+      SELECT 'orders' AS tbl, CAST(o_orderdate AS DATE) AS d FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(l_shipdate AS DATE) FROM lineitem
+      UNION ALL
+      SELECT 'events', CAST(ts AS DATE) FROM events
+    ),
+    per AS (
+      SELECT tbl,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(d) AS first_date,
+             MAX(d) AS last_date
+      FROM src GROUP BY tbl
+    ),
+    ref AS (SELECT MAX(last_date) AS asof FROM per)
+    SELECT per.tbl, per.n_rows,
+           CAST(per.first_date AS VARCHAR) AS first_date,
+           CAST(per.last_date AS VARCHAR) AS last_date,
+           CAST(datediff('day', per.last_date, ref.asof) AS BIGINT)
+             AS staleness_days,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM src
+            WHERE src.tbl = per.tbl
+              AND src.d > ref.asof - INTERVAL 30 DAY) AS rows_last_30d,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM src
+            WHERE src.tbl = per.tbl
+              AND src.d > ref.asof - INTERVAL 90 DAY) AS rows_last_90d
+    FROM per CROSS JOIN ref
+    """,
+)
+def dq_freshness_audit(spark, sf_dir):
+    """FRESHNESS / STALENESS audit across the warehouse's three dated
+    sources — the ingestion-health check every DQ dashboard leads
+    with: per source, row count, first/last event date, staleness in
+    days relative to the freshest source anywhere (the as-of
+    reference), and 30/90-day landing-window row counts (a stalled
+    feed shows a cliff in the window counts before its max-date ever
+    moves).
+
+    Exactness: pure dates and integer counts — date comparisons and
+    datediff are exact calendar arithmetic on both engines; no floats
+    anywhere.
+
+    Distributed shape: ONE pass per source (union of combinable
+    min/max/count aggregations plus two conditional counts folded into
+    the same scan — Spark compiles the filters into the aggregate);
+    the as-of reference is a 1-row broadcast onto the 3-row panel. At
+    100 TB: three scans with aggregate pushdown (parquet footers can
+    answer min/max), nothing else.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    srcs = [
+        t(spark, sf_dir, "orders").select(
+            F.lit("orders").alias("tbl"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        ),
+        t(spark, sf_dir, "lineitem").select(
+            F.lit("lineitem").alias("tbl"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        ),
+        t(spark, sf_dir, "events").select(
+            F.lit("events").alias("tbl"), F.col("ts").cast("date").alias("d")
+        ),
+    ]
+    src = srcs[0].unionAll(srcs[1]).unionAll(srcs[2])
+    # as-of reference: ONE date scalar collected driver-side
+    # (control-plane; a broadcast subtree would re-scan the union)
+    asof = src.agg(F.max("d").alias("asof")).collect()[0]["asof"]
+    per = (
+        src.withColumn("asof", F.lit(asof))
+        .groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("d").alias("first_date"),
+            F.max("d").alias("last_date"),
+            F.max("asof").alias("asof"),
+            F.sum(
+                F.when(F.col("d") > F.date_sub(F.col("asof"), 30), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_last_30d"),
+            F.sum(
+                F.when(F.col("d") > F.date_sub(F.col("asof"), 90), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_last_90d"),
+        )
+    )
+    return per.select(
+        "tbl",
+        "n_rows",
+        F.date_format("first_date", "yyyy-MM-dd").alias("first_date"),
+        F.date_format("last_date", "yyyy-MM-dd").alias("last_date"),
+        F.datediff(F.col("asof"), F.col("last_date"))
+        .cast("long")
+        .alias("staleness_days"),
+        "rows_last_30d",
+        "rows_last_90d",
+    )
+
+
+@query(
+    "agg_moments_merge_check",
+    """
+    WITH shard AS (
+      SELECT o_orderkey % 2 AS sh, o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ),
+    per AS (
+      SELECT sh, grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents)
+                  AS DECIMAL(38,0)) AS ss
+      FROM shard GROUP BY sh, grp
+    ),
+    merged AS (
+      SELECT grp,
+             CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(s) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(ss) AS DECIMAL(38,0)) AS ss
+      FROM per GROUP BY grp
+    ),
+    direct AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(cents AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS s,
+             CAST(SUM(CAST(cents AS DECIMAL(19,0)) * cents)
+                  AS DECIMAL(38,0)) AS ss
+      FROM shard GROUP BY grp
+    )
+    SELECT m.grp,
+           m.n AS n_rows,
+           CAST(CAST(m.s AS DOUBLE) / m.n / 100.0
+                AS DOUBLE) AS mean_price,
+           CAST(CAST(m.n * m.ss - m.s * m.s AS DOUBLE)
+                / (CAST(m.n AS DOUBLE) * m.n) / 10000.0
+                AS DOUBLE) AS pop_variance,
+           CAST(CASE WHEN m.n = d.n AND m.s = d.s AND m.ss = d.ss
+                     THEN 1 ELSE 0 END AS BIGINT) AS merge_exact
+    FROM merged m JOIN direct d ON d.grp = m.grp
+    """,
+)
+def agg_moments_merge_check(spark, sf_dir):
+    """MERGEABLE-MOMENTS self-check (Chan/Golub/LeVeque parallel
+    moments): shard the orders fact two ways (orderkey parity),
+    compute each shard's exact (n, sum, sum-of-squares) in integer
+    cents, MERGE by plain addition, and pin — in-key, like the rank-
+    sketch and KMV merge checks — that the merged moments equal the
+    direct single-pass moments EXACTLY, then report per-priority mean
+    and population variance off the merged state. This is the
+    distributive-aggregation law every map-side partial and every
+    cross-datacenter rollup relies on: moments are a commutative
+    monoid, so shard-then-merge is bit-identical to direct, with no
+    Chan-style correction term needed because the integer channel has
+    no cancellation error to correct.
+
+    Exactness: cents are exact integers; n/s/ss are exact
+    DECIMAL(38,0) sums; the equality flags compare exact integers;
+    mean and variance are single identical-tree double expressions
+    off exact operands (variance via the cleared-denominator identity
+    (n*ss - s^2)/n^2, one division chain).
+
+    Distributed shape: two combinable groupBys over one scan (shard
+    pass and direct pass) plus a 5-row merge groupBy and a 5-row
+    join — everything after the scans is control-plane. At 100 TB the
+    shard pass IS the map-side partial the law justifies.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    shard = t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 2).alias("sh"),
+        F.col("o_orderpriority").alias("grp"),
+        cents.alias("cents"),
+    )
+    per = shard.groupBy("sh", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("cents").cast(d19)).cast(d38).alias("s"),
+        F.sum(F.col("cents").cast(d19) * F.col("cents"))
+        .cast(d38)
+        .alias("ss"),
+    )
+    merged = per.groupBy("grp").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("s").cast(d38).alias("s"),
+        F.sum("ss").cast(d38).alias("ss"),
+    )
+    direct = shard.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("dn"),
+        F.sum(F.col("cents").cast(d19)).cast(d38).alias("ds"),
+        F.sum(F.col("cents").cast(d19) * F.col("cents"))
+        .cast(d38)
+        .alias("dss"),
+    )
+    return merged.join(direct, "grp").select(
+        "grp",
+        F.col("n").alias("n_rows"),
+        (F.col("s").cast("double") / F.col("n") / 100.0)
+        .cast("double")
+        .alias("mean_price"),
+        (
+            (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+            .cast("double")
+            / (F.col("n").cast("double") * F.col("n"))
+            / 10000.0
+        )
+        .cast("double")
+        .alias("pop_variance"),
+        F.when(
+            (F.col("n") == F.col("dn"))
+            & (F.col("s") == F.col("ds"))
+            & (F.col("ss") == F.col("dss")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("merge_exact"),
+    )
+
+
+@query(
+    "eval_mrr_at_k",
+    """
+    WITH lab AS (
+      SELECT o_custkey,
+             LEAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT), 30000000) AS cents,
+             o_orderkey,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders
+    ),
+    rk AS (
+      SELECT o_custkey, y,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY cents DESC, o_orderkey) AS r
+      FROM lab
+    ),
+    fr AS (
+      SELECT o_custkey, MIN(r) AS fr
+      FROM rk WHERE y = 1 GROUP BY o_custkey
+    ),
+    nq AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nq FROM lab),
+    ks AS (SELECT UNNEST([1, 3, 5, 10]) AS k)
+    SELECT ks.k,
+           nq.nq AS n_queries,
+           CAST(COUNT(*) FILTER (WHERE fr.fr <= ks.k) AS BIGINT) AS n_hit,
+           CAST(CAST(SUM(CASE WHEN fr.fr <= ks.k
+                              THEN 2520 // fr.fr ELSE 0 END) AS DOUBLE)
+                / CAST(2520 * nq.nq AS DOUBLE) AS DOUBLE) AS mrr
+    FROM ks CROSS JOIN nq LEFT JOIN fr ON TRUE
+    GROUP BY ks.k, nq.nq
+    """,
+)
+def eval_mrr_at_k(spark, sf_dir):
+    """MEAN RECIPROCAL RANK at cutoffs {1,3,5,10} — the first-hit
+    retrieval metric next to P@k/NDCG/AP in the eval family, over a
+    per-query ranking: each customer is a query, their orders ranked
+    by (capped cents DESC, orderkey), relevant = urgent/high priority;
+    RR(q) = 1/rank of the first relevant order if within k else 0, and
+    MRR@k averages over ALL customers with orders (misses count as 0 —
+    the standard convention).
+
+    Exactness: reciprocal ranks are EXACT INTEGERS after scaling by
+    lcm(1..10) = 2520 (2520/r is a whole number for every rank r <=
+    10), so the sum is an exact integer and MRR is ONE terminal IEEE
+    division of exact integers — no float accumulation at all.
+
+    Distributed shape: the ranking window is PARTITIONED by customer
+    (never a global sort); first-relevant is one combinable min;
+    the 4-row cutoff broadcast and 1-row query count fold the result
+    to 4 rows. At 100 TB: one shuffle on the query key, bounded
+    control-plane after.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    lab = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.least(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"),
+            F.lit(30000000).cast("long"),
+        ).alias("cents"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey")
+    )
+    rk = lab.withColumn("r", F.row_number().over(w))
+    fr = (
+        rk.filter(F.col("y") == 1)
+        .groupBy("o_custkey")
+        .agg(F.min("r").alias("fr"))
+    )
+    nq = lab.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_queries")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (1, 3, 5, 10)])).alias("k")
+    )
+    return (
+        F.broadcast(ks)
+        .join(fr, F.lit(True), "left")
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("fr") <= F.col("k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_hit"),
+            F.sum(
+                F.when(
+                    F.col("fr") <= F.col("k"),
+                    F.expr("CAST(2520 AS BIGINT) div fr"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("srr"),
+        )
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "k",
+            "n_queries",
+            "n_hit",
+            (
+                F.col("srr").cast("double")
+                / (2520 * F.col("n_queries")).cast("double")
+            ).alias("mrr"),
+        )
+    )
+
+
+@query(
+    "vocab_heaps_curve",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(toks) AS gram,
+             UNNEST(range(1, len(toks) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents)
+    ),
+    rk AS (
+      SELECT gram,
+             ROW_NUMBER() OVER (ORDER BY doc_id, pos) AS r
+      FROM toks
+    ),
+    first_seen AS (
+      SELECT gram, MIN(r) AS fr FROM rk GROUP BY gram
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM rk),
+    cps AS (SELECT UNNEST([1000, 2000, 4000, 8000, 16000]) AS checkpoint)
+    SELECT cps.checkpoint,
+           LEAST(CAST(cps.checkpoint AS BIGINT), tot.n_tok)
+             AS n_tokens_seen,
+           CAST(COUNT(*) FILTER (WHERE first_seen.fr <= cps.checkpoint)
+                AS BIGINT) AS n_types,
+           CAST(CAST(COUNT(*) FILTER (WHERE first_seen.fr
+                                      <= cps.checkpoint) AS DOUBLE)
+                / CAST(LEAST(CAST(cps.checkpoint AS BIGINT), tot.n_tok)
+                       AS DOUBLE) AS DOUBLE) AS type_token_ratio
+    FROM cps CROSS JOIN tot LEFT JOIN first_seen ON TRUE
+    GROUP BY cps.checkpoint, tot.n_tok
+    """,
+)
+def vocab_heaps_curve(spark, sf_dir):
+    """HEAPS'-LAW vocabulary growth curve: distinct word types after
+    the first N tokens of the corpus (N in {1k, 2k, 4k, 8k, 16k}),
+    with the running type/token ratio — the sub-linear V(N) ~ K*N^b
+    growth every tokenizer-budget and vocabulary-size decision reads
+    off, reported as exact curve POINTS (no log-log fit: slope fitting
+    needs libm transcendentals that never hash-match cross-engine —
+    the points carry the same information losslessly).
+
+    Corpus order is the deterministic (doc_id, position) sequence; a
+    type's first occurrence is the MIN of its global token ranks, and
+    the type count at checkpoint N is |{types: first_rank <= N}| —
+    pure integers end to end, one terminal IEEE division for the
+    ratio.
+
+    Distributed shape: the global token rank uses `two_phase_rank`
+    (range-partitioned local ranks + broadcast offsets — never a
+    single-partition window); first-occurrence is one combinable min
+    per type; the 5-row checkpoint broadcast folds to 5 rows. At
+    100 TB the rank stays distributed and everything downstream is
+    bounded.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "gram"
+        ),
+    )
+    rk = two_phase_rank(toks, ["doc_id", "pos"], rank_name="r")
+    first_seen = rk.groupBy("gram").agg(F.min("r").alias("fr"))
+    tot = toks.agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    cps = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in (1000, 2000, 4000, 8000, 16000)])
+        ).alias("checkpoint")
+    )
+    return (
+        F.broadcast(cps)
+        .join(first_seen, F.lit(True), "left")
+        .groupBy("checkpoint")
+        .agg(
+            F.sum(
+                F.when(F.col("fr") <= F.col("checkpoint"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_types")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "checkpoint",
+            F.least(F.col("checkpoint").cast("long"), F.col("n_tok")).alias(
+                "n_tokens_seen"
+            ),
+            "n_types",
+            (
+                F.col("n_types").cast("double")
+                / F.least(
+                    F.col("checkpoint").cast("long"), F.col("n_tok")
+                ).cast("double")
+            ).alias("type_token_ratio"),
+        )
+    )
+
+
+# Hash-Poisson bootstrap: replicate b draws row weights from a
+# deterministic md5 stream. The Poisson(1) CDF thresholds are
+# INTEGER LITERALS on the 2^28 hash grid (computed once here, spliced
+# into both engines' SQL), so replicate membership is an exact integer
+# comparison — no float randomness, no cross-engine drift, and any
+# worker can recompute any replicate's weights independently (the
+# property that makes Poisson bootstrap THE distributed bootstrap).
+import math as _math
+
+_BOOT_B = 40  # replicates
+_BOOT_GRID = 1 << 28
+_BOOT_THRESH = []  # cumulative Poisson(1) thresholds on the hash grid
+_acc = 0.0
+for _k in range(9):
+    _acc += _math.exp(-1.0) / _math.factorial(_k)
+    _BOOT_THRESH.append(min(int(_acc * _BOOT_GRID), _BOOT_GRID))
+
+
+def _boot_weight_sql(h: str) -> str:
+    """CASE chain mapping a 28-bit hash to its Poisson(1) weight."""
+    branches = " ".join(
+        f"WHEN {h} < {t} THEN {w}" for w, t in enumerate(_BOOT_THRESH)
+    )
+    return f"CASE {branches} ELSE 9 END"
+
+
+@query(
+    "eval_bootstrap_ci_hash",
+    f"""
+    WITH rows_w AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             b.b,
+             {_boot_weight_sql("CAST(('0x' || substring(md5(c.c_custkey || ':' || b.b), 1, 7)) AS BIGINT)")}
+               AS w
+      FROM customer c, (SELECT UNNEST(range(1, {_BOOT_B + 1})) AS b) b
+    ),
+    reps AS (
+      SELECT nation, b,
+             CAST(SUM(CAST(w AS BIGINT) * cents) AS BIGINT) AS s,
+             CAST(SUM(CAST(w AS BIGINT)) AS BIGINT) AS n
+      FROM rows_w GROUP BY nation, b
+    ),
+    means AS (
+      SELECT nation, b,
+             CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS m
+      FROM reps WHERE n > 0
+    ),
+    rkd AS (
+      SELECT nation, m,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY m, b) AS r,
+             COUNT(*) OVER (PARTITION BY nation) AS nb
+      FROM means
+    ),
+    pt AS (
+      SELECT c_nationkey AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(CAST(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                                AS BIGINT)) AS DOUBLE)
+                  / COUNT(*) / 100.0 AS DOUBLE) AS point_mean
+      FROM customer GROUP BY 1
+    )
+    SELECT pt.nation AS nationkey, pt.n_rows, pt.point_mean,
+           lo.m AS ci_lo, hi.m AS ci_hi,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates
+    FROM pt
+    JOIN rkd lo ON lo.nation = pt.nation AND lo.r = 2
+    JOIN rkd hi ON hi.nation = pt.nation AND hi.r = lo.nb - 1
+    """,
+)
+def eval_bootstrap_ci_hash(spark, sf_dir):
+    """Distributed POISSON BOOTSTRAP confidence interval for each
+    nation's mean account balance — the resampling machinery behind
+    every "metric +/- CI" readout at scale (Chamandy et al., "Estimating
+    Uncertainty for Massive Data Streams", the Poisson bootstrap paper):
+    40 replicates, each row's replicate weight drawn Poisson(1) from a
+    DETERMINISTIC md5 stream (custkey:b), replicate means ranked per
+    nation, nearest-rank 90% CI = (2nd, 39th) of 40.
+
+    Exactness: replicate weights are exact integer comparisons of the
+    28-bit hash against PRECOMPUTED integer thresholds (module-level
+    literals spliced into both engines' plans — the Poisson CDF's
+    transcendentals are evaluated ONCE in Python, never per-engine);
+    replicate sums are exact integers (weight x cents), each mean is
+    one IEEE division; the CI rank window orders identical doubles
+    with (m, b) tie-breaks.
+
+    Distributed shape: explode x40 then ONE combinable groupBy
+    (nation, b) — the shuffle moves 40 aggregate rows per nation,
+    never the fact; the rank window is partitioned per nation over
+    <= 40 rows. This is why Poisson bootstrap beats resample-with-
+    replacement at 100 TB: weights are a pure row-local function, so
+    no global resampling pass exists at all.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    c = t(spark, sf_dir, "customer")
+    cents = (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+    b = spark.range(1, _BOOT_B + 1).select(F.col("id").alias("b"))
+    h = (
+        "CAST(conv(substring(md5(concat(CAST(c_custkey AS STRING), ':',"
+        " CAST(b AS STRING))), 1, 7), 16, 10) AS BIGINT)"
+    )
+    rows_w = (
+        c.select(
+            F.col("c_nationkey").alias("nation"),
+            cents.alias("cents"),
+            "c_custkey",
+        )
+        .crossJoin(F.broadcast(b))
+        .withColumn("w", F.expr(_boot_weight_sql(h)))
+    )
+    reps = rows_w.groupBy("nation", "b").agg(
+        F.sum(F.col("w").cast("long") * F.col("cents"))
+        .cast("long")
+        .alias("s"),
+        F.sum(F.col("w").cast("long")).cast("long").alias("n"),
+    )
+    means = reps.filter(F.col("n") > 0).select(
+        "nation",
+        "b",
+        (F.col("s").cast("double") / F.col("n").cast("double") / 100.0)
+        .alias("m"),
+    )
+    wrk = W.partitionBy("nation").orderBy("m", "b")
+    rkd = means.select(
+        "nation",
+        "m",
+        F.row_number().over(wrk).alias("r"),
+        F.count(F.lit(1)).over(W.partitionBy("nation")).alias("nb"),
+    )
+    pt = c.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0)
+        .cast("double")
+        .alias("point_mean"),
+    )
+    lo = rkd.filter(F.col("r") == 2).select(
+        "nation", F.col("m").alias("ci_lo"), F.col("nb").alias("nb")
+    )
+    hi = rkd.select(
+        "nation", F.col("m").alias("ci_hi"), "r", "nb"
+    ).filter(F.col("r") == F.col("nb") - 1)
+    return (
+        pt.join(lo, "nation")
+        .join(hi.select("nation", "ci_hi"), "nation")
+        .select(
+            F.col("nation").alias("nationkey"),
+            "n_rows",
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+            F.lit(_BOOT_B).cast("long").alias("n_replicates"),
+        )
+    )
+
+
+# One Bradley-Terry minorization round (oracle side). Every aggregated
+# term is grid-quantized (2^-40 for the D fold, 2^-20 for the
+# normalization total) so sums add exact dyadic rationals; divisions
+# and the [1/64, 64] clamp are identical-tree IEEE ops per node.
+_BT_ROUND = """
+d{r} AS (
+  SELECT g.i AS node,
+         SUM(FLOOR(g.p / (si.s + sj.s) * 1099511627776.0)
+             / 1099511627776.0) AS dsum
+  FROM gmd g
+  JOIN s{p} si ON si.node = g.i
+  JOIN s{p} sj ON sj.node = g.j
+  GROUP BY g.i
+),
+sp{r} AS (
+  SELECT n.node,
+         CASE WHEN d.dsum IS NULL OR d.dsum = 0 THEN s.s
+              ELSE w.wbar / d.dsum END AS s
+  FROM nodes n
+  JOIN s{p} s ON s.node = n.node
+  JOIN wbar w ON w.node = n.node
+  LEFT JOIN d{r} d ON d.node = n.node
+),
+t{r} AS (SELECT SUM(FLOOR(s * 1048576.0) / 1048576.0) AS t FROM sp{r}),
+s{r} AS (
+  SELECT node,
+         GREATEST(CAST(0.015625 AS DOUBLE),
+                  LEAST(CAST(64.0 AS DOUBLE),
+                        25.0 * s / t)) AS s
+  FROM sp{r} CROSS JOIN t{r}
+)"""
+
+_BT_ORACLE = (
+    """
+    WITH ord_nat AS MATERIALIZED (
+      SELECT l.l_orderkey AS ok, s.s_nationkey AS nat,
+             CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ),
+    duels AS MATERIALIZED (
+      SELECT CASE WHEN a.cents > b.cents THEN a.nat ELSE b.nat END AS win,
+             CASE WHEN a.cents > b.cents THEN b.nat ELSE a.nat END AS lose
+      FROM ord_nat a JOIN ord_nat b
+        ON a.ok = b.ok AND a.nat < b.nat AND a.cents <> b.cents
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM duels),
+    wins AS (SELECT win AS node, CAST(COUNT(*) AS BIGINT) AS w
+             FROM duels GROUP BY 1),
+    gm AS MATERIALIZED (
+      SELECT LEAST(win, lose) AS a, GREATEST(win, lose) AS b,
+             CAST(COUNT(*) AS BIGINT) AS g
+      FROM duels GROUP BY 1, 2
+    ),
+    gmd AS MATERIALIZED (
+      SELECT a AS i, b AS j, CAST(g AS DOUBLE) / nn.n AS p
+      FROM gm CROSS JOIN nn
+      UNION ALL
+      SELECT b, a, CAST(g AS DOUBLE) / nn.n FROM gm CROSS JOIN nn
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    wbar AS (
+      SELECT n.node,
+             CAST(COALESCE(w.w, 0) AS DOUBLE) / nn.n AS wbar,
+             CAST(COALESCE(w.w, 0) AS BIGINT) AS wins
+      FROM nodes n LEFT JOIN wins w ON w.node = n.node CROSS JOIN nn
+    ),
+    games AS (
+      SELECT n.node,
+             CAST(COALESCE(SUM(gm.g), 0) AS BIGINT) AS games
+      FROM nodes n
+      LEFT JOIN gm ON gm.a = n.node OR gm.b = n.node
+      GROUP BY n.node
+    ),
+    s0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS s FROM nodes),"""
+    + ",".join(_BT_ROUND.format(r=i, p=i - 1) for i in (1, 2, 3))
+    + """
+    SELECT n.node AS nationkey, w.wins AS n_wins, g.games AS n_games,
+           s.s AS bt_strength
+    FROM nodes n
+    JOIN wbar w ON w.node = n.node
+    JOIN games g ON g.node = n.node
+    JOIN s3 s ON s.node = n.node
+    """
+)
+
+
+@query("eval_bradley_terry_strength", _BT_ORACLE)
+def eval_bradley_terry_strength(spark, sf_dir):
+    """BRADLEY-TERRY preference strengths via 3 MINORIZATION rounds
+    (Hunter 2004's MM algorithm) — the pairwise-preference model
+    behind RLHF reward aggregation, ranker evaluation, and every
+    "which variant wins" leaderboard, fitted here to supplier-nation
+    DUELS: within each order, every pair of competing supplier
+    nations duels and the larger lineitem revenue wins (exact-cents
+    ties are no-contests). MM update s_i <- wbar_i / sum_j
+    p_ij/(s_i + s_j), strengths renormalized to sum 25 and clamped to
+    [1/64, 64] each round (saturation bounds the fixed-point like the
+    DSIR fold).
+
+    Exactness: duel counts are exact integers; p_ij = g_ij/N and
+    wbar_i = W_i/N are single IEEE divisions; each round's D_i fold
+    sums 2^-40 grid-quantized terms (bounded: clamped strengths keep
+    p/(s_i+s_j) <= 32, <= 24 opponents -> numerators < 2^50) and the
+    normalization total sums 2^-20 quantized strengths (<= 128 each,
+    25 terms) — all exact dyadic sums; gameless nodes keep their
+    prior strength via an identical CASE.
+
+    Distributed shape: the duel build is one combinable
+    (order, nation) groupBy + one co-partitioned self-join on the
+    order key; everything after is a driver loop over CACHED <=300-row
+    pair tables with the normalization scalar collected per round
+    (the HITS pattern). At leaderboard scale (millions of items) the
+    same loop runs with strengths hash-partitioned on item id.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import register_cache
+
+    grid, grid20 = 1099511627776.0, 1048576.0
+    li = t(spark, sf_dir, "lineitem")
+    su = t(spark, sf_dir, "supplier")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    ord_nat = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .groupBy(
+            F.col("l_orderkey").alias("ok"),
+            F.col("s_nationkey").alias("nat"),
+        )
+        .agg(F.sum(cents).cast("long").alias("cents"))
+    )
+    a = ord_nat.select(
+        "ok", F.col("nat").alias("na"), F.col("cents").alias("ca")
+    )
+    bb = ord_nat.select(
+        F.col("ok").alias("ok2"),
+        F.col("nat").alias("nb"),
+        F.col("cents").alias("cb"),
+    )
+    duels = (
+        a.join(
+            bb,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("na") < F.col("nb"))
+            & (F.col("ca") != F.col("cb")),
+        )
+        .select(
+            F.when(F.col("ca") > F.col("cb"), F.col("na"))
+            .otherwise(F.col("nb"))
+            .alias("win"),
+            F.when(F.col("ca") > F.col("cb"), F.col("nb"))
+            .otherwise(F.col("na"))
+            .alias("lose"),
+        )
+    )
+    # ONE pass over the duel fact-join compresses it to the <=600-row
+    # directed count table; gm / wins / n_duels all derive from the
+    # cache, so the expensive self-join never re-expands
+    duel_agg = register_cache(
+        duels.groupBy("win", "lose").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+    )
+    gm = register_cache(
+        duel_agg.groupBy(
+            F.least("win", "lose").alias("a"),
+            F.greatest("win", "lose").alias("b"),
+        ).agg(F.sum("c").cast("long").alias("g"))
+    )
+    n_duels = int(gm.agg(F.sum("g")).collect()[0][0] or 0)
+    wins = duel_agg.groupBy(F.col("win").alias("node")).agg(
+        F.sum("c").cast("long").alias("w")
+    )
+    nodes = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    wbar = register_cache(
+        nodes.join(wins, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("w"), F.lit(0)).cast("double") / n_duels)
+            .alias("wbar"),
+            F.coalesce(F.col("w"), F.lit(0)).cast("long").alias("wins"),
+        )
+    )
+    gmd = register_cache(
+        gm.select(
+            F.col("a").alias("i"),
+            F.col("b").alias("j"),
+            (F.col("g").cast("double") / n_duels).alias("p"),
+        ).unionAll(
+            gm.select(
+                F.col("b").alias("i"),
+                F.col("a").alias("j"),
+                (F.col("g").cast("double") / n_duels).alias("p"),
+            )
+        )
+    )
+    games = nodes.join(
+        gmd.groupBy(F.col("i").alias("node")).agg(
+            F.sum((F.col("p") * n_duels)).cast("long").alias("games")
+        ),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce(F.col("games"), F.lit(0)).cast("long").alias("games")
+    )
+    # the MM loop runs DRIVER-SIDE on the collected bounded state
+    # (<= 625 pair rows + 25 node rows — control-plane, the OPQ/CMS
+    # collect precedent): three distributed 25-row round-trips cost
+    # ~6 s/round in job overhead for zero distribution benefit. Python
+    # floats ARE IEEE doubles, so the arithmetic is the oracle's
+    # identical tree; the quantized sums are exact dyadic rationals,
+    # hence order-independent.
+    import math as _m
+
+    pair_rows = gmd.collect()
+    node_list = [r["node"] for r in nodes.collect()]
+    wbar_map = {r["node"]: r["wbar"] for r in wbar.collect()}
+    sv = {n: 1.0 for n in node_list}
+    for _ in range(3):
+        dsum = {n: 0.0 for n in node_list}
+        for r in pair_rows:
+            dsum[r["i"]] += (
+                _m.floor(r["p"] / (sv[r["i"]] + sv[r["j"]]) * grid) / grid
+            )
+        sp = {
+            n: (sv[n] if dsum[n] == 0 else wbar_map[n] / dsum[n])
+            for n in node_list
+        }
+        tot = sum(_m.floor(v * grid20) / grid20 for v in sp.values())
+        sv = {
+            n: max(0.015625, min(64.0, 25.0 * v / tot))
+            for n, v in sp.items()
+        }
+    strengths = spark.createDataFrame(
+        [(n, sv[n]) for n in node_list], "node long, bt_strength double"
+    )
+    return (
+        nodes.join(wbar.select("node", "wins"), "node")
+        .join(games, "node")
+        .join(F.broadcast(strengths), "node")
+        .select(
+            F.col("node").alias("nationkey"),
+            F.col("wins").alias("n_wins"),
+            F.col("games").alias("n_games"),
+            F.col("bt_strength"),
+        )
+    )

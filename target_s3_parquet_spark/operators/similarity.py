@@ -3624,3 +3624,161 @@ def sim_bitext_margin_knn(spark, sf_dir):
         .cast("long")
         .alias("mutual"),
     )
+
+
+# PCA power-iteration oracle: the 64x64 quantized Gram matrix as CTEs,
+# 4 matvec+normalize rounds unrolled, then the Rayleigh quotient.
+_PCA_ITER = """
+y{r} AS (
+  SELECT g.i, SUM(FLOOR(g.v * x.x * 1099511627776.0)
+                  / 1099511627776.0) AS y
+  FROM gh g JOIN x{p} x ON x.i = g.j GROUP BY g.i
+),
+n{r} AS (SELECT SQRT(SUM(FLOOR(y * y * 1099511627776.0)
+                          / 1099511627776.0)) AS nrm
+         FROM y{r}),
+x{r} AS (SELECT i, CASE WHEN nrm > 0 THEN y / nrm
+                        ELSE CAST(0.0 AS DOUBLE) END AS x
+         FROM y{r} CROSS JOIN n{r})"""
+
+_PCA_ORACLE = (
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    vn AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN nrm > 0
+                  THEN list_transform(v, e -> e / nrm)
+                  ELSE list_transform(v, e -> CAST(0.0 AS DOUBLE)) END AS v
+      FROM (SELECT vec_id, v,
+                   SQRT(list_sum(list_transform(v, e -> e * e))) AS nrm
+            FROM v)
+    ),
+    dims AS (SELECT UNNEST(range(1, 65)) AS i),
+    g AS MATERIALIZED (
+      SELECT d1.i AS i, d2.i AS j,
+             SUM(FLOOR(vn.v[d1.i] * vn.v[d2.i] * 1099511627776.0)
+                 / 1099511627776.0) AS v
+      FROM vn, dims d1, dims d2
+      GROUP BY d1.i, d2.i
+    ),
+    tr AS (SELECT SUM(FLOOR(v * 1048576.0) / 1048576.0) AS tr
+           FROM g WHERE i = j),
+    gh AS MATERIALIZED (
+      SELECT i, j, g.v / tr.tr AS v FROM g CROSS JOIN tr
+    ),
+    x0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS x FROM dims),"""
+    + ",".join(_PCA_ITER.format(r=i, p=i - 1) for i in (1, 2, 3, 4))
+    + """,
+    yr AS (
+      SELECT g.i, SUM(FLOOR(g.v * x.x * 1099511627776.0)
+                      / 1099511627776.0) AS y
+      FROM gh g JOIN x4 x ON x.i = g.j GROUP BY g.i
+    ),
+    ray AS (
+      SELECT SUM(FLOOR(x.x * y.y * 1099511627776.0)
+                 / 1099511627776.0) AS rayleigh
+      FROM x4 x JOIN yr y ON y.i = x.i
+    )
+    SELECT CAST(x.i - 1 AS BIGINT) AS dim, x.x AS loading,
+           ray.rayleigh AS rayleigh
+    FROM x4 x CROSS JOIN ray
+    """
+)
+
+
+@query("emb_pca_power_iteration", _PCA_ORACLE)
+def emb_pca_power_iteration(spark, sf_dir):
+    """Top PRINCIPAL COMPONENT of the (unit-normalized) embedding
+    corpus by 4 rounds of POWER ITERATION on the trace-normalized
+    Gram matrix — the dimensionality diagnostic behind whitening,
+    anisotropy checks ("is the corpus collapsing to one direction?"),
+    and Matryoshka-truncation decisions; the Rayleigh quotient
+    reported with the loadings is the fraction of (quantized) total
+    variance the component explains.
+
+    Exactness: vectors are unit-normalized (fold norm + one IEEE
+    division per element, zero-vector guarded); every Gram entry sums
+    2^-40 grid-quantized products (|vn_i*vn_j| <= 1, so numerators
+    stay exact through n < 8192 vectors — the current SFs; the lift is
+    a coarser grid or a two-level quantized merge, documented); the
+    trace sums 2^-20 quantized diagonals (magnitude <= n each); the
+    matvec terms, squared norms, and Rayleigh terms are 2^-40
+    quantized (PSD + trace normalization bound the spectral norm by 1,
+    so |y| <= 1 and every numerator stays exact), so every
+    aggregate is an exact dyadic-rational sum and the iteration is
+    bit-identical across engines (sqrt is IEEE-correctly-rounded).
+
+    Distributed shape: the DATA-sized work is one double-posexplode +
+    combinable groupBy building the 4096-row Gram matrix (the
+    emb_gram_matrix shape — the shuffle moves (i, j, partial) rows,
+    never vectors); the 64x64 iteration is control-plane on the
+    collected bounded matrix (the OPQ/CMS collect precedent — three
+    distributed 64-row round-trips would cost job overhead for zero
+    distribution benefit). At 100 TB the Gram build is the same one
+    pass; d stays 64.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    import math as _m
+
+    grid, grid20 = 1099511627776.0, 1048576.0
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    vn = v.select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN SQRT(aggregate(zip_with(v, v, (a, b) -> a * b),"
+            " 0D, (acc, e) -> acc + e)) > 0"
+            " THEN transform(v, e -> e /"
+            " SQRT(aggregate(zip_with(v, v, (a, b) -> a * b), 0D,"
+            " (acc, e) -> acc + e)))"
+            " ELSE transform(v, e -> 0D) END"
+        ).alias("vn"),
+    )
+    pairs = vn.select(
+        F.posexplode("vn").alias("i", "vi"), "vn"
+    ).select("i", "vi", F.posexplode("vn").alias("j", "vj"))
+    g = pairs.groupBy("i", "j").agg(
+        F.sum(F.floor(F.col("vi") * F.col("vj") * grid) / grid).alias("v")
+    )
+    grows = g.collect()
+    gm = {(r["i"], r["j"]): r["v"] for r in grows}
+    dims = list(range(64))
+    tr = sum(_m.floor(gm.get((i, i), 0.0) * grid20) / grid20 for i in dims)
+    gh = {k: val / tr for k, val in gm.items()}
+    x = {i: 0.125 for i in dims}
+    y = dict(x)
+    for _ in range(4):
+        y = {
+            i: sum(
+                _m.floor(gh.get((i, j), 0.0) * x[j] * grid) / grid
+                for j in dims
+            )
+            for i in dims
+        }
+        # PSD + trace-normalized => spectral norm <= 1 => |y| <= 1,
+        # so the fine 2^-40 grid stays exact for the square sums
+        nrm = _m.sqrt(
+            sum(_m.floor(yy * yy * grid) / grid for yy in y.values())
+        )
+        x = {
+            i: (y[i] / nrm if nrm > 0 else 0.0) for i in dims
+        }
+    y = {
+        i: sum(
+            _m.floor(gh.get((i, j), 0.0) * x[j] * grid) / grid
+            for j in dims
+        )
+        for i in dims
+    }
+    ray = sum(_m.floor(x[i] * y[i] * grid) / grid for i in dims)
+    return spark.createDataFrame(
+        [(i, x[i], ray) for i in dims],
+        "dim long, loading double, rayleigh double",
+    )

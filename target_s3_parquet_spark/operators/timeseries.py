@@ -2633,3 +2633,201 @@ def ts_ljung_box_q(spark, sf_dir):
         F.col("r7").alias("acf7"),
         q.cast("decimal(20,12)").cast("double").alias("q_stat"),
     )
+
+
+@query(
+    "ts_pacf_durbin_levinson",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(s AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(s AS DECIMAL(19,0)) * s) AS DECIMAL(38,0))
+               AS sxx
+      FROM daily
+    ),
+    lags AS (SELECT UNNEST([1, 2, 3]) AS lag),
+    pairs AS (
+      SELECT l.lag, a.s AS sa, b.s AS sb
+      FROM lags l JOIN daily a ON TRUE JOIN daily b ON b.d = a.d - l.lag
+    ),
+    mk AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(CAST(sa AS DECIMAL(19,0)) * sb) AS DECIMAL(38,0))
+               AS sxy,
+             CAST(SUM(CAST(sa AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sha,
+             CAST(SUM(CAST(sb AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS shb
+      FROM pairs GROUP BY lag
+    ),
+    rk AS (
+      SELECT mk.lag,
+             CAST(CAST(
+               CAST(CAST(CAST(g.n AS DECIMAL(38,0)) * g.n * mk.sxy
+                         - g.n * g.sx * (mk.sha + mk.shb)
+                         + mk.m * g.sx * g.sx AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST(CAST(g.n * (g.n * g.sxx - g.sx * g.sx)
+                           AS DECIMAL(38,0)) AS DOUBLE)
+               AS DECIMAL(20,12)) AS DOUBLE) AS r
+      FROM mk CROSS JOIN g
+    ),
+    rv AS (
+      SELECT (SELECT r FROM rk WHERE lag = 1) AS r1,
+             (SELECT r FROM rk WHERE lag = 2) AS r2,
+             (SELECT r FROM rk WHERE lag = 3) AS r3
+    ),
+    dl AS (
+      SELECT r1, r2, r3,
+             r1 AS p11,
+             CASE WHEN (1.0 - r1 * r1) <> 0
+                  THEN (r2 - r1 * r1) / (1.0 - r1 * r1)
+                  ELSE CAST(0.0 AS DOUBLE) END AS p22
+      FROM rv
+    ),
+    dl2 AS (
+      SELECT r1, r2, r3, p11, p22,
+             p11 - p22 * p11 AS p21
+      FROM dl
+    )
+    SELECT lag, acf,
+           CAST(CAST(pacf AS DECIMAL(20,12)) AS DOUBLE) AS pacf
+    FROM (
+      SELECT 1 AS lag, r1 AS acf, p11 AS pacf FROM dl2
+      UNION ALL
+      SELECT 2, r2, p22 FROM dl2
+      UNION ALL
+      SELECT 3, r3,
+             CASE WHEN (1.0 - p21 * r1 - p22 * r2) <> 0
+                  THEN (r3 - p21 * r2 - p22 * r1)
+                       / (1.0 - p21 * r1 - p22 * r2)
+                  ELSE CAST(0.0 AS DOUBLE) END
+      FROM dl2
+    )
+    """,
+)
+def ts_pacf_durbin_levinson(spark, sf_dir):
+    """PARTIAL autocorrelation of the daily-revenue series at lags
+    1..3 via the DURBIN-LEVINSON recursion — the AR-order selection
+    companion to `ts_acf_lags`/`ts_ljung_box_q` (the PACF cutoff
+    point IS the AR(p) order every Box-Jenkins pipeline reads off):
+    phi_11 = r1; phi_22 = (r2 - r1^2)/(1 - r1^2);
+    phi_33 = (r3 - phi_21 r2 - phi_22 r1)/(1 - phi_21 r1 - phi_22 r2)
+    with phi_21 = phi_11 - phi_22 phi_11.
+
+    Exactness: the gap-aware global-mean ACF values r_k come from the
+    `ts_ljung_box_q` channel (exact DECIMAL(38,0) cleared-denominator
+    integer moments, ONE double division each, DECIMAL(20,12) guard),
+    so both engines hold IDENTICAL r_k doubles; the recursion is a
+    fixed identical expression tree over them (IEEE ops only) with a
+    terminal DECIMAL(20,12) guard per phi_kk and a CASE guard for
+    degenerate zero denominators (constant series).
+
+    Distributed shape: one combinable groupBy to the calendar-bounded
+    series, the 3-lag band self-join on that bounded series, then
+    1-row scalar algebra — the ts_acf_lags shape plus control-plane
+    recursion.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("d")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("s")
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("s").cast(d19)).cast(d38).alias("sx"),
+        F.sum(F.col("s").cast(d19) * F.col("s")).cast(d38).alias("sxx"),
+    )
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in (1, 2, 3)])).alias("lag")
+    )
+    a = daily.select("d", F.col("s").alias("sa"))
+    b = daily.select(F.col("d").alias("bd"), F.col("s").alias("sb"))
+    pairs = (
+        F.broadcast(lags)
+        .join(a, F.lit(True))
+        .join(F.broadcast(b), F.col("bd") == F.col("d") - F.col("lag"))
+    )
+    mk = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.col("sa").cast(d19) * F.col("sb")).cast(d38).alias("sxy"),
+        F.sum(F.col("sa").cast(d19)).cast(d38).alias("sha"),
+        F.sum(F.col("sb").cast(d19)).cast(d38).alias("shb"),
+    )
+    rk = mk.crossJoin(F.broadcast(g)).select(
+        "lag",
+        (
+            (
+                F.col("n").cast(d38) * F.col("n") * F.col("sxy")
+                - F.col("n") * F.col("sx") * (F.col("sha") + F.col("shb"))
+                + F.col("m") * F.col("sx") * F.col("sx")
+            )
+            .cast(d38)
+            .cast("double")
+            / (
+                F.col("n")
+                * (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            )
+            .cast(d38)
+            .cast("double")
+        )
+        .cast("decimal(20,12)")
+        .cast("double")
+        .alias("r"),
+    )
+    rv = rk.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p11 = r1
+    den2 = F.lit(1.0) - r1 * r1
+    p22 = F.when(den2 != 0, (r2 - r1 * r1) / den2).otherwise(F.lit(0.0))
+    dl = rv.select(
+        "r1", "r2", "r3", p11.alias("p11"), p22.alias("p22")
+    ).withColumn("p21", F.col("p11") - F.col("p22") * F.col("p11"))
+    den3 = F.lit(1.0) - F.col("p21") * r1 - F.col("p22") * r2
+    p33 = F.when(
+        den3 != 0,
+        (r3 - F.col("p21") * r2 - F.col("p22") * r1) / den3,
+    ).otherwise(F.lit(0.0))
+    guard = lambda c: c.cast("decimal(20,12)").cast("double")  # noqa: E731
+    return (
+        dl.select(
+            F.lit(1).alias("lag"),
+            r1.alias("acf"),
+            guard(F.col("p11")).alias("pacf"),
+        )
+        .unionAll(
+            dl.select(
+                F.lit(2).alias("lag"),
+                r2.alias("acf"),
+                guard(F.col("p22")).alias("pacf"),
+            )
+        )
+        .unionAll(
+            dl.select(
+                F.lit(3).alias("lag"),
+                r3.alias("acf"),
+                guard(p33).alias("pacf"),
+            )
+        )
+    )

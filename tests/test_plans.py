@@ -309,6 +309,15 @@ _BNLJ_BOUNDED_OK = {
     # (the sim_knn_cosine shape with the margin windows on top)
     "corpus_dsir_importance_weights",  # 1-row gram-totals agg onto the
     # 256-row bucket table + 1-row weight-total agg onto the doc table
+    "eval_bootstrap_ci_hash",  # 40-row replicate-id broadcast exploded
+    # onto the fact (row-local weights) + 1-row totals
+    "eval_mrr_at_k",  # 4-row cutoff broadcast (fr <= k) + 1-row
+    # query-count agg (the eval_precision_recall_at_k shape)
+    "ts_pacf_durbin_levinson",  # 3-row lag-literal crossJoin onto the
+    # calendar-bounded daily series + 1-row moment/recursion folds
+    # (the ts_acf_lags / ts_ljung_box_q bounded shape)
+    "vocab_heaps_curve",  # 5-row checkpoint broadcast over the
+    # first-occurrence table + two_phase_rank offsets + 1-row total
 }
 
 

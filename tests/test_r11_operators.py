@@ -318,3 +318,248 @@ def test_km_fold_matches_python_reference(spark, tmp_path_factory, raw):
         .collect()
     ]
     assert got == ref, (got, ref)
+
+
+# ----------------------------------------------------- batch-2 pins
+
+
+def test_mrr_matches_bruteforce(spark, duck):
+    from target_s3_parquet_spark.operators.pipeline import eval_mrr_at_k
+
+    rows = duck.sql(
+        """SELECT o_custkey,
+                  LEAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT), 30000000) AS cents,
+                  o_orderkey,
+                  CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                       THEN 1 ELSE 0 END AS y
+           FROM orders"""
+    ).fetchall()
+    by_cust = {}
+    for ck, cents, ok, y in rows:
+        by_cust.setdefault(ck, []).append((-cents, ok, y))
+    fr = {}
+    for ck, lst in by_cust.items():
+        for r, (_, _, y) in enumerate(sorted(lst), start=1):
+            if y == 1:
+                fr[ck] = r
+                break
+    nq = len(by_cust)
+    got = {r["k"]: r for r in eval_mrr_at_k(spark, SF_SMALL).collect()}
+    for k in (1, 3, 5, 10):
+        hits = [r for r in fr.values() if r <= k]
+        assert got[k]["n_queries"] == nq
+        assert got[k]["n_hit"] == len(hits)
+        assert got[k]["mrr"] == sum(2520 // r for r in hits) / (2520 * nq)
+
+
+def test_bootstrap_ci_matches_bruteforce(spark, duck):
+    from target_s3_parquet_spark.operators.pipeline import (
+        _BOOT_B,
+        _BOOT_THRESH,
+        eval_bootstrap_ci_hash,
+    )
+
+    rows = duck.sql(
+        """SELECT c_custkey, c_nationkey,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           FROM customer"""
+    ).fetchall()
+
+    def weight(ck, b):
+        h = int(hashlib.md5(f"{ck}:{b}".encode()).hexdigest()[:7], 16)
+        for w, t_ in enumerate(_BOOT_THRESH):
+            if h < t_:
+                return w
+        return 9
+
+    reps = {}
+    pts = {}
+    for ck, nat, cents in rows:
+        pts.setdefault(nat, []).append(cents)
+        for b in range(1, _BOOT_B + 1):
+            w = weight(ck, b)
+            s, n = reps.get((nat, b), (0, 0))
+            reps[(nat, b)] = (s + w * cents, n + w)
+    got = {
+        r["nationkey"]: r
+        for r in eval_bootstrap_ci_hash(spark, SF_SMALL).collect()
+    }
+    for nat in pts:
+        means = sorted(
+            (s / n / 100.0, b)
+            for (na, b), (s, n) in reps.items()
+            if na == nat and n > 0
+        )
+        assert got[nat]["point_mean"] == sum(pts[nat]) / len(pts[nat]) / 100.0
+        assert got[nat]["n_rows"] == len(pts[nat])
+        assert got[nat]["ci_lo"] == means[1][0]
+        assert got[nat]["ci_hi"] == means[len(means) - 2][0]
+
+
+def test_moments_merge_is_exact_everywhere(spark):
+    from target_s3_parquet_spark.operators.pipeline import (
+        agg_moments_merge_check,
+    )
+
+    rows = agg_moments_merge_check(spark, SF_SMALL).collect()
+    assert len(rows) == 5  # TPC-H priorities
+    assert all(r["merge_exact"] == 1 for r in rows)
+    assert all(r["pop_variance"] >= 0 for r in rows)
+
+
+def test_bradley_terry_matches_pure_python(spark, duck):
+    from target_s3_parquet_spark.operators.pipeline import (
+        eval_bradley_terry_strength,
+    )
+
+    duels = duck.sql(
+        """
+        WITH ord_nat AS (
+          SELECT l.l_orderkey AS ok, s.s_nationkey AS nat,
+                 CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                               * 100 AS BIGINT)) AS BIGINT) AS cents
+          FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        )
+        SELECT CASE WHEN a.cents > b.cents THEN a.nat ELSE b.nat END,
+               CASE WHEN a.cents > b.cents THEN b.nat ELSE a.nat END
+        FROM ord_nat a JOIN ord_nat b
+          ON a.ok = b.ok AND a.nat < b.nat AND a.cents <> b.cents
+        """
+    ).fetchall()
+    nodes = sorted(
+        r[0] for r in duck.sql("SELECT n_nationkey FROM nation").fetchall()
+    )
+    n = len(duels)
+    wins, gm = {}, {}
+    for w, l in duels:
+        wins[w] = wins.get(w, 0) + 1
+        k = (min(w, l), max(w, l))
+        gm[k] = gm.get(k, 0) + 1
+    grid, grid20 = 1099511627776.0, 1048576.0
+    pd_ = {}
+    for (a, b), g in gm.items():
+        pd_[(a, b)] = g / n
+        pd_[(b, a)] = g / n
+    sv = {i: 1.0 for i in nodes}
+    for _ in range(3):
+        dsum = {i: 0.0 for i in nodes}
+        for (i, j), p in pd_.items():
+            dsum[i] += math.floor(p / (sv[i] + sv[j]) * grid) / grid
+        sp = {
+            i: (sv[i] if dsum[i] == 0 else (wins.get(i, 0) / n) / dsum[i])
+            for i in nodes
+        }
+        tot = sum(math.floor(v * grid20) / grid20 for v in sp.values())
+        sv = {i: max(0.015625, min(64.0, 25.0 * v / tot)) for i, v in sp.items()}
+    games = {i: 0 for i in nodes}
+    for (a, b), g in gm.items():
+        games[a] += g
+        games[b] += g
+    got = {
+        r["nationkey"]: r
+        for r in eval_bradley_terry_strength(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(nodes)
+    for i in nodes:
+        assert got[i]["n_wins"] == wins.get(i, 0)
+        assert got[i]["n_games"] == games[i]
+        assert got[i]["bt_strength"] == sv[i], (i, got[i], sv[i])
+
+
+def test_heaps_curve_matches_bruteforce(spark, duck):
+    from target_s3_parquet_spark.operators.pipeline import vocab_heaps_curve
+
+    docs = duck.sql(
+        "SELECT doc_id, text FROM documents ORDER BY doc_id"
+    ).fetchall()
+    seen, first = set(), {}
+    r = 0
+    for _, text in docs:
+        for tok in text.lower().split(" "):
+            r += 1
+            if tok not in seen:
+                seen.add(tok)
+                first[tok] = r
+    n_tok = r
+    got = {
+        row["checkpoint"]: row
+        for row in vocab_heaps_curve(spark, SF_SMALL).collect()
+    }
+    for cp in (1000, 2000, 4000, 8000, 16000):
+        types = sum(1 for v in first.values() if v <= cp)
+        assert got[cp]["n_tokens_seen"] == min(cp, n_tok)
+        assert got[cp]["n_types"] == types
+        assert got[cp]["type_token_ratio"] == types / min(cp, n_tok)
+
+
+def test_pacf_is_durbin_levinson_of_acf(spark):
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_pacf_durbin_levinson,
+    )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def guard(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-12"), ROUND_HALF_UP)
+        )
+
+    rows = {
+        r["lag"]: r
+        for r in ts_pacf_durbin_levinson(spark, SF_SMALL).collect()
+    }
+    r1, r2, r3 = (rows[k]["acf"] for k in (1, 2, 3))
+    p11 = r1
+    p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    p21 = p11 - p22 * p11
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
+    assert rows[1]["pacf"] == guard(p11)
+    assert rows[2]["pacf"] == guard(p22)
+    assert rows[3]["pacf"] == guard(p33)
+    # ACF at lag 1 must be in [-1, 1]; PACF(1) == ACF(1) by definition
+    assert -1.0 <= r1 <= 1.0
+
+
+def test_freshness_audit_matches_duckdb_dates(spark, duck):
+    from target_s3_parquet_spark.operators.pipeline import dq_freshness_audit
+
+    got = {r["tbl"]: r for r in dq_freshness_audit(spark, SF_SMALL).collect()}
+    assert set(got) == {"orders", "lineitem", "events"}
+    asof = max(
+        duck.sql(
+            "SELECT GREATEST((SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders),"
+            " (SELECT MAX(CAST(l_shipdate AS DATE)) FROM lineitem),"
+            " (SELECT MAX(CAST(ts AS DATE)) FROM events))"
+        ).fetchall()
+    )[0]
+    for tbl, col, src in (
+        ("orders", "o_orderdate", "orders"),
+        ("lineitem", "l_shipdate", "lineitem"),
+        ("events", "ts", "events"),
+    ):
+        n, lo, hi = duck.sql(
+            f"SELECT COUNT(*), MIN(CAST({col} AS DATE)),"
+            f" MAX(CAST({col} AS DATE)) FROM {src}"
+        ).fetchall()[0]
+        assert got[tbl]["n_rows"] == n
+        assert got[tbl]["first_date"] == str(lo)
+        assert got[tbl]["last_date"] == str(hi)
+        assert got[tbl]["staleness_days"] == (asof - hi).days
+
+
+def test_pca_loading_is_unit_and_rayleigh_dominant(spark, duck):
+    from target_s3_parquet_spark.operators.similarity import (
+        emb_pca_power_iteration,
+    )
+
+    rows = emb_pca_power_iteration(spark, SF_SMALL).collect()
+    assert len(rows) == 64
+    x = [r["loading"] for r in sorted(rows, key=lambda r: r["dim"])]
+    ray = rows[0]["rayleigh"]
+    assert all(r["rayleigh"] == ray for r in rows)
+    # unit loading vector (within grid quantization)
+    assert abs(sum(v * v for v in x) - 1.0) < 1e-5
+    # Rayleigh quotient of the trace-normalized Gram sits in (0, 1]
+    # and must dominate the average eigenvalue 1/64
+    assert 1.0 / 64.0 < ray <= 1.0 + 1e-9
