@@ -533,6 +533,38 @@ def main() -> None:
             r10_t[name] = -1.0
             print(f"# r10 sweep {name} FAILED: {e}", file=sys.stderr)
     extras["r10_sweep_sec"] = r10_t
+    # r11 breadth keys: min-of-2 steady state, same protocol.
+    SWEEP_R11 = [
+        "sim_bitext_margin_knn",
+        "corpus_dsir_importance_weights",
+        "graph_hits_scores",
+        "dq_freshness_audit",
+        "agg_moments_merge_check",
+        "eval_mrr_at_k",
+        "eval_bootstrap_ci_hash",
+        "eval_bradley_terry_strength",
+        "vocab_heaps_curve",
+        "ts_pacf_durbin_levinson",
+        "emb_pca_power_iteration",
+    ]
+    r11_t: dict[str, float] = {}
+    for name in SWEEP_R11:
+        try:
+            fn = queries[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            r11_t[name] = round(best, 3)
+            print(f"# r11 sweep {name}: {r11_t[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+            release_rank_caches()
+        except Exception as e:  # noqa: BLE001
+            r11_t[name] = -1.0
+            print(f"# r11 sweep {name} FAILED: {e}", file=sys.stderr)
+    extras["r11_sweep_sec"] = r11_t
     try:
         from tools.bench_ntile import run_ntile_scale
 
