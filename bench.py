@@ -546,6 +546,11 @@ def main() -> None:
         "vocab_heaps_curve",
         "ts_pacf_durbin_levinson",
         "emb_pca_power_iteration",
+        "graph_link_prediction_ra",
+        "sample_priority_wor",
+        "corpus_dsir_resample_apply",
+        "events_markov_attribution",
+        "emb_pc1_removal_variance",
     ]
     r11_t: dict[str, float] = {}
     for name in SWEEP_R11:

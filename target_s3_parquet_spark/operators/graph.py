@@ -1135,3 +1135,97 @@ def graph_hits_scores(spark, sf_dir):
             F.col("a").alias("authority"),
         )
     )
+
+
+# lcm(1..24): every degree on the 25-node sparsified graph divides it,
+# so LCM/deg(z) is an exact integer per shared neighbor and the
+# resource-allocation score is an exact integer sum.
+_RA_LCM = 5354228880
+
+
+@query(
+    "graph_link_prediction_ra",
+    "WITH "
+    + _EDGES_CTE
+    + f""",
+    adj AS MATERIALIZED (
+      SELECT a AS node, b AS nbr FROM strong
+      UNION ALL
+      SELECT b AS node, a AS nbr FROM strong
+    ),
+    deg AS MATERIALIZED (
+      SELECT node, COUNT(*) AS d FROM adj GROUP BY node
+    ),
+    cand AS (
+      SELECT ax.node AS a, ay.node AS b,
+             CAST(COUNT(*) AS BIGINT) AS common_nbrs,
+             CAST(SUM({_RA_LCM} // dz.d) AS BIGINT) AS ra_scaled
+      FROM adj ax
+      JOIN adj ay ON ax.nbr = ay.nbr AND ax.node < ay.node
+      JOIN deg dz ON dz.node = ax.nbr
+      GROUP BY ax.node, ay.node
+    )
+    SELECT c.a, c.b, c.common_nbrs, c.ra_scaled,
+           CAST(c.ra_scaled AS DOUBLE) / {_RA_LCM}.0 AS ra_index
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM strong s
+                      WHERE s.a = c.a AND s.b = c.b)
+    """,
+)
+def graph_link_prediction_ra(spark, sf_dir):
+    """RESOURCE-ALLOCATION link prediction (Zhou, Lu & Zhang 2009) on
+    the sparsified trade graph — the degree-penalized local predictor
+    that consistently beats raw common-neighbors and Jaccard on
+    skewed graphs (a shared HUB says little; a shared low-degree
+    neighbor says a lot): for every non-adjacent pair,
+    RA(a,b) = sum over common neighbors z of 1/deg(z). The
+    log-weighted Adamic-Adar twin is deliberately NOT the key — its
+    1/ln(deg) weights are libm-dependent; RA is the same idea in
+    exact rationals and predicts as well or better in the original
+    study.
+
+    Exactness: every degree on the bounded sparsified graph divides
+    lcm(1..24) = 5354228880, so LCM/deg(z) is an EXACT INTEGER per
+    wedge and the score is an exact integer sum (int64 up to ~1.7e9
+    wedges per pair); ra_index is one terminal IEEE division.
+
+    Distributed shape: identical wedge join to
+    `graph_link_prediction` (adjacency equi-join on the shared
+    neighbor, never node x node) with the degree lookup joined on the
+    WEDGE CENTER before the pair groupBy — one extra broadcast join,
+    same shuffle count; the anti-join drops existing edges. Hub
+    fan-out is bounded by the sparsification, as documented in
+    SCALE.md's graph section.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    pairs = register_cache(_strong_pairs(spark, sf_dir))
+    adj = pairs.select(
+        F.col("a").alias("node"), F.col("b").alias("nbr")
+    ).union(pairs.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+    deg = adj.groupBy("node").agg(F.count("*").alias("d"))
+    ax = adj.select(F.col("node").alias("a"), F.col("nbr").alias("za"))
+    ay = adj.select(F.col("node").alias("b"), F.col("nbr").alias("zb"))
+    dz = deg.select(F.col("node").alias("za"), F.col("d").alias("dz"))
+    cand = (
+        ax.join(ay, (F.col("za") == F.col("zb")) & (F.col("a") < F.col("b")))
+        .join(F.broadcast(dz), "za")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("common_nbrs"),
+            F.sum(F.expr(f"CAST({_RA_LCM} AS BIGINT) div dz"))
+            .cast("long")
+            .alias("ra_scaled"),
+        )
+    )
+    missing = cand.join(pairs.select("a", "b"), ["a", "b"], "left_anti")
+    return missing.select(
+        "a",
+        "b",
+        "common_nbrs",
+        "ra_scaled",
+        (F.col("ra_scaled").cast("double") / float(_RA_LCM)).alias(
+            "ra_index"
+        ),
+    )

@@ -3736,9 +3736,7 @@ _DSIR_SCALE = 1_000_000_000  # fixed-point 1.0
 _DSIR_CAP = 1_000_000_000_000_000  # saturation: 1e6 relative
 
 
-@query(
-    "corpus_dsir_importance_weights",
-    f"""
+_DSIR_CTES = f"""
     WITH toks AS (
       SELECT doc_id, lang,
              UNNEST(toks) AS gram,
@@ -3792,7 +3790,13 @@ _DSIR_CAP = 1_000_000_000_000_000  # saturation: 1e6 relative
       FROM documents d LEFT JOIN seqs s ON s.doc_id = d.doc_id
     ),
     tot AS (SELECT CAST(SUM(CAST(w_scaled AS DECIMAL(38,0)))
-                        AS DECIMAL(38,0)) AS tw FROM w)
+                        AS DECIMAL(38,0)) AS tw FROM w)"""
+
+
+@query(
+    "corpus_dsir_importance_weights",
+    _DSIR_CTES
+    + """
     SELECT w.doc_id, w.w_scaled,
            CAST(w.w_scaled AS DOUBLE) / CAST(tot.tw AS DOUBLE) AS weight
     FROM w CROSS JOIN tot
@@ -3921,7 +3925,8 @@ def corpus_dsir_importance_weights(spark, sf_dir):
             F.lit(_DSIR_SCALE).cast("long"),
         ).alias("w_scaled"),
     )
-    tot = w.agg(F.sum(F.col("w_scaled").cast(d38)).cast(d38).alias("tw"))
+    d38n = "decimal(38,0)"
+    tot = w.agg(F.sum(F.col("w_scaled").cast(d38n)).cast(d38n).alias("tw"))
     return w.crossJoin(F.broadcast(tot)).select(
         "doc_id",
         "w_scaled",
@@ -4789,5 +4794,207 @@ def eval_bradley_terry_strength(spark, sf_dir):
             F.col("wins").alias("n_wins"),
             F.col("games").alias("n_games"),
             F.col("bt_strength"),
+        )
+    )
+
+
+@query(
+    "sample_priority_wor",
+    """
+    WITH it AS (
+      SELECT c_custkey,
+             ABS(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+               + 1 AS w,
+             CAST(('0x' || substring(md5('pri:' || c_custkey), 1, 7))
+                  AS BIGINT) + 1 AS h
+      FROM customer
+    ),
+    pri AS (
+      SELECT c_custkey, w,
+             (w * 268435456) // h AS q
+      FROM it
+    ),
+    rk AS (
+      SELECT c_custkey, w, q,
+             ROW_NUMBER() OVER (ORDER BY q DESC, c_custkey) AS r
+      FROM pri
+    ),
+    tau AS (SELECT q AS tau FROM rk WHERE r = 101)
+    SELECT rk.c_custkey, rk.w AS w_cents, rk.q AS priority_scaled,
+           CAST(GREATEST(CAST(rk.w AS DOUBLE),
+                         CAST(tau.tau AS DOUBLE) / 268435456.0)
+                AS DOUBLE) AS est_weight_cents
+    FROM rk CROSS JOIN tau
+    WHERE rk.r <= 100
+    """,
+)
+def sample_priority_wor(spark, sf_dir):
+    """PRIORITY SAMPLING without replacement (Duffield-Lund-Thorup
+    2007), k = 100 — the weighted-sample-without-replacement scheme
+    built for one-pass distributed execution: each item's priority is
+    weight/uniform from a DETERMINISTIC md5 stream, the k highest
+    priorities are the sample, and the (k+1)-th priority tau gives the
+    Horvitz-Thompson weight estimate max(w, tau), whose totals are
+    unbiased for ANY weight sum over the population — the
+    subset-sum-estimation property reservoir sampling lacks.
+
+    Exactness: weights are exact integer cents (+1, positive); the
+    uniform is the exact integer hash+1 on the 2^28 grid, so the
+    priority is the exact integer (w << 28) // (h+1) — ordering and
+    the tau threshold are pure integer comparisons (floor-collisions
+    break on custkey, same in both engines); only the reported HT
+    estimate performs IEEE division.
+
+    Distributed shape: priorities are ROW-LOCAL (hash + integer
+    arithmetic, no coordination); the global top-k uses
+    `two_phase_rank` (range-partitioned local ranks + broadcast
+    offsets — never a single-partition sort); tau is one row. At
+    100 TB this is THE sampling scheme: one scan, one bounded
+    top-(k+1) selection, no second pass.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    it = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            F.abs(
+                (F.col("c_acctbal").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            + 1
+        ).alias("w"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("pri:"), F.col("c_custkey"))),
+                    1,
+                    7,
+                ),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ).alias("h"),
+    )
+    pri = it.select(
+        "c_custkey",
+        "w",
+        F.expr("(w * CAST(268435456 AS BIGINT)) div h").alias("q"),
+    )
+    rk = two_phase_rank(
+        pri, [F.col("q").desc(), F.col("c_custkey")], rank_name="r"
+    )
+    tau = rk.filter(F.col("r") == 101).select(F.col("q").alias("tau"))
+    return (
+        rk.filter(F.col("r") <= 100)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "c_custkey",
+            F.col("w").alias("w_cents"),
+            F.col("q").alias("priority_scaled"),
+            F.greatest(
+                F.col("w").cast("double"),
+                F.col("tau").cast("double") / 268435456.0,
+            )
+            .cast("double")
+            .alias("est_weight_cents"),
+        )
+    )
+
+
+@query(
+    "corpus_dsir_resample_apply",
+    _DSIR_CTES
+    + """,
+    pri AS (
+      SELECT w.doc_id, w.w_scaled,
+             CAST(w.w_scaled AS DOUBLE)
+               / (CAST(('0x' || substring(md5('dsir:' || w.doc_id), 1, 7))
+                       AS BIGINT) + 1) AS q
+      FROM w
+    ),
+    rk AS (
+      SELECT doc_id, w_scaled, q,
+             ROW_NUMBER() OVER (ORDER BY q DESC, doc_id) AS r
+      FROM pri
+    ),
+    tau AS (SELECT q AS tau FROM rk WHERE r = 51)
+    SELECT rk.doc_id, rk.w_scaled,
+           CAST(GREATEST(CAST(rk.w_scaled AS DOUBLE),
+                         tau.tau * 268435456.0) AS DOUBLE)
+             AS est_weight_scaled
+    FROM rk CROSS JOIN tau
+    WHERE rk.r <= 50
+    """,
+)
+def corpus_dsir_resample_apply(spark, sf_dir):
+    """APPLY the DSIR importance weights: draw the k = 50 document
+    resample by PRIORITY SAMPLING proportional to the fixed-point
+    DSIR weights — the step that turns `corpus_dsir_importance_weights`
+    scores into an actual tilted training subset, with Horvitz-
+    Thompson weight estimates so any downstream token/quality total
+    over the sample unbiasedly estimates the full-corpus total (the
+    `sample_priority_wor` scheme pointed at learned weights instead
+    of account balances).
+
+    Exactness: the DSIR weights are the exact int64 fold; the uniform
+    is the exact integer md5(+1) on the 2^28 grid; the priority
+    w/(h+1) is ONE IEEE division of exact integers (monotone in the
+    true priority w*2^28/(h+1), so the ORDER — the only thing sampling
+    consumes — is exact), ties break on doc_id; tau and the HT
+    estimate max(w, tau*2^28) are identical-tree IEEE expressions.
+
+    Distributed shape: weights are the DSIR broadcast-lookup fold
+    (one combinable groupBy + broadcast join); priorities are
+    row-local; the top-k uses `two_phase_rank`. One scan, one bounded
+    selection — the same single-pass property as `sample_priority_wor`.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    w = corpus_dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", "w_scaled"
+    )
+    pri = w.select(
+        "doc_id",
+        "w_scaled",
+        (
+            F.col("w_scaled").cast("double")
+            / (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("dsir:"), F.col("doc_id"))),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                + 1
+            )
+        ).alias("q"),
+    )
+    rk = two_phase_rank(
+        pri, [F.col("q").desc(), F.col("doc_id")], rank_name="r"
+    )
+    tau = rk.filter(F.col("r") == 51).select(F.col("q").alias("tau"))
+    return (
+        rk.filter(F.col("r") <= 50)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "w_scaled",
+            F.greatest(
+                F.col("w_scaled").cast("double"),
+                F.col("tau") * 268435456.0,
+            )
+            .cast("double")
+            .alias("est_weight_scaled"),
         )
     )

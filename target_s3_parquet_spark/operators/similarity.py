@@ -3641,7 +3641,7 @@ x{r} AS (SELECT i, CASE WHEN nrm > 0 THEN y / nrm
                         ELSE CAST(0.0 AS DOUBLE) END AS x
          FROM y{r} CROSS JOIN n{r})"""
 
-_PCA_ORACLE = (
+_PCA_CTES = (
     """
     WITH v AS (
       SELECT vec_id,
@@ -3682,7 +3682,12 @@ _PCA_ORACLE = (
       SELECT SUM(FLOOR(x.x * y.y * 1099511627776.0)
                  / 1099511627776.0) AS rayleigh
       FROM x4 x JOIN yr y ON y.i = x.i
-    )
+    )"""
+)
+
+_PCA_ORACLE = (
+    _PCA_CTES
+    + """
     SELECT CAST(x.i - 1 AS BIGINT) AS dim, x.x AS loading,
            ray.rayleigh AS rayleigh
     FROM x4 x CROSS JOIN ray
@@ -3781,4 +3786,105 @@ def emb_pca_power_iteration(spark, sf_dir):
     return spark.createDataFrame(
         [(i, x[i], ray) for i in dims],
         "dim long, loading double, rayleigh double",
+    )
+
+
+@query(
+    "emb_pc1_removal_variance",
+    _PCA_CTES
+    + """,
+    xl AS (SELECT list(x ORDER BY i) AS xv FROM x4),
+    projs AS (
+      SELECT vn.vec_id,
+             list_sum(list_transform(range(1, 65),
+                      i -> vn.v[i] * xl.xv[i])) AS proj,
+             list_sum(list_transform(range(1, 65),
+                      i -> vn.v[i] * vn.v[i])) AS nsq
+      FROM vn CROSS JOIN xl
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             SUM(FLOOR(proj * proj * 1099511627776.0)
+                 / 1099511627776.0) AS pc1_num,
+             SUM(FLOOR(nsq * 1099511627776.0)
+                 / 1099511627776.0) AS tot
+      FROM projs
+    )
+    SELECT agg.n_vectors,
+           agg.pc1_num / agg.tot AS pc1_share,
+           1.0 - agg.pc1_num / agg.tot AS residual_share,
+           ray.rayleigh AS rayleigh_trained
+    FROM agg CROSS JOIN ray
+    """,
+)
+def emb_pc1_removal_variance(spark, sf_dir):
+    """ANISOTROPY / PC1-removal check: the fraction of total variance
+    the trained top principal component explains when APPLIED back to
+    every (unit-normalized) embedding, and the residual after removing
+    it — the "all-but-the-top" diagnostic (Mu & Viswanath 2018) run
+    before deciding whether to null out dominant directions, reported
+    next to the power iteration's own Rayleigh quotient so the two
+    independent estimates cross-check in-key (they agree to the
+    iteration's convergence tolerance).
+
+    This is the train-then-apply split made explicit: the component is
+    TRAINED on the collected bounded Gram matrix (the
+    `emb_pca_power_iteration` control-plane path) and then APPLIED as
+    a broadcast literal in one DISTRIBUTED pass over the vectors — the
+    same discipline as the IVF/PQ codebook keys (codebooks are O(1)
+    broadcasts; data passes never collect).
+
+    Exactness: per-vector projections and norms are the sequential
+    left-to-right fold both engines share (`_dot`'s shape against the
+    literal loading array); the cross-row sums quantize each term to
+    the 2^-40 grid (proj^2 <= 1, so numerators stay exact through
+    n < 8192 vectors — current SFs, lift documented at the PCA key);
+    shares are identical-tree IEEE divisions.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    grid = 1099511627776.0
+    comp = emb_pca_power_iteration(spark, sf_dir).collect()
+    x = {r["dim"]: r["loading"] for r in comp}
+    ray = comp[0]["rayleigh"]
+    xlit = F.array(*[F.lit(x[i]) for i in range(64)])
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    vn = v.select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN SQRT(aggregate(zip_with(v, v, (a, b) -> a * b),"
+            " 0D, (acc, e) -> acc + e)) > 0"
+            " THEN transform(v, e -> e /"
+            " SQRT(aggregate(zip_with(v, v, (a, b) -> a * b), 0D,"
+            " (acc, e) -> acc + e)))"
+            " ELSE transform(v, e -> 0D) END"
+        ).alias("vn"),
+    ).withColumn("xl", xlit)
+    projs = vn.select(
+        F.expr(
+            "aggregate(zip_with(vn, xl, (a, b) -> a * b), 0D,"
+            " (acc, t) -> acc + t)"
+        ).alias("proj"),
+        F.expr(
+            "aggregate(zip_with(vn, vn, (a, b) -> a * b), 0D,"
+            " (acc, t) -> acc + t)"
+        ).alias("nsq"),
+    )
+    agg = projs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.floor(F.col("proj") * F.col("proj") * grid) / grid).alias(
+            "pc1_num"
+        ),
+        F.sum(F.floor(F.col("nsq") * grid) / grid).alias("tot"),
+    )
+    return agg.select(
+        "n_vectors",
+        (F.col("pc1_num") / F.col("tot")).alias("pc1_share"),
+        (F.lit(1.0) - F.col("pc1_num") / F.col("tot")).alias(
+            "residual_share"
+        ),
+        F.lit(ray).alias("rayleigh_trained"),
     )

@@ -318,6 +318,11 @@ _BNLJ_BOUNDED_OK = {
     # (the ts_acf_lags / ts_ljung_box_q bounded shape)
     "vocab_heaps_curve",  # 5-row checkpoint broadcast over the
     # first-occurrence table + two_phase_rank offsets + 1-row total
+    "graph_link_prediction_ra",  # _strong_pairs' 1-row mean-weight
+    # bcast (the graph_link_prediction shape + wedge-center degree)
+    "sample_priority_wor",  # two_phase_rank offsets + 1-row tau bcast
+    "corpus_dsir_resample_apply",  # DSIR's bounded bcasts +
+    # two_phase_rank offsets + 1-row tau bcast
 }
 
 

@@ -563,3 +563,144 @@ def test_pca_loading_is_unit_and_rayleigh_dominant(spark, duck):
     # Rayleigh quotient of the trace-normalized Gram sits in (0, 1]
     # and must dominate the average eigenvalue 1/64
     assert 1.0 / 64.0 < ray <= 1.0 + 1e-9
+
+
+# ----------------------------------------------------- wave-3 pins
+
+
+def test_ra_linkpred_matches_bruteforce(spark, duck):
+    from target_s3_parquet_spark.operators.graph import (
+        _RA_LCM,
+        graph_link_prediction_ra,
+    )
+
+    strong = duck.sql(
+        """
+        WITH edges AS (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, SUM(w) AS w
+          FROM edges WHERE src <> dst GROUP BY 1, 2
+        ),
+        tot AS (SELECT COUNT(*) AS n, SUM(w) AS s FROM pairs)
+        SELECT a, b FROM pairs, tot WHERE 2 * tot.n * pairs.w > 3 * tot.s
+        """
+    ).fetchall()
+    adj = {}
+    for a, b in strong:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    edges = {(a, b) for a, b in strong}
+    got = {
+        (r["a"], r["b"]): r
+        for r in graph_link_prediction_ra(spark, SF_SMALL).collect()
+    }
+    exp = {}
+    for a in adj:
+        for b in adj:
+            if a < b and (a, b) not in edges:
+                cn = adj[a] & adj[b]
+                if cn:
+                    exp[(a, b)] = (
+                        len(cn),
+                        sum(_RA_LCM // len(adj[z]) for z in cn),
+                    )
+    assert set(got) == set(exp)
+    for k, (cn, ra) in exp.items():
+        assert got[k]["common_nbrs"] == cn
+        assert got[k]["ra_scaled"] == ra
+        assert got[k]["ra_index"] == ra / _RA_LCM
+
+
+def test_priority_sample_matches_bruteforce(spark, duck):
+    from target_s3_parquet_spark.operators.pipeline import sample_priority_wor
+
+    rows = duck.sql(
+        """SELECT c_custkey,
+                  ABS(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) + 1
+           FROM customer"""
+    ).fetchall()
+    pri = []
+    for ck, w in rows:
+        h = int(hashlib.md5(f"pri:{ck}".encode()).hexdigest()[:7], 16) + 1
+        pri.append((-((w << 28) // h), ck, w))
+    pri.sort()
+    tau = -pri[100][0]
+    exp = {ck: (w, -q) for q, ck, w in pri[:100]}
+    got = {
+        r["c_custkey"]: r
+        for r in sample_priority_wor(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(exp)
+    for ck, (w, q) in exp.items():
+        assert got[ck]["w_cents"] == w
+        assert got[ck]["priority_scaled"] == q
+        assert got[ck]["est_weight_cents"] == max(float(w), tau / 268435456.0)
+    # HT total should land in the same ballpark as the true total
+    # (unbiasedness sanity, not exactness)
+    true_total = sum(w for _, w in rows)
+    ht_total = sum(r["est_weight_cents"] for r in got.values())
+    assert 0.2 * true_total < ht_total < 5 * true_total
+
+
+def test_dsir_resample_selects_highest_priorities(spark):
+    from target_s3_parquet_spark.operators.pipeline import (
+        corpus_dsir_importance_weights,
+        corpus_dsir_resample_apply,
+    )
+
+    w = {
+        r["doc_id"]: r["w_scaled"]
+        for r in corpus_dsir_importance_weights(spark, SF_SMALL).collect()
+    }
+    pri = []
+    for d, ws in w.items():
+        h = int(hashlib.md5(f"dsir:{d}".encode()).hexdigest()[:7], 16) + 1
+        pri.append((-(ws / h), d))
+    pri.sort()
+    exp = {d for _, d in pri[:50]}
+    got = corpus_dsir_resample_apply(spark, SF_SMALL).collect()
+    assert len(got) == 50
+    assert {r["doc_id"] for r in got} == exp
+    for r in got:
+        assert r["w_scaled"] == w[r["doc_id"]]
+        assert r["est_weight_scaled"] >= r["w_scaled"] - 1e-9
+
+
+def test_markov_attribution_invariants(spark, duck):
+    from target_s3_parquet_spark.operators.timeseries import (
+        events_markov_attribution,
+    )
+
+    rows = events_markov_attribution(spark, SF_SMALL).collect()
+    assert {r["channel"] for r in rows} == {"click", "error", "signup", "view"}
+    base = rows[0]["base_conv_prob"]
+    assert all(r["base_conv_prob"] == base for r in rows)
+    assert 0.0 < base <= 1.0
+    for r in rows:
+        # removing a channel can only reduce conversion probability
+        assert r["removal_conv_prob"] <= base + 1e-12
+        assert r["removal_effect"] >= -1e-12
+    # attribution shares sum to 1 (all effects positive on this data)
+    assert abs(sum(r["attribution"] for r in rows) - 1.0) < 1e-9
+
+
+def test_pc1_share_cross_checks_rayleigh(spark):
+    from target_s3_parquet_spark.operators.similarity import (
+        emb_pc1_removal_variance,
+    )
+
+    row = emb_pc1_removal_variance(spark, SF_SMALL).collect()[0]
+    assert row["n_vectors"] == 500
+    assert 0.0 < row["pc1_share"] <= 1.0
+    assert abs(row["pc1_share"] + row["residual_share"] - 1.0) < 1e-12
+    # the applied share and the trained Rayleigh quotient estimate the
+    # same eigenvalue; 4 power-iteration rounds get them close
+    assert abs(row["pc1_share"] - row["rayleigh_trained"]) < 0.05
