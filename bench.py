@@ -551,6 +551,10 @@ def main() -> None:
         "corpus_dsir_resample_apply",
         "events_markov_attribution",
         "emb_pc1_removal_variance",
+        "text_kneser_ney_bigram_top",
+        "eval_rank_biased_overlap",
+        "ts_sax_symbols",
+        "search_phrase_proximity",
     ]
     r11_t: dict[str, float] = {}
     for name in SWEEP_R11:

@@ -751,3 +751,94 @@ def search_bm25_topk(spark, sf_dir):
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "search_phrase_proximity",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             UNNEST(toks) AS tok,
+             UNNEST(range(1, len(toks) + 1)) AS pos
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+            FROM documents)
+    ),
+    pa AS (SELECT doc_id, pos FROM toks WHERE tok = 'data'),
+    pb AS (SELECT doc_id, pos FROM toks WHERE tok = 'table'),
+    prox AS (
+      SELECT pa.doc_id,
+             CAST(MIN(ABS(pa.pos - pb.pos)) AS BIGINT) AS min_dist,
+             CAST(COUNT(DISTINCT pa.pos) AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT pb.pos) AS BIGINT) AS n_b
+      FROM pa JOIN pb ON pb.doc_id = pa.doc_id
+      GROUP BY pa.doc_id
+    )
+    SELECT doc_id, min_dist, n_a, n_b,
+           1000000 // (1 + min_dist) AS proximity_score
+    FROM prox
+    ORDER BY proximity_score DESC, doc_id LIMIT 20
+    """,
+)
+def search_phrase_proximity(spark, sf_dir):
+    """PHRASE-PROXIMITY search scoring: for the two-term query
+    ('data', 'table'), rank documents containing BOTH terms by the
+    minimum token distance between any occurrence pair —
+    score = 1e6 // (1 + min_dist) — the positional-index ranking
+    signal BM25 cannot express (bag-of-words scores \"data ... table\"
+    pages the same whether the words are adjacent or paragraphs
+    apart); completes the search family next to
+    `search_inverted_index_build` / `search_bm25_topk` /
+    `search_multi_term_rank`.
+
+    Exactness: token positions are exact integers from the
+    deterministic whitespace tokenization; the min-distance and the
+    floor-rational score are pure integer arithmetic; top-20 breaks
+    ties on doc_id.
+
+    Distributed shape: ONE posexplode pass builds the positional
+    postings; the per-document occurrence join is co-partitioned on
+    doc_id (per-doc occurrence lists are bounded by document length);
+    top-20 is TakeOrderedAndProject. At 100 TB this is exactly a
+    positional inverted index probe: postings shuffle on (term ->
+    doc), never documents.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias(
+            "pos", "tok"
+        ),
+    )
+    pa = toks.filter(F.col("tok") == "data").select(
+        "doc_id", F.col("pos").alias("pos_a")
+    )
+    pb = toks.filter(F.col("tok") == "table").select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    prox = (
+        pa.join(pb, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.abs(F.col("pos_a") - F.col("pos_b")))
+            .cast("long")
+            .alias("min_dist"),
+            F.countDistinct("pos_a").cast("long").alias("n_a"),
+            F.countDistinct("pos_b").cast("long").alias("n_b"),
+        )
+    )
+    return (
+        prox.select(
+            "doc_id",
+            "min_dist",
+            "n_a",
+            "n_b",
+            F.expr("CAST(1000000 AS BIGINT) div (1 + min_dist)").alias(
+                "proximity_score"
+            ),
+        )
+        .orderBy(F.col("proximity_score").desc(), "doc_id")
+        .limit(20)
+    )

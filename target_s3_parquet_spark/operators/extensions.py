@@ -924,3 +924,106 @@ def text_hapax_ratio_by_lang(spark, sf_dir):
         (hapax.cast("double") / F.count(F.lit(1))).alias("hapax_vocab_ratio"),
         (hapax.cast("double") / F.sum("c")).alias("hapax_token_ratio"),
     )
+
+
+@query(
+    "text_kneser_ney_bigram_top",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+    ),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) t
+      WHERE len(ws) >= 2
+    ),
+    bi AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                   CAST(COUNT(*) AS BIGINT) AS n_after
+            FROM bi GROUP BY w1),
+    cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_before
+             FROM bi GROUP BY w2),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bi),
+    model AS (
+      SELECT bi.w1, bi.w2, bi.c12,
+             GREATEST(CAST(bi.c12 AS DOUBLE) - 0.75, 0.0) / ctx.c1
+             + (0.75 * ctx.n_after / ctx.c1)
+               * (CAST(cont.n_before AS DOUBLE) / tot.n_bi) AS p_kn
+      FROM bi
+      JOIN ctx ON ctx.w1 = bi.w1
+      JOIN cont ON cont.w2 = bi.w2
+      CROSS JOIN tot
+    )
+    SELECT w1, w2, c12, p_kn FROM model
+    ORDER BY p_kn DESC, w1, w2 LIMIT 20
+    """,
+)
+def text_kneser_ney_bigram_top(spark, sf_dir):
+    """KNESER-NEY smoothed bigram model (interpolated, absolute
+    discount d = 0.75 — the smoothing every n-gram LM quality filter
+    and every KenLM-style scorer actually ships): p_KN(w2|w1) =
+    max(c12 - d, 0)/c1 + (d * N1+(w1,.)/c1) * (N1+(., w2)/|bigrams|),
+    where the continuation probability counts CONTEXTS (how many
+    distinct words precede w2), not occurrences — the insight that
+    separates KN from the `text_bigram_lm_score` MLE baseline
+    (\"Francisco\" is frequent but only ever follows \"San\"). Top-20
+    bigrams by smoothed probability.
+
+    Exactness: all counts (c12, c1, distinct-continuation N1+,
+    bigram-type total) are exact integers; d = 0.75 is an exactly-
+    representable literal, so max(c12 - 0.75, 0) is exact; p_KN is
+    one identical-tree IEEE expression per bigram; top-20 ordering
+    breaks ties on (w1, w2).
+
+    Distributed shape: two combinable aggregations over the bigram
+    stream (type counts, then context/continuation margins), a join
+    back on vocabulary-sized keys (broadcastable), and a
+    TakeOrderedAndProject top-20 — shuffles carry short string pairs,
+    never documents.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.col("text")), " ")
+    bg = (
+        d.select("doc_id", words.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.posexplode("ws").alias("i", "w1"), "ws")
+        .withColumn("w2", F.get(F.col("ws"), F.col("i") + 1))
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+    )
+    bi = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    ctx = bi.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n_after"),
+    )
+    cont = bi.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_before")
+    )
+    tot = bi.agg(F.count(F.lit(1)).cast("long").alias("n_bi"))
+    model = (
+        bi.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            (
+                F.greatest(
+                    F.col("c12").cast("double") - 0.75, F.lit(0.0)
+                )
+                / F.col("c1")
+                + (F.lit(0.75) * F.col("n_after") / F.col("c1"))
+                * (F.col("n_before").cast("double") / F.col("n_bi"))
+            ).alias("p_kn"),
+        )
+    )
+    return model.orderBy(
+        F.col("p_kn").desc(), "w1", "w2"
+    ).limit(20)

@@ -4998,3 +4998,149 @@ def corpus_dsir_resample_apply(spark, sf_dir):
             .alias("est_weight_scaled"),
         )
     )
+
+
+@query(
+    "eval_rank_biased_overlap",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS m
+      FROM lineitem GROUP BY l_partkey
+    ),
+    qty AS (
+      SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS m
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ra AS (SELECT l_partkey,
+                  ROW_NUMBER() OVER (ORDER BY m DESC, l_partkey) AS r
+           FROM rev),
+    rb AS (SELECT l_partkey,
+                  ROW_NUMBER() OVER (ORDER BY m DESC, l_partkey) AS r
+           FROM qty),
+    mx AS (
+      SELECT GREATEST(ra.r, rb.r) AS m
+      FROM ra JOIN rb ON rb.l_partkey = ra.l_partkey
+      WHERE GREATEST(ra.r, rb.r) <= 50
+    ),
+    depths AS (SELECT UNNEST(range(1, 51)) AS d),
+    xd AS (
+      SELECT d.d,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM mx WHERE mx.m <= d.d)
+               AS x
+      FROM depths d
+    ),
+    terms AS (
+      SELECT d, x,
+             CASE WHEN d = 1 THEN CAST(1.0 AS DOUBLE)
+                  ELSE list_reduce(
+                    list_transform(range(1, CAST(d AS BIGINT)),
+                                   i -> CAST(0.9 AS DOUBLE)),
+                    (a, b) -> a * b) END
+               * (CAST(x AS DOUBLE) / d) AS term
+      FROM xd
+    )
+    SELECT CAST(50 AS BIGINT) AS depth,
+           CAST(0.1 AS DOUBLE)
+             * SUM(FLOOR(term * 1099511627776.0) / 1099511627776.0)
+             AS rbo,
+           (SELECT CAST(x AS DOUBLE) / 10 FROM xd WHERE d = 10)
+             AS overlap_at_10,
+           (SELECT CAST(x AS DOUBLE) / 50 FROM xd WHERE d = 50)
+             AS overlap_at_50
+    FROM terms
+    """,
+)
+def eval_rank_biased_overlap(spark, sf_dir):
+    """RANK-BIASED OVERLAP at depth 50, p = 0.9 (Webber, Moffat &
+    Zobel 2010) between two rankings of parts — by revenue and by
+    quantity — the top-weighted ranking-similarity measure built for
+    INDEFINITE rankings (Kendall/Spearman weight the tail as much as
+    the head; search and recsys comparisons need the opposite):
+    RBO = (1-p) * sum_d p^(d-1) * A_d with A_d the prefix-overlap
+    proportion at depth d.
+
+    Exactness: both rankings are integer-measure ROW_NUMBER orders
+    with key tiebreaks; the prefix-overlap count X_d is exact (an
+    item is in both prefixes iff max(rank_a, rank_b) <= d, so X_d is
+    a bounded cumulative count); p^(d-1) is an ORDERED LEFT FOLD of
+    d-1 literal 0.9 multiplications (both engines fold the same list
+    — POWER() is libm); each term p^(d-1) * X_d/d is grid-quantized
+    before the 50-term sum (exact dyadic rationals), and (1-p) = 0.1
+    is one literal multiply.
+
+    Distributed shape: two combinable groupBys + two `two_phase_rank`
+    global ranks; everything after lives on the <= 50-row
+    max(rank) <= 50 table (bounded cumulative window + 50-row depth
+    broadcast). At 100 TB the rankings stay distributed and the RBO
+    arithmetic is still control-plane.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    li = t(spark, sf_dir, "lineitem")
+    cents = (
+        F.col("l_extendedprice").cast("decimal(18,2)") * 100
+    ).cast("long")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).cast("long").alias("m"))
+    qty = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("m")
+    )
+    ra = two_phase_rank(
+        rev, [F.col("m").desc(), F.col("l_partkey")], rank_name="r"
+    ).select("l_partkey", F.col("r").alias("ra"))
+    rb = two_phase_rank(
+        qty, [F.col("m").desc(), F.col("l_partkey")], rank_name="r"
+    ).select("l_partkey", F.col("r").alias("rb"))
+    mx = (
+        ra.join(rb, "l_partkey")
+        .select(F.greatest("ra", "rb").alias("m"))
+        .filter(F.col("m") <= 50)
+    )
+    depths = spark.range(1, 51).select(F.col("id").alias("d"))
+    xd = (
+        F.broadcast(depths)
+        .join(mx, F.lit(True), "left")
+        .groupBy("d")
+        .agg(
+            F.sum(F.when(F.col("m") <= F.col("d"), 1).otherwise(0))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    terms = xd.select(
+        "d",
+        "x",
+        (
+            F.when(F.col("d") == 1, F.lit(1.0)).otherwise(
+                F.expr(
+                    "aggregate(transform(sequence(1, CAST(d - 1 AS INT)),"
+                    " i -> CAST(0.9 AS DOUBLE)), CAST(1.0 AS DOUBLE),"
+                    " (a, b) -> a * b)"
+                )
+            )
+            * (F.col("x").cast("double") / F.col("d"))
+        ).alias("term"),
+    )
+    grid = 1099511627776.0
+    agg = terms.agg(
+        (
+            F.lit(0.1)
+            * F.sum(F.floor(F.col("term") * grid) / grid)
+        ).alias("rbo"),
+        F.max(
+            F.when(F.col("d") == 10, F.col("x").cast("double") / 10)
+        ).alias("overlap_at_10"),
+        F.max(
+            F.when(F.col("d") == 50, F.col("x").cast("double") / 50)
+        ).alias("overlap_at_50"),
+    )
+    return agg.select(
+        F.lit(50).cast("long").alias("depth"),
+        "rbo",
+        "overlap_at_10",
+        "overlap_at_50",
+    )

@@ -3073,3 +3073,124 @@ def events_markov_attribution(spark, sf_dir):
         "channel string, base_conv_prob double, removal_conv_prob double,"
         " removal_effect double, attribution double",
     )
+
+
+@query(
+    "ts_sax_symbols",
+    """
+    WITH daily AS (
+      SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+               AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS s
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(s AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(CAST(s AS DECIMAL(19,0)) * s) AS DECIMAL(38,0))
+               AS sxx
+      FROM daily
+    ),
+    z AS (
+      SELECT d // 7 AS wk,
+             (CAST(s AS DOUBLE)
+              - CAST(g.sx AS DOUBLE) / g.n)
+             / SQRT(CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
+                    / (CAST(g.n AS DOUBLE) * g.n)) AS z
+      FROM daily CROSS JOIN g
+    ),
+    paa AS (
+      SELECT wk,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             SUM(FLOOR(z * 1099511627776.0) / 1099511627776.0)
+               / COUNT(*) AS paa_z
+      FROM z GROUP BY wk
+    )
+    SELECT wk AS week,
+           n_days,
+           paa_z,
+           CASE WHEN paa_z < -0.6745 THEN 'a'
+                WHEN paa_z < 0.0 THEN 'b'
+                WHEN paa_z < 0.6745 THEN 'c'
+                ELSE 'd' END AS symbol
+    FROM paa
+    """,
+)
+def ts_sax_symbols(spark, sf_dir):
+    """SAX symbolization (Lin, Keogh et al. 2003 — Symbolic Aggregate
+    approXimation) of the daily-revenue series: z-normalize, PAA-
+    average into calendar weeks, and map each week to a 4-symbol
+    alphabet at the standard Gaussian quartile breakpoints
+    (-0.6745, 0, 0.6745) — the discretization behind symbolic motif
+    discovery, HOT-SAX anomaly search, and index-able time-series
+    signatures.
+
+    Exactness: the global mean and population std come from exact
+    DECIMAL(38,0) integer moments (one identical-tree double
+    expression — the Ljung-Box channel); per-day z-scores are one
+    IEEE expression each; the weekly PAA mean sums 2^-40
+    grid-quantized z-scores (|z| bounded by sqrt(n) << 2^12, <= 7
+    terms — exact dyadic sums) over the exact day count; breakpoints
+    are exactly-representable literals compared identically by both
+    engines.
+
+    Distributed shape: one combinable groupBy to the calendar-bounded
+    daily series, a 1-row moments broadcast, one more bounded groupBy
+    to weeks — nothing data-sized after the first aggregation. At
+    100 TB only the first groupBy sees the fact table.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d19, d38 = "decimal(19,0)", "decimal(38,0)"
+    grid = 1099511627776.0
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("d")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("s")
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("s").cast(d19)).cast(d38).alias("sx"),
+        F.sum(F.col("s").cast(d19) * F.col("s")).cast(d38).alias("sxx"),
+    )
+    z = daily.crossJoin(F.broadcast(g)).select(
+        (F.col("d") / 7).cast("long").alias("wk"),
+        (
+            (
+                F.col("s").cast("double")
+                - F.col("sx").cast("double") / F.col("n")
+            )
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+                ).cast("double")
+                / (F.col("n").cast("double") * F.col("n"))
+            )
+        ).alias("z"),
+    )
+    paa = z.groupBy("wk").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.sum(F.floor(F.col("z") * grid) / grid) / F.count(F.lit(1))
+        ).alias("paa_z"),
+    )
+    return paa.select(
+        F.col("wk").alias("week"),
+        "n_days",
+        "paa_z",
+        F.when(F.col("paa_z") < -0.6745, "a")
+        .when(F.col("paa_z") < 0.0, "b")
+        .when(F.col("paa_z") < 0.6745, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )

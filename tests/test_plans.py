@@ -323,6 +323,12 @@ _BNLJ_BOUNDED_OK = {
     "sample_priority_wor",  # two_phase_rank offsets + 1-row tau bcast
     "corpus_dsir_resample_apply",  # DSIR's bounded bcasts +
     # two_phase_rank offsets + 1-row tau bcast
+    "text_kneser_ney_bigram_top",  # 1-row bigram-type-total agg onto
+    # the vocabulary-sized model join
+    "eval_rank_biased_overlap",  # 50-row depth broadcast over the
+    # bounded max(rank)<=50 table + two_phase_rank offsets
+    "ts_sax_symbols",  # 1-row exact-moments agg broadcast onto the
+    # calendar-bounded daily series (the Ljung-Box shape)
 }
 
 

@@ -704,3 +704,133 @@ def test_pc1_share_cross_checks_rayleigh(spark):
     # the applied share and the trained Rayleigh quotient estimate the
     # same eigenvalue; 4 power-iteration rounds get them close
     assert abs(row["pc1_share"] - row["rayleigh_trained"]) < 0.05
+
+
+# ----------------------------------------------------- wave-4 pins
+
+
+def test_kneser_ney_matches_bruteforce(spark, duck):
+    from target_s3_parquet_spark.operators.extensions import (
+        text_kneser_ney_bigram_top,
+    )
+
+    docs = duck.sql("SELECT text FROM documents").fetchall()
+    bi = {}
+    for (text,) in docs:
+        ws = text.lower().split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    c1, n_after, n_before = {}, {}, {}
+    for (a, b), c in bi.items():
+        c1[a] = c1.get(a, 0) + c
+        n_after[a] = n_after.get(a, 0) + 1
+        n_before[b] = n_before.get(b, 0) + 1
+    n_bi = len(bi)
+    scored = [
+        (
+            max(c - 0.75, 0.0) / c1[a]
+            + (0.75 * n_after[a] / c1[a]) * (n_before[b] / n_bi),
+            a,
+            b,
+            c,
+        )
+        for (a, b), c in bi.items()
+    ]
+    top = sorted(scored, key=lambda x: (-x[0], x[1], x[2]))[:20]
+    got = text_kneser_ney_bigram_top(spark, SF_SMALL).collect()
+    assert len(got) == 20
+    for row, (p, a, b, c) in zip(got, top):
+        assert (row["w1"], row["w2"], row["c12"]) == (a, b, c)
+        assert row["p_kn"] == p
+    # the KN probability conditional on any context sums to ~1
+    some_w1 = got[0]["w1"]
+    tot = sum(
+        max(c - 0.75, 0.0) / c1[some_w1]
+        + (0.75 * n_after[some_w1] / c1[some_w1]) * (n_before[b] / n_bi)
+        for (a, b), c in bi.items()
+        if a == some_w1
+    )
+    # interpolated mass only covers observed continuations here, so
+    # the observed sum is <= 1 and close when coverage is dense
+    assert tot <= 1.0 + 1e-9
+
+
+def test_rbo_matches_bruteforce(spark, duck):
+    from target_s3_parquet_spark.operators.pipeline import (
+        eval_rank_biased_overlap,
+    )
+
+    rev = duck.sql(
+        """SELECT l_partkey,
+                  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                * 100 AS BIGINT)) AS BIGINT)
+           FROM lineitem GROUP BY 1"""
+    ).fetchall()
+    qty = duck.sql(
+        """SELECT l_partkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           FROM lineitem GROUP BY 1"""
+    ).fetchall()
+
+    def ranks(rows):
+        out = {}
+        for r, (_, pk) in enumerate(
+            sorted(((-m, pk) for pk, m in rows)), start=1
+        ):
+            out[pk] = r
+        return out
+
+    ra, rb = ranks(rev), ranks(qty)
+    grid = 1099511627776.0
+    rbo = 0.0
+    for d in range(1, 51):
+        x = sum(1 for pk in ra if max(ra[pk], rb.get(pk, 10**9)) <= d)
+        pw = 1.0
+        for _ in range(d - 1):
+            pw = pw * 0.9
+        rbo += math.floor(pw * (x / d) * grid) / grid
+    rbo *= 0.1
+    row = eval_rank_biased_overlap(spark, SF_SMALL).collect()[0]
+    assert row["depth"] == 50
+    assert row["rbo"] == rbo
+    assert 0.0 <= row["rbo"] <= 1.0
+    x10 = sum(1 for pk in ra if max(ra[pk], rb.get(pk, 10**9)) <= 10)
+    assert row["overlap_at_10"] == x10 / 10
+
+
+def test_sax_symbols_match_zscore_breakpoints(spark):
+    from target_s3_parquet_spark.operators.timeseries import ts_sax_symbols
+
+    rows = ts_sax_symbols(spark, SF_SMALL).collect()
+    assert len(rows) > 50
+    for r in rows:
+        z = r["paa_z"]
+        exp = "a" if z < -0.6745 else "b" if z < 0 else "c" if z < 0.6745 else "d"
+        assert r["symbol"] == exp
+        assert 1 <= r["n_days"] <= 7
+    # z-normalized PAA must straddle zero over a multi-year series
+    assert {r["symbol"] for r in rows} >= {"b", "c"}
+
+
+def test_phrase_proximity_matches_bruteforce(spark, duck):
+    from target_s3_parquet_spark.functions.scalars import (
+        search_phrase_proximity,
+    )
+
+    docs = duck.sql("SELECT doc_id, text FROM documents").fetchall()
+    exp = {}
+    for doc_id, text in docs:
+        ws = text.lower().split(" ")
+        pa = [i for i, w in enumerate(ws) if w == "data"]
+        pb = [i for i, w in enumerate(ws) if w == "table"]
+        if pa and pb:
+            md = min(abs(i - j) for i in pa for j in pb)
+            exp[doc_id] = (md, len(pa), len(pb), 1000000 // (1 + md))
+    top = sorted(exp.items(), key=lambda kv: (-kv[1][3], kv[0]))[:20]
+    got = search_phrase_proximity(spark, SF_SMALL).collect()
+    assert len(got) == min(20, len(exp))
+    for row, (doc_id, (md, na, nb, sc)) in zip(got, top):
+        assert row["doc_id"] == doc_id
+        assert row["min_dist"] == md
+        assert row["n_a"] == na
+        assert row["n_b"] == nb
+        assert row["proximity_score"] == sc
