@@ -1031,27 +1031,33 @@ def graph_hits_scores(spark, sf_dir):
     stay in [0,1], so every quantized numerator is < 2^45 — far
     inside double's exact-integer range.
 
-    Distributed shape: the edge build (two fact-fact joins) runs ONCE
-    into a CACHED bounded edge list (register_cache — the r10 LPA
-    pattern); each round is two broadcast-joined aggregations over
-    that bounded list plus a 1-row norm fold collected driver-side
-    (control-plane, like the catalog's other O(1) sketch scalars —
-    a broadcast-exchange subtree per half-round tripled wall-clock).
-    At web scale the same
-    loop runs with scores and edges hash-partitioned on node —
-    co-partitioned joins, driver orchestrates only; the DuckDB oracle
+    Distributed shape: the DATA-sized work is the edge build (two
+    fact-fact joins into one combinable groupBy) — it runs ONCE and
+    compresses to a <= 625-row nation-pair matrix, bounded BY
+    CONSTRUCTION; the 2x2 half-round iteration then runs driver-side
+    on the collected matrix (the BT/PCA/CMS control-plane precedent —
+    the earlier distributed loop spent ~6 s/round of pure job overhead
+    on 25-row tables; Python floats ARE IEEE doubles, so the
+    arithmetic is the oracle's identical tree and the quantized sums
+    are exact dyadic rationals, hence order-free). At web scale
+    (billions of nodes) the matrix is no longer bounded and the loop
+    runs distributed — scores and edges hash-partitioned on node,
+    co-partitioned joins, the pagerank/LPA pattern; the DuckDB oracle
     unrolls the same 2 rounds as CTEs.
 
     Reference scope check: codeG12/target-s3-parquet has no query
     surface (605-LoC Singer->Parquet sink); this key belongs to the
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    import math as _m
+
+    grid = 1099511627776.0  # 2^40
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     l = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
 
-    edges = register_cache(
+    edges = (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
@@ -1061,79 +1067,32 @@ def graph_hits_scores(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("w"))
     )
-    # total weight: ONE exact-integer scalar, collected (control-plane)
-    # so the four half-round jobs don't each rebuild a broadcast of it
-    tw = float(edges.agg(F.sum("w").cast("double").alias("tw")).collect()[0]["tw"])
-    # normalized edge weight: one IEEE division of exact integers;
-    # cache the bounded normalized list — every half-round probes it
-    e2 = register_cache(
-        edges.select(
-            "src", "dst", (F.col("w").cast("double") / F.lit(tw)).alias("wn")
-        )
-    )
-    nodes = n.select(F.col("n_nationkey").alias("node"))
-    grid = 1099511627776.0  # 2^40
+    erows = edges.collect()
+    nodes = [r["n_nationkey"] for r in n.select("n_nationkey").collect()]
+    tw = float(sum(r["w"] for r in erows))
+    wn = {(r["src"], r["dst"]): r["w"] / tw for r in erows}
 
-    def _q(col):
-        return F.floor(col * grid) / grid
+    def _q(x: float) -> float:
+        return _m.floor(x * grid) / grid
 
-    def _step(scores, score_col, join_on, group_on):
-        """One half-round: propagate `scores` across edges, quantized
-        sum per target node, L2-normalize."""
-        # cache the 25-row per-half-round tables: `raw` is referenced
-        # twice (norm fold + normalization) and the round outputs feed
-        # the next round twice over — without these the lazy plan
-        # re-expands the whole upstream per reference (2^rounds blowup)
-        raw = register_cache(
-            nodes.join(
-                e2.join(
-                    scores.withColumnRenamed("node", join_on), join_on
-                )
-                .groupBy(F.col(group_on).alias("node"))
-                .agg(F.sum(_q(F.col("wn") * F.col(score_col))).alias("s")),
-                "node",
-                "left",
-            )
-            .select(
-                "node",
-                F.coalesce(F.col("s"), F.lit(0.0)).alias(score_col),
-            )
-        )
-        # the L2 norm is ONE scalar off the 25-row cached table —
-        # collect it (control-plane, like the catalog's other O(1)
-        # sketch scalars) and embed as a literal: a broadcast-exchange
-        # subtree per half-round costs 8 serial broadcast stages and
-        # tripled the key's wall-clock at sf0.001
-        row = raw.agg(
-            F.sqrt(F.sum(_q(F.col(score_col) * F.col(score_col)))).alias(
-                "nrm"
-            )
-        ).collect()[0]
-        nrm = float(row["nrm"] or 0.0)
-        return register_cache(
-            raw.select(
-                "node",
-                (
-                    (F.col(score_col) / F.lit(nrm))
-                    if nrm > 0
-                    else F.lit(0.0)
-                ).alias(score_col),
-            )
-        )
+    def _half(scores: dict, transpose: bool) -> dict:
+        raw = {node: 0.0 for node in nodes}
+        for (src, dst), e in wn.items():
+            frm, to = (dst, src) if transpose else (src, dst)
+            raw[to] += _q(e * scores[frm])
+        nrm = _m.sqrt(sum(_q(v * v) for v in raw.values()))
+        if nrm > 0:
+            return {node: v / nrm for node, v in raw.items()}
+        return {node: 0.0 for node in raw}
 
-    h = nodes.select("node", F.lit(1.0).alias("h"))
-    a = None
+    h = {node: 1.0 for node in nodes}
+    a = dict(h)
     for _ in range(2):
-        a = _step(h, "h", "src", "dst").withColumnRenamed("h", "a")
-        h = _step(a, "a", "dst", "src").withColumnRenamed("a", "h")
-    return (
-        nodes.join(h, "node")
-        .join(a, "node")
-        .select(
-            F.col("node").alias("nationkey"),
-            F.col("h").alias("hub"),
-            F.col("a").alias("authority"),
-        )
+        a = _half(h, transpose=False)
+        h = _half(a, transpose=True)
+    return spark.createDataFrame(
+        [(node, h[node], a[node]) for node in nodes],
+        "nationkey long, hub double, authority double",
     )
 
 
