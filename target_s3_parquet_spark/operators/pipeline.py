@@ -4737,17 +4737,21 @@ def eval_bradley_terry_strength(spark, sf_dir):
             F.col("a").alias("i"),
             F.col("b").alias("j"),
             (F.col("g").cast("double") / n_duels).alias("p"),
+            "g",
         ).unionAll(
             gm.select(
                 F.col("b").alias("i"),
                 F.col("a").alias("j"),
                 (F.col("g").cast("double") / n_duels).alias("p"),
+                "g",
             )
         )
     )
+    # n_games sums the EXACT integer duel counts g — never the rounded
+    # double p*n_duels, whose truncating long cast can land one ulp low
     games = nodes.join(
         gmd.groupBy(F.col("i").alias("node")).agg(
-            F.sum((F.col("p") * n_duels)).cast("long").alias("games")
+            F.sum("g").cast("long").alias("games")
         ),
         "node",
         "left",
@@ -4822,7 +4826,7 @@ def eval_bradley_terry_strength(spark, sf_dir):
     tau AS (SELECT q AS tau FROM rk WHERE r = 101)
     SELECT rk.c_custkey, rk.w AS w_cents, rk.q AS priority_scaled,
            CAST(GREATEST(CAST(rk.w AS DOUBLE),
-                         CAST(tau.tau AS DOUBLE) / 268435456.0)
+                         CAST(tau.tau AS DOUBLE))
                 AS DOUBLE) AS est_weight_cents
     FROM rk CROSS JOIN tau
     WHERE rk.r <= 100
@@ -4840,10 +4844,11 @@ def sample_priority_wor(spark, sf_dir):
 
     Exactness: weights are exact integer cents (+1, positive); the
     uniform is the exact integer hash+1 on the 2^28 grid, so the
-    priority is the exact integer (w << 28) // (h+1) — ordering and
-    the tau threshold are pure integer comparisons (floor-collisions
-    break on custkey, same in both engines); only the reported HT
-    estimate performs IEEE division.
+    priority q = (w << 28) // (h+1) is ALREADY the floored priority
+    w/u in weight (cents) units — ordering and the tau threshold are
+    pure integer comparisons (floor-collisions break on custkey, same
+    in both engines), and the HT estimate max(w, tau) is the maximum
+    of two exact integers cast to double (no division at all).
 
     Distributed shape: priorities are ROW-LOCAL (hash + integer
     arithmetic, no coordination); the global top-k uses
@@ -4898,7 +4903,7 @@ def sample_priority_wor(spark, sf_dir):
             F.col("q").alias("priority_scaled"),
             F.greatest(
                 F.col("w").cast("double"),
-                F.col("tau").cast("double") / 268435456.0,
+                F.col("tau").cast("double"),
             )
             .cast("double")
             .alias("est_weight_cents"),

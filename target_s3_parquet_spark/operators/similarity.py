@@ -3668,7 +3668,9 @@ _PCA_CTES = (
     tr AS (SELECT SUM(FLOOR(v * 1048576.0) / 1048576.0) AS tr
            FROM g WHERE i = j),
     gh AS MATERIALIZED (
-      SELECT i, j, g.v / tr.tr AS v FROM g CROSS JOIN tr
+      SELECT i, j, CASE WHEN tr.tr > 0 THEN g.v / tr.tr
+                        ELSE CAST(0.0 AS DOUBLE) END AS v
+      FROM g CROSS JOIN tr
     ),
     x0 AS (SELECT i, CAST(0.125 AS DOUBLE) AS x FROM dims),"""
     + ",".join(_PCA_ITER.format(r=i, p=i - 1) for i in (1, 2, 3, 4))
@@ -3756,7 +3758,9 @@ def emb_pca_power_iteration(spark, sf_dir):
     gm = {(r["i"], r["j"]): r["v"] for r in grows}
     dims = list(range(64))
     tr = sum(_m.floor(gm.get((i, i), 0.0) * grid20) / grid20 for i in dims)
-    gh = {k: val / tr for k, val in gm.items()}
+    # all-zero corpus => tr == 0: emit zero loadings/rayleigh (the
+    # same degenerate-input convention as the per-round nrm guard)
+    gh = {k: (val / tr if tr > 0 else 0.0) for k, val in gm.items()}
     x = {i: 0.125 for i in dims}
     y = dict(x)
     for _ in range(4):

@@ -3093,7 +3093,7 @@ def events_markov_attribution(spark, sf_dir):
       FROM daily
     ),
     z AS (
-      SELECT d // 7 AS wk,
+      SELECT CAST(FLOOR(d / 7.0) AS BIGINT) AS wk,
              (CAST(s AS DOUBLE)
               - CAST(g.sx AS DOUBLE) / g.n)
              / SQRT(CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE)
@@ -3124,7 +3124,9 @@ def ts_sax_symbols(spark, sf_dir):
     alphabet at the standard Gaussian quartile breakpoints
     (-0.6745, 0, 0.6745) — the discretization behind symbolic motif
     discovery, HOT-SAX anomaly search, and index-able time-series
-    signatures.
+    signatures. Weeks use explicit FLOOR division from the epoch
+    (identical one-op IEEE floor in both engines), so every PAA
+    window is exactly 7 days even for pre-epoch dates.
 
     Exactness: the global mean and population std come from exact
     DECIMAL(38,0) integer moments (one identical-tree double
@@ -3164,7 +3166,7 @@ def ts_sax_symbols(spark, sf_dir):
         F.sum(F.col("s").cast(d19) * F.col("s")).cast(d38).alias("sxx"),
     )
     z = daily.crossJoin(F.broadcast(g)).select(
-        (F.col("d") / 7).cast("long").alias("wk"),
+        F.floor(F.col("d") / 7).cast("long").alias("wk"),
         (
             (
                 F.col("s").cast("double")

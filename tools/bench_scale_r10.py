@@ -1,23 +1,25 @@
-"""Scale-up evidence for the r10 key families (VERDICT r10 item 7):
-run the ACTUAL graph-community / survival / LTV keys at 1× and 10×.
+"""Scale-up evidence for the r10/r11 key families (VERDICT r10 item 7,
+r11 item 6): run the ACTUAL registered keys at 1× and 10×.
 
 Unlike `bench_scale.py` (which re-states flagship plan SHAPES over
 replicated DataFrames), this harness materializes a replicated
-testdata directory once — customers, orders, and lineitem replicated
-executor-side with keys shifted per replica so cohorts and edge-build
-fan-in genuinely grow by the factor while the bounded dims (nation,
-supplier) stay fixed — and calls the REGISTERED key functions on it.
-That validates the cached-edge-list and ordered-fold claims off-SF on
-the same code path the gate checks.
+testdata directory once — facts replicated executor-side with keys
+shifted per replica so cohorts, edge-build fan-in, the embedding
+corpus, and the event stream genuinely grow by the factor while the
+bounded dims (nation, supplier) stay fixed — and calls the REGISTERED
+key functions on it. That validates the cached-edge-list,
+ordered-fold, and bounded-collect claims off-SF on the same code path
+the gate checks.
 
-    python tools/bench_scale_r10.py [sf_dir] [factor]
+    python tools/bench_scale_r10.py [sf_dir] [factor] [r10|r11|all]
 
-`run_scale_r10(spark, sf_dir, factor)` is the embeddable form bench.py
-folds into the per-round bench JSON.
+`run_scale_r10(spark, sf_dir, factor)` / `run_scale_r11(...)` are the
+embeddable forms bench.py / BENCH_EXTRAS recording fold in.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -37,17 +39,61 @@ KEYS = [
     "cohort_ltv_curves",
 ]
 
+# r11 families whose bounded-collect claims get validated off-SF
+# (VERDICT r11 item 6): 10× embeddings grows the Gram/kNN builds,
+# 10× events grows the Markov session fan-in, 10× customer grows the
+# bootstrap population.
+KEYS_R11 = [
+    "sim_bitext_margin_knn",
+    "emb_pca_power_iteration",
+    "events_markov_attribution",
+    "eval_bootstrap_ci_hash",
+]
+
 _SHIFT = 10_000_000
 
 
+def _src_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the source testdata (name/size/mtime of
+    every parquet file) so a regenerated testdata dir invalidates the
+    replicated cache instead of silently reusing stale parquet."""
+    parts = []
+    for name in sorted(os.listdir(sf_dir)):
+        p = os.path.join(sf_dir, name)
+        files = [p]
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(p)
+                for f in fs
+            )
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            st = os.stat(f)
+            parts.append(
+                f"{os.path.relpath(f, sf_dir)}:{st.st_size}:{int(st.st_mtime)}"
+            )
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+
 def _materialize_scaled(spark, sf_dir: str, factor: int) -> str:
-    """Write the replicated testdata dir (once per sf/factor)."""
+    """Write the replicated testdata dir (once per sf/factor/content)."""
     from pyspark.sql import functions as F
 
-    out = os.path.join(REPO, ".scale10_r10", os.path.basename(sf_dir.rstrip("/")) + f"_x{factor}")
+    out = os.path.join(
+        REPO,
+        ".scale10_r10",
+        os.path.basename(sf_dir.rstrip("/")) + f"_x{factor}",
+    )
     done = os.path.join(out, "_DONE")
+    fp = _src_fingerprint(sf_dir)
     if os.path.exists(done):
-        return out
+        try:
+            if open(done).read().strip() == fp:
+                return out
+        except OSError:
+            pass
     shutil.rmtree(out, ignore_errors=True)
     os.makedirs(out, exist_ok=True)
 
@@ -62,9 +108,11 @@ def _materialize_scaled(spark, sf_dir: str, factor: int) -> str:
     def load(name):
         return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
-    # replicated facts: keys shifted per replica so cohorts (custkey)
-    # and the edge-build fan-in (orderkey) genuinely multiply; dims
-    # (nation, supplier) stay bounded, so graph node count stays 25
+    # replicated facts: keys shifted per replica so cohorts (custkey),
+    # the edge-build fan-in (orderkey), the embedding corpus (vec_id),
+    # and the event stream (event_id/user_id sessions) genuinely
+    # multiply; dims (nation, supplier) stay bounded, so graph node
+    # count stays 25
     rep(load("customer"), ["c_custkey"]).write.parquet(
         os.path.join(out, "customer.parquet")
     )
@@ -74,20 +122,29 @@ def _materialize_scaled(spark, sf_dir: str, factor: int) -> str:
     rep(load("lineitem"), ["l_orderkey"]).write.parquet(
         os.path.join(out, "lineitem.parquet")
     )
+    rep(load("embeddings"), ["vec_id"]).write.parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    rep(load("events"), ["event_id", "user_id"]).write.parquet(
+        os.path.join(out, "events.parquet")
+    )
+    rep(load("documents"), ["doc_id"]).write.parquet(
+        os.path.join(out, "documents.parquet")
+    )
     for name in ("nation", "region", "supplier", "part"):
         load(name).write.parquet(os.path.join(out, f"{name}.parquet"))
-    open(done, "w").write("ok\n")
+    open(done, "w").write(fp + "\n")
     return out
 
 
-def run_scale_r10(spark, sf_dir: str, factor: int = 10) -> dict:
+def _run_keys(spark, sf_dir: str, factor: int, keys) -> dict:
     from target_s3_parquet_spark.operators._util import release_rank_caches
     from target_s3_parquet_spark.registry import get_queries
 
     queries = get_queries()
     scaled = _materialize_scaled(spark, sf_dir, factor)
     out: dict = {"factor": factor}
-    for key in KEYS:
+    for key in keys:
         fn = queries[key]
         times = {}
         for tag, d in (("1x", sf_dir), (f"{factor}x", scaled)):
@@ -104,14 +161,24 @@ def run_scale_r10(spark, sf_dir: str, factor: int = 10) -> dict:
     return out
 
 
+def run_scale_r10(spark, sf_dir: str, factor: int = 10) -> dict:
+    return _run_keys(spark, sf_dir, factor, KEYS)
+
+
+def run_scale_r11(spark, sf_dir: str, factor: int = 10) -> dict:
+    return _run_keys(spark, sf_dir, factor, KEYS_R11)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    which = sys.argv[3] if len(sys.argv) > 3 else "r10"
 
     from target_s3_parquet_spark.session import get_spark
 
     spark = get_spark("bench_scale_r10")
-    print(json.dumps(run_scale_r10(spark, sf_dir, factor)))
+    keys = {"r10": KEYS, "r11": KEYS_R11, "all": KEYS + KEYS_R11}[which]
+    print(json.dumps(_run_keys(spark, sf_dir, factor, keys)))
 
 
 if __name__ == "__main__":
