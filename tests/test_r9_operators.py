@@ -305,19 +305,47 @@ def test_ledger_red_classification_matches_driver_semantics():
     assert not _is_red({**green, "hash_match": None})
 
 
-def test_registry_front_loads_stale_r1_r2_keys():
-    """With the r9 reds self-corrected (all four went green in the r9
-    driver sample) LATEST_RED is empty, and the ordering criterion is
-    pure least-recently-sampled (VERDICT r9 item 1): the driver's
-    50-key window must be drawn entirely from the block whose latest
-    driver record dates to r1/r2 — the stalest external evidence."""
+def test_registry_front_loads_stalest_keys():
+    """The ordering criterion is pure least-recently-sampled (VERDICT
+    r9 item 1): with no latest-red keys, the driver's 50-key window
+    must be exactly the stalest external evidence — no key outside the
+    window may be staler than any key inside it (never-sampled keys
+    count as staleness 0 and lead)."""
     from target_s3_parquet_spark._sample_ledger import LATEST_RED, SAMPLED
     from target_s3_parquet_spark.registry import get_queries
 
     assert LATEST_RED == frozenset()
-    head = list(get_queries())[:50]
-    assert all(max(SAMPLED.get(k, ()), default=0) <= 2 for k in head), (
-        "driver sample window must cover only r1/r2-stale keys"
+    keys = list(get_queries())
+    head, tail = keys[:50], keys[50:]
+    latest = lambda k: max(SAMPLED.get(k, ()), default=0)  # noqa: E731
+    assert max(latest(k) for k in head) <= min(latest(k) for k in tail), (
+        "driver sample window must hold the least-recently-sampled keys"
+    )
+
+
+def test_sample_ledger_max_age_bounded():
+    """VERDICT r11 item 1: no key's external driver evidence may fall
+    further behind than one full rotation of the catalog through the
+    driver's ~50-key window (ceil(n/50) rounds) plus 2 rounds of slack
+    for newly-registered keys entering at the head. A failure here
+    means the rotation stalled and some key is aging silently."""
+    import math
+
+    from target_s3_parquet_spark._sample_ledger import SAMPLED
+    from target_s3_parquet_spark.registry import get_queries
+
+    keys = list(get_queries())
+    ledger_max = max(r for v in SAMPLED.values() for r in v)
+    bound = math.ceil(len(keys) / 50) + 2
+    aged = {
+        k: ledger_max - max(SAMPLED.get(k, ()), default=ledger_max)
+        for k in keys
+    }
+    worst = max(aged.values())
+    offenders = sorted(k for k, a in aged.items() if a > bound)
+    assert worst <= bound, (
+        f"sample rotation stalled: age {worst} > bound {bound} for "
+        f"{offenders[:10]}"
     )
 
 
