@@ -574,6 +574,31 @@ def main() -> None:
             r11_t[name] = -1.0
             print(f"# r11 sweep {name} FAILED: {e}", file=sys.stderr)
     extras["r11_sweep_sec"] = r11_t
+    # r12 breadth keys: min-of-2 steady state, same protocol.
+    SWEEP_R12 = [
+        "corpus_unimax_mixture",
+        "agg_tdigest_quantiles",
+        "agg_tdigest_merge_check",
+        "text_simhash_hamming_prod",
+    ]
+    r12_t: dict[str, float] = {}
+    for name in SWEEP_R12:
+        try:
+            fn = queries[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+            r12_t[name] = round(best, 3)
+            print(f"# r12 sweep {name}: {r12_t[name]}s", file=sys.stderr)
+            spark.catalog.clearCache()
+            release_rank_caches()
+        except Exception as e:  # noqa: BLE001
+            r12_t[name] = -1.0
+            print(f"# r12 sweep {name} FAILED: {e}", file=sys.stderr)
+    extras["r12_sweep_sec"] = r12_t
     try:
         from tools.bench_ntile import run_ntile_scale
 
@@ -648,6 +673,14 @@ def main() -> None:
         print(f"# scale10_r10: {sc10}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         extras["scale10_r10_error"] = str(e)[:120]
+    try:
+        from tools.bench_scale_r10 import run_scale_r11
+
+        sc11 = run_scale_r11(spark, sf_dir, factor=10)
+        extras["scale10_r11"] = sc11
+        print(f"# scale10_r11: {sc11}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["scale10_r11_error"] = str(e)[:120]
     try:
         from tools.bench_stream import run_stream
 

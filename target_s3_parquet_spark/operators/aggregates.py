@@ -4880,3 +4880,504 @@ def agg_rank_sketch_merge_check(spark, sf_dir):
             "n_summary",
         )
     )
+
+
+# t-digest scale function, deterministic variant: fully-merged cluster
+# boundaries in rank space as EXACT thousandths literals, fine at the
+# tails and coarse in the middle (the k_1/arcsine shape without libm).
+# Cluster i covers ranks r with  _TD_B[i]*n < r*1000 <= _TD_B[i+1]*n.
+_TD_B = (
+    0, 1, 2, 5, 10, 20, 50, 100, 200, 350, 500,
+    650, 800, 900, 950, 980, 990, 995, 998, 999, 1000,
+)
+_TD_INNER = ", ".join(str(b) for b in _TD_B[1:-1])
+_TD_QS = (1, 5, 25, 50, 75, 95, 99)
+_TD_QS_SQL = ", ".join(str(q) for q in _TD_QS)
+
+
+@query(
+    "agg_tdigest_quantiles",
+    f"""
+    WITH v AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM lineitem
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    rk AS (
+      SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents) AS BIGINT) AS r
+      FROM v
+    ),
+    dg AS (
+      SELECT CAST(len(list_filter([{_TD_INNER}],
+                   b -> rk.r * 1000 > b * tot.n)) AS BIGINT) AS cluster,
+             CAST(COUNT(*) AS BIGINT) AS weight,
+             CAST(SUM(rk.cents) AS BIGINT) AS sum_cents
+      FROM rk CROSS JOIN tot
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT cluster, weight, sum_cents,
+             CAST(SUM(weight) OVER (ORDER BY cluster) AS BIGINT) AS cw,
+             CAST(sum_cents AS DOUBLE) / weight AS centroid
+      FROM dg
+    ),
+    qs AS (SELECT UNNEST([{_TD_QS_SQL}]) AS q_pct),
+    est AS (
+      SELECT q.q_pct,
+             (q.q_pct * tot.n + 99) // 100 AS target_rank,
+             MIN(STRUCT_PACK(cw := c.cw, cluster := c.cluster,
+                             weight := c.weight,
+                             centroid := c.centroid)) AS hit
+      FROM qs q CROSS JOIN tot
+      JOIN cum c ON c.cw >= (q.q_pct * tot.n + 99) // 100
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT e.q_pct, e.target_rank,
+             e.hit.cluster AS cluster_id,
+             e.hit.weight AS cluster_weight,
+             e.hit.centroid AS est_cents,
+             CAST(SUM(CASE WHEN v.cents < e.hit.centroid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cnt_lt,
+             CAST(SUM(CASE WHEN v.cents <= e.hit.centroid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cnt_le
+      FROM est e CROSS JOIN v
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT CAST(q_pct AS BIGINT) AS q_pct, target_rank, cluster_id,
+           cluster_weight, est_cents, cnt_lt, cnt_le,
+           GREATEST(CAST(0 AS BIGINT),
+                    GREATEST(cnt_lt + 1 - target_rank,
+                             target_rank - cnt_le)) AS rank_err,
+           CAST(cluster_weight + 2 AS BIGINT) AS err_bound,
+           tot.n AS n
+    FROM ver CROSS JOIN tot
+    """,
+)
+def agg_tdigest_quantiles(spark, sf_dir):
+    """T-DIGEST quantile sketch (Dunning 2019), deterministic
+    scale-function variant: the fully-merged digest of a monotone
+    scale function has a CLOSED FORM — cluster boundaries sit at fixed
+    fractions of the rank domain, fine at the tails (1/1000 of n) and
+    coarse in the middle (150/1000), which is exactly the t-digest
+    accuracy shape (relative error ~ q(1-q)) without the arcsine
+    libm call. Each cluster keeps (weight, mean): the digest is 20
+    rows regardless of n, quantiles read off the cumulative weights,
+    and the key VERIFIES itself — it reports each estimate's exact
+    rank window [cnt_lt+1, cnt_le] from a full-data pass and the
+    realized rank error against the a-priori bound (cluster weight
+    + tie slack), the t-digest guarantee that the estimate's rank
+    error never exceeds the covering cluster's size.
+
+    Exactness: ranks, weights, cumulative weights, and target ranks
+    ((q*n + 99) // 100) are exact integers; cluster assignment
+    compares r*1000 > b*n in int64 (exact through n ~ 9.2e15); the
+    centroid is ONE IEEE division of exact integers (cents sums stay
+    < 2^53 through ~40 B rows at these magnitudes — the lift is the
+    DECIMAL(38,0) sum channel), so the `<` / `<=` verify comparisons
+    see identical doubles in both engines. Ties in `cents` cannot
+    drift the digest: tied rows are interchangeable across a cluster
+    boundary, so per-cluster (weight, sum) — the ONLY things kept —
+    are a pure function of the value multiset.
+
+    Distributed shape: the global rank uses `two_phase_rank`
+    (range-partitioned local ranks + broadcast offsets — never a
+    single-task sort); the digest build is ONE combinable groupBy to
+    20 rows; cumulative weights are a constant-partitioned window
+    over the 20-row digest; the quantile probe and verify pass are
+    7-row broadcasts with a map-combinable aggregate. At 100 TB:
+    one range shuffle + one scan — and a production deployment builds
+    per-partition digests and merges them by the same closed-form
+    re-clustering, the law `agg_tdigest_merge_check` pins.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    v = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents")
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    rk = two_phase_rank(v, ["cents"], rank_name="r")
+    bounds = ", ".join(str(b) for b in _TD_B[1:-1])
+    dg = (
+        rk.crossJoin(F.broadcast(tot))
+        .select(
+            "cents",
+            F.expr(
+                f"size(filter(array({bounds}), b -> r * 1000 > b * n))"
+            )
+            .cast("long")
+            .alias("cluster"),
+        )
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("weight"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    wc = W.partitionBy(F.pmod(F.col("cluster"), F.lit(1))).orderBy(
+        "cluster"
+    )
+    cum = dg.select(
+        "cluster",
+        "weight",
+        F.sum("weight")
+        .over(wc.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cw"),
+        (F.col("sum_cents").cast("double") / F.col("weight")).alias(
+            "centroid"
+        ),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _TD_QS])).alias("q_pct")
+    )
+    tgt = F.floor((F.col("q_pct") * F.col("n") + 99) / 100).cast("long")
+    est = (
+        cum.crossJoin(F.broadcast(qs.crossJoin(tot)))
+        .withColumn("target_rank", tgt)
+        .filter(F.col("cw") >= F.col("target_rank"))
+        .groupBy("q_pct", "target_rank")
+        .agg(
+            F.min(
+                F.struct("cw", "cluster", "weight", "centroid")
+            ).alias("hit")
+        )
+        .select(
+            "q_pct",
+            "target_rank",
+            F.col("hit.cluster").alias("cluster_id"),
+            F.col("hit.weight").alias("cluster_weight"),
+            F.col("hit.centroid").alias("est_cents"),
+        )
+    )
+    ver = (
+        v.crossJoin(F.broadcast(est))
+        .groupBy(
+            "q_pct", "target_rank", "cluster_id", "cluster_weight",
+            "est_cents",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("cents") < F.col("est_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cnt_lt"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("est_cents"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("cnt_le"),
+        )
+    )
+    return ver.crossJoin(F.broadcast(tot)).select(
+        F.col("q_pct").cast("long").alias("q_pct"),
+        "target_rank",
+        "cluster_id",
+        "cluster_weight",
+        "est_cents",
+        "cnt_lt",
+        "cnt_le",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.greatest(
+                F.col("cnt_lt") + 1 - F.col("target_rank"),
+                F.col("target_rank") - F.col("cnt_le"),
+            ),
+        )
+        .cast("long")
+        .alias("rank_err"),
+        (F.col("cluster_weight") + 2).cast("long").alias("err_bound"),
+        "n",
+    )
+
+
+@query(
+    "agg_tdigest_merge_check",
+    f"""
+    WITH v AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             l_orderkey % 2 AS half
+      FROM lineitem
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+    th AS (
+      SELECT half, CAST(COUNT(*) AS BIGINT) AS nh FROM v GROUP BY half
+    ),
+    rk AS (
+      SELECT cents, half,
+             CAST(ROW_NUMBER() OVER (PARTITION BY half ORDER BY cents)
+                  AS BIGINT) AS rh
+      FROM v
+    ),
+    hdg AS (
+      SELECT rk.half,
+             CAST(len(list_filter([{_TD_INNER}],
+                   b -> rk.rh * 1000 > b * th.nh)) AS BIGINT) AS cluster,
+             CAST(COUNT(*) AS BIGINT) AS weight,
+             CAST(SUM(rk.cents) AS BIGINT) AS sum_cents
+      FROM rk JOIN th ON th.half = rk.half
+      GROUP BY 1, 2
+    ),
+    wmax AS (SELECT CAST(MAX(weight) AS BIGINT) AS wmax FROM hdg),
+    ctr AS (
+      SELECT half, cluster, weight, sum_cents,
+             CAST(sum_cents AS DOUBLE) / weight AS centroid,
+             CAST(SUM(weight) OVER (ORDER BY
+                    CAST(sum_cents AS DOUBLE) / weight, half, cluster)
+                  AS BIGINT) AS cume
+      FROM hdg
+    ),
+    mdg AS (
+      SELECT CAST(len(list_filter([{_TD_INNER}],
+                   b -> ctr.cume * 1000 > b * tot.n)) AS BIGINT)
+               AS mcluster,
+             CAST(SUM(ctr.weight) AS BIGINT) AS mweight,
+             CAST(SUM(ctr.sum_cents) AS BIGINT) AS msum
+      FROM ctr CROSS JOIN tot
+      GROUP BY 1
+    ),
+    mcum AS (
+      SELECT mcluster, mweight,
+             CAST(SUM(mweight) OVER (ORDER BY mcluster) AS BIGINT)
+               AS mcw,
+             CAST(msum AS DOUBLE) / mweight AS mcentroid
+      FROM mdg
+    ),
+    mtot AS (SELECT CAST(SUM(mweight) AS BIGINT) AS merged_total
+             FROM mdg),
+    qs AS (SELECT UNNEST([{_TD_QS_SQL}]) AS q_pct),
+    est AS (
+      SELECT q.q_pct,
+             (q.q_pct * tot.n + 99) // 100 AS target_rank,
+             MIN(STRUCT_PACK(mcw := c.mcw, mcluster := c.mcluster,
+                             mweight := c.mweight,
+                             mcentroid := c.mcentroid)) AS hit
+      FROM qs q CROSS JOIN tot
+      JOIN mcum c ON c.mcw >= (q.q_pct * tot.n + 99) // 100
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT e.q_pct, e.target_rank,
+             e.hit.mcluster AS cluster_id,
+             e.hit.mweight AS cluster_weight,
+             e.hit.mcentroid AS est_cents,
+             CAST(SUM(CASE WHEN v.cents < e.hit.mcentroid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cnt_lt,
+             CAST(SUM(CASE WHEN v.cents <= e.hit.mcentroid
+                           THEN 1 ELSE 0 END) AS BIGINT) AS cnt_le
+      FROM est e CROSS JOIN v
+      GROUP BY 1, 2, 3, 4, 5
+    )
+    SELECT CAST(q_pct AS BIGINT) AS q_pct, target_rank, cluster_id,
+           cluster_weight, est_cents, cnt_lt, cnt_le,
+           GREATEST(CAST(0 AS BIGINT),
+                    GREATEST(cnt_lt + 1 - target_rank,
+                             target_rank - cnt_le)) AS rank_err,
+           CAST(cluster_weight + 2 * wmax.wmax + 4 AS BIGINT)
+             AS err_bound,
+           mtot.merged_total, tot.n
+    FROM ver CROSS JOIN tot CROSS JOIN wmax CROSS JOIN mtot
+    """,
+)
+def agg_tdigest_merge_check(spark, sf_dir):
+    """The t-digest MERGE LAW, pinned: build an INDEPENDENT digest
+    over each half of the data (split on l_orderkey parity, each half
+    clustered against its OWN size by the same closed-form scale
+    function as `agg_tdigest_quantiles`), then merge by the merging-
+    digest rule — order all input centroids by mean, re-cluster by
+    CUMULATIVE weight against the combined size, combine (weight,
+    sum) per merged cluster. The key verifies (a) weight conservation
+    (merged_total == n in every row) and (b) the merged digest's
+    quantile rank errors against the widened a-priori bound: a merged
+    cluster's coverage can shift by up to one input centroid's weight
+    on each side (centroids are never split, and input centroid means
+    can interleave with neighboring value ranges), so the bound is
+    cluster_weight + 2*max_input_weight + slack.
+
+    Exactness: same integer channels as the base key — per-half ranks,
+    weights, cumulative weights, and re-cluster comparisons
+    (cume*1000 > b*n) are exact int64; centroids are single IEEE
+    divisions of exact integers; the merge ordering ties break on
+    (half, cluster), so both engines see the same 40-row sequence.
+
+    Distributed shape: per-half ranks run `two_phase_rank` on each
+    half (two range shuffles — in production one per source corpus,
+    which is the point: digests build WHERE the data lives and only
+    40 rows travel); the merge is constant-partitioned windows over
+    the bounded centroid table; verify is a 7-row broadcast. This is
+    the map-side-combine law that makes t-digest a valid distributed
+    aggregate (`agg_moments_merge_check`'s pattern for quantiles).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import (
+        register_cache,
+        two_phase_rank,
+    )
+
+    v = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("l_orderkey") % 2).cast("long").alias("half"),
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    th = v.groupBy("half").agg(F.count(F.lit(1)).cast("long").alias("nh"))
+    rk = (
+        two_phase_rank(v.filter(F.col("half") == 0), ["cents"], rank_name="rh")
+        .unionAll(
+            two_phase_rank(
+                v.filter(F.col("half") == 1), ["cents"], rank_name="rh"
+            )
+        )
+    )
+    bounds = ", ".join(str(b) for b in _TD_B[1:-1])
+    # the <=40-row digest table is CACHED: wmax / the merge window /
+    # the merged totals all branch from it, and without the cache each
+    # broadcast would re-run both rank subtrees over the data
+    hdg = register_cache(
+        rk.join(F.broadcast(th), "half")
+        .select(
+            "half",
+            "cents",
+            F.expr(
+                f"size(filter(array({bounds}), b -> rh * 1000 > b * nh))"
+            )
+            .cast("long")
+            .alias("cluster"),
+        )
+        .groupBy("half", "cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("weight"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )
+    wmax = hdg.agg(F.max("weight").cast("long").alias("wmax"))
+    centroid = F.col("sum_cents").cast("double") / F.col("weight")
+    wm = W.partitionBy(F.pmod(F.col("cluster"), F.lit(1))).orderBy(
+        centroid, F.col("half"), F.col("cluster")
+    )
+    ctr = hdg.select(
+        "half",
+        "cluster",
+        "weight",
+        "sum_cents",
+        F.sum("weight")
+        .over(wm.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cume"),
+    )
+    mdg = register_cache(
+        ctr.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                f"size(filter(array({bounds}), b -> cume * 1000 > b * n))"
+            )
+            .cast("long")
+            .alias("mcluster"),
+            "weight",
+            "sum_cents",
+        )
+        .groupBy("mcluster")
+        .agg(
+            F.sum("weight").cast("long").alias("mweight"),
+            F.sum("sum_cents").cast("long").alias("msum"),
+        )
+    )
+    mtot = mdg.agg(F.sum("mweight").cast("long").alias("merged_total"))
+    wmc = W.partitionBy(F.pmod(F.col("mcluster"), F.lit(1))).orderBy(
+        "mcluster"
+    )
+    mcum = mdg.select(
+        "mcluster",
+        "mweight",
+        F.sum("mweight")
+        .over(wmc.rowsBetween(W.unboundedPreceding, 0))
+        .cast("long")
+        .alias("mcw"),
+        (F.col("msum").cast("double") / F.col("mweight")).alias(
+            "mcentroid"
+        ),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(*[F.lit(x) for x in _TD_QS])).alias("q_pct")
+    )
+    tgt = F.floor((F.col("q_pct") * F.col("n") + 99) / 100).cast("long")
+    est = (
+        mcum.crossJoin(F.broadcast(qs.crossJoin(tot)))
+        .withColumn("target_rank", tgt)
+        .filter(F.col("mcw") >= F.col("target_rank"))
+        .groupBy("q_pct", "target_rank")
+        .agg(
+            F.min(
+                F.struct("mcw", "mcluster", "mweight", "mcentroid")
+            ).alias("hit")
+        )
+        .select(
+            "q_pct",
+            "target_rank",
+            F.col("hit.mcluster").alias("cluster_id"),
+            F.col("hit.mweight").alias("cluster_weight"),
+            F.col("hit.mcentroid").alias("est_cents"),
+        )
+    )
+    ver = (
+        v.crossJoin(F.broadcast(est))
+        .groupBy(
+            "q_pct", "target_rank", "cluster_id", "cluster_weight",
+            "est_cents",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("cents") < F.col("est_cents"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("cnt_lt"),
+            F.sum(
+                F.when(F.col("cents") <= F.col("est_cents"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("cnt_le"),
+        )
+    )
+    return (
+        ver.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(wmax))
+        .crossJoin(F.broadcast(mtot))
+        .select(
+            F.col("q_pct").cast("long").alias("q_pct"),
+            "target_rank",
+            "cluster_id",
+            "cluster_weight",
+            "est_cents",
+            "cnt_lt",
+            "cnt_le",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.greatest(
+                    F.col("cnt_lt") + 1 - F.col("target_rank"),
+                    F.col("target_rank") - F.col("cnt_le"),
+                ),
+            )
+            .cast("long")
+            .alias("rank_err"),
+            (F.col("cluster_weight") + 2 * F.col("wmax") + 4)
+            .cast("long")
+            .alias("err_bound"),
+            "merged_total",
+            "n",
+        )
+    )

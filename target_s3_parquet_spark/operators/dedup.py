@@ -1834,3 +1834,183 @@ def docs_dup_cluster_histogram(spark, sf_dir):
             / F.col("n_docs")
         ).alias("doc_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash pigeonhole near-dup, production profile (Manku et al. 2007)
+# ---------------------------------------------------------------------------
+_SHP_BITS = 60          # 15 hex chars -> always-positive int64
+_SHP_BLOCKS = 4         # pigeonhole: Hamming <= 3 => >= 1 equal block
+_SHP_BLOCK_BITS = 15    # 60 / 4; 2^15 buckets per block
+_SHP_K = 3              # max Hamming distance kept
+
+
+def _shp_sql() -> str:
+    word_hash = "CAST(('0x' || substring(md5(word), 1, 15)) AS BIGINT)"
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN ({word_hash} // {1 << b}) % 2 = 1"
+        f" THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(_SHP_BITS)
+    )
+    recombine = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END"
+        for b in range(_SHP_BITS)
+    )
+    blocks = ", ".join(
+        f"(simhash // {1 << (_SHP_BLOCK_BITS * i)}) % {1 << _SHP_BLOCK_BITS}"
+        for i in range(_SHP_BLOCKS)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(string_split(lower(text), ' '))) AS word
+      FROM documents
+    ),
+    bitsums AS (
+      SELECT doc_id, {bit_sums} FROM words GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, CAST({recombine} AS BIGINT) AS simhash
+      FROM bitsums
+    ),
+    blocks AS (
+      SELECT doc_id, simhash, bl.block_no,
+             [{blocks}][bl.block_no + 1] AS block_val
+      FROM sh CROSS JOIN
+           (SELECT UNNEST(range({_SHP_BLOCKS})) AS block_no) bl
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocks a JOIN blocks b
+        ON a.block_no = b.block_no AND a.block_val = b.block_val
+       AND a.doc_id < b.doc_id
+    ),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand)
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT)
+             AS hamming,
+           nc.n_candidates
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    CROSS JOIN nc
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SHP_K}
+    """
+
+
+@query("text_simhash_hamming_prod", _shp_sql())
+def text_simhash_hamming_prod(spark, sf_dir):
+    """SimHash near-duplicate detection at PRODUCTION width (Manku,
+    Jarvelin & Sarma 2007, "Detecting Near-Duplicates for Web
+    Crawling"): a 60-bit fingerprint per document (each distinct word
+    votes +-1 per bit of its md5-derived hash), then the PIGEONHOLE
+    banding that makes Hamming search tractable at corpus scale — a
+    pair within Hamming distance 3 must agree EXACTLY on at least one
+    of 4 contiguous 15-bit blocks, so candidates come from 4 block-key
+    equijoins (2^15 buckets each) and the exact Hamming distance
+    (bit_count of xor) is verified on CANDIDATES ONLY. The demo-width
+    `text_simhash` computes 24-bit signatures; this key is the
+    MinHash demo/prod split applied to SimHash, with the candidate
+    funnel reported in-key (`n_candidates` = distinct pairs sharing
+    any block, before the Hamming verify).
+
+    Exactness: the fingerprint is built from integer hash bits via
+    INTEGER div/mod only — at 60 bits a double division would corrupt
+    the low bits past the 53-bit mantissa, the trap the 24-bit demo
+    key never hits; bit votes, block keys, xor, and bit_count are all
+    exact int64 in both engines (15 hex chars keep the hash below
+    2^60, so signed int64 never overflows).
+
+    Distributed shape: fingerprints are one combinable groupBy(doc)
+    over the word explode (a linear scan — 60 SUM aggregates ride one
+    shuffle); the ONLY pairwise step is the 4-way block equijoin
+    whose shuffle moves (block_no, 15-bit key, doc_id) rows, never
+    documents or fingerprint tables squared; Hamming verify touches
+    candidates only. Random 15-bit collisions keep candidate volume
+    ~n^2/2^15 per block — at web scale Manku's trick is exactly this
+    plan with more/wider tables sharded the same way. AQE skew-join
+    splits boilerplate buckets (the MinHash-prod posture).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    words_df = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.col("text")), " "))
+        ).alias("word"),
+    )
+    h = F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long")
+    words_df = words_df.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.expr(f"(h div {1 << b}) % 2") == 1, 1
+            ).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(_SHP_BITS)
+    ]
+    sums = words_df.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for b in range(_SHP_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
+        )
+        simhash = term if simhash is None else simhash + term
+    sh = sums.select("doc_id", simhash.cast("long").alias("simhash"))
+    block_vals = F.array(
+        *[
+            F.expr(
+                f"(simhash div {1 << (_b * _SHP_BLOCK_BITS)})"
+                f" % {1 << _SHP_BLOCK_BITS}"
+            ).cast("long")
+            for _b in range(_SHP_BLOCKS)
+        ]
+    )
+    blocks = sh.select(
+        "doc_id",
+        F.posexplode(block_vals).alias("block_no", "block_val"),
+    )
+    a = blocks.select(
+        F.col("doc_id").alias("doc_a"),
+        "block_no",
+        "block_val",
+    )
+    b_ = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("block_no").alias("block_no_b"),
+        F.col("block_val").alias("block_val_b"),
+    )
+    cand = (
+        a.join(
+            b_,
+            (F.col("block_no") == F.col("block_no_b"))
+            & (F.col("block_val") == F.col("block_val_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    nc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb")
+    )
+    ham = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).cast("long")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "doc_a",
+            "doc_b",
+            ham.alias("hamming"),
+            "n_candidates",
+        )
+        .filter(F.col("hamming") <= _SHP_K)
+    )

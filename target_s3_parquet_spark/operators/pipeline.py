@@ -5149,3 +5149,196 @@ def eval_rank_biased_overlap(spark, sf_dir):
         "overlap_at_10",
         "overlap_at_50",
     )
+
+
+@query(
+    "corpus_unimax_mixture",
+    """
+    WITH w AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(chars) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             (139 * CAST(SUM(chars) AS BIGINT)) // 100 AS b
+      FROM w
+    ),
+    ordc AS (
+      SELECT lang, chars, 2 * chars AS cap,
+             CAST(ROW_NUMBER() OVER (ORDER BY 2 * chars, lang)
+                  AS BIGINT) AS j,
+             CAST(SUM(2 * chars) OVER (ORDER BY 2 * chars, lang
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pref
+      FROM w
+    ),
+    jc AS (
+      SELECT CAST(COALESCE(MAX(o.j), 0) AS BIGINT) AS jc
+      FROM ordc o CROSS JOIN tot
+      WHERE o.cap * (tot.k - o.j) <= tot.b - o.pref
+    ),
+    sh AS (
+      SELECT jc.jc,
+             CASE WHEN tot.k > jc.jc
+                  THEN (tot.b - COALESCE(
+                          (SELECT CAST(SUM(o.cap) AS BIGINT)
+                           FROM ordc o WHERE o.j <= jc.jc), 0))
+                       // (tot.k - jc.jc)
+                  ELSE 0 END AS share,
+             CASE WHEN tot.k > jc.jc
+                  THEN (tot.b - COALESCE(
+                          (SELECT CAST(SUM(o.cap) AS BIGINT)
+                           FROM ordc o WHERE o.j <= jc.jc), 0))
+                       % (tot.k - jc.jc)
+                  ELSE 0 END AS rem
+      FROM jc CROSS JOIN tot
+    ),
+    unc AS (
+      SELECT o.lang,
+             CAST(ROW_NUMBER() OVER (ORDER BY o.lang) AS BIGINT) AS urnk
+      FROM ordc o CROSS JOIN sh WHERE o.j > sh.jc
+    ),
+    alloc AS (
+      SELECT o.lang, o.chars, CAST(o.cap AS BIGINT) AS cap_chars,
+             CAST(CASE WHEN o.j <= s.jc THEN o.cap
+                       ELSE s.share
+                            + CASE WHEN u.urnk <= s.rem THEN 1 ELSE 0 END
+                  END AS BIGINT) AS allocation,
+             CAST(CASE WHEN o.j <= s.jc THEN 1 ELSE 0 END AS BIGINT)
+               AS capped
+      FROM ordc o CROSS JOIN sh s
+      LEFT JOIN unc u ON u.lang = o.lang
+    )
+    SELECT lang, chars, cap_chars, allocation, capped,
+           CAST(allocation AS DOUBLE) / chars AS epochs
+    FROM alloc
+    """,
+)
+def corpus_unimax_mixture(spark, sf_dir):
+    """UNIMAX language-balanced mixing (Chung et al. 2023): apportion
+    a character budget B = 1.39x the corpus total across languages as
+    UNIFORMLY as possible subject to a per-language EPOCH CAP of
+    N = 2 passes over that language's data — the mixing rule that
+    replaces temperature sampling for multilingual pretraining
+    (low-resource languages get up-weighted until they hit the repeat
+    cap instead of a power-law share). The greedy UniMax loop
+    ("allocate the smallest-capacity language its full cap while the
+    uniform share exceeds it") has a closed WATER-FILLING form: with
+    capacities c_(1) <= ... <= c_(k) sorted and prefix sums P_j, the
+    capped set is the largest prefix j* with
+    c_(j)*(k-j) <= B - P_j (the condition is monotone since
+    f(j+1)-f(j) = (k-j)(c_j - c_{j+1}) <= 0), and the uncapped block
+    splits B - P_{j*} uniformly with the integer remainder handed out
+    one unit each in language-code order — exact integer apportionment,
+    sum(allocation) == B always (the `corpus_budget_apportionment`
+    largest-remainder channel, capped).
+
+    Exactness: pure integer arithmetic end to end — products
+    c_j*(k-j) stay in int64 for corpora up to ~4.6e18/k characters
+    (the identity lifts to DECIMAL(38,0) unchanged beyond that); the
+    only double is the reported epochs = allocation/chars, one IEEE
+    division on exact integers, identical tree both engines.
+
+    Distributed shape: ONE combinable groupBy(lang) sees the data;
+    everything after is control-plane on the bounded language table
+    (windows over <=|langs| rows partitioned by a constant, 1-row
+    broadcasts for total/threshold/share). At 100 TB the scan-side
+    cost is the same single pass; |langs| stays a few hundred.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    N = 2
+    w = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum("n_chars").cast("long").alias("chars"))
+    )
+    tot = w.agg(
+        F.sum("chars").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    ).select("total", "k", F.expr("(139 * total) div 100").alias("b"))
+    wo = W.partitionBy(F.pmod(F.col("cap"), F.lit(1))).orderBy(
+        "cap", "lang"
+    )
+    ordc = (
+        w.select(
+            "lang",
+            "chars",
+            (F.lit(N) * F.col("chars")).cast("long").alias("cap"),
+        )
+        .withColumn("j", F.row_number().over(wo).cast("long"))
+        .withColumn(
+            "pref",
+            F.sum("cap")
+            .over(wo.rowsBetween(W.unboundedPreceding, 0))
+            .cast("long"),
+        )
+    )
+    jc = (
+        ordc.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cap") * (F.col("k") - F.col("j"))
+            <= F.col("b") - F.col("pref")
+        )
+        .agg(F.coalesce(F.max("j"), F.lit(0)).cast("long").alias("jc"))
+    )
+    pcap = ordc.crossJoin(F.broadcast(jc)).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("j") <= F.col("jc"), F.col("cap"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pcap")
+    )
+    sh = (
+        jc.crossJoin(pcap)
+        .crossJoin(tot)
+        .select(
+            "jc",
+            F.when(
+                F.col("k") > F.col("jc"),
+                F.expr("(b - pcap) div (k - jc)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("share"),
+            F.when(
+                F.col("k") > F.col("jc"),
+                (F.col("b") - F.col("pcap")) % (F.col("k") - F.col("jc")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rem"),
+        )
+    )
+    wu = W.partitionBy(F.pmod(F.col("j"), F.lit(1))).orderBy("lang")
+    unc = (
+        ordc.crossJoin(F.broadcast(sh))
+        .filter(F.col("j") > F.col("jc"))
+        .withColumn("urnk", F.row_number().over(wu).cast("long"))
+        .select("lang", "urnk")
+    )
+    return (
+        ordc.crossJoin(F.broadcast(sh))
+        .join(unc, "lang", "left")
+        .select(
+            "lang",
+            "chars",
+            F.col("cap").alias("cap_chars"),
+            F.when(F.col("j") <= F.col("jc"), F.col("cap"))
+            .otherwise(
+                F.col("share")
+                + F.when(F.col("urnk") <= F.col("rem"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocation"),
+            F.when(F.col("j") <= F.col("jc"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("capped"),
+        )
+        .withColumn(
+            "epochs", F.col("allocation").cast("double") / F.col("chars")
+        )
+    )

@@ -329,6 +329,17 @@ _BNLJ_BOUNDED_OK = {
     # bounded max(rank)<=50 table + two_phase_rank offsets
     "ts_sax_symbols",  # 1-row exact-moments agg broadcast onto the
     # calendar-bounded daily series (the Ljung-Box shape)
+    # r12 breadth keys
+    "corpus_unimax_mixture",  # 1-row total/threshold/share broadcasts
+    # onto the bounded language table (corpus_budget_apportionment's
+    # shape with the water-filling cap threshold)
+    "agg_tdigest_quantiles",  # 1-row corpus-count bcast onto the rank
+    # table + 7-row quantile probe / estimate verify broadcasts (the
+    # agg_mergeable_rank_sketch shape on the closed-form digest)
+    "agg_tdigest_merge_check",  # same 7-row probe/verify broadcasts
+    # + 1-row count/wmax/conservation aggs onto <=40-row digest tables
+    "text_simhash_hamming_prod",  # 1-row candidate-funnel count
+    # crossJoined onto the verified pair output
 }
 
 
