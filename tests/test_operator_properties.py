@@ -417,3 +417,102 @@ def test_two_phase_rank_random_frames(spark):
             .collect()
         )
         assert got == expected, f"trial {trial}, n={n}"
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 item 7: the DSIR saturating fixed-point fold and the 2^-40
+# grid-quantization channel, property-tested bit-exactly against pure
+# Python (the KM/NA edge-case suite pattern for the integer/dyadic
+# channels every r11+ key builds on).
+# ---------------------------------------------------------------------------
+
+
+def _dsir_fold_py(rqs, scale=1_000_000_000, cap=1_000_000_000_000_000):
+    acc = scale
+    for r in rqs:
+        acc = max(1, min(cap, (acc * r) // 256))
+    return acc
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=64, max_value=1024), max_size=24),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_dsir_fold_matches_python_bit_exactly(spark, seqs):
+    """The Spark `aggregate(...)` int64 fold must equal the pure-Python
+    reference on every sequence, including both saturation rails
+    (all-1024 ratios overflow to the 1e15 cap in ~10 steps; all-64
+    ratios decay to the floor of 1)."""
+    from target_s3_parquet_spark.operators.pipeline import (
+        _DSIR_CAP,
+        _DSIR_SCALE,
+    )
+
+    # append the deterministic rail-hitting sequences to every draw
+    seqs = seqs + [[1024] * 24, [64] * 24, [], [256] * 5]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(seqs)],
+        "id long, rqs array<long>",
+    )
+    got = {
+        r["id"]: r["w"]
+        for r in df.select(
+            "id",
+            F.expr(
+                f"aggregate(rqs, CAST({_DSIR_SCALE} AS BIGINT),"
+                " (acc, r) -> greatest(CAST(1 AS BIGINT),"
+                f" least(CAST({_DSIR_CAP} AS BIGINT),"
+                " (acc * r) div 256)))"
+            ).alias("w"),
+        ).collect()
+    }
+    for i, s in enumerate(seqs):
+        assert got[i] == _dsir_fold_py(s, _DSIR_SCALE, _DSIR_CAP), (
+            f"seq {s}"
+        )
+    # rails actually engaged
+    assert got[len(seqs) - 4] == _DSIR_CAP
+    assert got[len(seqs) - 3] == 1
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_grid_quantization_matches_python_bit_exactly(spark, xs):
+    """floor(x * 2^40) / 2^40 — the dyadic grid every quantized-fold
+    key sums over — must produce IDENTICAL doubles in Spark and
+    Python, including negatives, exact grid points, and values whose
+    product x*2^40 rounds across an integer boundary."""
+    import math
+
+    grid = 1099511627776.0  # 2^40
+    # exact grid points and boundary-straddlers join every draw
+    xs = xs + [0.0, -0.0, 1.0 / grid, -1.0 / grid, 0.5 + 1.0 / grid]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(xs)], "id long, x double"
+    )
+    got = {
+        r["id"]: r["q"]
+        for r in df.select(
+            "id", (F.floor(F.col("x") * grid) / grid).alias("q")
+        ).collect()
+    }
+    for i, x in enumerate(xs):
+        exp = math.floor(x * grid) / grid
+        assert got[i] == exp and math.copysign(1, got[i]) == math.copysign(
+            1, exp
+        ), f"x={x!r}: spark {got[i]!r} != python {exp!r}"
