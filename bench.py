@@ -580,6 +580,10 @@ def main() -> None:
         "agg_tdigest_quantiles",
         "agg_tdigest_merge_check",
         "text_simhash_hamming_prod",
+        "vocab_good_turing_counts",
+        "eval_conformal_interval",
+        "emb_pca_top2_deflation",
+        "er_fellegi_sunter_weights",
     ]
     r12_t: dict[str, float] = {}
     for name in SWEEP_R12:

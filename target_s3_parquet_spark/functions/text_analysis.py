@@ -2212,3 +2212,237 @@ def vocab_simpson_diversity(spark, sf_dir):
             "berger_parker_dominance"
         ),
     )
+
+
+# One Fellegi-Sunter EM round (oracle side). Per-pattern posteriors
+# are identical-tree IEEE products; every M-step numerator/denominator
+# term is 2^-20 grid-quantized BEFORE the 8-row SUM (n*w <= n_pairs
+# < 2^23 keeps 43-bit dyadics exact, so the sums are order-free), and
+# the updated probabilities clamp to [1/1024, 1023/1024] (exact
+# dyadic rails — the saturating-channel convention).
+_FS_ROUND = """
+e{r} AS MATERIALIZED (
+  SELECT g1, g2, g3, n, pm / (pm + pu) AS w FROM (
+    SELECT pat.g1, pat.g2, pat.g3, pat.n,
+           s.p
+             * (CASE WHEN pat.g1 = 1 THEN s.m1 ELSE 1.0 - s.m1 END)
+             * (CASE WHEN pat.g2 = 1 THEN s.m2 ELSE 1.0 - s.m2 END)
+             * (CASE WHEN pat.g3 = 1 THEN s.m3 ELSE 1.0 - s.m3 END)
+             AS pm,
+           (1.0 - s.p)
+             * (CASE WHEN pat.g1 = 1 THEN s.u1 ELSE 1.0 - s.u1 END)
+             * (CASE WHEN pat.g2 = 1 THEN s.u2 ELSE 1.0 - s.u2 END)
+             * (CASE WHEN pat.g3 = 1 THEN s.u3 ELSE 1.0 - s.u3 END)
+             AS pu
+    FROM pat CROSS JOIN s{p} s)
+),
+t{r} AS MATERIALIZED (
+  SELECT SUM(FLOOR(n * w * 1048576.0) / 1048576.0) AS tw,
+         SUM(FLOOR(n * (1.0 - w) * 1048576.0) / 1048576.0) AS tu,
+         SUM(CASE WHEN g1 = 1
+                  THEN FLOOR(n * w * 1048576.0) / 1048576.0
+                  ELSE 0.0 END) AS mw1,
+         SUM(CASE WHEN g2 = 1
+                  THEN FLOOR(n * w * 1048576.0) / 1048576.0
+                  ELSE 0.0 END) AS mw2,
+         SUM(CASE WHEN g3 = 1
+                  THEN FLOOR(n * w * 1048576.0) / 1048576.0
+                  ELSE 0.0 END) AS mw3,
+         SUM(CASE WHEN g1 = 1
+                  THEN FLOOR(n * (1.0 - w) * 1048576.0) / 1048576.0
+                  ELSE 0.0 END) AS uw1,
+         SUM(CASE WHEN g2 = 1
+                  THEN FLOOR(n * (1.0 - w) * 1048576.0) / 1048576.0
+                  ELSE 0.0 END) AS uw2,
+         SUM(CASE WHEN g3 = 1
+                  THEN FLOOR(n * (1.0 - w) * 1048576.0) / 1048576.0
+                  ELSE 0.0 END) AS uw3
+  FROM e{r}
+),
+s{r} AS (
+  SELECT GREATEST(0.0009765625, LEAST(0.9990234375,
+           t.tw / tot.nn)) AS p,
+         GREATEST(0.0009765625, LEAST(0.9990234375, t.mw1 / t.tw)) AS m1,
+         GREATEST(0.0009765625, LEAST(0.9990234375, t.mw2 / t.tw)) AS m2,
+         GREATEST(0.0009765625, LEAST(0.9990234375, t.mw3 / t.tw)) AS m3,
+         GREATEST(0.0009765625, LEAST(0.9990234375, t.uw1 / t.tu)) AS u1,
+         GREATEST(0.0009765625, LEAST(0.9990234375, t.uw2 / t.tu)) AS u2,
+         GREATEST(0.0009765625, LEAST(0.9990234375, t.uw3 / t.tu)) AS u3
+  FROM t{r} t CROSS JOIN tot
+)"""
+
+_FS_ORACLE = (
+    """
+    WITH c AS (
+      SELECT c_custkey AS k, c_name AS nm, c_nationkey AS nat,
+             c_mktsegment AS mkt,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM customer
+    ),
+    pairs AS MATERIALIZED (
+      SELECT CASE WHEN a.mkt = b.mkt THEN 1 ELSE 0 END AS g1,
+             CASE WHEN a.cents // 100000 = b.cents // 100000
+                  THEN 1 ELSE 0 END AS g2,
+             CASE WHEN levenshtein(a.nm, b.nm) <= 2
+                  THEN 1 ELSE 0 END AS g3
+      FROM c a JOIN c b ON a.nat = b.nat AND a.k < b.k
+    ),
+    pat AS MATERIALIZED (
+      SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM pat),
+    s0 AS (SELECT CAST(0.125 AS DOUBLE) AS p,
+                  CAST(0.875 AS DOUBLE) AS m1,
+                  CAST(0.875 AS DOUBLE) AS m2,
+                  CAST(0.875 AS DOUBLE) AS m3,
+                  CAST(0.125 AS DOUBLE) AS u1,
+                  CAST(0.125 AS DOUBLE) AS u2,
+                  CAST(0.125 AS DOUBLE) AS u3),"""
+    + ",".join(_FS_ROUND.format(r=i, p=i - 1) for i in (1, 2, 3, 4, 5))
+    + """
+    SELECT f.feature, f.m, f.u,
+           f.m / f.u AS agree_weight_ratio,
+           (1.0 - f.m) / (1.0 - f.u) AS disagree_weight_ratio,
+           s.p AS match_share, tot.nn AS n_pairs
+    FROM s5 s CROSS JOIN tot
+    CROSS JOIN LATERAL (
+      SELECT 'mktsegment' AS feature, s.m1 AS m, s.u1 AS u
+      UNION ALL
+      SELECT 'balance_bracket', s.m2, s.u2
+      UNION ALL
+      SELECT 'name_lev2', s.m3, s.u3
+    ) f
+    """
+)
+
+
+@query("er_fellegi_sunter_weights", _FS_ORACLE)
+def er_fellegi_sunter_weights(spark, sf_dir):
+    """FELLEGI-SUNTER record-linkage parameter estimation (Fellegi &
+    Sunter 1969; Winkler's EM formulation — the model under Splink
+    and every probabilistic ER deployment): over nation-blocked
+    candidate customer pairs, compare three fields (market segment
+    equality, $1000 account-balance bracket equality, name
+    Levenshtein <= 2), reduce the pair stream to the BOUNDED 2^3
+    agreement-pattern count table, and run 5 EM rounds estimating
+    each feature's m-probability (agreement given match),
+    u-probability (agreement given non-match), and the match
+    prevalence p. The reported m/u and (1-m)/(1-u) ratios are the
+    agreement/disagreement weights a linker multiplies per field
+    (log2 of them is the classical "match weight" — left to the
+    reader; logs never hash-match across libm builds). The balance
+    bracket uses the engines' TRUNCATING integer division (negative
+    balances share the doubled bracket around zero — the same
+    convention both engines apply identically).
+
+    Exactness: pattern counts are exact integers; E-step posteriors
+    are identical-tree IEEE products over exact dyadic initial
+    parameters; every M-step sum adds 2^-20 grid-quantized terms
+    (n*w < 2^23 pairs keeps 43-bit dyadics exact, so the 8-row sums
+    are order-independent); updates clamp to exact dyadic rails
+    [1/1024, 1023/1024] — the saturating-channel convention shared
+    with the DSIR fold and Bradley-Terry.
+
+    Distributed shape: the ONLY data-sized work is the blocked
+    self-join (co-partitioned on the block key; AQE splits skewed
+    nations) feeding ONE combinable groupBy to <= 8 rows; the EM loop
+    runs driver-side on the collected bounded pattern table (the
+    BT/HITS control-plane precedent — at any corpus scale the state
+    is 8 rows). Production blocking swaps in the `er_blocked_*`
+    multi-pass keys; the estimator is unchanged.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    import math as _m
+
+    grid20 = 1048576.0
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("mkt"),
+        (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    a = c.select(
+        F.col("k").alias("ka"), F.col("nm").alias("nma"),
+        F.col("nat").alias("nat"), F.col("mkt").alias("mkta"),
+        F.col("cents").alias("ca"),
+    )
+    b = c.select(
+        F.col("k").alias("kb"), F.col("nm").alias("nmb"),
+        F.col("nat").alias("natb"), F.col("mkt").alias("mktb"),
+        F.col("cents").alias("cb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("nat") == F.col("natb")) & (F.col("ka") < F.col("kb")),
+    ).select(
+        F.when(F.col("mkta") == F.col("mktb"), 1).otherwise(0).alias("g1"),
+        F.when(
+            F.expr("ca div 100000") == F.expr("cb div 100000"), 1
+        )
+        .otherwise(0)
+        .alias("g2"),
+        F.when(F.levenshtein(F.col("nma"), F.col("nmb")) <= 2, 1)
+        .otherwise(0)
+        .alias("g3"),
+    )
+    pat_rows = (
+        pairs.groupBy("g1", "g2", "g3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    nn = sum(r["n"] for r in pat_rows)
+
+    def _clamp(x):
+        return max(0.0009765625, min(0.9990234375, x))
+
+    p = 0.125
+    m = [0.875, 0.875, 0.875]
+    u = [0.125, 0.125, 0.125]
+    for _ in range(5):
+        tw = tu = 0.0
+        mw = [0.0, 0.0, 0.0]
+        uw = [0.0, 0.0, 0.0]
+        for r in pat_rows:
+            g = (r["g1"], r["g2"], r["g3"])
+            pm = p
+            pu = 1.0 - p
+            for i in range(3):
+                pm = pm * (m[i] if g[i] == 1 else 1.0 - m[i])
+                pu = pu * (u[i] if g[i] == 1 else 1.0 - u[i])
+            w = pm / (pm + pu)
+            qw = _m.floor(r["n"] * w * grid20) / grid20
+            qu = _m.floor(r["n"] * (1.0 - w) * grid20) / grid20
+            tw += qw
+            tu += qu
+            for i in range(3):
+                if g[i] == 1:
+                    mw[i] += qw
+                    uw[i] += qu
+        p = _clamp(tw / nn)
+        m = [_clamp(mw[i] / tw) for i in range(3)]
+        u = [_clamp(uw[i] / tu) for i in range(3)]
+    names = ["mktsegment", "balance_bracket", "name_lev2"]
+    return spark.createDataFrame(
+        [
+            (
+                names[i],
+                m[i],
+                u[i],
+                m[i] / u[i],
+                (1.0 - m[i]) / (1.0 - u[i]),
+                p,
+                nn,
+            )
+            for i in range(3)
+        ],
+        "feature string, m double, u double,"
+        " agree_weight_ratio double, disagree_weight_ratio double,"
+        " match_share double, n_pairs long",
+    )

@@ -5342,3 +5342,258 @@ def corpus_unimax_mixture(spark, sf_dir):
             "epochs", F.col("allocation").cast("double") / F.col("chars")
         )
     )
+
+
+@query(
+    "vocab_good_turing_counts",
+    """
+    WITH toks AS (
+      SELECT UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS tok
+      FROM documents
+    ),
+    wc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS r
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    ff AS (
+      SELECT r, CAST(COUNT(*) AS BIGINT) AS n_types FROM wc GROUP BY r
+    ),
+    tot AS (
+      SELECT CAST(SUM(r * n_types) AS BIGINT) AS n_tokens,
+             CAST(COALESCE((SELECT n_types FROM ff WHERE r = 1), 0)
+                  AS BIGINT) AS n1
+      FROM ff
+    )
+    SELECT f.r AS freq, f.n_types,
+           CAST(f.r * f.n_types AS BIGINT) AS n_tokens_at_freq,
+           CAST(COALESCE((f.r + 1) * fn.n_types, 0) AS DOUBLE)
+             / f.n_types AS r_star,
+           CAST(f.r * f.n_types AS DOUBLE) / tot.n_tokens AS mass_share,
+           CAST(tot.n1 AS DOUBLE) / tot.n_tokens AS unseen_mass
+    FROM ff f LEFT JOIN ff fn ON fn.r = f.r + 1 CROSS JOIN tot
+    """,
+)
+def vocab_good_turing_counts(spark, sf_dir):
+    """GOOD-TURING frequency estimation (Good 1953; Gale & Sampson
+    1995's presentation) over the corpus vocabulary: the
+    frequency-of-frequencies table N_r, the Turing-adjusted count
+    r* = (r+1) * N_{r+1} / N_r for every observed frequency, the
+    probability mass each frequency class holds, and the UNSEEN mass
+    P_0 = N_1/N — the smoothing channel every n-gram LM (and the
+    Kneser-Ney discount already in `text_kneser_ney_bigram_top`)
+    builds on, and the standard coverage diagnostic ("how much of the
+    token distribution have we not seen yet") for corpus growth
+    decisions. r* is 0 where N_{r+1} = 0 (raw Good-Turing is
+    undefined there; Simple GT's log-regression fallback is libm and
+    deliberately out of the exact channel).
+
+    Exactness: token counts, the N_r table, and class masses are
+    exact integers (r * n_types stays in int64 through ~9e18 tokens);
+    r_star / mass_share / unseen_mass are single IEEE divisions of
+    exact integers, identical trees in both engines.
+
+    Distributed shape: explode -> combinable groupBy(token) -> one
+    more combinable groupBy(r) whose output is BOUNDED (#distinct
+    frequencies ~ O(sqrt(N))); the r -> r+1 lookup is a self-join on
+    the bounded table and the totals are a 1-row broadcast. At 100 TB
+    the token count shuffle carries one row per distinct token —
+    the same vocabulary-build cost as `vocab_top_tokens`.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    wc = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    ff = wc.groupBy("r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    tot = ff.agg(
+        F.sum(F.col("r") * F.col("n_types"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("r") == 1, F.col("n_types"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n1"),
+    )
+    fn = ff.select(
+        (F.col("r") - 1).alias("r"), F.col("n_types").alias("nt_next")
+    )
+    return (
+        ff.join(fn, "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("r").alias("freq"),
+            "n_types",
+            (F.col("r") * F.col("n_types"))
+            .cast("long")
+            .alias("n_tokens_at_freq"),
+            (
+                F.coalesce(
+                    (F.col("r") + 1) * F.col("nt_next"), F.lit(0)
+                ).cast("double")
+                / F.col("n_types")
+            ).alias("r_star"),
+            (
+                (F.col("r") * F.col("n_types")).cast("double")
+                / F.col("n_tokens")
+            ).alias("mass_share"),
+            (F.col("n1").cast("double") / F.col("n_tokens")).alias(
+                "unseen_mass"
+            ),
+        )
+    )
+
+
+@query(
+    "eval_conformal_interval",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS ok, o_orderpriority AS grp,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             o_orderkey % 2 AS half
+      FROM orders
+    ),
+    pred AS (
+      SELECT grp,
+             CAST(SUM(cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+               AS pred,
+             CAST(COUNT(*) AS BIGINT) AS n_cal
+      FROM o WHERE half = 0 GROUP BY grp
+    ),
+    cal AS (
+      SELECT o.grp, ABS(o.cents - p.pred) AS score, p.n_cal,
+             ROW_NUMBER() OVER (PARTITION BY o.grp
+                                ORDER BY ABS(o.cents - p.pred), o.ok)
+               AS rn
+      FROM o JOIN pred p ON p.grp = o.grp WHERE o.half = 0
+    ),
+    q AS (
+      SELECT grp, CAST(score AS BIGINT) AS qhat, n_cal
+      FROM cal
+      WHERE rn = LEAST(n_cal, ((n_cal + 1) * 9 + 9) // 10)
+    ),
+    tst AS (
+      SELECT o.grp,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN ABS(o.cents - p.pred) <= q.qhat
+                           THEN 1 ELSE 0 END) AS BIGINT) AS covered
+      FROM o
+      JOIN pred p ON p.grp = o.grp
+      JOIN q ON q.grp = o.grp
+      WHERE o.half = 1 GROUP BY o.grp
+    )
+    SELECT t.grp AS priority, q.n_cal, t.n_test,
+           p.pred AS predicted_cents, q.qhat AS qhat_cents, t.covered,
+           CAST(t.covered AS DOUBLE) / t.n_test AS coverage,
+           CAST(0.9 AS DOUBLE) AS target_coverage
+    FROM tst t JOIN q ON q.grp = t.grp JOIN pred p ON p.grp = t.grp
+    """,
+)
+def eval_conformal_interval(spark, sf_dir):
+    """SPLIT-CONFORMAL prediction intervals, Mondrian (group-
+    conditional) flavor (Vovk et al. 2005; Angelopoulos & Bates 2023
+    tutorial — both public): per order-priority group, fit the
+    trivial regressor (integer floor mean of the CALIBRATION half's
+    cents), take the absolute-residual nonconformity scores, and set
+    the interval half-width qhat to the ceil((n+1)(1-alpha))-th
+    smallest calibration score (alpha = 0.1, rank clamped to n for
+    tiny groups — the finite-sample fallback). The key then MEASURES
+    the guarantee: per-group empirical coverage of predicted +- qhat
+    on the held-out test half, reported against the 0.9 target —
+    exchangeability gives coverage >= 1-alpha in expectation, the
+    distribution-free promise that makes conformal the standard
+    uncertainty wrapper for any point model (and the eval-side twin
+    of the quantile machinery: qhat IS an exact order statistic).
+
+    Exactness: scores, ranks, target ranks ((n+1)*9+9)//10, and
+    coverage counts are exact integers (ties in scores break on the
+    unique order key, same in both engines); the reported coverage
+    and the 0.9 literal are single IEEE expressions.
+
+    Distributed shape: one combinable groupBy builds the per-group
+    calibration means; the per-group order statistic is a partitioned
+    rank window (5 bounded groups here; an unbounded group count
+    hash-partitions and the heaviest group bounds the task — the
+    `window_analytic` posture, or two_phase_rank per group beyond
+    that); the coverage pass is one combinable aggregate over the
+    test half joined to the 5-row broadcast qhat table. At 100 TB:
+    two scans and one bounded-table broadcast.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    calh = o.filter(F.col("half") == 0)
+    pred = calh.groupBy("grp").agg(
+        F.expr(
+            "CAST(sum(cents) AS BIGINT) div CAST(count(1) AS BIGINT)"
+        ).alias("pred"),
+        F.count(F.lit(1)).cast("long").alias("n_cal"),
+    )
+    cal = calh.join(F.broadcast(pred), "grp").select(
+        "grp",
+        "ok",
+        F.abs(F.col("cents") - F.col("pred")).alias("score"),
+        "n_cal",
+    )
+    wq = W.partitionBy("grp").orderBy("score", "ok")
+    q = (
+        cal.withColumn("rn", F.row_number().over(wq))
+        .filter(
+            F.col("rn")
+            == F.least(
+                F.col("n_cal"),
+                F.expr("((n_cal + 1) * 9 + 9) div 10"),
+            )
+        )
+        .select(
+            "grp", F.col("score").cast("long").alias("qhat"), "n_cal"
+        )
+    )
+    tst = (
+        o.filter(F.col("half") == 1)
+        .join(F.broadcast(pred), "grp")
+        .join(F.broadcast(q), "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("pred"))
+                    <= F.col("qhat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+        )
+    )
+    return (
+        tst.join(F.broadcast(q), "grp")
+        .join(F.broadcast(pred.select("grp", "pred")), "grp")
+        .select(
+            F.col("grp").alias("priority"),
+            "n_cal",
+            "n_test",
+            F.col("pred").alias("predicted_cents"),
+            F.col("qhat").alias("qhat_cents"),
+            "covered",
+            (F.col("covered").cast("double") / F.col("n_test")).alias(
+                "coverage"
+            ),
+            F.lit(0.9).cast("double").alias("target_coverage"),
+        )
+    )

@@ -3892,3 +3892,190 @@ def emb_pc1_removal_variance(spark, sf_dir):
         ),
         F.lit(ray).alias("rayleigh_trained"),
     )
+
+
+# Second-component deflation: one more 4-round power iteration on the
+# rank-1-deflated Gram, all quantized on the 2^-40 grid like the base
+# key. x2{r}/y2{r}/n2{r} mirror _PCA_ITER against the deflated table.
+# every per-round CTE is MATERIALIZED: the y2->p2->d2->n2->x2 chain
+# references its predecessors more than once, and DuckDB inlines
+# non-materialized CTEs per reference — 4 chained rounds would expand
+# the plan exponentially (observed as a planner hang, not a slow run)
+_PCA2_ITER = """
+y2{r} AS MATERIALIZED (
+  SELECT g.i, SUM(FLOOR(g.v * x.x * 1099511627776.0)
+                  / 1099511627776.0) AS y
+  FROM gh g JOIN x2{p} x ON x.i = g.j GROUP BY g.i
+),
+p2{r} AS MATERIALIZED (
+  SELECT SUM(FLOOR(a.x * y.y * 1099511627776.0)
+             / 1099511627776.0) AS p
+  FROM x4 a JOIN y2{r} y ON y.i = a.i),
+d2{r} AS MATERIALIZED (
+  SELECT y.i,
+         FLOOR((y.y - p2{r}.p * a.x) * 1099511627776.0)
+           / 1099511627776.0 AS y
+  FROM y2{r} y JOIN x4 a ON a.i = y.i CROSS JOIN p2{r}),
+n2{r} AS (SELECT SQRT(SUM(FLOOR(y * y * 1099511627776.0)
+                          / 1099511627776.0)) AS nrm
+         FROM d2{r}),
+x2{r} AS MATERIALIZED (
+  SELECT i, CASE WHEN nrm > 0 THEN y / nrm
+                 ELSE CAST(0.0 AS DOUBLE) END AS x
+  FROM d2{r} CROSS JOIN n2{r})"""
+
+_PCA2_ORACLE = (
+    _PCA_CTES
+    + """,
+    x20 AS (SELECT i, CAST(0.125 AS DOUBLE) AS x FROM dims),"""
+    + ",".join(_PCA2_ITER.format(r=i, p=i - 1) for i in (1, 2, 3, 4))
+    + """,
+    y2r AS (
+      SELECT g.i, SUM(FLOOR(g.v * x.x * 1099511627776.0)
+                      / 1099511627776.0) AS y
+      FROM gh g JOIN x24 x ON x.i = g.j GROUP BY g.i
+    ),
+    ray2 AS (
+      SELECT SUM(FLOOR(x.x * y.y * 1099511627776.0)
+                 / 1099511627776.0) AS r2
+      FROM x24 x JOIN y2r y ON y.i = x.i
+    ),
+    ortho AS (
+      SELECT SUM(FLOOR(a.x * b.x * 1099511627776.0)
+                 / 1099511627776.0) AS od
+      FROM x4 a JOIN x24 b ON b.i = a.i
+    )
+    SELECT CAST(a.i - 1 AS BIGINT) AS dim, a.x AS loading1,
+           b.x AS loading2, ray.rayleigh AS rayleigh1,
+           ray2.r2 AS rayleigh2, ortho.od AS ortho_dot
+    FROM x4 a JOIN x24 b ON b.i = a.i
+    CROSS JOIN ray CROSS JOIN ray2 CROSS JOIN ortho
+    """
+)
+
+
+@query("emb_pca_top2_deflation", _PCA2_ORACLE)
+def emb_pca_top2_deflation(spark, sf_dir):
+    """TOP-2 principal components by POWER ITERATION with PROJECTION
+    DEFLATION (deflated/orthogonal iteration — the numerically
+    standard second-component recipe): run the base key's 4 rounds
+    for the top component v1, then 4 more rounds on the SAME
+    trace-normalized Gram where each matvec result is re-
+    orthogonalized against v1 (y <- y - (v1.y) v1, quantized) before
+    normalizing — the two-component machinery behind anisotropy
+    repair ("remove the top direction(s)", Mu & Viswanath 2018) and
+    2-D corpus maps. Projection each round keeps v2 orthogonal to v1
+    BY CONSTRUCTION even when a small eigengap (this corpus: l2/l1 ~
+    0.94, near-isotropic) leaves 4 rounds far from eigen-convergence
+    — matrix (Hotelling) deflation with an unconverged v1 would leak
+    v1 into v2, the first-draft failure this construction removes.
+    The key reports both loading vectors, both Rayleigh quotients,
+    and the quantized v1.v2 dot as the in-key orthogonality check
+    (|dot| at quantization/sqrt-rounding noise).
+
+    Exactness: each projection is a quantized fold (p = sum of
+    2^-40-floored x1_i*y_i terms) and one compound IEEE expression
+    per element ((y - p * x1_i), left-associated identically in both
+    engines) re-floored onto the dyadic grid, so every matvec /
+    projection / norm / Rayleigh fold sums exact dyadic rationals
+    (spectral norm <= 1 keeps |y| <= 1 + grid noise and the 2^-40
+    numerators exact).
+
+    Distributed shape: identical to `emb_pca_power_iteration` — the
+    data-sized work is the ONE double-posexplode Gram build; the
+    64x64 deflation and second iteration are control-plane on the
+    collected matrix (the OPQ/CMS collect precedent). d stays 64 at
+    any corpus size.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    import math as _m
+
+    grid, grid20 = 1099511627776.0, 1048576.0
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _vec_d(F.col("embedding")).alias("v")
+    )
+    vn = v.select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN SQRT(aggregate(zip_with(v, v, (a, b) -> a * b),"
+            " 0D, (acc, e) -> acc + e)) > 0"
+            " THEN transform(v, e -> e /"
+            " SQRT(aggregate(zip_with(v, v, (a, b) -> a * b), 0D,"
+            " (acc, e) -> acc + e)))"
+            " ELSE transform(v, e -> 0D) END"
+        ).alias("vn"),
+    )
+    pairs = vn.select(
+        F.posexplode("vn").alias("i", "vi"), "vn"
+    ).select("i", "vi", F.posexplode("vn").alias("j", "vj"))
+    g = pairs.groupBy("i", "j").agg(
+        F.sum(F.floor(F.col("vi") * F.col("vj") * grid) / grid).alias("v")
+    )
+    gm = {(r["i"], r["j"]): r["v"] for r in g.collect()}
+    dims = list(range(64))
+    tr = sum(_m.floor(gm.get((i, i), 0.0) * grid20) / grid20 for i in dims)
+    gh = {k: (val / tr if tr > 0 else 0.0) for k, val in gm.items()}
+
+    def _rounds(mat):
+        x = {i: 0.125 for i in dims}
+        for _ in range(4):
+            y = {
+                i: sum(
+                    _m.floor(mat.get((i, j), 0.0) * x[j] * grid) / grid
+                    for j in dims
+                )
+                for i in dims
+            }
+            nrm = _m.sqrt(
+                sum(_m.floor(yy * yy * grid) / grid for yy in y.values())
+            )
+            x = {i: (y[i] / nrm if nrm > 0 else 0.0) for i in dims}
+        y = {
+            i: sum(
+                _m.floor(mat.get((i, j), 0.0) * x[j] * grid) / grid
+                for j in dims
+            )
+            for i in dims
+        }
+        ray = sum(_m.floor(x[i] * y[i] * grid) / grid for i in dims)
+        return x, ray
+
+    def _rounds_deflated(mat, xref):
+        x = {i: 0.125 for i in dims}
+        for _ in range(4):
+            y = {
+                i: sum(
+                    _m.floor(mat.get((i, j), 0.0) * x[j] * grid) / grid
+                    for j in dims
+                )
+                for i in dims
+            }
+            p = sum(_m.floor(xref[i] * y[i] * grid) / grid for i in dims)
+            d = {
+                i: _m.floor((y[i] - p * xref[i]) * grid) / grid
+                for i in dims
+            }
+            nrm = _m.sqrt(
+                sum(_m.floor(yy * yy * grid) / grid for yy in d.values())
+            )
+            x = {i: (d[i] / nrm if nrm > 0 else 0.0) for i in dims}
+        y = {
+            i: sum(
+                _m.floor(mat.get((i, j), 0.0) * x[j] * grid) / grid
+                for j in dims
+            )
+            for i in dims
+        }
+        ray = sum(_m.floor(x[i] * y[i] * grid) / grid for i in dims)
+        return x, ray
+
+    x1, ray1 = _rounds(gh)
+    x2, ray2 = _rounds_deflated(gh, x1)
+    ortho = sum(_m.floor(x1[i] * x2[i] * grid) / grid for i in dims)
+    return spark.createDataFrame(
+        [(i, x1[i], x2[i], ray1, ray2, ortho) for i in dims],
+        "dim long, loading1 double, loading2 double,"
+        " rayleigh1 double, rayleigh2 double, ortho_dot double",
+    )

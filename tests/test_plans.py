@@ -340,6 +340,8 @@ _BNLJ_BOUNDED_OK = {
     # + 1-row count/wmax/conservation aggs onto <=40-row digest tables
     "text_simhash_hamming_prod",  # 1-row candidate-funnel count
     # crossJoined onto the verified pair output
+    "vocab_good_turing_counts",  # 1-row token-total broadcast onto
+    # the bounded frequency-of-frequencies table
 }
 
 

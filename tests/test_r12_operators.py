@@ -176,3 +176,195 @@ def test_simhash_prod_matches_allpairs_bruteforce(spark, duck):
     if out:
         assert out[0]["n_candidates"] >= len(got)
         assert all(r["n_candidates"] == out[0]["n_candidates"] for r in out)
+
+
+# ---------------------------------------------------------- Good-Turing
+
+
+def test_good_turing_matches_bruteforce(spark, duck):
+    from target_s3_parquet_spark.operators.pipeline import (
+        vocab_good_turing_counts,
+    )
+
+    import collections
+    import re
+
+    texts = duck.sql("SELECT lower(text) FROM documents").fetchall()
+    wc = collections.Counter()
+    for (txt,) in texts:
+        for tok in re.split(r"[^a-z]+", txt):
+            if tok:
+                wc[tok] += 1
+    ff = collections.Counter(wc.values())
+    n_tokens = sum(wc.values())
+    n1 = ff.get(1, 0)
+    got = {r["freq"]: r for r in vocab_good_turing_counts(spark, SF_SMALL).collect()}
+    assert set(got) == set(ff)
+    for r_, n_types in ff.items():
+        row = got[r_]
+        assert row["n_types"] == n_types
+        assert row["n_tokens_at_freq"] == r_ * n_types
+        assert row["r_star"] == ((r_ + 1) * ff.get(r_ + 1, 0)) / n_types
+        assert row["mass_share"] == (r_ * n_types) / n_tokens
+        assert row["unseen_mass"] == n1 / n_tokens
+    # masses over observed classes + nothing else account for all tokens
+    assert sum(r["n_tokens_at_freq"] for r in got.values()) == n_tokens
+
+
+# ------------------------------------------------------------ conformal
+
+
+def test_conformal_coverage_matches_bruteforce(spark, duck):
+    from target_s3_parquet_spark.operators.pipeline import (
+        eval_conformal_interval,
+    )
+
+    rows = duck.sql(
+        """SELECT o_orderkey, o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           FROM orders"""
+    ).fetchall()
+    import collections
+
+    cal = collections.defaultdict(list)
+    tst = collections.defaultdict(list)
+    for ok, grp, cents in rows:
+        (cal if ok % 2 == 0 else tst)[grp].append((ok, cents))
+    got = {r["priority"]: r for r in eval_conformal_interval(spark, SF_SMALL).collect()}
+    assert set(got) == set(cal)
+    for grp, crows in cal.items():
+        n_cal = len(crows)
+        pred = sum(c for _, c in crows) // n_cal
+        scores = sorted(
+            (abs(c - pred), ok) for ok, c in crows
+        )
+        k = min(n_cal, ((n_cal + 1) * 9 + 9) // 10)
+        qhat = scores[k - 1][0]
+        trows = tst[grp]
+        covered = sum(1 for _, c in trows if abs(c - pred) <= qhat)
+        r = got[grp]
+        assert r["n_cal"] == n_cal
+        assert r["n_test"] == len(trows)
+        assert r["predicted_cents"] == pred
+        assert r["qhat_cents"] == qhat
+        assert r["covered"] == covered
+        assert r["coverage"] == covered / len(trows)
+
+
+# --------------------------------------------------- PCA top-2 deflation
+
+
+def test_pca_top2_orthogonal_and_consistent_with_base(spark):
+    from target_s3_parquet_spark.operators.similarity import (
+        emb_pca_power_iteration,
+        emb_pca_top2_deflation,
+    )
+
+    base = {
+        r["dim"]: r for r in emb_pca_power_iteration(spark, SF_SMALL).collect()
+    }
+    two = {r["dim"]: r for r in emb_pca_top2_deflation(spark, SF_SMALL).collect()}
+    assert set(two) == set(range(64))
+    r0 = two[0]
+    # component 1 is bit-identical to the base key's component
+    for d in range(64):
+        assert two[d]["loading1"] == base[d]["loading"]
+    assert r0["rayleigh1"] == base[0]["rayleigh"]
+    # projection deflation keeps v2 orthogonal BY CONSTRUCTION
+    assert abs(r0["ortho_dot"]) < 1e-6
+    # the second Rayleigh quotient is a positive variance share below
+    # the first (dominant) one
+    assert 0.0 < r0["rayleigh2"] <= r0["rayleigh1"] + 1e-12
+    # v2 is unit-norm up to quantization
+    n2 = sum(two[d]["loading2"] ** 2 for d in range(64))
+    assert abs(n2 - 1.0) < 1e-6
+
+
+# ------------------------------------------------------- Fellegi-Sunter
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_fellegi_sunter_matches_pure_python_em(spark, duck):
+    import math
+
+    from target_s3_parquet_spark.functions.text_analysis import (
+        er_fellegi_sunter_weights,
+    )
+
+    rows = duck.sql(
+        """SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+                  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           FROM customer"""
+    ).fetchall()
+    import collections
+
+    blocks = collections.defaultdict(list)
+    for k, nm, nat, mkt, cents in rows:
+        blocks[nat].append((k, nm, mkt, cents))
+    pat = collections.Counter()
+    def _bracket(cents):
+        # both engines' integer div TRUNCATES toward zero (negative
+        # balances exist) — Python's // floors, so mirror the
+        # truncation explicitly
+        return cents // 100000 if cents >= 0 else -((-cents) // 100000)
+
+    for recs in blocks.values():
+        recs.sort()
+        for i, (ka, nma, mkta, ca) in enumerate(recs):
+            for kb, nmb, mktb, cb in recs[i + 1 :]:
+                g = (
+                    1 if mkta == mktb else 0,
+                    1 if _bracket(ca) == _bracket(cb) else 0,
+                    1 if _lev(nma, nmb) <= 2 else 0,
+                )
+                pat[g] += 1
+    nn = sum(pat.values())
+    grid20 = 1048576.0
+
+    def clamp(x):
+        return max(0.0009765625, min(0.9990234375, x))
+
+    p, m, u = 0.125, [0.875] * 3, [0.125] * 3
+    for _ in range(5):
+        tw = tu = 0.0
+        mw, uw = [0.0] * 3, [0.0] * 3
+        for g, n in pat.items():
+            pm, pu = p, 1.0 - p
+            for i in range(3):
+                pm = pm * (m[i] if g[i] else 1.0 - m[i])
+                pu = pu * (u[i] if g[i] else 1.0 - u[i])
+            w = pm / (pm + pu)
+            qw = math.floor(n * w * grid20) / grid20
+            qu = math.floor(n * (1.0 - w) * grid20) / grid20
+            tw += qw
+            tu += qu
+            for i in range(3):
+                if g[i]:
+                    mw[i] += qw
+                    uw[i] += qu
+        p = clamp(tw / nn)
+        m = [clamp(mw[i] / tw) for i in range(3)]
+        u = [clamp(uw[i] / tu) for i in range(3)]
+
+    got = {r["feature"]: r for r in er_fellegi_sunter_weights(spark, SF_SMALL).collect()}
+    names = ["mktsegment", "balance_bracket", "name_lev2"]
+    for i, nm in enumerate(names):
+        r = got[nm]
+        assert r["m"] == m[i]
+        assert r["u"] == u[i]
+        assert r["match_share"] == p
+        assert r["n_pairs"] == nn
+        # agreement must be MORE likely under the match class
+        assert r["m"] > r["u"]
+        assert r["agree_weight_ratio"] > 1.0
