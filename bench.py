@@ -584,6 +584,8 @@ def main() -> None:
         "eval_conformal_interval",
         "emb_pca_top2_deflation",
         "er_fellegi_sunter_weights",
+        "docs_cdc_chunk_dedup",
+        "ts_matrix_profile_lite",
     ]
     r12_t: dict[str, float] = {}
     for name in SWEEP_R12:

@@ -2014,3 +2014,157 @@ def text_simhash_hamming_prod(spark, sf_dir):
         )
         .filter(F.col("hamming") <= _SHP_K)
     )
+
+
+@query(
+    "docs_cdc_chunk_dedup",
+    """
+    WITH cuts AS (
+      SELECT doc_id, source, text, length(text) AS len,
+             list_sort(list_concat(list_concat(
+               [CAST(1 AS BIGINT)],
+               CASE WHEN length(text) >= 9 THEN
+                 list_filter(
+                   list_transform(range(2, length(text) - 6),
+                     p -> CASE WHEN CAST(('0x' || substring(
+                                md5(substring(text, p, 8)), 1, 7))
+                                AS BIGINT) % 64 = 0
+                               THEN CAST(p AS BIGINT) END),
+                   x -> x IS NOT NULL)
+               ELSE CAST([] AS BIGINT[]) END),
+               [CAST(length(text) + 1 AS BIGINT)])) AS bounds
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, source,
+             UNNEST(list_transform(range(1, len(bounds)),
+                    i -> substring(text, CAST(bounds[i] AS INT),
+                                   CAST(bounds[i + 1] - bounds[i]
+                                        AS INT)))) AS chunk
+      FROM cuts
+    ),
+    fp AS (
+      SELECT source, md5(chunk) AS f,
+             CAST(length(chunk) AS BIGINT) AS clen
+      FROM chunks
+    ),
+    per_fp AS (
+      SELECT source, f, CAST(COUNT(*) AS BIGINT) AS reps,
+             MIN(clen) AS clen
+      FROM fp GROUP BY source, f
+    ),
+    docs_per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT p.source, d.n_docs,
+           CAST(SUM(p.reps) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(p.reps * p.clen) AS BIGINT) AS total_chars,
+           CAST(SUM(p.clen) AS BIGINT) AS distinct_chars,
+           CAST(SUM(p.clen) AS DOUBLE) / SUM(p.reps * p.clen)
+             AS dedup_ratio,
+           CAST(SUM(p.reps * p.clen) AS DOUBLE) / SUM(p.reps)
+             AS avg_chunk_len
+    FROM per_fp p JOIN docs_per d ON d.source = p.source
+    GROUP BY p.source, d.n_docs
+    """,
+)
+def docs_cdc_chunk_dedup(spark, sf_dir):
+    """CONTENT-DEFINED CHUNKING dedup audit (Rabin-style rolling
+    boundaries — the Muthitacharoen et al. 2001 LBFS scheme, the
+    ancestor of FastCDC): cut every document where the hash of the
+    8-char window starting at a position lands in a 1/64 mask
+    (expected chunk ~64 chars, boundaries defined by CONTENT so an
+    insertion re-chunks only locally — the property fixed-size
+    blocking lacks), fingerprint each chunk, and report per-source
+    chunk-level dedup: distinct/total chunk chars (the storage ratio
+    a dedup store achieves), chunk counts, and average chunk length.
+    This is the storage-side twin of the document-level near-dup
+    keys: boilerplate shared ACROSS documents dedups at chunk
+    granularity even when whole docs differ.
+
+    Exactness: boundaries are integer md5-prefix mask tests; chunk
+    extraction is pure substring arithmetic on sorted integer cut
+    lists (both engines 1-based, end-exclusive via length); counts
+    and char totals are exact integers; the two reported ratios are
+    single IEEE divisions.
+
+    Distributed shape: cuts/chunks are MAP-SIDE per-document lambda
+    pipelines (no shuffle until fingerprints exist); the dedup
+    reduction is one combinable groupBy(source, fingerprint) then a
+    bounded groupBy(source). The shuffle carries (source, 32-char
+    fingerprint, len) rows, never text. At 100 TB this is exactly a
+    dedup store's ingest path; the 1/64 mask and window width scale
+    to the deployment's chunk-size target (FastCDC's normalized
+    masks drop in unchanged).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    cuts = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(
+            "array_sort(concat("
+            " array(CAST(1 AS BIGINT)),"
+            " CASE WHEN length(text) >= 9 THEN"
+            "   filter(transform("
+            "     sequence(CAST(2 AS BIGINT),"
+            "              CAST(length(text) - 7 AS BIGINT)),"
+            "     p -> CASE WHEN CAST(conv(substring("
+            "            md5(substring(text, CAST(p AS INT), 8)),"
+            "            1, 7), 16, 10) AS BIGINT) % 64 = 0"
+            "          THEN p END),"
+            "     x -> x IS NOT NULL)"
+            " ELSE CAST(array() AS ARRAY<BIGINT>) END,"
+            " array(CAST(length(text) + 1 AS BIGINT))))"
+        ).alias("bounds"),
+    )
+    chunks = cuts.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(bounds) - 1),"
+                " i -> substring(text,"
+                "      CAST(element_at(bounds, i) AS INT),"
+                "      CAST(element_at(bounds, i + 1)"
+                "           - element_at(bounds, i) AS INT)))"
+            )
+        ).alias("chunk"),
+    )
+    fp = chunks.select(
+        "source",
+        F.md5("chunk").alias("f"),
+        F.length("chunk").cast("long").alias("clen"),
+    )
+    per_fp = fp.groupBy("source", "f").agg(
+        F.count(F.lit(1)).cast("long").alias("reps"),
+        F.min("clen").alias("clen"),
+    )
+    docs_per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        per_fp.join(F.broadcast(docs_per), "source")
+        .groupBy("source", "n_docs")
+        .agg(
+            F.sum("reps").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+            F.sum(F.col("reps") * F.col("clen"))
+            .cast("long")
+            .alias("total_chars"),
+            F.sum("clen").cast("long").alias("distinct_chars"),
+            (
+                F.sum("clen").cast("double")
+                / F.sum(F.col("reps") * F.col("clen"))
+            ).alias("dedup_ratio"),
+            (
+                F.sum(F.col("reps") * F.col("clen")).cast("double")
+                / F.sum("reps")
+            ).alias("avg_chunk_len"),
+        )
+    )

@@ -3196,3 +3196,200 @@ def ts_sax_symbols(spark, sf_dir):
         .otherwise("d")
         .alias("symbol"),
     )
+
+
+@query(
+    "ts_matrix_profile_lite",
+    """
+    WITH s AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY 1
+    ),
+    rk AS (
+      SELECT d, v, CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS r
+      FROM s
+    ),
+    win AS MATERIALIZED (
+      SELECT a.r, MIN(a.d) AS d0, list(b.v ORDER BY b.r) AS w
+      FROM rk a JOIN rk b ON b.r BETWEEN a.r AND a.r + 6
+      GROUP BY a.r HAVING COUNT(*) = 7
+    ),
+    zs AS MATERIALIZED (
+      SELECT r, d0,
+             CASE WHEN sd > 0
+                  THEN list_transform(w,
+                         e -> (CAST(e AS DOUBLE) - mu) / sd)
+                  ELSE list_transform(w, e -> CAST(0.0 AS DOUBLE))
+             END AS z
+      FROM (
+        SELECT r, d0, w, mu,
+               SQRT(list_reduce(list_transform(w,
+                   e -> (CAST(e AS DOUBLE) - mu)
+                        * (CAST(e AS DOUBLE) - mu)),
+                   (a, b) -> a + b) / 7) AS sd
+        FROM (SELECT r, d0, w,
+                     list_sum(list_transform(w,
+                         e -> CAST(e AS DOUBLE))) / 7 AS mu
+              FROM win))
+    ),
+    dist AS (
+      SELECT a.r AS ra, b.r AS rb,
+             SQRT(list_sum(list_transform(range(1, 8),
+                 k -> FLOOR((a.z[k] - b.z[k]) * (a.z[k] - b.z[k])
+                            * 1099511627776.0)
+                      / 1099511627776.0))) AS dd
+      FROM zs a JOIN zs b ON ABS(a.r - b.r) >= 4
+    ),
+    mp AS (
+      SELECT ra, MIN(STRUCT_PACK(dd := dd, rb := rb)) AS hit
+      FROM dist GROUP BY ra
+    ),
+    gmin AS (SELECT MIN(hit.dd) AS md FROM mp)
+    SELECT m.ra AS pos, CAST(w.d0 AS VARCHAR) AS window_start,
+           m.hit.rb AS nn_pos, m.hit.dd AS mp_dist,
+           CAST(CASE WHEN m.hit.dd = g.md THEN 1 ELSE 0 END AS BIGINT)
+             AS is_motif
+    FROM mp m JOIN win w ON w.r = m.ra CROSS JOIN gmin g
+    """,
+)
+def ts_matrix_profile_lite(spark, sf_dir):
+    """MATRIX PROFILE (Yeh, Keogh et al. 2016) of the daily-revenue
+    series at window m = 7 — for every weekly subsequence, the
+    z-normalized Euclidean distance to its NEAREST NEIGHBOR
+    subsequence (exclusion zone |i-j| >= m/2 so trivial self-matches
+    don't count), the discovery primitive behind motif mining (the
+    minimal-distance pair, flagged in-key) and discord/anomaly
+    detection (the maximal profile values). This lite variant is the
+    EXACT quadratic computation; the MASS/FFT acceleration is a
+    constant-factor libm trade the exact channel deliberately skips.
+
+    Exactness: the daily series is exact cents; per-window mean,
+    variance, and the z-scores are identical-tree IEEE expressions
+    whose sums are ORDERED list folds over the same 7-element arrays
+    in both engines (cents-scale variance terms exceed the 2^53/2^40
+    window, so grid-flooring them would overflow Spark's long FLOOR —
+    ordered identical trees, not quantization, carry this channel);
+    the bounded z-space distance terms ARE 2^-40 grid-quantized exact
+    dyadics; sqrt is correctly rounded; the argmin breaks distance
+    ties on the neighbor index.
+
+    Distributed shape: the only data-sized pass is the combinable
+    groupBy(date); everything after runs on the CALENDAR-BOUNDED
+    series (~2.4k windows -> ~5.7M candidate pairs of 7-element
+    arrays) — the all-pairs join is bounded by the calendar, NOT the
+    corpus, so 100 TB of orders changes only the first aggregation.
+    Window construction is an explode-equijoin (r -> r..r+6), never a
+    range BNLJ; the profile argmin is one combinable min-struct
+    groupBy. Longer series tile the pair space into diagonal bands
+    (the STOMP sweep) with the same per-pair arithmetic.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    grid = 1099511627776.0
+    s = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    rk = two_phase_rank(s, ["d"], rank_name="r").select("d", "v", "r")
+    # window build as explode-equijoin (r covers r..r+6), never a
+    # range BNLJ: the fan-out is exactly 7 rows per day
+    fan = rk.select(
+        F.col("r").alias("ra"),
+        F.col("d").alias("d0"),
+        F.explode(F.expr("sequence(r, r + 6)")).alias("rb"),
+    )
+    win = (
+        fan.join(
+            rk.select(F.col("r").alias("rb"), F.col("v").alias("vb")),
+            "rb",
+        )
+        .groupBy("ra")
+        .agg(
+            F.min("d0").alias("d0"),
+            F.expr(
+                "transform(array_sort(collect_list(struct(rb, vb)))," 
+                " x -> x.vb)"
+            ).alias("w"),
+        )
+        .filter(F.size("w") == 7)
+        .select(F.col("ra").alias("r"), "d0", "w")
+    )
+    st = win.select(
+        "r",
+        "d0",
+        "w",
+        F.expr(
+            "aggregate(w, 0D, (acc, e) -> acc + CAST(e AS DOUBLE)) / 7"
+        ).alias("mu"),
+    )
+    # both bounded tables are CACHED: zs feeds BOTH sides of the
+    # all-pairs join, and the global-min broadcast would otherwise
+    # re-run the whole 5.7M-pair pass a second (and third) time
+    zs = register_cache(st.withColumn(
+        "sd",
+        F.expr(
+            "SQRT(aggregate(w, 0D, (acc, e) ->"
+            " acc + (CAST(e AS DOUBLE) - mu)"
+            " * (CAST(e AS DOUBLE) - mu)) / 7)"
+        ),
+    ).select(
+        "r",
+        "d0",
+        F.expr(
+            "CASE WHEN sd > 0 THEN transform(w,"
+            " e -> (CAST(e AS DOUBLE) - mu) / sd)"
+            " ELSE transform(w, e -> 0D) END"
+        ).alias("z"),
+    ))
+    za = zs.select(
+        F.col("r").alias("ra"), F.col("d0").alias("d0"), F.col("z").alias("za")
+    )
+    zb = zs.select(F.col("r").alias("rb"), F.col("z").alias("zb"))
+    dist = za.crossJoin(zb).filter(
+        F.abs(F.col("ra") - F.col("rb")) >= 4
+    ).select(
+        "ra",
+        "d0",
+        "rb",
+        # {grid}D — the D suffix keeps the literal DOUBLE: a bare
+        # decimal literal in Spark SQL parses as DECIMAL and the
+        # long/decimal quotient rounds to a fixed scale (ulp drift
+        # vs the oracle's double division)
+        F.expr(
+            f"SQRT(aggregate(sequence(1, 7), 0D, (acc, k) ->"
+            f" acc + FLOOR((element_at(za, CAST(k AS INT))"
+            f" - element_at(zb, CAST(k AS INT)))"
+            f" * (element_at(za, CAST(k AS INT))"
+            f" - element_at(zb, CAST(k AS INT))) * {grid}D) / {grid}D))"
+        ).alias("dd"),
+    )
+    mp = register_cache(
+        dist.groupBy("ra", "d0").agg(
+            F.min(F.struct("dd", "rb")).alias("hit")
+        )
+    )
+    gmin = mp.agg(F.min("hit.dd").alias("md"))
+    return mp.crossJoin(F.broadcast(gmin)).select(
+        F.col("ra").alias("pos"),
+        F.col("d0").cast("string").alias("window_start"),
+        F.col("hit.rb").alias("nn_pos"),
+        F.col("hit.dd").alias("mp_dist"),
+        F.when(F.col("hit.dd") == F.col("md"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_motif"),
+    )

@@ -342,6 +342,9 @@ _BNLJ_BOUNDED_OK = {
     # crossJoined onto the verified pair output
     "vocab_good_turing_counts",  # 1-row token-total broadcast onto
     # the bounded frequency-of-frequencies table
+    "ts_matrix_profile_lite",  # calendar-bounded all-pairs z-window
+    # join (the matrix-profile definition; bounded by the calendar,
+    # not the corpus) + 1-row global-min broadcast
 }
 
 

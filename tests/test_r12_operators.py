@@ -368,3 +368,110 @@ def test_fellegi_sunter_matches_pure_python_em(spark, duck):
         # agreement must be MORE likely under the match class
         assert r["m"] > r["u"]
         assert r["agree_weight_ratio"] > 1.0
+
+
+# --------------------------------------------------------- CDC chunking
+
+
+def test_cdc_chunking_matches_python_reference(spark, duck):
+    from target_s3_parquet_spark.operators.dedup import (
+        docs_cdc_chunk_dedup,
+    )
+
+    import collections
+
+    docs = duck.sql("SELECT doc_id, source, text FROM documents").fetchall()
+    per = collections.defaultdict(lambda: {"docs": 0, "chunks": [], "fps": {}})
+    for _, source, text in docs:
+        per[source]["docs"] += 1
+        cuts = [1]
+        if len(text) >= 9:
+            for p in range(2, len(text) - 6):
+                h = int(
+                    hashlib.md5(text[p - 1 : p + 7].encode()).hexdigest()[:7],
+                    16,
+                )
+                if h % 64 == 0:
+                    cuts.append(p)
+        cuts.append(len(text) + 1)
+        for a, b in zip(cuts, cuts[1:]):
+            chunk = text[a - 1 : b - 1]
+            per[source]["chunks"].append(chunk)
+            per[source]["fps"][hashlib.md5(chunk.encode()).hexdigest()] = len(
+                chunk
+            )
+
+    got = {r["source"]: r for r in docs_cdc_chunk_dedup(spark, SF_SMALL).collect()}
+    assert set(got) == set(per)
+    for src, d in per.items():
+        r = got[src]
+        total = sum(len(c) for c in d["chunks"])
+        distinct = sum(d["fps"].values())
+        assert r["n_docs"] == d["docs"]
+        assert r["n_chunks"] == len(d["chunks"])
+        assert r["n_distinct_chunks"] == len(d["fps"])
+        assert r["total_chars"] == total
+        assert r["distinct_chars"] == distinct
+        assert r["dedup_ratio"] == distinct / total
+        # chunks reassemble the documents exactly: totals match the
+        # source's total characters
+        assert total == sum(len(t) for _, s2, t in docs if s2 == src)
+
+
+# -------------------------------------------------------- matrix profile
+
+
+def test_matrix_profile_matches_numpy_bruteforce(spark, duck):
+    import math
+
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_matrix_profile_lite,
+    )
+
+    daily = duck.sql(
+        """SELECT CAST(o_orderdate AS DATE) AS d,
+                  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS v
+           FROM orders GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    vals = [float(v) for _, v in daily]
+    n = len(vals)
+    grid = 1099511627776.0
+
+    def zwin(i):  # 0-based start
+        w = vals[i : i + 7]
+        mu = sum(w) / 7
+        var = 0.0
+        for e in w:
+            var += (e - mu) * (e - mu)
+        sd = math.sqrt(var / 7)
+        return [(e - mu) / sd if sd > 0 else 0.0 for e in w]
+
+    zs = {i: zwin(i) for i in range(n - 6)}
+    exp = {}
+    for i in zs:
+        best = None
+        for j in zs:
+            if abs(i - j) < 4:
+                continue
+            acc = 0.0
+            for k in range(7):
+                dkk = zs[i][k] - zs[j][k]
+                acc += math.floor(dkk * dkk * grid) / grid
+            dd = math.sqrt(acc)
+            cand = (dd, j + 1)
+            if best is None or cand < best:
+                best = cand
+        exp[i + 1] = best
+
+    got = {r["pos"]: r for r in ts_matrix_profile_lite(spark, SF_SMALL).collect()}
+    assert set(got) == set(exp)
+    md = min(d for d, _ in exp.values())
+    for pos, (dd, nnp) in exp.items():
+        r = got[pos]
+        assert r["mp_dist"] == dd
+        assert r["nn_pos"] == nnp
+        assert r["is_motif"] == (1 if dd == md else 0)
+        assert r["window_start"] == str(daily[pos - 1][0])
+    # at least one motif pair flagged (both directions)
+    assert sum(r["is_motif"] for r in got.values()) >= 2
