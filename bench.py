@@ -586,6 +586,10 @@ def main() -> None:
         "er_fellegi_sunter_weights",
         "docs_cdc_chunk_dedup",
         "ts_matrix_profile_lite",
+        "eval_brier_murphy_decomposition",
+        "eval_isotonic_calibration",
+        "vocab_chao1_richness",
+        "ab_test_permutation_hash",
     ]
     r12_t: dict[str, float] = {}
     for name in SWEEP_R12:

@@ -5597,3 +5597,116 @@ def eval_conformal_interval(spark, sf_dir):
             F.lit(0.9).cast("double").alias("target_coverage"),
         )
     )
+
+
+@query(
+    "vocab_chao1_richness",
+    """
+    WITH ws AS (
+      SELECT list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         w -> w <> '') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT UNNEST(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+               AS tok
+      FROM ws
+    ),
+    wc AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS r
+      FROM toks GROUP BY tok
+    ),
+    st AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+             CAST(SUM(r) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM wc
+    )
+    SELECT n_tokens, s_obs, n1, n2,
+           CAST(s_obs AS DOUBLE)
+             + CAST(n1 * (n1 - 1) AS DOUBLE) / (2 * (n2 + 1))
+             AS chao1_estimate,
+           1.0 - CAST(n1 AS DOUBLE) / n_tokens AS good_coverage
+    FROM st
+    """,
+)
+def vocab_chao1_richness(spark, sf_dir):
+    """CHAO1 species-richness estimate over word-TRIGRAM (phrase)
+    types (Chao 1984, bias-corrected form) plus GOOD's sample
+    coverage — "how many distinct phrase types does the underlying
+    population have, given the ones we've seen once and twice", the
+    other half of the Good-Turing unseen-mass story
+    (`vocab_good_turing_counts`). Phrase types, not unigrams: the
+    synthetic corpus's closed unigram vocabulary has zero singletons
+    (the estimate degenerates to S_obs), while its open trigram
+    space exercises the extrapolation the estimator exists for. Chao1
+    = S_obs + N1(N1-1)/(2(N2+1)) lower-bounds total richness from the
+    singleton/doubleton counts alone, and coverage C = 1 - N1/N says
+    what fraction of the token distribution the sample already
+    covers — the pair of numbers behind "will more crawl yield new
+    vocabulary" decisions.
+
+    Exactness: type/token/singleton/doubleton counts are exact
+    integers (N1*(N1-1) stays in int64 through ~3e9 singleton types);
+    the two estimates are identical-tree IEEE expressions with exact
+    integer inputs.
+
+    Distributed shape: explode -> combinable groupBy(token) -> one
+    4-counter aggregate; the shuffle carries one row per distinct
+    token (the vocabulary-build cost), nothing else. At 100 TB the
+    plan is unchanged.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d = t(spark, sf_dir, "documents")
+    ws = d.select(
+        F.expr(
+            "filter(split(lower(text), '[^a-z]+'), w -> w <> '')"
+        ).alias("ws")
+    )
+    # Spark sequence(1, n) counts DOWN for n < 1 — short docs must
+    # yield an empty trigram list like DuckDB's range() does
+    toks = ws.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(ws) >= 3 THEN"
+                " transform(sequence(1, size(ws) - 2),"
+                "  i -> concat(element_at(ws, CAST(i AS INT)), ' ',"
+                "       element_at(ws, CAST(i + 1 AS INT)), ' ',"
+                "       element_at(ws, CAST(i + 2 AS INT))))"
+                " ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("tok")
+    )
+    wc = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("r")
+    )
+    st = wc.agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    return st.select(
+        "n_tokens",
+        "s_obs",
+        "n1",
+        "n2",
+        (
+            F.col("s_obs").cast("double")
+            + (F.col("n1") * (F.col("n1") - 1)).cast("double")
+            / (2 * (F.col("n2") + 1))
+        ).alias("chao1_estimate"),
+        (
+            F.lit(1.0) - F.col("n1").cast("double") / F.col("n_tokens")
+        ).alias("good_coverage"),
+    )

@@ -345,6 +345,12 @@ _BNLJ_BOUNDED_OK = {
     "ts_matrix_profile_lite",  # calendar-bounded all-pairs z-window
     # join (the matrix-profile definition; bounded by the calendar,
     # not the corpus) + 1-row global-min broadcast
+    "eval_brier_murphy_decomposition",  # 1-row totals broadcast onto
+    # the 10-bin calibration table
+    "eval_isotonic_calibration",  # bounded 10-bin self-joins (the
+    # O(B^3) minimax) + 1-row violation-count broadcast
+    "ab_test_permutation_hash",  # 1-row observed-stat / extreme-count
+    # broadcasts onto the 40-row permutation table
 }
 
 

@@ -475,3 +475,209 @@ def test_matrix_profile_matches_numpy_bruteforce(spark, duck):
         assert r["window_start"] == str(daily[pos - 1][0])
     # at least one motif pair flagged (both directions)
     assert sum(r["is_motif"] for r in got.values()) >= 2
+
+
+# ------------------------------------------------ Murphy decomposition
+
+
+def test_murphy_decomposition_reconstructs_binned_brier(spark, duck):
+    import math
+
+    from target_s3_parquet_spark.operators.aggregates import (
+        eval_brier_murphy_decomposition,
+    )
+
+    rows = duck.sql(
+        """SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT), 30000000),
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END
+           FROM orders"""
+    ).fetchall()
+    import collections
+
+    CAP, grid = 30000000, 1099511627776.0
+    bins = collections.defaultdict(lambda: [0, 0, 0])
+    for cents, y in rows:
+        k = min(cents * 10 // CAP, 9)
+        bins[k][0] += 1
+        bins[k][1] += cents
+        bins[k][2] += y
+    n = sum(v[0] for v in bins.values())
+    ybar = sum(v[2] for v in bins.values()) / n
+    rel = res = 0.0
+    for nb, sc, sy in bins.values():
+        fk = sc / (CAP * nb)
+        ok = sy / nb
+        rel += math.floor(nb / n * ((fk - ok) * (fk - ok)) * grid) / grid
+        res += math.floor(nb / n * ((ok - ybar) * (ok - ybar)) * grid) / grid
+    unc = ybar * (1.0 - ybar)
+    r = eval_brier_murphy_decomposition(spark, SF_SMALL).collect()[0]
+    assert r["n"] == n
+    assert r["n_bins"] == len(bins)
+    assert r["base_rate"] == ybar
+    assert r["reliability"] == rel
+    assert r["resolution"] == res
+    assert r["uncertainty"] == unc
+    assert r["brier_decomposed"] == rel - res + unc
+    # Murphy's inequality: resolution never exceeds uncertainty
+    assert r["resolution"] <= r["uncertainty"] + 1e-12
+    assert r["reliability"] >= 0.0
+
+
+# ---------------------------------------------------- isotonic (PAVA)
+
+
+def _pava(values, weights):
+    """Classical sequential pool-adjacent-violators."""
+    blocks = [[w * v, w] for v, w in zip(values, weights)]
+    out = [[s, w] for s, w in blocks]
+    merged = []
+    for s, w in out:
+        merged.append([s, w])
+        while len(merged) > 1 and (
+            merged[-2][0] / merged[-2][1] > merged[-1][0] / merged[-1][1]
+        ):
+            s2, w2 = merged.pop()
+            merged[-1][0] += s2
+            merged[-1][1] += w2
+    fit = []
+    for s, w in merged:
+        fit.extend([s / w] * 1)
+    # expand back to per-block values
+    expanded = []
+    i = 0
+    for s, w in merged:
+        total_w = w
+        # count how many original blocks this merged block covers
+        cw = 0
+        k = i
+        while cw < total_w:
+            cw += weights[k]
+            k += 1
+        expanded.extend([s / w] * (k - i))
+        i = k
+    return expanded
+
+
+def test_isotonic_matches_sequential_pava(spark, duck):
+    from target_s3_parquet_spark.operators.aggregates import (
+        eval_isotonic_calibration,
+    )
+
+    rows = duck.sql(
+        """SELECT LEAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT), 30000000),
+                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END
+           FROM orders"""
+    ).fetchall()
+    import collections
+
+    CAP = 30000000
+    bins = collections.defaultdict(lambda: [0, 0])
+    for cents, y in rows:
+        k = min(cents * 10 // CAP, 9)
+        bins[k][0] += 1
+        bins[k][1] += y
+    order = sorted(bins)
+    weights = [bins[k][0] for k in order]
+    raw = [bins[k][1] / bins[k][0] for k in order]
+    fit = _pava(raw, weights)
+
+    got = {r["bin"]: r for r in eval_isotonic_calibration(spark, SF_SMALL).collect()}
+    assert set(got) == set(order)
+    viols = sum(1 for a, b in zip(raw, raw[1:]) if b < a)
+    prev = -1.0
+    for k, f in zip(order, fit):
+        r = got[k]
+        assert abs(r["iso_rate"] - f) < 1e-9, (k, r["iso_rate"], f)
+        assert r["raw_rate"] == raw[order.index(k)]
+        assert r["raw_violations"] == viols
+        # isotonic output is nondecreasing
+        assert r["iso_rate"] >= prev - 1e-12
+        prev = r["iso_rate"]
+
+
+# ----------------------------------------------------------- Chao1
+
+
+def test_chao1_matches_bruteforce(spark, duck):
+    import collections
+    import re
+
+    from target_s3_parquet_spark.operators.pipeline import (
+        vocab_chao1_richness,
+    )
+
+    texts = duck.sql("SELECT lower(text) FROM documents").fetchall()
+    wc = collections.Counter()
+    for (txt,) in texts:
+        ws = [w for w in re.split(r"[^a-z]+", txt) if w]
+        for i in range(len(ws) - 2):
+            wc[" ".join(ws[i : i + 3])] += 1
+    s_obs = len(wc)
+    n_tokens = sum(wc.values())
+    ff = collections.Counter(wc.values())
+    n1, n2 = ff.get(1, 0), ff.get(2, 0)
+    r = vocab_chao1_richness(spark, SF_SMALL).collect()[0]
+    assert r["s_obs"] == s_obs
+    assert r["n_tokens"] == n_tokens
+    assert r["n1"] == n1
+    assert r["n2"] == n2
+    assert r["chao1_estimate"] == s_obs + (n1 * (n1 - 1)) / (2 * (n2 + 1))
+    assert r["good_coverage"] == 1.0 - n1 / n_tokens
+    # richness extrapolates BEYOND the observed count when singletons
+    # exist (the estimator's whole point on an open phrase space)
+    if n1 > 1:
+        assert r["chao1_estimate"] > s_obs
+
+
+# ------------------------------------------------- permutation test
+
+
+def test_permutation_test_matches_bruteforce(spark, duck):
+    from target_s3_parquet_spark.operators.aggregates import (
+        ab_test_permutation_hash,
+    )
+
+    rows = duck.sql(
+        """SELECT event_id, user_id,
+                  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+           FROM events WHERE event_type = 'purchase'"""
+    ).fetchall()
+
+    def arm(prefix, key):
+        return int(hashlib.md5(f"{prefix}{key}".encode()).hexdigest()[:8], 16) % 2
+
+    na = nb = sa = sb = 0
+    for eid, uid, cents in rows:
+        if arm("ab:", uid) == 0:
+            na += 1
+            sa += cents
+        else:
+            nb += 1
+            sb += cents
+    dobs = abs(sa / na - sb / nb)
+    n_ext = 0
+    for b in range(40):
+        n0 = n1 = s0 = s1 = 0
+        for eid, uid, cents in rows:
+            if arm(f"perm:{b}:", eid) == 0:
+                n0 += 1
+                s0 += cents
+            else:
+                n1 += 1
+                s1 += cents
+        stat = abs(s0 / n0 - s1 / n1) if n0 and n1 else 0.0
+        if stat >= dobs:
+            n_ext += 1
+
+    r = ab_test_permutation_hash(spark, SF_SMALL).collect()[0]
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["mean_a"] == sa / na
+    assert r["mean_b"] == sb / nb
+    assert r["diff_obs"] == dobs
+    assert r["n_extreme"] == n_ext
+    assert r["p_value"] == (1 + n_ext) / 41
+    assert 0.0 < r["p_value"] <= 1.0
