@@ -590,6 +590,8 @@ def main() -> None:
         "eval_isotonic_calibration",
         "vocab_chao1_richness",
         "ab_test_permutation_hash",
+        "graph_personalized_pagerank",
+        "agg_count_sketch_estimate",
     ]
     r12_t: dict[str, float] = {}
     for name in SWEEP_R12:

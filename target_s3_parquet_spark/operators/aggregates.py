@@ -5889,3 +5889,186 @@ def ab_test_permutation_hash(spark, sf_dir):
             "p_value"
         ),
     )
+
+
+_CS_D = 5     # sketch rows (median over these)
+_CS_W = 256   # buckets per row
+_CS_PROBES = 24
+
+
+@query(
+    "agg_count_sketch_estimate",
+    f"""
+    WITH v AS (
+      SELECT CAST(l_suppkey AS BIGINT) AS key FROM lineitem
+    ),
+    cells AS MATERIALIZED (
+      SELECT r.r,
+             CAST(('0x' || substring(md5('csb:' || r.r || ':' || v.key),
+                   1, 7)) AS BIGINT) % {_CS_W} AS bucket,
+             CAST(SUM(CAST(('0x' || substring(
+                    md5('css:' || r.r || ':' || v.key), 1, 7))
+                    AS BIGINT) % 2 * 2 - 1) AS BIGINT) AS cell
+      FROM v CROSS JOIN (SELECT UNNEST(range({_CS_D})) AS r) r
+      GROUP BY 1, 2
+    ),
+    exact AS MATERIALIZED (
+      SELECT key, CAST(COUNT(*) AS BIGINT) AS c
+      FROM v GROUP BY key
+    ),
+    f2 AS (SELECT CAST(SUM(c * c) AS BIGINT) AS f2 FROM exact),
+    probes AS (
+      SELECT key, c FROM exact WHERE key BETWEEN 1 AND {_CS_PROBES}
+    ),
+    ests AS (
+      SELECT p.key, p.c, r.r,
+             (CAST(('0x' || substring(md5('css:' || r.r || ':' || p.key),
+                    1, 7)) AS BIGINT) % 2 * 2 - 1)
+               * COALESCE(cl.cell, 0) AS est_r
+      FROM probes p
+      CROSS JOIN (SELECT UNNEST(range({_CS_D})) AS r) r
+      LEFT JOIN cells cl
+        ON cl.r = r.r
+       AND cl.bucket = CAST(('0x' || substring(
+             md5('csb:' || r.r || ':' || p.key), 1, 7))
+             AS BIGINT) % {_CS_W}
+    ),
+    med AS (
+      SELECT key, c,
+             list_sort(list(est_r))[3] AS cs_estimate
+      FROM ests GROUP BY key, c
+    )
+    SELECT m.key AS test_key, m.c AS exact_count,
+           CAST(m.cs_estimate AS BIGINT) AS cs_estimate,
+           CAST(ABS(m.cs_estimate - m.c) AS BIGINT) AS abs_err,
+           CAST(FLOOR(3.0 * SQRT(CAST(f2.f2 AS DOUBLE) / {_CS_W}))
+                + 1 AS BIGINT) AS err_bound,
+           CAST(CASE WHEN ABS(m.cs_estimate - m.c) <=
+                  FLOOR(3.0 * SQRT(CAST(f2.f2 AS DOUBLE) / {_CS_W})) + 1
+                THEN 1 ELSE 0 END AS BIGINT) AS within_bound
+    FROM med m CROSS JOIN f2
+    """,
+)
+def agg_count_sketch_estimate(spark, sf_dir):
+    """COUNT-SKETCH frequency estimation (Charikar, Chen &
+    Farach-Colton 2002) with the error envelope verified in-key —
+    the SIGNED cousin of Count-Min: each key hashes to one bucket
+    per row with a +-1 sign, estimates read sign*cell, and the
+    MEDIAN over d=5 rows is UNBIASED (collision noise cancels in
+    expectation instead of always over-counting) with
+    |est - exact| <= 3*sqrt(F2/w) w.h.p. Unlike
+    `agg_cms_error_bound` (whose sketch bytes are library-internal),
+    this sketch is built ENTIRELY in relational algebra from md5
+    bits, so the whole 5x256 cell table — not just the probes — is
+    cross-engine exact, and merging sketches is cell-wise integer
+    addition by construction.
+
+    Exactness: signs, buckets, cells, exact counts, F2, and the
+    median (the 3rd order statistic of 5 integers via a sorted
+    5-element list) are ALL exact integers; the only double is the
+    reported theoretical bound (one sqrt of an exact integer ratio,
+    floored immediately).
+
+    Distributed shape: the sketch build is ONE combinable groupBy
+    over a 5x map-side row multiply (the bootstrap/permutation
+    replicate channel) to <=1280 cells; probes join the bounded cell
+    table; F2 is a 1-row broadcast over the key-count aggregate. At
+    100 TB: one scan for the sketch, one for exact verify (a
+    deployment keeps only the first).
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import register_cache
+
+    v = t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("long").alias("key")
+    )
+
+    def _h(prefix, rcol, keycol):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(prefix), rcol, F.lit(":"), keycol
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    reps = v.select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(_CS_D - 1))).alias("r"),
+    )
+    cells = register_cache(
+        reps.groupBy(
+            "r",
+            (_h("csb:", F.col("r"), F.col("key")) % _CS_W).alias(
+                "bucket"
+            ),
+        ).agg(
+            F.sum(
+                _h("css:", F.col("r"), F.col("key")) % 2 * 2 - 1
+            )
+            .cast("long")
+            .alias("cell")
+        )
+    )
+    exact = register_cache(
+        v.groupBy("key").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    f2 = exact.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("f2")
+    )
+    probes = exact.filter(
+        (F.col("key") >= 1) & (F.col("key") <= _CS_PROBES)
+    )
+    pr = probes.select(
+        "key",
+        "c",
+        F.explode(F.sequence(F.lit(0), F.lit(_CS_D - 1))).alias("r"),
+    ).select(
+        "key",
+        "c",
+        "r",
+        (_h("csb:", F.col("r"), F.col("key")) % _CS_W).alias("bucket"),
+        (_h("css:", F.col("r"), F.col("key")) % 2 * 2 - 1).alias("sgn"),
+    )
+    ests = pr.join(F.broadcast(cells), ["r", "bucket"], "left").select(
+        "key",
+        "c",
+        (F.col("sgn") * F.coalesce(F.col("cell"), F.lit(0))).alias(
+            "est_r"
+        ),
+    )
+    med = ests.groupBy("key", "c").agg(
+        F.expr(
+            "element_at(array_sort(collect_list(est_r)), 3)"
+        ).alias("cs_estimate")
+    )
+    bound = (
+        F.floor(
+            F.lit(3.0)
+            * F.sqrt(F.col("f2").cast("double") / _CS_W)
+        )
+        + 1
+    ).cast("long")
+    return med.crossJoin(F.broadcast(f2)).select(
+        F.col("key").alias("test_key"),
+        F.col("c").alias("exact_count"),
+        F.col("cs_estimate").cast("long").alias("cs_estimate"),
+        F.abs(F.col("cs_estimate") - F.col("c"))
+        .cast("long")
+        .alias("abs_err"),
+        bound.alias("err_bound"),
+        F.when(
+            F.abs(F.col("cs_estimate") - F.col("c")) <= bound, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("within_bound"),
+    )

@@ -351,6 +351,10 @@ _BNLJ_BOUNDED_OK = {
     # O(B^3) minimax) + 1-row violation-count broadcast
     "ab_test_permutation_hash",  # 1-row observed-stat / extreme-count
     # broadcasts onto the 40-row permutation table
+    "graph_personalized_pagerank",  # 1-row seed-count broadcast onto
+    # the bounded node table (the graph_pagerank loop, personalized)
+    "agg_count_sketch_estimate",  # 1-row F2 broadcast onto the 24-row
+    # probe table (+ the bounded 5x256 cell-table broadcast join)
 }
 
 

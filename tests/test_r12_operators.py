@@ -681,3 +681,113 @@ def test_permutation_test_matches_bruteforce(spark, duck):
     assert r["n_extreme"] == n_ext
     assert r["p_value"] == (1 + n_ext) / 41
     assert 0.0 < r["p_value"] <= 1.0
+
+
+# --------------------------------------------- personalized pagerank
+
+
+def test_ppr_matches_pure_python_and_localizes(spark, duck):
+    import math
+
+    from target_s3_parquet_spark.operators.graph import (
+        graph_personalized_pagerank,
+    )
+
+    edges = duck.sql(
+        """SELECT c.c_nationkey, s.s_nationkey, COUNT(*)
+           FROM orders o
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           GROUP BY 1, 2"""
+    ).fetchall()
+    seeds = {
+        r[0]
+        for r in duck.sql(
+            """SELECT n.n_nationkey FROM nation n
+               JOIN region r ON n.n_regionkey = r.r_regionkey
+               WHERE r.r_name = 'ASIA'"""
+        ).fetchall()
+    }
+    nodes = sorted(
+        r[0] for r in duck.sql("SELECT n_nationkey FROM nation").fetchall()
+    )
+    outw = {}
+    for src, dst, w in edges:
+        outw[src] = outw.get(src, 0) + w
+    grid = 1099511627776.0
+    ns = len(seeds)
+    pr = {v: (1.0 / ns if v in seeds else 0.0) for v in nodes}
+    for _ in range(3):
+        s = {v: 0.0 for v in nodes}
+        for src, dst, w in edges:
+            s[dst] += math.floor(pr[src] * w / outw[src] * grid) / grid
+        pr = {
+            v: (0.15 / ns if v in seeds else 0.0) + 0.85 * s[v]
+            for v in nodes
+        }
+    got = {r["nationkey"]: r for r in graph_personalized_pagerank(spark, SF_SMALL).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert got[v]["ppr"] == pr[v]
+        assert got[v]["is_seed"] == (1 if v in seeds else 0)
+    # personalization localizes: seed nations average strictly above
+    # non-seed nations
+    seed_avg = sum(pr[v] for v in seeds) / len(seeds)
+    rest_avg = sum(pr[v] for v in nodes if v not in seeds) / (
+        len(nodes) - len(seeds)
+    )
+    assert seed_avg > rest_avg
+
+
+# --------------------------------------------------- count-sketch
+
+
+def test_count_sketch_matches_bruteforce(spark, duck):
+    import collections
+
+    from target_s3_parquet_spark.operators.aggregates import (
+        _CS_D,
+        _CS_PROBES,
+        _CS_W,
+        agg_count_sketch_estimate,
+    )
+
+    keys = [
+        r[0]
+        for r in duck.sql(
+            "SELECT CAST(l_suppkey AS BIGINT) FROM lineitem"
+        ).fetchall()
+    ]
+
+    def h(prefix, r, k):
+        return int(
+            hashlib.md5(f"{prefix}{r}:{k}".encode()).hexdigest()[:7], 16
+        )
+
+    cells = collections.Counter()
+    for k in keys:
+        for r in range(_CS_D):
+            sgn = h("css:", r, k) % 2 * 2 - 1
+            cells[(r, h("csb:", r, k) % _CS_W)] += sgn
+    exact = collections.Counter(keys)
+    f2 = sum(c * c for c in exact.values())
+    import math
+
+    bound = math.floor(3.0 * math.sqrt(f2 / _CS_W)) + 1
+    got = {r["test_key"]: r for r in agg_count_sketch_estimate(spark, SF_SMALL).collect()}
+    probe_keys = {k for k in exact if 1 <= k <= _CS_PROBES}
+    assert set(got) == probe_keys
+    for k in probe_keys:
+        ests = sorted(
+            (h("css:", r, k) % 2 * 2 - 1)
+            * cells.get((r, h("csb:", r, k) % _CS_W), 0)
+            for r in range(_CS_D)
+        )
+        est = ests[2]
+        r = got[k]
+        assert r["exact_count"] == exact[k]
+        assert r["cs_estimate"] == est
+        assert r["abs_err"] == abs(est - exact[k])
+        assert r["err_bound"] == bound
+        assert r["within_bound"] == (1 if abs(est - exact[k]) <= bound else 0)
