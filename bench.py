@@ -592,6 +592,8 @@ def main() -> None:
         "ab_test_permutation_hash",
         "graph_personalized_pagerank",
         "agg_count_sketch_estimate",
+        "docs_minhash_containment",
+        "graph_closeness_centrality",
     ]
     r12_t: dict[str, float] = {}
     for name in SWEEP_R12:

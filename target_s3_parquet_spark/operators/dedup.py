@@ -2168,3 +2168,93 @@ def docs_cdc_chunk_dedup(spark, sf_dir):
             ).alias("avg_chunk_len"),
         )
     )
+
+
+_CONT_THRESHOLD = 0.5
+
+
+@query(
+    "docs_minhash_containment",
+    f"""
+    WITH {_GRAMS_CTES},
+    {_mh_candidate_ctes(_MH_B, _MH_R)}
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(sa.grams, sb.grams)) AS BIGINT)
+             AS inter,
+           CAST(len(sa.grams) AS BIGINT) AS n_grams_a,
+           CAST(len(sb.grams) AS BIGINT) AS n_grams_b,
+           CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+             / len(sa.grams) AS containment_a,
+           CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+             / len(sb.grams) AS containment_b,
+           CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+           / (len(sa.grams) + len(sb.grams)
+              - len(list_intersect(sa.grams, sb.grams))) AS jaccard
+    FROM candidates c
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+    WHERE GREATEST(
+            CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+              / len(sa.grams),
+            CAST(len(list_intersect(sa.grams, sb.grams)) AS DOUBLE)
+              / len(sb.grams)) >= {_CONT_THRESHOLD}
+    """,
+)
+def docs_minhash_containment(spark, sf_dir):
+    """CONTAINMENT (asymmetric Jaccard, Broder 1997's "containment
+    of A in B") over the MinHash-LSH candidate pairs:
+    C(A,B) = |A n B| / |A| — the measure that catches NEAR-SUPERSET
+    relationships (a document quoting most of another, boilerplate
+    wrappers around a shared core) which symmetric Jaccard dilutes
+    when sizes differ. Pairs are kept when EITHER direction's
+    containment reaches 0.5; both directions plus plain Jaccard are
+    reported so the asymmetry (quote direction) is visible in-key.
+    Candidates come from the SAME demo-profile banding as
+    `text_near_dedup_minhash` — containment-specific recall beyond
+    what Jaccard-tuned LSH surfaces needs the LSH-ensemble
+    construction (documented, out of the exact channel).
+
+    Exactness: gram sets and intersections are exact string sets
+    (both engines sort/dedupe identically); counts are exact
+    integers; each containment/Jaccard is one IEEE division.
+
+    Distributed shape: identical to the MinHash keys — map-side
+    signatures, a band-key equijoin whose shuffle moves (doc_id,
+    16-char key) rows, then the set verify on candidates only. At
+    100 TB the banding is the scale path; the verify join touches
+    candidate documents, never the corpus squared.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    docs = _minhash_docs(spark, sf_dir)
+    candidates = minhash_candidates(docs, _MH_B, _MH_R)
+    sets = docs.select("doc_id", F.array_sort("grams").alias("grams"))
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    inter = F.size(
+        F.array_intersect(F.col("sa.grams"), F.col("sb.grams"))
+    )
+    na = F.size(F.col("sa.grams"))
+    nb = F.size(F.col("sb.grams"))
+    ca = inter.cast("double") / na
+    cb = inter.cast("double") / nb
+    jac = inter.cast("double") / (na + nb - inter)
+    return (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("inter"),
+            na.cast("long").alias("n_grams_a"),
+            nb.cast("long").alias("n_grams_b"),
+            ca.alias("containment_a"),
+            cb.alias("containment_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= _CONT_THRESHOLD
+        )
+    )

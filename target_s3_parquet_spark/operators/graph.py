@@ -1347,3 +1347,139 @@ def graph_personalized_pagerank(spark, sf_dir):
         F.col("seed").cast("long").alias("is_seed"),
         F.col("pr").alias("ppr"),
     )
+
+
+@query(
+    "graph_closeness_centrality",
+    "WITH RECURSIVE "
+    + _EDGES_CTE
+    + """,
+    und AS (
+      SELECT a AS src, b AS dst FROM strong
+      UNION ALL SELECT b, a FROM strong
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    walk(src, node, hop) AS (
+      SELECT node, node, 0 FROM nodes
+      UNION
+      SELECT w.src, e.dst, w.hop + 1
+      FROM walk w JOIN und e ON e.src = w.node
+      WHERE w.hop < 8
+    ),
+    sp AS (
+      SELECT src, node, CAST(MIN(hop) AS BIGINT) AS d
+      FROM walk GROUP BY src, node
+    ),
+    hc AS (
+      SELECT src,
+             CAST(COUNT(*) AS BIGINT) AS n_reachable,
+             CAST(MAX(d) AS BIGINT) AS eccentricity,
+             CAST(SUM(840 // d) AS BIGINT) AS harmonic_scaled
+      FROM sp WHERE d > 0 GROUP BY src
+    )
+    SELECT n.node AS nationkey,
+           COALESCE(hc.n_reachable, 0) AS n_reachable,
+           COALESCE(hc.eccentricity, 0) AS eccentricity,
+           COALESCE(hc.harmonic_scaled, 0) AS harmonic_scaled,
+           CAST(COALESCE(hc.harmonic_scaled, 0) AS DOUBLE) / 840.0
+             AS harmonic_centrality
+    FROM nodes n LEFT JOIN hc ON hc.src = n.node
+    """,
+)
+def graph_closeness_centrality(spark, sf_dir):
+    """HARMONIC CLOSENESS centrality (Marchiori & Latora 2000; the
+    disconnected-safe closeness Boldi & Vigna recommend) over the
+    sparsified trade graph: all-pairs BFS hop distances, then
+    HC(v) = sum over reachable u of 1/d(v,u) — computed in EXACT
+    integers as sum(840 // d) with 840 = lcm(1..8) (the hop bound),
+    the `graph_link_prediction_ra` lcm channel — plus per-node
+    reachable-set size and eccentricity (the diameter readout). This
+    completes the centrality family: global (pagerank), seeded
+    (personalized pagerank), mutual-reinforcement (HITS), cohesion
+    (k-core), and now distance-based.
+
+    Exactness: hop distances are exact integers from synchronized
+    BFS levels; every 840//d term is exact (each d in 1..8 divides
+    840); only the reported harmonic_centrality performs one IEEE
+    division by the 840.0 literal.
+
+    Distributed shape: the expensive part is the fact-join edge
+    build (once, cached); the all-sources BFS is a driver loop of
+    per-level frontier joins on the BOUNDED sparsified graph (the
+    `graph_shortest_path_bfs` loop with (src, node) state — at most
+    |V|^2 rows, |V| = 25 here). At billion-node scale exact APSP is
+    off the table for ANY engine; the production stand-ins are
+    seeded BFS from landmark samples or HyperBall sketches, both of
+    which reuse this level-synchronous loop shape.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    n = t(spark, sf_dir, "nation")
+    pairs = _strong_pairs(spark, sf_dir)
+    und = register_cache(
+        pairs.select(
+            F.col("a").alias("src"), F.col("b").alias("dst")
+        ).unionAll(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )
+    nodes = n.select(F.col("n_nationkey").alias("node"))
+    dist = register_cache(
+        nodes.select(
+            F.col("node").alias("s"),
+            F.col("node").alias("node"),
+            F.lit(0).alias("hop"),
+        )
+    )
+    frontier = dist
+    for level in range(1, 9):
+        nxt = (
+            und.join(
+                frontier.select(
+                    "s", F.col("node").alias("src")
+                ),
+                "src",
+            )
+            .select("s", F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, ["s", "node"], "left_anti")
+            .select("s", "node", F.lit(level).alias("hop"))
+        )
+        nxt = register_cache(nxt)
+        if nxt.isEmpty():
+            break
+        dist = register_cache(dist.unionAll(nxt))
+        frontier = nxt
+    hc = (
+        dist.filter(F.col("hop") > 0)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reachable"),
+            F.max("hop").cast("long").alias("eccentricity"),
+            F.sum(F.expr("840 div hop")).cast("long").alias(
+                "harmonic_scaled"
+            ),
+        )
+    )
+    return (
+        nodes.join(hc, nodes.node == hc.s, "left")
+        .select(
+            F.col("node").alias("nationkey"),
+            F.coalesce(F.col("n_reachable"), F.lit(0))
+            .cast("long")
+            .alias("n_reachable"),
+            F.coalesce(F.col("eccentricity"), F.lit(0))
+            .cast("long")
+            .alias("eccentricity"),
+            F.coalesce(F.col("harmonic_scaled"), F.lit(0))
+            .cast("long")
+            .alias("harmonic_scaled"),
+            (
+                F.coalesce(F.col("harmonic_scaled"), F.lit(0)).cast(
+                    "double"
+                )
+                / 840.0
+            ).alias("harmonic_centrality"),
+        )
+    )

@@ -355,6 +355,8 @@ _BNLJ_BOUNDED_OK = {
     # the bounded node table (the graph_pagerank loop, personalized)
     "agg_count_sketch_estimate",  # 1-row F2 broadcast onto the 24-row
     # probe table (+ the bounded 5x256 cell-table broadcast join)
+    "graph_closeness_centrality",  # _strong_pairs' 1-row mean-weight
+    # bcast + bounded per-level frontier joins of the all-sources BFS
 }
 
 

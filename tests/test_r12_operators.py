@@ -791,3 +791,93 @@ def test_count_sketch_matches_bruteforce(spark, duck):
         assert r["abs_err"] == abs(est - exact[k])
         assert r["err_bound"] == bound
         assert r["within_bound"] == (1 if abs(est - exact[k]) <= bound else 0)
+
+
+# -------------------------------------------------------- containment
+
+
+def test_containment_matches_bruteforce_on_candidates(spark, duck):
+    from target_s3_parquet_spark.operators.dedup import (
+        _CONT_THRESHOLD,
+        docs_minhash_containment,
+    )
+
+    sets = {}
+    for doc_id, text in duck.sql(
+        "SELECT doc_id, lower(text) FROM documents"
+    ).fetchall():
+        ws = text.split(" ")
+        grams = {
+            " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+        } if len(ws) >= 3 else set()
+        if grams:
+            sets[doc_id] = grams
+
+    got = docs_minhash_containment(spark, SF_SMALL).collect()
+    for r in got:
+        a, b = sets[r["doc_a"]], sets[r["doc_b"]]
+        inter = len(a & b)
+        assert r["inter"] == inter
+        assert r["n_grams_a"] == len(a)
+        assert r["n_grams_b"] == len(b)
+        assert r["containment_a"] == inter / len(a)
+        assert r["containment_b"] == inter / len(b)
+        assert r["jaccard"] == inter / len(a | b)
+        assert max(r["containment_a"], r["containment_b"]) >= _CONT_THRESHOLD
+    # candidates at full containment exist in this corpus (exact dups)
+    assert any(r["containment_a"] == 1.0 for r in got)
+
+
+# ---------------------------------------------------------- closeness
+
+
+def test_closeness_matches_python_apsp(spark, duck):
+    import collections
+
+    from target_s3_parquet_spark.operators.graph import (
+        graph_closeness_centrality,
+    )
+
+    pairs = duck.sql(
+        """WITH edges AS (
+             SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                    COUNT(*) AS w
+             FROM orders o
+             JOIN customer c ON o.o_custkey = c.c_custkey
+             JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             GROUP BY 1, 2),
+           p AS (SELECT LEAST(src, dst) a, GREATEST(src, dst) b,
+                        SUM(w) w
+                 FROM edges WHERE src <> dst GROUP BY 1, 2),
+           t AS (SELECT COUNT(*) n, SUM(w) s FROM p)
+           SELECT a, b FROM p, t WHERE 2 * t.n * p.w > 3 * t.s"""
+    ).fetchall()
+    nodes = sorted(
+        r[0] for r in duck.sql("SELECT n_nationkey FROM nation").fetchall()
+    )
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    got = {r["nationkey"]: r for r in graph_closeness_centrality(spark, SF_SMALL).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        # BFS from v, hop-bounded at 8 like the key
+        dist = {v: 0}
+        frontier = [v]
+        for hop in range(1, 9):
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = hop
+                        nxt.append(w)
+            frontier = nxt
+        reach = {u: d for u, d in dist.items() if d > 0}
+        r = got[v]
+        assert r["n_reachable"] == len(reach)
+        assert r["eccentricity"] == (max(reach.values()) if reach else 0)
+        hs = sum(840 // d for d in reach.values())
+        assert r["harmonic_scaled"] == hs
+        assert r["harmonic_centrality"] == hs / 840.0
