@@ -594,6 +594,8 @@ def main() -> None:
         "agg_count_sketch_estimate",
         "docs_minhash_containment",
         "graph_closeness_centrality",
+        "eval_auc_hanley_ci",
+        "eval_mcnemar_paired",
     ]
     r12_t: dict[str, float] = {}
     for name in SWEEP_R12:

@@ -6072,3 +6072,250 @@ def agg_count_sketch_estimate(spark, sf_dir):
         .cast("long")
         .alias("within_bound"),
     )
+
+
+@query(
+    "eval_auc_hanley_ci",
+    """
+    WITH lab AS (
+      SELECT o_totalprice AS s,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM lab_src
+    ),
+    g AS (
+      SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS ng
+      FROM lab GROUP BY s
+    ),
+    c AS (
+      SELECT p, ng,
+             COALESCE(SUM(ng) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cnb
+      FROM g
+    ),
+    tots AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      FROM lab
+    ),
+    base AS (
+      SELECT n_pos, n_neg,
+             CAST(SUM(CAST(p * (2 * cnb + ng) AS DECIMAL(38,0)))
+                  AS DOUBLE) / (2.0 * n_pos * n_neg) AS auc
+      FROM c CROSS JOIN tots
+      GROUP BY n_pos, n_neg
+    ),
+    q AS (
+      SELECT n_pos, n_neg, auc,
+             auc / (2.0 - auc) AS q1,
+             2.0 * auc * auc / (1.0 + auc) AS q2
+      FROM base
+    ),
+    se AS (
+      SELECT n_pos, n_neg, auc,
+             SQRT((auc * (1.0 - auc)
+                   + (n_pos - 1) * (q1 - auc * auc)
+                   + (n_neg - 1) * (q2 - auc * auc))
+                  / (CAST(n_pos AS DOUBLE) * n_neg)) AS se_hanley
+      FROM q
+    )
+    SELECT n_pos, n_neg, auc, se_hanley,
+           GREATEST(CAST(0.0 AS DOUBLE), auc - 1.96 * se_hanley)
+             AS ci_lo,
+           LEAST(CAST(1.0 AS DOUBLE), auc + 1.96 * se_hanley) AS ci_hi
+    FROM se
+    """.replace("lab_src", "orders"),
+)
+def eval_auc_hanley_ci(spark, sf_dir):
+    """HANLEY-McNEIL confidence interval for the ROC AUC (Hanley &
+    McNeil 1982 — the standard parametric AUC error bar): from the
+    exact rank-sum AUC (`eval_auc_rank_sum`'s DECIMAL(38,0) U
+    channel), SE^2 = (A(1-A) + (P-1)(Q1 - A^2) + (N-1)(Q2 - A^2)) /
+    (P*N) with the exponential-model moments Q1 = A/(2-A),
+    Q2 = 2A^2/(1+A), and the reported 95% interval is A +- 1.96*SE
+    clamped to [0,1] — the number that says whether a quality-filter
+    AUC difference is real or sample noise.
+
+    Exactness: the U statistic and class counts are exact integers;
+    every downstream quantity (A, Q1, Q2, SE, the interval) is ONE
+    identical-tree IEEE expression; 1.96 parses to the same double
+    in both engines (the damping-literal convention).
+
+    Distributed shape: identical to the base AUC key — one
+    combinable groupBy(score), a range-partitioned prefix sum, a
+    1-row totals broadcast; the CI arithmetic is a projection on the
+    1-row result. At 100 TB nothing new moves.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    base = eval_auc_rank_sum(spark, sf_dir).select(
+        "n_pos", "n_neg", "auc"
+    )
+    q1 = F.col("auc") / (F.lit(2.0) - F.col("auc"))
+    q2 = (
+        F.lit(2.0) * F.col("auc") * F.col("auc")
+        / (F.lit(1.0) + F.col("auc"))
+    )
+    a2 = F.col("auc") * F.col("auc")
+    se = F.sqrt(
+        (
+            F.col("auc") * (F.lit(1.0) - F.col("auc"))
+            + (F.col("n_pos") - 1) * (q1 - a2)
+            + (F.col("n_neg") - 1) * (q2 - a2)
+        )
+        / (F.col("n_pos").cast("double") * F.col("n_neg"))
+    )
+    return base.select(
+        "n_pos",
+        "n_neg",
+        "auc",
+        se.alias("se_hanley"),
+        F.greatest(
+            F.lit(0.0).cast("double"),
+            F.col("auc") - F.lit(1.96) * se,
+        ).alias("ci_lo"),
+        F.least(
+            F.lit(1.0).cast("double"),
+            F.col("auc") + F.lit(1.96) * se,
+        ).alias("ci_hi"),
+    )
+
+
+@query(
+    "eval_mcnemar_paired",
+    """
+    WITH lc AS (
+      SELECT l_orderkey AS ok, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    lab AS (
+      SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y,
+             CASE WHEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) >= 25000000
+                  THEN 1 ELSE 0 END AS pa,
+             CASE WHEN COALESCE(lc.n_lines, 0) >= 4 THEN 1 ELSE 0 END
+               AS pb
+      FROM orders o LEFT JOIN lc ON lc.ok = o.o_orderkey
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_correct,
+             CAST(SUM(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS both_wrong,
+             CAST(SUM(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b_only_a,
+             CAST(SUM(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c_only_b
+      FROM lab
+    )
+    SELECT n, both_correct, both_wrong, b_only_a, c_only_b,
+           CASE WHEN b_only_a + c_only_b > 0
+                THEN CAST((b_only_a - c_only_b) * (b_only_a - c_only_b)
+                          AS DOUBLE) / (b_only_a + c_only_b)
+                ELSE 0.0 END AS mcnemar_chi2,
+           CASE WHEN b_only_a + c_only_b > 0
+                THEN CAST((ABS(b_only_a - c_only_b) - 1)
+                          * (ABS(b_only_a - c_only_b) - 1)
+                          AS DOUBLE) / (b_only_a + c_only_b)
+                ELSE 0.0 END AS mcnemar_chi2_cc
+    FROM m
+    """,
+)
+def eval_mcnemar_paired(spark, sf_dir):
+    """McNEMAR'S PAIRED TEST (McNemar 1947; the Dietterich 1998
+    recommendation for comparing two classifiers on the SAME
+    examples): pit the price-threshold heuristic (total >= $250k)
+    against the order-size heuristic (>= 4 lineitems) at predicting
+    urgency, count the DISCORDANT pairs — b (only the price model
+    right) and c (only the size model right) — and report the chi^2
+    statistic (b-c)^2/(b+c) plus Edwards' continuity-corrected form
+    (|b-c|-1)^2/(b+c). Concordant pairs carry NO information about
+    which model is better; that insight IS the test. The chi2 value
+    reads against the 3.84 (95%, 1 df) literal any practitioner
+    knows; the p-value itself is a transcendental left out of the
+    exact channel.
+
+    Exactness: all five counts are exact integers from one
+    combinable aggregate; the two statistics are single IEEE
+    divisions of exact integers (zero-discordance guarded to 0).
+
+    Distributed shape: one combinable groupBy(orderkey) for line
+    counts, one broadcast-joined labeling pass, one 5-counter
+    aggregate. At 100 TB: two scans, no data-sized shuffle beyond
+    the line-count combine.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    lc = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+    o = t(spark, sf_dir, "orders")
+    lab = o.join(lc, o.o_orderkey == lc.ok, "left").select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+        F.when(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            )
+            >= 25000000,
+            1,
+        )
+        .otherwise(0)
+        .alias("pa"),
+        F.when(F.coalesce(F.col("n_lines"), F.lit(0)) >= 4, 1)
+        .otherwise(0)
+        .alias("pb"),
+    )
+    m = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") == F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_correct"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") != F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("both_wrong"),
+        F.sum(
+            F.when((F.col("pa") == F.col("y")) & (F.col("pb") != F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("b_only_a"),
+        F.sum(
+            F.when((F.col("pa") != F.col("y")) & (F.col("pb") == F.col("y")), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("c_only_b"),
+    )
+    disc = F.col("b_only_a") + F.col("c_only_b")
+    diff = F.col("b_only_a") - F.col("c_only_b")
+    return m.select(
+        "n",
+        "both_correct",
+        "both_wrong",
+        "b_only_a",
+        "c_only_b",
+        F.when(disc > 0, (diff * diff).cast("double") / disc)
+        .otherwise(F.lit(0.0))
+        .alias("mcnemar_chi2"),
+        F.when(
+            disc > 0,
+            ((F.abs(diff) - 1) * (F.abs(diff) - 1)).cast("double")
+            / disc,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mcnemar_chi2_cc"),
+    )

@@ -357,6 +357,8 @@ _BNLJ_BOUNDED_OK = {
     # probe table (+ the bounded 5x256 cell-table broadcast join)
     "graph_closeness_centrality",  # _strong_pairs' 1-row mean-weight
     # bcast + bounded per-level frontier joins of the all-sources BFS
+    "eval_auc_hanley_ci",  # the base AUC key's two_phase_rank offsets
+    # + 1-row totals broadcasts (projection on a 1-row result)
 }
 
 

@@ -881,3 +881,73 @@ def test_closeness_matches_python_apsp(spark, duck):
         hs = sum(840 // d for d in reach.values())
         assert r["harmonic_scaled"] == hs
         assert r["harmonic_centrality"] == hs / 840.0
+
+
+# -------------------------------------------------- Hanley-McNeil CI
+
+
+def test_hanley_ci_matches_formula(spark, duck):
+    import math
+
+    from target_s3_parquet_spark.operators.aggregates import (
+        eval_auc_hanley_ci,
+        eval_auc_rank_sum,
+    )
+
+    base = eval_auc_rank_sum(spark, SF_SMALL).collect()[0]
+    a, np_, nn = base["auc"], base["n_pos"], base["n_neg"]
+    q1 = a / (2.0 - a)
+    q2 = 2.0 * a * a / (1.0 + a)
+    se = math.sqrt(
+        (a * (1.0 - a) + (np_ - 1) * (q1 - a * a) + (nn - 1) * (q2 - a * a))
+        / (float(np_) * nn)
+    )
+    r = eval_auc_hanley_ci(spark, SF_SMALL).collect()[0]
+    assert r["n_pos"] == np_ and r["n_neg"] == nn
+    assert r["auc"] == a
+    assert r["se_hanley"] == se
+    assert r["ci_lo"] == max(0.0, a - 1.96 * se)
+    assert r["ci_hi"] == min(1.0, a + 1.96 * se)
+    assert r["ci_lo"] < r["auc"] < r["ci_hi"]
+
+
+# ---------------------------------------------------------- McNemar
+
+
+def test_mcnemar_matches_bruteforce(spark, duck):
+    import collections
+
+    from target_s3_parquet_spark.operators.aggregates import (
+        eval_mcnemar_paired,
+    )
+
+    lines = collections.Counter(
+        r[0]
+        for r in duck.sql("SELECT l_orderkey FROM lineitem").fetchall()
+    )
+    rows = duck.sql(
+        """SELECT o_orderkey, o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           FROM orders"""
+    ).fetchall()
+    n = bc = bw = b = c = 0
+    for ok, pri, cents in rows:
+        y = 1 if pri in ("1-URGENT", "2-HIGH") else 0
+        pa = 1 if cents >= 25000000 else 0
+        pb = 1 if lines.get(ok, 0) >= 4 else 0
+        n += 1
+        if pa == y and pb == y:
+            bc += 1
+        elif pa != y and pb != y:
+            bw += 1
+        elif pa == y:
+            b += 1
+        else:
+            c += 1
+    r = eval_mcnemar_paired(spark, SF_SMALL).collect()[0]
+    assert (r["n"], r["both_correct"], r["both_wrong"]) == (n, bc, bw)
+    assert (r["b_only_a"], r["c_only_b"]) == (b, c)
+    assert r["mcnemar_chi2"] == ((b - c) ** 2) / (b + c)
+    assert r["mcnemar_chi2_cc"] == ((abs(b - c) - 1) ** 2) / (b + c)
+    # the four cells partition the sample
+    assert bc + bw + b + c == n
