@@ -596,6 +596,10 @@ def main() -> None:
         "graph_closeness_centrality",
         "eval_auc_hanley_ci",
         "eval_mcnemar_paired",
+        "eval_fleiss_kappa",
+        "ab_test_cochran_armitage_trend",
+        "ab_test_sequential_sprt",
+        "agg_hodges_lehmann_location",
     ]
     r12_t: dict[str, float] = {}
     for name in SWEEP_R12:

@@ -6319,3 +6319,562 @@ def eval_mcnemar_paired(spark, sf_dir):
         .otherwise(F.lit(0.0))
         .alias("mcnemar_chi2_cc"),
     )
+
+
+@query(
+    "eval_fleiss_kappa",
+    """
+    WITH lc AS (
+      SELECT l_orderkey AS ok, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    votes AS (
+      SELECT (CASE WHEN CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT) >= 25000000
+                   THEN 1 ELSE 0 END
+              + CASE WHEN COALESCE(lc.n_lines, 0) >= 4 THEN 1 ELSE 0 END
+              + CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS v
+      FROM orders o LEFT JOIN lc ON lc.ok = o.o_orderkey
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects,
+             CAST(SUM(v * v + (3 - v) * (3 - v)) AS BIGINT) AS s_sq_sum,
+             CAST(SUM(v) AS BIGINT) AS c_urgent
+      FROM votes
+    )
+    SELECT n_subjects, s_sq_sum, c_urgent,
+           3 * n_subjects - c_urgent AS c_not,
+           CAST(s_sq_sum - 3 * n_subjects AS DOUBLE)
+             / CAST(3 * n_subjects * 2 AS DOUBLE) AS p_bar,
+           CAST(CAST(c_urgent AS DECIMAL(38,0)) * c_urgent
+                + CAST(3 * n_subjects - c_urgent AS DECIMAL(38,0))
+                  * (3 * n_subjects - c_urgent) AS DOUBLE)
+             / CAST(CAST(3 * n_subjects AS DECIMAL(38,0))
+                    * (3 * n_subjects) AS DOUBLE) AS p_e,
+           CAST(CAST(s_sq_sum - 3 * n_subjects AS DECIMAL(38,0))
+                  * (3 * n_subjects)
+                - (CAST(c_urgent AS DECIMAL(38,0)) * c_urgent
+                   + CAST(3 * n_subjects - c_urgent AS DECIMAL(38,0))
+                     * (3 * n_subjects - c_urgent)) * 2 AS DOUBLE)
+             / CAST((CAST(3 * n_subjects AS DECIMAL(38,0))
+                       * (3 * n_subjects)
+                     - CAST(c_urgent AS DECIMAL(38,0)) * c_urgent
+                     - CAST(3 * n_subjects - c_urgent AS DECIMAL(38,0))
+                       * (3 * n_subjects - c_urgent)) * 2 AS DOUBLE)
+             AS fleiss_kappa
+    FROM m
+    """,
+)
+def eval_fleiss_kappa(spark, sf_dir):
+    """FLEISS' KAPPA (Fleiss 1971) — chance-corrected agreement among
+    n>=3 raters, the statistic an annotation pipeline reports when
+    THREE cheap labelers (here: the price-threshold heuristic, the
+    order-size heuristic, and the priority field itself) vote
+    "urgent"/"not" on every order and you ask whether they agree
+    beyond chance. Cohen's kappa (`eval_cohens_kappa`) only handles
+    two raters; Fleiss generalizes via per-subject pairwise
+    agreement P_i = (sum_j n_ij^2 - n)/(n(n-1)) and marginal chance
+    P_e = sum_j p_j^2.
+
+    Exactness: with n=3 raters and k=2 categories the vote count
+    v in {0..3} is a scan-side integer; S = sum(v^2 + (3-v)^2) and
+    C1 = sum(v) are ONE combinable exact-integer aggregate, and
+    kappa collapses to the single integer rational
+    ((S-M)*M - 2*(C0^2+C1^2)) / (2*(M^2 - C0^2 - C1^2)) with
+    M = 3N — one IEEE division of DECIMAL(38,0) integers (the same
+    restatement discipline as `eval_cohens_kappa`; M^2 passes
+    decimal(38,0) far beyond warehouse scale).
+
+    Distributed shape: one combinable groupBy(orderkey) for line
+    counts, one join onto orders, one 3-counter aggregate — no
+    data-sized shuffle beyond the line-count combine at any scale.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d38 = "decimal(38,0)"
+    lc = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+    o = t(spark, sf_dir, "orders")
+    v = (
+        F.when(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                "long"
+            )
+            >= 25000000,
+            1,
+        ).otherwise(0)
+        + F.when(F.coalesce(F.col("n_lines"), F.lit(0)) >= 4, 1).otherwise(0)
+        + F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0)
+    )
+    votes = o.join(lc, o.o_orderkey == lc.ok, "left").select(v.alias("v"))
+    m = votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum(
+            F.col("v") * F.col("v")
+            + (F.lit(3) - F.col("v")) * (F.lit(3) - F.col("v"))
+        )
+        .cast("long")
+        .alias("s_sq_sum"),
+        F.sum("v").cast("long").alias("c_urgent"),
+    )
+    n, s, c1 = (F.col(x) for x in ("n_subjects", "s_sq_sum", "c_urgent"))
+    c0 = F.lit(3) * n - c1
+    big_m = F.lit(3) * n
+    sq = c1.cast(d38) * c1 + c0.cast(d38) * c0
+    return m.select(
+        n,
+        s,
+        c1,
+        c0.alias("c_not"),
+        (
+            (s - big_m).cast("double")
+            / (big_m * 2).cast("double")
+        ).alias("p_bar"),
+        (
+            sq.cast("double")
+            / (big_m.cast(d38) * big_m).cast("double")
+        ).alias("p_e"),
+        (
+            ((s - big_m).cast(d38) * big_m - sq * 2).cast("double")
+            / (((big_m.cast(d38) * big_m) - sq) * 2).cast("double")
+        ).alias("fleiss_kappa"),
+    )
+
+
+@query(
+    "ab_test_cochran_armitage_trend",
+    """
+    WITH lc AS (
+      SELECT l_orderkey AS ok, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    dose AS (
+      SELECT CASE WHEN COALESCE(lc.n_lines, 0) <= 2 THEN 0
+                  WHEN lc.n_lines <= 4 THEN 1
+                  WHEN lc.n_lines <= 6 THEN 2
+                  ELSE 3 END AS s,
+             CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 1 ELSE 0 END AS y
+      FROM orders o LEFT JOIN lc ON lc.ok = o.o_orderkey
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS r_pos,
+             CAST(SUM(s) AS BIGINT) AS a1_score_sum,
+             CAST(SUM(s * s) AS BIGINT) AS a2_score_sq_sum,
+             CAST(SUM(s * y) AS BIGINT) AS b_score_pos_sum
+      FROM dose
+    )
+    SELECT n, r_pos, a1_score_sum, a2_score_sq_sum, b_score_pos_sum,
+           CAST(CAST(n AS DECIMAL(38,0)) * b_score_pos_sum
+                - CAST(r_pos AS DECIMAL(38,0)) * a1_score_sum AS DOUBLE)
+             / SQRT(CAST(CAST(r_pos AS DECIMAL(38,0)) * (n - r_pos)
+                         * (CAST(n AS DECIMAL(38,0)) * a2_score_sq_sum
+                            - CAST(a1_score_sum AS DECIMAL(38,0))
+                              * a1_score_sum) AS DOUBLE)
+                    / CAST(n AS DOUBLE)) AS z_trend,
+           (CAST(CAST(n AS DECIMAL(38,0)) * b_score_pos_sum
+                 - CAST(r_pos AS DECIMAL(38,0)) * a1_score_sum AS DOUBLE)
+             / SQRT(CAST(CAST(r_pos AS DECIMAL(38,0)) * (n - r_pos)
+                         * (CAST(n AS DECIMAL(38,0)) * a2_score_sq_sum
+                            - CAST(a1_score_sum AS DECIMAL(38,0))
+                              * a1_score_sum) AS DOUBLE)
+                    / CAST(n AS DOUBLE)))
+           * (CAST(CAST(n AS DECIMAL(38,0)) * b_score_pos_sum
+                   - CAST(r_pos AS DECIMAL(38,0)) * a1_score_sum AS DOUBLE)
+             / SQRT(CAST(CAST(r_pos AS DECIMAL(38,0)) * (n - r_pos)
+                         * (CAST(n AS DECIMAL(38,0)) * a2_score_sq_sum
+                            - CAST(a1_score_sum AS DECIMAL(38,0))
+                              * a1_score_sum) AS DOUBLE)
+                    / CAST(n AS DOUBLE))) AS chi2_trend
+    FROM m
+    """,
+)
+def ab_test_cochran_armitage_trend(spark, sf_dir):
+    """COCHRAN-ARMITAGE TREND TEST (Cochran 1954, Armitage 1955) —
+    the chi-square test for a LINEAR trend in proportions across
+    ORDERED dose groups, the right test when the chi-square of
+    independence (`ab_test_chi2_independence`) throws away the
+    ordering. Dose = order size bucketed to scores 0..3 (<=2, 3-4,
+    5-6, >=7 lineitems); outcome = urgent priority. With
+    T = sum_j s_j (r_j - n_j R/N) and
+    Var = (R/N)(1-R/N)(sum n_j s_j^2 - (sum n_j s_j)^2/N), reports
+    z = T/sqrt(Var) and chi2 = z^2 (1 df).
+
+    Exactness: N, R, A1 = sum(s), A2 = sum(s^2), B = sum(s*y) are
+    ONE combinable exact-integer aggregate over scan-side
+    indicators; z restates as
+    (N*B - R*A1) / sqrt(R*(N-R)*(N*A2 - A1^2)/N) — DECIMAL(38,0)
+    integer products, one IEEE division and one correctly-rounded
+    SQRT on identical operand trees in both engines, and chi2 is
+    literally z*z of that same tree (no libm beyond sqrt).
+
+    Distributed shape: one combinable groupBy(orderkey) line-count
+    combine, one join, one 5-counter aggregate — the map-combine
+    carries five longs per partition at any scale.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    d38 = "decimal(38,0)"
+    lc = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_lines"))
+    )
+    o = t(spark, sf_dir, "orders")
+    nl = F.coalesce(F.col("n_lines"), F.lit(0))
+    dose = o.join(lc, o.o_orderkey == lc.ok, "left").select(
+        F.when(nl <= 2, 0)
+        .when(nl <= 4, 1)
+        .when(nl <= 6, 2)
+        .otherwise(3)
+        .alias("s"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    m = dose.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("r_pos"),
+        F.sum("s").cast("long").alias("a1_score_sum"),
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("a2_score_sq_sum"),
+        F.sum(F.col("s") * F.col("y")).cast("long").alias("b_score_pos_sum"),
+    )
+    n, r, a1, a2, b = (
+        F.col(x)
+        for x in (
+            "n",
+            "r_pos",
+            "a1_score_sum",
+            "a2_score_sq_sum",
+            "b_score_pos_sum",
+        )
+    )
+    z = (n.cast(d38) * b - r.cast(d38) * a1).cast("double") / F.sqrt(
+        (
+            r.cast(d38)
+            * (n - r)
+            * (n.cast(d38) * a2 - a1.cast(d38) * a1)
+        ).cast("double")
+        / n.cast("double")
+    )
+    return m.select(
+        n, r, a1, a2, b,
+        z.alias("z_trend"),
+        (z * z).alias("chi2_trend"),
+    )
+
+
+@query(
+    "ab_test_sequential_sprt",
+    """
+    WITH ev AS (
+      SELECT event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS c
+      FROM events
+    ),
+    r AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY event_id) AS n,
+             SUM(c) OVER (ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+               AS k
+      FROM ev
+    ),
+    l AS (
+      SELECT n, k,
+             CAST(k AS DOUBLE) * 0.20067069546215124
+             + CAST(n - k AS DOUBLE) * (-0.050010420574661305) AS llr
+      FROM r
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(c) AS BIGINT) AS k_total
+      FROM ev
+    ),
+    x AS (
+      SELECT COALESCE(MIN(CASE WHEN llr >= 2.9444389791664403
+                               THEN n END), 0) AS cross_upper_n,
+             COALESCE(MIN(CASE WHEN llr <= -2.9444389791664403
+                               THEN n END), 0) AS cross_lower_n
+      FROM l
+    )
+    SELECT n_total, k_total,
+           CAST(k_total AS DOUBLE) * 0.20067069546215124
+           + CAST(n_total - k_total AS DOUBLE)
+             * (-0.050010420574661305) AS llr_final,
+           cross_upper_n, cross_lower_n,
+           CASE WHEN cross_upper_n = 0 THEN cross_lower_n
+                WHEN cross_lower_n = 0 THEN cross_upper_n
+                ELSE LEAST(cross_upper_n, cross_lower_n) END AS cross_n,
+           CASE
+             WHEN cross_upper_n > 0
+                  AND (cross_lower_n = 0
+                       OR cross_upper_n < cross_lower_n)
+               THEN 'accept_h1'
+             WHEN cross_lower_n > 0 THEN 'accept_h0'
+             ELSE 'continue' END AS decision
+    FROM m, x
+    """,
+)
+def ab_test_sequential_sprt(spark, sf_dir):
+    """WALD'S SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945) on the
+    purchase-conversion stream — H0: p = 0.18 vs H1: p = 0.22 at
+    alpha = beta = 0.05 — the test that lets an experimenter STOP
+    EARLY the moment the evidence crosses a boundary instead of
+    waiting for a fixed horizon (the foundation of every modern
+    always-valid A/B platform). After n trials with k conversions
+    the log-likelihood ratio is k*ln(p1/p0) + (n-k)*ln(q1/q0);
+    crossing ln((1-beta)/alpha) accepts H1, crossing
+    ln(beta/(1-alpha)) accepts H0. Reports the totals, the final
+    LLR, both first-crossing trial indices (0 = never crossed), the
+    overall stopping trial, and the decision.
+
+    Exactness: the four transcendental constants are DOUBLE LITERALS
+    (full-repr, the damping-literal convention) parsed identically
+    by both engines; (n, k) are exact integers from the distributed
+    prefix-sum, so every per-row LLR is ONE identical-tree IEEE
+    expression over exact ints — no float accumulation anywhere, and
+    the crossing indices are exact-integer MINs over deterministic
+    comparisons.
+
+    Distributed shape: `two_phase_rank` on event_id — range
+    partitions, partition-local running sums, a num-partitions-row
+    offsets broadcast; the only unpartitioned window orders the
+    offsets table, never the data (the oracle states the naive
+    global window the helper is bit-identical to). One 4-counter
+    aggregate after. At 100 TB: one range shuffle, nothing else.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import two_phase_rank
+
+    l1 = F.lit(0.20067069546215124)
+    l0 = F.lit(-0.050010420574661305)
+    up = F.lit(2.9444389791664403)
+    lo = F.lit(-2.9444389791664403)
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("c"),
+    )
+    r = two_phase_rank(
+        ev, ["event_id"], sum_col="c", rank_name="n", cum_name="k"
+    )
+    llr = F.col("k").cast("double") * l1 + (
+        F.col("n") - F.col("k")
+    ).cast("double") * l0
+    x = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.sum("c").cast("long").alias("k_total"),
+        F.coalesce(
+            F.min(F.when(llr >= up, F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cross_upper_n"),
+        F.coalesce(
+            F.min(F.when(llr <= lo, F.col("n"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("cross_lower_n"),
+    )
+    cu, cl = F.col("cross_upper_n"), F.col("cross_lower_n")
+    return x.select(
+        "n_total",
+        "k_total",
+        (
+            F.col("k_total").cast("double") * l1
+            + (F.col("n_total") - F.col("k_total")).cast("double") * l0
+        ).alias("llr_final"),
+        cu,
+        cl,
+        F.when(cu == 0, cl)
+        .when(cl == 0, cu)
+        .otherwise(F.least(cu, cl))
+        .alias("cross_n"),
+        F.when(
+            (cu > 0) & ((cl == 0) | (cu < cl)), F.lit("accept_h1")
+        )
+        .when(cl > 0, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+
+
+@query(
+    "agg_hodges_lehmann_location",
+    """
+    WITH wk AS (
+      SELECT o_orderpriority AS pri,
+             CAST(FLOOR(CAST(datediff('day', DATE '1995-01-01',
+                                      CAST(o_orderdate AS DATE))
+                             AS DOUBLE) / 7.0) AS BIGINT) AS w,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.pri, a.cents + b.cents AS s
+      FROM wk a JOIN wk b ON a.pri = b.pri AND a.w <= b.w
+    ),
+    pr AS (
+      SELECT pri, s,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY pri) AS m
+      FROM pairs
+    ),
+    wr AS (
+      SELECT pri, cents,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY cents) AS rn,
+             COUNT(*) OVER (PARTITION BY pri) AS m
+      FROM wk
+    ),
+    hl AS (
+      SELECT pri,
+             CAST(MAX(m) AS BIGINT) AS n_pairs,
+             CAST(MIN(CASE WHEN rn = CAST(FLOOR((m + 1) / 2.0)
+                                          AS BIGINT)
+                           THEN s END)
+                  + MIN(CASE WHEN rn = CAST(FLOOR((m + 2) / 2.0)
+                                            AS BIGINT)
+                             THEN s END) AS DOUBLE) / 4.0
+               AS hl_weekly_cents
+      FROM pr GROUP BY pri
+    ),
+    med AS (
+      SELECT pri,
+             CAST(MAX(m) AS BIGINT) AS n_weeks,
+             CAST(MIN(CASE WHEN rn = CAST(FLOOR((m + 1) / 2.0)
+                                          AS BIGINT)
+                           THEN cents END)
+                  + MIN(CASE WHEN rn = CAST(FLOOR((m + 2) / 2.0)
+                                            AS BIGINT)
+                             THEN cents END) AS DOUBLE) / 2.0
+               AS median_weekly_cents
+      FROM wr GROUP BY pri
+    )
+    SELECT hl.pri, med.n_weeks, hl.n_pairs,
+           med.median_weekly_cents, hl.hl_weekly_cents
+    FROM hl JOIN med ON hl.pri = med.pri
+    ORDER BY hl.pri
+    """,
+)
+def agg_hodges_lehmann_location(spark, sf_dir):
+    """HODGES-LEHMANN LOCATION ESTIMATOR (Hodges & Lehmann 1963) of
+    weekly revenue per order priority: the median of all WALSH
+    AVERAGES (x_i + x_j)/2 over week pairs i <= j — the estimator
+    the Wilcoxon signed-rank test inverts to, ~21% more efficient
+    than the plain median at the Gaussian while keeping a 29%
+    breakdown point. Reported side-by-side with the plain weekly
+    median so the robust-stats family (`detect_outliers_mad`,
+    `agg_trimmed_winsorized_mean`, `ts_trend_theil_sen` — itself the
+    HL idea applied to slopes) carries both location estimates.
+
+    Exactness: weekly totals are exact cent sums (long); Walsh pair
+    sums stay integers (halving deferred); the median positions
+    floor((m+1)/2), floor((m+2)/2) use FLOOR of an exact-halves
+    double — exact for any conceivable m — and the value AT a rank
+    position is deterministic under ties (sorting by s yields the
+    same multiset order in any engine), so each output is one IEEE
+    division of exact integers by a power of two.
+
+    Distributed shape: one combinable groupBy to the CALENDAR-BOUNDED
+    weekly table (the only pass that sees the fact table), then a
+    per-priority all-pairs join over ~350 weeks (~60k pairs per
+    group — bounded by the calendar, the `ts_matrix_profile_lite`
+    precedent) and partitioned rank windows over those bounded
+    groups. At 100 TB the fact scan dominates; the pair stage is
+    constant-size.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    o = t(spark, sf_dir, "orders")
+    wk = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1995-01-01").cast("date"),
+                ).cast("double")
+                / 7.0
+            )
+            .cast("long")
+            .alias("w"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = wk.alias("a")
+    b = wk.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.pri") == F.col("b.pri")) & (F.col("a.w") <= F.col("b.w")),
+    ).select(
+        F.col("a.pri").alias("pri"),
+        (F.col("a.cents") + F.col("b.cents")).alias("s"),
+    )
+    wp = W.partitionBy("pri")
+    pr = pairs.select(
+        "pri",
+        "s",
+        F.row_number().over(wp.orderBy("s")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+    wr = wk.select(
+        "pri",
+        "cents",
+        F.row_number().over(wp.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("m"),
+    )
+    lo_pos = F.floor((F.col("m") + 1) / F.lit(2.0)).cast("long")
+    hi_pos = F.floor((F.col("m") + 2) / F.lit(2.0)).cast("long")
+    hl = pr.groupBy("pri").agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        (
+            (
+                F.min(F.when(F.col("rn") == lo_pos, F.col("s")))
+                + F.min(F.when(F.col("rn") == hi_pos, F.col("s")))
+            ).cast("double")
+            / 4.0
+        ).alias("hl_weekly_cents"),
+    )
+    med = wr.groupBy("pri").agg(
+        F.max("m").cast("long").alias("n_weeks"),
+        (
+            (
+                F.min(F.when(F.col("rn") == lo_pos, F.col("cents")))
+                + F.min(F.when(F.col("rn") == hi_pos, F.col("cents")))
+            ).cast("double")
+            / 2.0
+        ).alias("median_weekly_cents"),
+    )
+    return (
+        hl.join(med, "pri")
+        .select(
+            "pri",
+            "n_weeks",
+            "n_pairs",
+            "median_weekly_cents",
+            "hl_weekly_cents",
+        )
+        .orderBy("pri")
+    )
