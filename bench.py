@@ -600,6 +600,7 @@ def main() -> None:
         "ab_test_cochran_armitage_trend",
         "ab_test_sequential_sprt",
         "agg_hodges_lehmann_location",
+        "graph_betweenness_centrality",
     ]
     r12_t: dict[str, float] = {}
     for name in SWEEP_R12:

@@ -1483,3 +1483,166 @@ def graph_closeness_centrality(spark, sf_dir):
             ).alias("harmonic_centrality"),
         )
     )
+
+
+def _betweenness_oracle() -> str:
+    """Unrolled sigma-accumulating BFS (8 levels, the closeness hop
+    bound) — recursive CTEs cannot GROUP BY in the recursive term, so
+    the level loop is unrolled exactly like the pagerank oracle's
+    round chain. MATERIALIZED per level for the same inlining reason
+    as `_EDGES_CTE`."""
+    parts = [
+        "WITH ",
+        _EDGES_CTE,
+        """,
+    und AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM strong
+      UNION ALL SELECT b, a FROM strong
+    ),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    lvl0 AS MATERIALIZED (
+      SELECT node AS src, node AS dst, 0 AS hop,
+             CAST(1 AS BIGINT) AS sig
+      FROM nodes
+    ),
+    reach0 AS MATERIALIZED (SELECT * FROM lvl0)""",
+    ]
+    for k in range(1, 9):
+        parts.append(f""",
+    lvl{k} AS MATERIALIZED (
+      SELECT r.src, e.dst, {k} AS hop, CAST(SUM(r.sig) AS BIGINT) AS sig
+      FROM lvl{k - 1} r JOIN und e ON e.src = r.dst
+      WHERE NOT EXISTS (SELECT 1 FROM reach{k - 1} p
+                        WHERE p.src = r.src AND p.dst = e.dst)
+      GROUP BY r.src, e.dst
+    ),
+    reach{k} AS MATERIALIZED (
+      SELECT * FROM reach{k - 1} UNION ALL SELECT * FROM lvl{k}
+    )""")
+    parts.append(""",
+    sp AS MATERIALIZED (SELECT * FROM reach8),
+    contrib AS (
+      SELECT a.dst AS v,
+             (a.sig * b.sig * 1048576) // c.sig AS term
+      FROM sp a
+      JOIN sp b ON b.src = a.dst
+      JOIN sp c ON c.src = a.src AND c.dst = b.dst
+      WHERE a.hop > 0 AND b.hop > 0 AND a.src <> b.dst
+        AND a.hop + b.hop = c.hop
+    ),
+    bt AS (
+      SELECT v, CAST(SUM(term) AS BIGINT) AS bc_scaled,
+             CAST(COUNT(*) AS BIGINT) AS n_pair_paths
+      FROM contrib GROUP BY v
+    )
+    SELECT n.node AS nationkey,
+           COALESCE(bt.n_pair_paths, 0) AS n_pair_paths,
+           COALESCE(bt.bc_scaled, 0) AS bc_scaled,
+           CAST(COALESCE(bt.bc_scaled, 0) AS DOUBLE) / 2097152.0
+             AS betweenness
+    FROM nodes n LEFT JOIN bt ON bt.v = n.node
+    """)
+    return "".join(parts)
+
+
+@query("graph_betweenness_centrality", _betweenness_oracle())
+def graph_betweenness_centrality(spark, sf_dir):
+    """BETWEENNESS centrality (Freeman 1977; counted via the
+    shortest-path dependency decomposition of Brandes 2001) on the
+    sparsified trade graph: BC(v) = sum over ordered pairs s != t of
+    sigma(s,v)*sigma(v,t)/sigma(s,t) where the middle node lies ON a
+    shortest path (d(s,v) + d(v,t) = d(s,t)), halved for the
+    undirected double count — the broker/bottleneck score that
+    completes the centrality family (pagerank = flow, harmonic
+    closeness = distance, HITS = mutual reinforcement, k-core =
+    cohesion, betweenness = brokerage).
+
+    Exactness: the BFS carries exact-integer path counts sigma
+    (level-synchronous predecessor sums — Brandes' counting phase);
+    each pair dependency is quantized to the 2^-20 grid IN INTEGERS
+    as (sig_sv * sig_vt * 2^20) div sig_st (positive ints, floor
+    division identical in Python and DuckDB), summed exactly; only
+    the final reported betweenness divides by the 2*2^20 literal
+    once, per engine, on the same exact integer.
+
+    Distributed shape: the data-sized pass — the 4-way fact join
+    down to nation-pair weights — runs distributed inside
+    `_strong_pairs`; what collects is the SPARSIFIED PAIR LIST,
+    bounded by construction at |V|(|V|-1)/2 <= 300 rows for the
+    25-nation domain (the `graph_hits_scores` r11 precedent: loop
+    driver-side on a bounded matrix, keep the fact scan
+    distributed). The sigma-BFS and the |V|^3 dependency sum then
+    run in exact Python integers on that matrix. For UNBOUNDED node
+    domains the distributed form is the closeness key's level-
+    synchronous frontier-join loop carrying sig, with the
+    Riondato-Kornaropoulos sampled-source variant at billion-node
+    scale.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from collections import defaultdict, deque
+
+    n = t(spark, sf_dir, "nation")
+    nodes = sorted(
+        r["node"]
+        for r in n.select(F.col("n_nationkey").alias("node")).collect()
+    )
+    adj = defaultdict(list)
+    for row in _strong_pairs(spark, sf_dir).collect():
+        a, b = row["a"], row["b"]
+        adj[a].append(b)
+        adj[b].append(a)
+
+    # sigma-accumulating BFS from every source, hop-capped at 8 (the
+    # closeness convention; the sparsified graph's diameter is far
+    # smaller)
+    dist, sig = {}, {}
+    for s in nodes:
+        d = {s: 0}
+        g = {s: 1}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if d[u] >= 8:
+                continue
+            for w in adj[u]:
+                if w not in d:
+                    d[w] = d[u] + 1
+                    g[w] = g[u]
+                    q.append(w)
+                elif d[w] == d[u] + 1:
+                    g[w] += g[u]
+        dist[s], sig[s] = d, g
+
+    bc_scaled = defaultdict(int)
+    n_pair_paths = defaultdict(int)
+    for s in nodes:
+        ds, gs = dist[s], sig[s]
+        for tt in ds:
+            if tt == s:
+                continue
+            dst_, sigst = ds[tt], gs[tt]
+            for v in ds:
+                if v == s or v == tt:
+                    continue
+                if ds[v] + dist[v].get(tt, 99) == dst_:
+                    bc_scaled[v] += (
+                        gs[v] * sig[v][tt] * 1048576
+                    ) // sigst
+                    n_pair_paths[v] += 1
+
+    rows = [
+        (
+            int(v),
+            int(n_pair_paths.get(v, 0)),
+            int(bc_scaled.get(v, 0)),
+            float(bc_scaled.get(v, 0)) / 2097152.0,
+        )
+        for v in nodes
+    ]
+    return spark.createDataFrame(
+        rows,
+        "nationkey long, n_pair_paths long, bc_scaled long, "
+        "betweenness double",
+    )

@@ -1178,3 +1178,102 @@ def test_hodges_lehmann_matches_bruteforce(spark, duck):
         assert r["hl_weekly_cents"] == float(median(walsh))
         # HL lands inside the data range, like any location estimate
         assert min(vals) <= r["hl_weekly_cents"] <= max(vals)
+
+
+# ------------------------------------------------------ Betweenness
+
+
+def test_betweenness_matches_path_enumeration(spark, duck):
+    """Independent pin: ENUMERATE every shortest path explicitly (DFS
+    over the BFS layered DAG) and count paths through each middle
+    node — the Freeman definition — then apply the key's exact
+    quantization. Verifies the Brandes sigma-product identity
+    sigma(s,v)*sigma(v,t) = #paths through v."""
+    import collections
+
+    from target_s3_parquet_spark.operators.graph import (
+        graph_betweenness_centrality,
+    )
+
+    pairs = duck.sql(
+        """
+        WITH edges AS (
+          SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                 COUNT(*) AS w
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY c.c_nationkey, s.s_nationkey
+        ),
+        pairs AS (
+          SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+                 SUM(w) AS w
+          FROM edges WHERE src <> dst GROUP BY 1, 2
+        ),
+        tot AS (SELECT COUNT(*) AS n, SUM(w) AS s FROM pairs)
+        SELECT a, b FROM pairs, tot WHERE 2 * tot.n * pairs.w > 3 * tot.s
+        """
+    ).fetchall()
+    nodes = sorted(
+        r[0] for r in duck.sql("SELECT n_nationkey FROM nation").fetchall()
+    )
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs(s):
+        d = {s: 0}
+        order = [s]
+        for u in order:
+            if d[u] >= 8:
+                continue
+            for w in sorted(adj[u]):
+                if w not in d:
+                    d[w] = d[u] + 1
+                    order.append(w)
+        return d
+
+    def all_shortest_paths(s, t, d):
+        # walk the layered DAG backwards from t
+        paths = []
+
+        def back(u, acc):
+            if u == s:
+                paths.append([s] + acc)
+                return
+            for p in adj[u]:
+                if d.get(p, 99) == d[u] - 1:
+                    back(p, [u] + acc)
+
+        back(t, [])
+        return paths
+
+    bc_scaled = collections.Counter()
+    n_pair_paths = collections.Counter()
+    for s in nodes:
+        d = bfs(s)
+        for t_ in d:
+            if t_ == s:
+                continue
+            paths = all_shortest_paths(s, t_, d)
+            through = collections.Counter(
+                v for p in paths for v in p[1:-1]
+            )
+            for v, cnt in through.items():
+                bc_scaled[v] += (cnt * 1048576) // len(paths)
+                n_pair_paths[v] += 1
+
+    got = {
+        r["nationkey"]: r
+        for r in graph_betweenness_centrality(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        r = got[v]
+        assert r["bc_scaled"] == bc_scaled.get(v, 0)
+        assert r["n_pair_paths"] == n_pair_paths.get(v, 0)
+        assert r["betweenness"] == bc_scaled.get(v, 0) / 2097152.0
+    # endpoints never count themselves; some node must broker
+    assert any(r["bc_scaled"] > 0 for r in got.values())
