@@ -601,6 +601,7 @@ def main() -> None:
         "ab_test_sequential_sprt",
         "agg_hodges_lehmann_location",
         "graph_betweenness_centrality",
+        "ts_dtw_alignment_distance",
     ]
     r12_t: dict[str, float] = {}
     for name in SWEEP_R12:

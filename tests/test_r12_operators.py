@@ -1277,3 +1277,69 @@ def test_betweenness_matches_path_enumeration(spark, duck):
         assert r["betweenness"] == bc_scaled.get(v, 0) / 2097152.0
     # endpoints never count themselves; some node must broker
     assert any(r["bc_scaled"] > 0 for r in got.values())
+
+
+# --------------------------------------------------------------- DTW
+
+
+def test_dtw_matches_column_major_dp(spark, duck):
+    """Pin against an independently-structured DP (column-major,
+    rolling arrays instead of the key's row-major dict), plus the
+    textbook dominance property DTW <= lockstep when n == m (lockstep
+    is one feasible alignment)."""
+    import collections
+
+    from target_s3_parquet_spark.operators.timeseries import (
+        ts_dtw_alignment_distance,
+    )
+
+    rows = duck.sql(
+        """SELECT CAST(FLOOR(CAST(datediff('day', DATE '1995-01-01',
+                                           CAST(o_orderdate AS DATE))
+                                  AS DOUBLE) / 7.0) AS BIGINT),
+                  o_orderpriority,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           FROM orders
+           WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"""
+    ).fetchall()
+    weekly = collections.defaultdict(int)
+    for w, pri, cents in rows:
+        weekly[(pri, w)] += cents
+    a = [v for (_, v) in sorted(
+        (w, c) for (p, w), c in weekly.items() if p == "1-URGENT"
+    )]
+    b = [v for (_, v) in sorted(
+        (w, c) for (p, w), c in weekly.items() if p == "5-LOW"
+    )]
+    n, m = len(a), len(b)
+    band = 10 + abs(n - m)
+    big = 1 << 62
+    # column-major rolling DP: prev[i] = D(i, j-1), cur[i] = D(i, j)
+    prev = [big] * (n + 1)
+    for j in range(1, m + 1):
+        cur = [big] * (n + 1)
+        for i in range(max(1, j - band), min(n, j + band) + 1):
+            c = abs(a[i - 1] - b[j - 1])
+            if i == 1 and j == 1:
+                cur[1] = c
+            else:
+                best = min(
+                    cur[i - 1],          # D(i-1, j)
+                    prev[i],             # D(i, j-1)
+                    prev[i - 1],         # D(i-1, j-1)
+                )
+                cur[i] = c + best
+        prev = cur
+    dtw = prev[n]
+    lockstep = sum(abs(a[i] - b[i]) for i in range(min(n, m)))
+
+    r = ts_dtw_alignment_distance(spark, SF_SMALL).collect()[0]
+    assert r["n_a"] == n and r["n_b"] == m
+    assert r["band_w"] == band
+    assert r["dtw_cost_cents"] == dtw
+    assert r["lockstep_cost_cents"] == lockstep
+    if n == m:
+        assert r["dtw_cost_cents"] <= r["lockstep_cost_cents"]
+    assert r["dtw_vs_lockstep"] == (
+        0.0 if lockstep == 0 else dtw / lockstep
+    )
