@@ -602,6 +602,7 @@ def main() -> None:
         "agg_hodges_lehmann_location",
         "graph_betweenness_centrality",
         "ts_dtw_alignment_distance",
+        "join_yannakakis_program",
     ]
     r12_t: dict[str, float] = {}
     for name in SWEEP_R12:

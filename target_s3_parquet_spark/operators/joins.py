@@ -1041,3 +1041,125 @@ def join_asof_nearest(spark, sf_dir):
         .alias("direction"),
         F.when(choose_back, gap_back).otherwise(gap_fwd).alias("gap_us"),
     )
+
+
+@query(
+    "join_yannakakis_program",
+    """
+    WITH asia_nat AS (
+      SELECT n_nationkey FROM nation
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ),
+    c_semi AS (
+      SELECT c_custkey FROM customer
+      WHERE c_nationkey IN (SELECT n_nationkey FROM asia_nat)
+    ),
+    o_semi AS (
+      SELECT o_orderkey, o_custkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM c_semi)
+    ),
+    l_semi AS (
+      SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM o_semi)
+    ),
+    o_back AS (
+      SELECT o_orderkey, o_custkey FROM o_semi
+      WHERE o_orderkey IN (SELECT l_orderkey FROM l_semi)
+    ),
+    c_back AS (
+      SELECT c_custkey FROM c_semi
+      WHERE c_custkey IN (SELECT o_custkey FROM o_back)
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customer_base,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM c_semi) AS n_customer_semi,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders_base,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM o_semi) AS n_orders_semi,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitem_base,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM l_semi) AS n_lineitem_semi,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM o_back) AS n_orders_back,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM c_back) AS n_customer_back,
+      (SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(38,6))) AS DOUBLE)
+       FROM l_semi) AS asia_revenue
+    """,
+)
+def join_yannakakis_program(spark, sf_dir):
+    """YANNAKAKIS' SEMIJOIN-REDUCTION PROGRAM (Yannakakis 1981) made
+    observable on the acyclic chain region -> nation -> customer ->
+    orders -> lineitem (ASIA): the bottom-up semijoin pass (customer
+    against the ASIA nations, orders against surviving customers,
+    lineitem against surviving orders), the top-down back pass
+    (orders against surviving lineitems, customers against surviving
+    orders), and the final dangling-free aggregate — the classical
+    guarantee that an acyclic join can run with ZERO intermediate
+    blowup, which is exactly what a distributed engine buys with
+    bloom-filter semijoins (`join_bloom_semi_reduction` is the
+    one-edge version; this key runs the whole program). The stage
+    counts ARE the result: they show how many tuples each reduction
+    kills before the join ever runs.
+
+    Exactness: every count is an exact integer; the revenue
+    aggregate uses the order-free DECIMAL(38,6) channel (`dsum`).
+
+    Distributed shape: each semijoin is a leftsemi hash join that
+    Spark executes with the small side broadcast (nation keys, then
+    the shrinking key sets); no stage materializes a wider row than
+    its input, and AQE turns the orderkey semijoins into
+    shuffle-hash with bloom pushdown at scale — the plan a 100 TB
+    acyclic join WANTS. The final aggregate runs on the fully
+    reduced lineitem only.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+
+    asia = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n.n_regionkey == F.col("r_regionkey"),
+    ).select("n_nationkey")
+    c_semi = c.join(
+        F.broadcast(asia),
+        c.c_nationkey == F.col("n_nationkey"),
+        "leftsemi",
+    ).select("c_custkey")
+    o_semi = o.join(
+        c_semi, o.o_custkey == c_semi.c_custkey, "leftsemi"
+    ).select("o_orderkey", "o_custkey")
+    l_semi = l.join(
+        o_semi, l.l_orderkey == o_semi.o_orderkey, "leftsemi"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    o_back = o_semi.join(
+        l_semi, o_semi.o_orderkey == l_semi.l_orderkey, "leftsemi"
+    )
+    c_back = c_semi.join(
+        o_back, c_semi.c_custkey == o_back.o_custkey, "leftsemi"
+    )
+
+    def cnt(df, alias):
+        return df.agg(F.count(F.lit(1)).cast("long").alias(alias))
+
+    rev = l_semi.agg(
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "asia_revenue",
+        )
+    )
+    out = (
+        cnt(c, "n_customer_base")
+        .crossJoin(F.broadcast(cnt(c_semi, "n_customer_semi")))
+        .crossJoin(F.broadcast(cnt(o, "n_orders_base")))
+        .crossJoin(F.broadcast(cnt(o_semi, "n_orders_semi")))
+        .crossJoin(F.broadcast(cnt(l, "n_lineitem_base")))
+        .crossJoin(F.broadcast(cnt(l_semi, "n_lineitem_semi")))
+        .crossJoin(F.broadcast(cnt(o_back, "n_orders_back")))
+        .crossJoin(F.broadcast(cnt(c_back, "n_customer_back")))
+        .crossJoin(F.broadcast(rev))
+    )
+    return out

@@ -359,6 +359,9 @@ _BNLJ_BOUNDED_OK = {
     # bcast + bounded per-level frontier joins of the all-sources BFS
     "eval_auc_hanley_ci",  # the base AUC key's two_phase_rank offsets
     # + 1-row totals broadcasts (projection on a 1-row result)
+    "join_yannakakis_program",  # the output row is 9 crossJoined
+    # 1-row stage-count/revenue aggregates (each side is a broadcast
+    # single row; the semijoin program itself is all bhj/leftsemi)
 }
 
 

@@ -1343,3 +1343,59 @@ def test_dtw_matches_column_major_dp(spark, duck):
     assert r["dtw_vs_lockstep"] == (
         0.0 if lockstep == 0 else dtw / lockstep
     )
+
+
+# --------------------------------------------------------- Yannakakis
+
+
+def test_yannakakis_counts_match_set_computation(spark, duck):
+    """Pin every stage count against a literal Python-set semijoin
+    program, plus the Yannakakis guarantees: back-pass counts equal
+    the distinct keys of the FULL join (dangling-free), and every
+    reduction is monotone."""
+    from target_s3_parquet_spark.operators.joins import (
+        join_yannakakis_program,
+    )
+
+    asia = {
+        r[0]
+        for r in duck.sql(
+            """SELECT n_nationkey FROM nation
+               JOIN region ON n_regionkey = r_regionkey
+               WHERE r_name = 'ASIA'"""
+        ).fetchall()
+    }
+    cust = duck.sql(
+        "SELECT c_custkey, c_nationkey FROM customer"
+    ).fetchall()
+    orders = duck.sql("SELECT o_orderkey, o_custkey FROM orders").fetchall()
+    litems = duck.sql("SELECT l_orderkey FROM lineitem").fetchall()
+
+    c_semi = {ck for ck, nk in cust if nk in asia}
+    o_semi = {(ok, ck) for ok, ck in orders if ck in c_semi}
+    o_semi_keys = {ok for ok, _ in o_semi}
+    l_semi = [ok for (ok,) in litems if ok in o_semi_keys]
+    l_keys = set(l_semi)
+    o_back = {(ok, ck) for ok, ck in o_semi if ok in l_keys}
+    o_back_cust = {ck for _, ck in o_back}
+    c_back = {ck for ck in c_semi if ck in o_back_cust}
+
+    r = join_yannakakis_program(spark, SF_SMALL).collect()[0]
+    assert r["n_customer_base"] == len(cust)
+    assert r["n_customer_semi"] == len(c_semi)
+    assert r["n_orders_base"] == len(orders)
+    assert r["n_orders_semi"] == len(o_semi)
+    assert r["n_lineitem_base"] == len(litems)
+    assert r["n_lineitem_semi"] == len(l_semi)
+    assert r["n_orders_back"] == len(o_back)
+    assert r["n_customer_back"] == len(c_back)
+    # monotone reduction chain
+    assert r["n_customer_semi"] >= r["n_customer_back"]
+    assert r["n_orders_semi"] >= r["n_orders_back"]
+    # dangling-free guarantee: back-pass orders == orders appearing
+    # in the final join, and every surviving customer has an order
+    joined_orders = {
+        ok for ok, ck in o_semi if ok in l_keys and ck in c_semi
+    }
+    assert r["n_orders_back"] == len(joined_orders)
+    assert r["asia_revenue"] > 0
