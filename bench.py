@@ -603,6 +603,7 @@ def main() -> None:
         "graph_betweenness_centrality",
         "ts_dtw_alignment_distance",
         "join_yannakakis_program",
+        "text_burrows_delta",
     ]
     r12_t: dict[str, float] = {}
     for name in SWEEP_R12:

@@ -5710,3 +5710,196 @@ def vocab_chao1_richness(spark, sf_dir):
             F.lit(1.0) - F.col("n1").cast("double") / F.col("n_tokens")
         ).alias("good_coverage"),
     )
+
+
+@query(
+    "text_burrows_delta",
+    """
+    WITH tok AS (
+      SELECT doc_id, source,
+             UNNEST(string_split_regex(lower(text), '[^a-z]+')) AS tk
+      FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE tk <> ''),
+    dlen AS (
+      SELECT doc_id, source, CAST(COUNT(*) AS BIGINT) AS len
+      FROM tok2 GROUP BY doc_id, source
+    ),
+    top20 AS (
+      SELECT tk FROM (
+        SELECT tk, COUNT(*) AS n FROM tok2 GROUP BY tk
+        ORDER BY n DESC, tk LIMIT 20)
+    ),
+    cnt AS (
+      SELECT t.doc_id, t.tk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok2 t JOIN top20 USING (tk) GROUP BY t.doc_id, t.tk
+    ),
+    q AS (
+      SELECT d.source, c.tk,
+             FLOOR(CAST(c.c AS DOUBLE) / d.len * 1073741824.0)
+               / 1073741824.0 AS q
+      FROM cnt c JOIN dlen d USING (doc_id)
+    ),
+    ndocs AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM dlen GROUP BY source
+    ),
+    msf AS (
+      SELECT source, tk, SUM(q) AS sq FROM q GROUP BY source, tk
+    ),
+    mat AS (
+      SELECT nd.source, t.tk,
+             FLOOR(COALESCE(m.sq, 0.0) / nd.nd * 1073741824.0)
+               / 1073741824.0 AS mq
+      FROM ndocs nd CROSS JOIN top20 t
+      LEFT JOIN msf m ON m.source = nd.source AND m.tk = t.tk
+    ),
+    st AS (
+      SELECT tk, CAST(COUNT(*) AS BIGINT) AS ns,
+             SUM(mq) AS smq,
+             SUM(FLOOR(mq * mq * 1073741824.0) / 1073741824.0) AS smq2
+      FROM mat GROUP BY tk
+    ),
+    zt AS (
+      SELECT m.source, m.tk,
+             CASE WHEN st.smq2 / st.ns
+                       - (st.smq / st.ns) * (st.smq / st.ns) > 0
+                  THEN (m.mq - st.smq / st.ns)
+                       / SQRT(st.smq2 / st.ns
+                              - (st.smq / st.ns) * (st.smq / st.ns))
+                  ELSE 0.0 END AS z
+      FROM mat m JOIN st USING (tk)
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           SUM(FLOOR(ABS(a.z - b.z) * 1073741824.0)
+               / 1073741824.0) / 20.0 AS delta_burrows
+    FROM zt a JOIN zt b ON a.tk = b.tk AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def text_burrows_delta(spark, sf_dir):
+    """BURROWS' DELTA (Burrows 2002; the standard stylometric
+    authorship distance, validated at scale by Evert et al. 2017):
+    z-score each source's mean relative frequency of the corpus'
+    top-20 tokens against the across-source distribution, then
+    Delta(a,b) = mean |z_a - z_b| — the distance a provenance
+    pipeline reports when asking whether two crawl sources share a
+    register/template or write in measurably different styles
+    (complementing the vocabulary-overlap view of
+    `text_hapax_ratio_by_lang` and `vocab_simpson_diversity`).
+
+    Exactness: token/doc counts are exact integers; per-doc relative
+    frequencies, per-source means, per-token squares, and per-pair
+    |z| gaps are each quantized to the 2^-30 dyadic grid right after
+    their single IEEE step, so every SUM is an exact dyadic sum
+    (docs-per-source up to ~2^22 keeps the 53-bit mantissa safe; a
+    trillion-doc corpus would coarsen the grid one notch) and the
+    z/Delta chain is one identical tree in both engines
+    (zero-variance tokens z = 0 by the guarded branch).
+
+    Distributed shape: tokenize-and-count is the map-combine shape
+    of the vocab family (the only data-sized passes); everything
+    after the per-(source, token) reduction lives on a 20x20 matrix.
+    The pair join is |sources|^2-bounded by construction — sources
+    are a curated registry, not data.
+
+    Reference scope check: codeG12/target-s3-parquet has no query
+    surface (605-LoC Singer->Parquet sink); this key belongs to the
+    LLM-data-pipeline extension surface (SURVEY.md §2C)."""
+    from target_s3_parquet_spark.operators._util import register_cache
+
+    grid = 1073741824.0
+    d = t(spark, sf_dir, "documents")
+    # token counts per (doc, token) — ONE tokenize pass reused by the
+    # doc-length, global-top-20, and per-doc-count consumers (cached:
+    # the explode is the only data-sized stage and would otherwise
+    # run three times)
+    tok = register_cache(
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("tk"),
+        )
+        .filter(F.col("tk") != "")
+        .groupBy("doc_id", "source", "tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    dlen = tok.groupBy("doc_id", "source").agg(
+        F.sum("c").cast("long").alias("len")
+    )
+    top20 = (
+        tok.groupBy("tk")
+        .agg(F.sum("c").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tk"))
+        .limit(20)
+        .select("tk")
+    )
+    cnt = tok.join(F.broadcast(top20), "tk").select("doc_id", "tk", "c")
+    q = cnt.join(dlen, "doc_id").select(
+        "source",
+        "tk",
+        (
+            F.floor(F.col("c").cast("double") / F.col("len") * grid)
+            / grid
+        ).alias("q"),
+    )
+    ndocs = dlen.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("nd")
+    )
+    msf = q.groupBy("source", "tk").agg(F.sum("q").alias("sq"))
+    mat = (
+        ndocs.crossJoin(F.broadcast(top20))
+        .join(msf, ["source", "tk"], "left")
+        .select(
+            "source",
+            "tk",
+            (
+                F.floor(
+                    F.coalesce(F.col("sq"), F.lit(0.0))
+                    / F.col("nd")
+                    * grid
+                )
+                / grid
+            ).alias("mq"),
+        )
+    )
+    st = mat.groupBy("tk").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("mq").alias("smq"),
+        F.sum(F.floor(F.col("mq") * F.col("mq") * grid) / grid).alias(
+            "smq2"
+        ),
+    )
+    mean_t = F.col("smq") / F.col("ns")
+    var_t = F.col("smq2") / F.col("ns") - mean_t * mean_t
+    zt = mat.join(st, "tk").select(
+        "source",
+        "tk",
+        F.when(var_t > 0, (F.col("mq") - mean_t) / F.sqrt(var_t))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
+    )
+    a = zt.select(
+        F.col("source").alias("src_a"), "tk", F.col("z").alias("za")
+    )
+    b = zt.select(
+        F.col("source").alias("src_b"), "tk", F.col("z").alias("zb")
+    )
+    return (
+        a.join(b, "tk")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.abs(F.col("za") - F.col("zb")) * grid
+                    )
+                    / grid
+                )
+                / 20.0
+            ).alias("delta_burrows")
+        )
+    )

@@ -362,6 +362,9 @@ _BNLJ_BOUNDED_OK = {
     "join_yannakakis_program",  # the output row is 9 crossJoined
     # 1-row stage-count/revenue aggregates (each side is a broadcast
     # single row; the semijoin program itself is all bhj/leftsemi)
+    "text_burrows_delta",  # the 20-source registry crossJoined with
+    # the broadcast top-20 token list (bounded 400-cell matrix); the
+    # data-sized tokenize pass is a cached map-combine
 }
 
 

@@ -1399,3 +1399,77 @@ def test_yannakakis_counts_match_set_computation(spark, duck):
     }
     assert r["n_orders_back"] == len(joined_orders)
     assert r["asia_revenue"] > 0
+
+
+# ------------------------------------------------------ Burrows Delta
+
+
+def test_burrows_delta_matches_unquantized_reference(spark, duck):
+    """Independent pin: recompute Delta in exact Fractions with NO
+    quantization (the textbook formula) and require agreement within
+    the accumulated 2^-30 grid error; plus the structural properties
+    (non-negativity, full pair coverage, triangle-ish sanity)."""
+    import collections
+    import math
+    import re
+
+    from fractions import Fraction
+
+    from target_s3_parquet_spark.operators.pipeline import (
+        text_burrows_delta,
+    )
+
+    rows = duck.sql(
+        "SELECT doc_id, source, lower(text) FROM documents"
+    ).fetchall()
+    doc_toks = {}
+    for doc_id, source, txt in rows:
+        toks = [w for w in re.split(r"[^a-z]+", txt) if w]
+        if toks:
+            doc_toks[doc_id] = (source, toks)
+    wc = collections.Counter()
+    for _, (_, toks) in doc_toks.items():
+        wc.update(toks)
+    top20 = sorted(wc, key=lambda k: (-wc[k], k))[:20]
+
+    by_src = collections.defaultdict(list)
+    for _, (src, toks) in doc_toks.items():
+        by_src[src].append(toks)
+    mean_f = {}
+    for src, docs in by_src.items():
+        for tk in top20:
+            s = sum(
+                Fraction(sum(1 for w in toks if w == tk), len(toks))
+                for toks in docs
+            )
+            mean_f[(src, tk)] = s / len(docs)
+    srcs = sorted(by_src)
+    z = {}
+    for tk in top20:
+        vals = [mean_f[(s, tk)] for s in srcs]
+        mu = sum(vals) / len(vals)
+        var = sum(v * v for v in vals) / len(vals) - mu * mu
+        sd = math.sqrt(float(var)) if var > 0 else 0.0
+        for s in srcs:
+            z[(s, tk)] = (
+                float(mean_f[(s, tk)] - mu) / sd if sd > 0 else 0.0
+            )
+    exp = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            exp[(a, b)] = sum(
+                abs(z[(a, tk)] - z[(b, tk)]) for tk in top20
+            ) / 20.0
+
+    got = {
+        (r["src_a"], r["src_b"]): r["delta_burrows"]
+        for r in text_burrows_delta(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(exp)
+    for pair, d in got.items():
+        assert d >= 0.0
+        # 2^-30 per-step grids, amplified by the 1/sd z-division on
+        # low-variance tokens, land within ~1e-5 of the exact value
+        assert abs(d - exp[pair]) < 1e-4, (pair, d, exp[pair])
+    # styles differ somewhere across 20 sources
+    assert max(got.values()) > 0.0
