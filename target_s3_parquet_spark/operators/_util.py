@@ -73,6 +73,35 @@ def release_rank_caches() -> int:
     return n
 
 
+def fan_out_scan(df: DataFrame) -> DataFrame:
+    """Adaptive scan fan-out (guide §2.5 "input skew: one huge
+    unsplittable file — repartition immediately after the read").
+
+    The synthetic tables are single-row-group parquet files, so every
+    scan is ONE split and all map-side work before the first exchange
+    runs on ONE core (thread-dump evidence: the whole 4.5M-pair
+    Levenshtein pass of er_fellegi_sunter_weights inside `task 0.0 in
+    stage 2`). For operators whose PER-ROW work upstream of the first
+    shuffle is heavy (pair Levenshtein, per-word md5 fingerprints,
+    Arrow-batched Python chunkers), a round-robin repartition to the
+    session's parallelism unlocks every core for the price of one tiny
+    shuffle of the narrow input rows.
+
+    ADAPTIVE, not a constant: it fires only when the scan has fewer
+    splits than the session's default parallelism — at 100 TB the same
+    scan arrives in thousands of row-group splits and this helper is a
+    no-op, so no pointless full-table shuffle is added at scale (the
+    exact `repartition(n) "for parallelism"` accident guide §2.4 warns
+    about). Do NOT use it on light scans feeding plain aggregates —
+    the added exchange costs more than the single-task partial
+    aggregate it parallelizes."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def register_cache(df: DataFrame) -> DataFrame:
     """``df.cache()`` with the handle registered in ``_RANK_CACHES`` so
     :func:`release_rank_caches` drops it alongside the rank caches.

@@ -20,7 +20,11 @@ from target_s3_parquet_spark._snapshot import (
     snapshot_persisted,
     snapshot_small,
 )
-from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.operators._util import (
+    fan_out_scan,
+    register_cache,
+    t,
+)
 from target_s3_parquet_spark.registry import QUERIES, query
 
 
@@ -215,7 +219,8 @@ def _minhash_docs(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select("doc_id", grams.alias("grams"))
+        fan_out_scan(d.select("doc_id", "text"))
+        .select("doc_id", grams.alias("grams"))
         .filter(F.size("grams") > 0)
         .cache()
     )
@@ -1935,7 +1940,9 @@ def text_simhash_hamming_prod(spark, sf_dir):
     surface (605-LoC Singer->Parquet sink); this key belongs to the
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
     d = t(spark, sf_dir, "documents")
-    words_df = d.select(
+    # fan the single-split scan out BEFORE the word explode so the
+    # per-word md5 + 60-bit-vote aggregation uses every core
+    words_df = fan_out_scan(d.select("doc_id", "text")).select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.lower(F.col("text")), " "))
@@ -1958,7 +1965,16 @@ def text_simhash_hamming_prod(spark, sf_dir):
             F.lit(0)
         )
         simhash = term if simhash is None else simhash + term
-    sh = sums.select("doc_id", simhash.cast("long").alias("simhash"))
+    # The fingerprint table feeds FIVE consumers (both sides of the
+    # block equijoin, both sides of the Hamming verify join, and the
+    # candidate count); cached, the word-explode + 60-sum aggregate
+    # subtree runs once instead of once per consumer (A/B min-of-3 at
+    # sf0.1: noop 2.35 s cached vs 15.3 s uncached — AQE exchange
+    # reuse does NOT cover all five consumers; guide §2.4/§5: cache
+    # only the tiny reused relation, 2 longs per document).
+    sh = register_cache(
+        sums.select("doc_id", simhash.cast("long").alias("simhash"))
+    )
     block_vals = F.array(
         *[
             F.expr(
@@ -1982,7 +1998,10 @@ def text_simhash_hamming_prod(spark, sf_dir):
         F.col("block_no").alias("block_no_b"),
         F.col("block_val").alias("block_val_b"),
     )
-    cand = (
+    # candidates feed both the funnel count and the Hamming verify —
+    # cached so the block self-join runs once (pair volume ~n^2/2^15
+    # per block: bounded, 2 longs per row)
+    cand = register_cache(
         a.join(
             b_,
             (F.col("block_no") == F.col("block_no_b"))
@@ -2014,6 +2033,57 @@ def text_simhash_hamming_prod(spark, sf_dir):
         )
         .filter(F.col("hamming") <= _SHP_K)
     )
+
+
+def _cdc_chunk_fingerprints(batches):
+    """Arrow-batched CDC chunker (guide §4.2/§4.5): per document,
+    boundary positions p in [2, len-7] cut where
+    int(md5(text[p-1:p+7])[:7 hex], 16) % 64 == 0 — tested directly on
+    the digest bytes (low 6 bits of the first 7 hex chars are
+    digest[2]'s low 2 bits and digest[3]'s high nibble), bit-identical
+    to the SQL/DuckDB form. Emits (source, md5(chunk) hexdigest,
+    chunk length in CHARS) per chunk. Pure-ASCII texts take a bytes
+    fast path (1 byte == 1 char, identical slices); anything else
+    walks code points exactly like Spark's substring/length."""
+    import hashlib
+
+    import pandas as pd
+
+    md5 = hashlib.md5
+    for pdf in batches:
+        out_src, out_f, out_len = [], [], []
+        for src, text in zip(pdf["source"], pdf["text"]):
+            text = text or ""
+            n = len(text)
+            is_ascii = text.isascii()
+            buf = text.encode("utf-8")
+            bounds = [1]
+            if n >= 9:
+                if is_ascii:
+                    for p in range(2, n - 6):
+                        dg = md5(buf[p - 1 : p + 7]).digest()
+                        if dg[2] & 0x03 == 0 and dg[3] & 0xF0 == 0:
+                            bounds.append(p)
+                else:
+                    for p in range(2, n - 6):
+                        dg = md5(
+                            text[p - 1 : p + 7].encode("utf-8")
+                        ).digest()
+                        if dg[2] & 0x03 == 0 and dg[3] & 0xF0 == 0:
+                            bounds.append(p)
+            bounds.append(n + 1)
+            for i in range(len(bounds) - 1):
+                chunk = text[bounds[i] - 1 : bounds[i + 1] - 1]
+                out_src.append(src)
+                out_f.append(md5(chunk.encode("utf-8")).hexdigest())
+                out_len.append(len(chunk))
+        yield pd.DataFrame(
+            {
+                "source": pd.Series(out_src, dtype="object"),
+                "f": pd.Series(out_f, dtype="object"),
+                "clen": pd.Series(out_len, dtype="int64"),
+            }
+        )
 
 
 @query(
@@ -2090,11 +2160,14 @@ def docs_cdc_chunk_dedup(spark, sf_dir):
     and char totals are exact integers; the two reported ratios are
     single IEEE divisions.
 
-    Distributed shape: cuts/chunks are MAP-SIDE per-document lambda
-    pipelines (no shuffle until fingerprints exist); the dedup
-    reduction is one combinable groupBy(source, fingerprint) then a
-    bounded groupBy(source). The shuffle carries (source, 32-char
-    fingerprint, len) rows, never text. At 100 TB this is exactly a
+    Distributed shape: cuts/chunks/fingerprints are ONE map-side
+    Arrow-batched pass per document partition (mapInPandas, guide
+    §4.2 — no shuffle until fingerprints exist; only (source, text)
+    cross the Python boundary and only (source, fingerprint, len)
+    come back); the dedup reduction is one combinable
+    groupBy(source, fingerprint) then a bounded groupBy(source). The
+    shuffle carries (source, 32-char fingerprint, len) rows, never
+    text. At 100 TB this is exactly a
     dedup store's ingest path; the 1/64 mask and window width scale
     to the deployment's chunk-size target (FastCDC's normalized
     masks drop in unchanged).
@@ -2103,43 +2176,21 @@ def docs_cdc_chunk_dedup(spark, sf_dir):
     surface (605-LoC Singer->Parquet sink); this key belongs to the
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
     d = t(spark, sf_dir, "documents")
-    cuts = d.select(
-        "doc_id",
-        "source",
-        "text",
-        F.expr(
-            "array_sort(concat("
-            " array(CAST(1 AS BIGINT)),"
-            " CASE WHEN length(text) >= 9 THEN"
-            "   filter(transform("
-            "     sequence(CAST(2 AS BIGINT),"
-            "              CAST(length(text) - 7 AS BIGINT)),"
-            "     p -> CASE WHEN CAST(conv(substring("
-            "            md5(substring(text, CAST(p AS INT), 8)),"
-            "            1, 7), 16, 10) AS BIGINT) % 64 = 0"
-            "          THEN p END),"
-            "     x -> x IS NOT NULL)"
-            " ELSE CAST(array() AS ARRAY<BIGINT>) END,"
-            " array(CAST(length(text) + 1 AS BIGINT))))"
-        ).alias("bounds"),
-    )
-    chunks = cuts.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(bounds) - 1),"
-                " i -> substring(text,"
-                "      CAST(element_at(bounds, i) AS INT),"
-                "      CAST(element_at(bounds, i + 1)"
-                "           - element_at(bounds, i) AS INT)))"
-            )
-        ).alias("chunk"),
-    )
-    fp = chunks.select(
-        "source",
-        F.md5("chunk").alias("f"),
-        F.length("chunk").cast("long").alias("clen"),
+    # Boundary detection needs one md5 PER CHARACTER POSITION. As a
+    # SQL higher-order-function pipeline (the r12-build form) every
+    # position paid an interpreted lambda -> md5 -> conv -> substring
+    # chain (~1k evals/doc; 45 s spark-side at the round-open sf0.01
+    # gate). Rewritten per guide §4.2 as one Arrow-batched mapInPandas
+    # pass — hashlib.md5 over each window, bit-identical mask test on
+    # the raw digest bytes (int(hex[:7],16) % 64 == 0  <=>
+    # digest[2] & 0x03 == 0 and digest[3] & 0xF0 == 0), chunk
+    # fingerprints via the same md5 hexdigest the JVM md5() emits.
+    # Only (source, text) cross the Python boundary (guide §4.1), the
+    # output rows are (source, 32-hex fingerprint, chunk chars) —
+    # chunk text never leaves the task, and the downstream shuffle is
+    # unchanged (fingerprints only).
+    fp = fan_out_scan(d.select("source", "text")).mapInPandas(
+        _cdc_chunk_fingerprints, "source string, f string, clen long"
     )
     per_fp = fp.groupBy("source", "f").agg(
         F.count(F.lit(1)).cast("long").alias("reps"),
@@ -2229,7 +2280,12 @@ def docs_minhash_containment(spark, sf_dir):
     LLM-data-pipeline extension surface (SURVEY.md §2C)."""
     docs = _minhash_docs(spark, sf_dir)
     candidates = minhash_candidates(docs, _MH_B, _MH_R)
-    sets = docs.select("doc_id", F.array_sort("grams").alias("grams"))
+    # no array_sort: only SIZES of the intersection reach the output,
+    # and array_intersect is order-insensitive over the already-
+    # distinct gram sets — sorting every doc's gram array (twice, one
+    # per join side) bought nothing (guide §1.2 per-task work; the
+    # oracle's list_sort is likewise cosmetic)
+    sets = docs.select("doc_id", "grams")
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     inter = F.size(

@@ -17,7 +17,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from target_s3_parquet_spark.operators._util import dec, dsum, sql_dsum, t
+from target_s3_parquet_spark.operators._util import (
+    dec,
+    dsum,
+    register_cache,
+    sql_dsum,
+    t,
+)
 from target_s3_parquet_spark.registry import query
 
 
@@ -1124,19 +1130,34 @@ def join_yannakakis_program(spark, sf_dir):
         F.broadcast(r.filter(F.col("r_name") == "ASIA")),
         n.n_regionkey == F.col("r_regionkey"),
     ).select("n_nationkey")
-    c_semi = c.join(
-        F.broadcast(asia),
-        c.c_nationkey == F.col("n_nationkey"),
-        "leftsemi",
-    ).select("c_custkey")
-    o_semi = o.join(
-        c_semi, o.o_custkey == c_semi.c_custkey, "leftsemi"
-    ).select("o_orderkey", "o_custkey")
-    l_semi = l.join(
-        o_semi, l.l_orderkey == o_semi.o_orderkey, "leftsemi"
-    ).select("l_orderkey", "l_extendedprice", "l_discount")
-    o_back = o_semi.join(
-        l_semi, o_semi.o_orderkey == l_semi.l_orderkey, "leftsemi"
+    # Every reduced relation is CACHED: materializing the reduced
+    # relations IS Yannakakis' program (each feeds the next reduction
+    # AND its own observability count AND the back pass — uncached,
+    # the 9 crossJoined aggregates re-ran the semijoin chain up to
+    # 5x over; 5.3 s baseline sweep -> the chain runs once). At scale
+    # these are the PRUNED relations (the whole point of the
+    # reduction), persisted MEMORY_AND_DISK by the same handle.
+    c_semi = register_cache(
+        c.join(
+            F.broadcast(asia),
+            c.c_nationkey == F.col("n_nationkey"),
+            "leftsemi",
+        ).select("c_custkey")
+    )
+    o_semi = register_cache(
+        o.join(
+            c_semi, o.o_custkey == c_semi.c_custkey, "leftsemi"
+        ).select("o_orderkey", "o_custkey")
+    )
+    l_semi = register_cache(
+        l.join(
+            o_semi, l.l_orderkey == o_semi.o_orderkey, "leftsemi"
+        ).select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    o_back = register_cache(
+        o_semi.join(
+            l_semi, o_semi.o_orderkey == l_semi.l_orderkey, "leftsemi"
+        )
     )
     c_back = c_semi.join(
         o_back, c_semi.c_custkey == o_back.o_custkey, "leftsemi"

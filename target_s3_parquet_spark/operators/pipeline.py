@@ -14,6 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from target_s3_parquet_spark.operators._util import (
+    fan_out_scan,
     dec,
     ntile_from_rank,
     t,
@@ -5815,7 +5816,8 @@ def text_burrows_delta(spark, sf_dir):
     # the explode is the only data-sized stage and would otherwise
     # run three times)
     tok = register_cache(
-        d.select(
+        fan_out_scan(d.select("doc_id", "source", "text"))
+        .select(
             "doc_id",
             "source",
             F.explode(
@@ -5829,7 +5831,10 @@ def text_burrows_delta(spark, sf_dir):
     dlen = tok.groupBy("doc_id", "source").agg(
         F.sum("c").cast("long").alias("len")
     )
-    top20 = (
+    # 20-row top-token list: cached — it feeds both the per-doc count
+    # filter and the source-matrix completion, and each uncached use
+    # re-aggregated the vocabulary from tok
+    top20 = register_cache(
         tok.groupBy("tk")
         .agg(F.sum("c").alias("n"))
         .orderBy(F.col("n").desc(), F.col("tk"))
@@ -5849,7 +5854,10 @@ def text_burrows_delta(spark, sf_dir):
         F.count(F.lit(1)).cast("long").alias("nd")
     )
     msf = q.groupBy("source", "tk").agg(F.sum("q").alias("sq"))
-    mat = (
+    # the |sources| x 20 mean-frequency matrix is the bounded hub of
+    # everything downstream (token stats, z-scores, both pair sides);
+    # cached so the per-doc chain above it runs once, not four times
+    mat = register_cache(
         ndocs.crossJoin(F.broadcast(top20))
         .join(msf, ["source", "tk"], "left")
         .select(
