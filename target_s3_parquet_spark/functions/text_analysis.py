@@ -582,17 +582,21 @@ def fuzzy_match_levenshtein(spark, sf_dir):
     probes = c.filter(F.col("c_custkey") < 5).select(
         F.col("c_custkey").alias("probe_key"), F.col("c_name").alias("probe_name")
     )
+    # threshold form on BOTH the join predicate and the reported
+    # distance: identical match set and dist values (dist <= 2 for
+    # every kept row), banded O(len*k) instead of the full DP per
+    # scanned row (4 probes x every customer name)
+    bdist = F.levenshtein(F.col("probe_name"), F.col("c_name"), 2)
     return (
         F.broadcast(probes)
         .join(
             c,
-            (F.col("c_custkey") != F.col("probe_key"))
-            & (F.levenshtein(F.col("probe_name"), F.col("c_name")) <= 2),
+            (F.col("c_custkey") != F.col("probe_key")) & (bdist >= 0),
         )
         .select(
             "probe_key",
             F.col("c_custkey").alias("match_key"),
-            F.levenshtein(F.col("probe_name"), F.col("c_name")).cast("long").alias("dist"),
+            bdist.cast("long").alias("dist"),
         )
     )
 
@@ -1496,9 +1500,11 @@ def er_blocked_fuzzy_join(spark, sf_dir):
             & (F.col("key_a") < F.col("key_b")),
         )
         .withColumn(
-            "dist", F.levenshtein("name_a", "name_b").cast("long")
+            # banded threshold form: same exact distance for kept
+            # pairs (<= 1), -1 past the bound, at O(len*k) per pair
+            "dist", F.levenshtein("name_a", "name_b", 1).cast("long")
         )
-        .filter(F.col("dist") <= 1)
+        .filter(F.col("dist") >= 0)
         .select("key_a", "key_b", "dist")
     )
 
@@ -1603,8 +1609,11 @@ def _er_multipass_build(spark, sf_dir):
                 & (F.col("lc_a") == F.col("lc_b"))
                 & (F.col("key_a") < F.col("key_b")),
             )
-            .withColumn("dist", F.levenshtein("nm_a", "nm_b").cast("long"))
-            .filter(F.col("dist") <= 1)
+            .withColumn(
+                # threshold form — exact dist for kept pairs, -1 past
+                "dist", F.levenshtein("nm_a", "nm_b", 1).cast("long")
+            )
+            .filter(F.col("dist") >= 0)
             .select("key_a", "key_b", "dist")
         )
 

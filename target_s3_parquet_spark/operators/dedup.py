@@ -1950,12 +1950,13 @@ def text_simhash_hamming_prod(spark, sf_dir):
     )
     h = F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("long")
     words_df = words_df.select("doc_id", h.alias("h"))
+    # (shiftright(h,b) & 1)*2-1 == CASE WHEN (h div 2^b)%2=1 THEN 1
+    # ELSE -1 for the non-negative 60-bit h — exact-integer identical,
+    # but the generated aggregate-update code is ~3 ops per bit
+    # instead of div/mod/branch (the 60-accumulator HashAggregate was
+    # the heaviest stage; in-session A/B: 1.90 s -> 1.18 s noop)
     bit_sums = [
-        F.sum(
-            F.when(
-                F.expr(f"(h div {1 << b}) % 2") == 1, 1
-            ).otherwise(-1)
-        ).alias(f"s{b}")
+        F.sum(F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")).alias(f"s{b}")
         for b in range(_SHP_BITS)
     ]
     sums = words_df.groupBy("doc_id").agg(*bit_sums)
