@@ -16,7 +16,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from target_s3_parquet_spark._snapshot import snapshot_small
-from target_s3_parquet_spark.operators._util import t
+from target_s3_parquet_spark.operators._util import fan_out_scan, t
 from target_s3_parquet_spark.registry import query
 
 # Sequential left-to-right dot product over double-cast elements
@@ -3697,6 +3697,84 @@ _PCA_ORACLE = (
 )
 
 
+def _pca_quantized_gram(spark, sf_dir):
+    """Collected 64x64 quantized Gram of the unit-normalized embedding
+    corpus, Arrow-batched production shape (guide §4.2 — the
+    `emb_gram_matrix_prod` precedent applied to the PCA family).
+
+    The r11/r12-build form stated the same semantics relationally
+    (double posexplode -> groupBy(i, j)), which is n*4096 interpreted
+    expression rows — 82M rows and ~20 s at the 10x scale harness
+    (scale10_r11 ratios 5.4-8.5 across the three r12 close runs, the
+    largest absolute number in the extras). One numpy pass per Arrow
+    batch computes the same per-term-quantized partials in
+    O(batches * 4096) output rows; 10x time drops to scan + fixed cost.
+
+    Bit-identical by construction, not by luck:
+    - the per-row norm is the SAME sequential left fold as the SQL
+      `aggregate(zip_with(v, v, ...), 0D, acc + e)` (column-order
+      accumulation, vectorized across rows);
+    - each Gram term is floor((vn_i * vn_j) * 2^40) / 2^40 with the
+      identical IEEE op order; floors are integer-valued doubles
+      < 2^41, so np.floor == Spark FLOOR exactly;
+    - per-chunk integer floor sums stay < 2^53 (chunks of 256 rows),
+      and every partial is an exact multiple of 2^-40 with magnitude
+      <= rows, so batch partials and the final cross-partition F.sum
+      add exact dyadic rationals — order-free through n < 8192
+      vectors, the same documented bound as the relational form.
+
+    Only the `embedding` column crosses the Python boundary (§4.1);
+    only (i, j, partial) rows come back."""
+    import numpy as np
+    import pandas as pd
+
+    grid = 1099511627776.0
+    e = fan_out_scan(
+        t(spark, sf_dir, "embeddings").select("embedding")
+    )
+
+    def gram_partials(batches):
+        total = None
+        d = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d = x.shape[1]
+            if total is None:
+                total = np.zeros((d, d))
+            # sequential left fold per row == the SQL aggregate(...)
+            acc = np.zeros(len(x))
+            for k in range(d):
+                acc = acc + x[:, k] * x[:, k]
+            nrm = np.sqrt(acc)
+            vn = np.zeros_like(x)
+            nz = nrm > 0
+            vn[nz] = x[nz] / nrm[nz, None]
+            # chunked outer products bound the B x d x d tensor; the
+            # integer-valued floors sum exactly within a chunk
+            for s in range(0, len(vn), 256):
+                c = vn[s : s + 256]
+                tprod = c[:, :, None] * c[:, None, :]
+                total += np.floor(tprod * grid).sum(axis=0) / grid
+        if total is None:
+            return
+        ii, jj = np.indices((d, d))
+        yield pd.DataFrame(
+            {
+                "i": ii.ravel().astype("int64"),
+                "j": jj.ravel().astype("int64"),
+                "partial": total.ravel(),
+            }
+        )
+
+    partials = e.mapInPandas(
+        gram_partials, "i long, j long, partial double"
+    )
+    g = partials.groupBy("i", "j").agg(F.sum("partial").alias("v"))
+    return g.collect()
+
+
 @query("emb_pca_power_iteration", _PCA_ORACLE)
 def emb_pca_power_iteration(spark, sf_dir):
     """Top PRINCIPAL COMPONENT of the (unit-normalized) embedding
@@ -3719,14 +3797,19 @@ def emb_pca_power_iteration(spark, sf_dir):
     aggregate is an exact dyadic-rational sum and the iteration is
     bit-identical across engines (sqrt is IEEE-correctly-rounded).
 
-    Distributed shape: the DATA-sized work is one double-posexplode +
-    combinable groupBy building the 4096-row Gram matrix (the
-    emb_gram_matrix shape — the shuffle moves (i, j, partial) rows,
-    never vectors); the 64x64 iteration is control-plane on the
+    Distributed shape: the DATA-sized work is ONE Arrow-batched pass
+    computing per-batch quantized Gram partials with numpy
+    (`_pca_quantized_gram` — the `emb_gram_matrix_prod` map-side-
+    combine shape; the shuffle moves O(batches * 4096) (i, j, partial)
+    rows, never vectors); the 64x64 iteration is control-plane on the
     collected bounded matrix (the OPQ/CMS collect precedent — three
     distributed 64-row round-trips would cost job overhead for zero
     distribution benefit). At 100 TB the Gram build is the same one
-    pass; d stays 64.
+    pass; d stays 64. (r12 optimization: the r11 relational
+    double-posexplode form shuffled the same partials but paid n*4096
+    interpreted expression rows map-side — 20 s at the 10x scale
+    harness vs ~2 s for this form; bit-identical arithmetic, see the
+    helper's docstring.)
 
     Reference scope check: codeG12/target-s3-parquet has no query
     surface (605-LoC Singer->Parquet sink); this key belongs to the
@@ -3734,27 +3817,7 @@ def emb_pca_power_iteration(spark, sf_dir):
     import math as _m
 
     grid, grid20 = 1099511627776.0, 1048576.0
-    v = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec_d(F.col("embedding")).alias("v")
-    )
-    vn = v.select(
-        "vec_id",
-        F.expr(
-            "CASE WHEN SQRT(aggregate(zip_with(v, v, (a, b) -> a * b),"
-            " 0D, (acc, e) -> acc + e)) > 0"
-            " THEN transform(v, e -> e /"
-            " SQRT(aggregate(zip_with(v, v, (a, b) -> a * b), 0D,"
-            " (acc, e) -> acc + e)))"
-            " ELSE transform(v, e -> 0D) END"
-        ).alias("vn"),
-    )
-    pairs = vn.select(
-        F.posexplode("vn").alias("i", "vi"), "vn"
-    ).select("i", "vi", F.posexplode("vn").alias("j", "vj"))
-    g = pairs.groupBy("i", "j").agg(
-        F.sum(F.floor(F.col("vi") * F.col("vj") * grid) / grid).alias("v")
-    )
-    grows = g.collect()
+    grows = _pca_quantized_gram(spark, sf_dir)
     gm = {(r["i"], r["j"]): r["v"] for r in grows}
     dims = list(range(64))
     tr = sum(_m.floor(gm.get((i, i), 0.0) * grid20) / grid20 for i in dims)
@@ -3982,7 +4045,8 @@ def emb_pca_top2_deflation(spark, sf_dir):
     numerators exact).
 
     Distributed shape: identical to `emb_pca_power_iteration` — the
-    data-sized work is the ONE double-posexplode Gram build; the
+    data-sized work is the ONE Arrow-batched quantized-Gram pass
+    (`_pca_quantized_gram`, r12 optimization — see the base key); the
     64x64 deflation and second iteration are control-plane on the
     collected matrix (the OPQ/CMS collect precedent). d stays 64 at
     any corpus size.
@@ -3993,27 +4057,7 @@ def emb_pca_top2_deflation(spark, sf_dir):
     import math as _m
 
     grid, grid20 = 1099511627776.0, 1048576.0
-    v = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _vec_d(F.col("embedding")).alias("v")
-    )
-    vn = v.select(
-        "vec_id",
-        F.expr(
-            "CASE WHEN SQRT(aggregate(zip_with(v, v, (a, b) -> a * b),"
-            " 0D, (acc, e) -> acc + e)) > 0"
-            " THEN transform(v, e -> e /"
-            " SQRT(aggregate(zip_with(v, v, (a, b) -> a * b), 0D,"
-            " (acc, e) -> acc + e)))"
-            " ELSE transform(v, e -> 0D) END"
-        ).alias("vn"),
-    )
-    pairs = vn.select(
-        F.posexplode("vn").alias("i", "vi"), "vn"
-    ).select("i", "vi", F.posexplode("vn").alias("j", "vj"))
-    g = pairs.groupBy("i", "j").agg(
-        F.sum(F.floor(F.col("vi") * F.col("vj") * grid) / grid).alias("v")
-    )
-    gm = {(r["i"], r["j"]): r["v"] for r in g.collect()}
+    gm = {(r["i"], r["j"]): r["v"] for r in _pca_quantized_gram(spark, sf_dir)}
     dims = list(range(64))
     tr = sum(_m.floor(gm.get((i, i), 0.0) * grid20) / grid20 for i in dims)
     gh = {k: (val / tr if tr > 0 else 0.0) for k, val in gm.items()}

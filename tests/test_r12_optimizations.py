@@ -77,6 +77,45 @@ def test_cdc_digest_mask_equals_hex_mod64():
         assert fast == slow
 
 
+def test_pca_quantized_gram_matches_pure_python_fold(spark):
+    # the Arrow-batched Gram must reproduce the relational/SQL
+    # semantics bit-exactly: sequential left-fold norm per row, then
+    # per-term floor((vn_i*vn_j)*2^40)/2^40 summed across rows
+    import math
+
+    from target_s3_parquet_spark.operators.similarity import (
+        _pca_quantized_gram,
+    )
+    from target_s3_parquet_spark.session import load_table
+
+    grid = 1099511627776.0
+    rows = (
+        load_table(spark, SF_SMALL, "embeddings")
+        .select("embedding")
+        .collect()
+    )
+    exp: dict = {}
+    for r in rows:
+        v = [float(e) for e in r["embedding"]]
+        acc = 0.0
+        for e in v:  # the SQL aggregate(zip_with(...)) left fold
+            acc = acc + e * e
+        nrm = math.sqrt(acc)
+        vn = [e / nrm for e in v] if nrm > 0 else [0.0] * len(v)
+        for i, vi in enumerate(vn):
+            for j, vj in enumerate(vn):
+                exp[(i, j)] = exp.get((i, j), 0.0) + (
+                    math.floor(vi * vj * grid) / grid
+                )
+    got = {
+        (r["i"], r["j"]): r["v"]
+        for r in _pca_quantized_gram(spark, SF_SMALL)
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == exp[k], (k, got[k], exp[k])
+
+
 def test_cdc_chunker_non_ascii_matches_char_semantics():
     from target_s3_parquet_spark.operators.dedup import (
         _cdc_chunk_fingerprints,
