@@ -54,6 +54,19 @@ def main() -> None:
     from target_s3_parquet_spark.registry import get_queries
     from target_s3_parquet_spark.session import get_spark
 
+    # Host-health bracket (r12 VERDICT item 2): one probe reading
+    # before and one after the bench, recorded in extras, so a PERF
+    # comparison can separate host-interference windows from plan
+    # changes mechanically. Extras-only; the headline line is last.
+    probe_open = None
+    try:
+        from tools.probe_host import probe
+
+        probe_open = probe()
+        print(f"# host_probe open: {probe_open}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"# host_probe open failed: {e}", file=sys.stderr)
+
     spark = get_spark("bench")
     queries = get_queries()
 
@@ -144,15 +157,32 @@ def main() -> None:
         "docs_dup_source_matrix",
     ]
     h2: dict[str, float] = {}
+    # Replay-harness cost breakdown (r12 VERDICT item 8): for the
+    # replayed streaming keys, record chunk-prep vs streaming vs sink
+    # wall-clock SEPARATELY (from the best run) next to the unchanged
+    # per-key totals — the headline2 methodology itself is untouched.
+    replay_breakdown: dict[str, dict] = {}
+    try:
+        from target_s3_parquet_spark.streaming import replay as _replay
+    except Exception:  # noqa: BLE001
+        _replay = None
     for name in HEADLINE2:
         try:
             fn = queries[name]
             best = None
             for _ in range(floor_runs):
+                if _replay is not None:
+                    _replay.reset_timings()
                 t0 = time.time()
                 fn(spark, sf_dir).count()
                 elapsed = time.time() - t0
-                best = elapsed if best is None else min(best, elapsed)
+                if best is None or elapsed < best:
+                    best = elapsed
+                    if (
+                        _replay is not None
+                        and _replay.LAST_TIMINGS.get("n_replays")
+                    ):
+                        replay_breakdown[name] = dict(_replay.LAST_TIMINGS)
             h2[name] = round(best, 3)
             print(f"# headline2 {name}: {h2[name]}s", file=sys.stderr)
             spark.catalog.clearCache()
@@ -165,6 +195,9 @@ def main() -> None:
         "queries": h2,
         "runs_per_key": floor_runs,
     }
+    if replay_breakdown:
+        extras["stream_replay_breakdown"] = replay_breakdown
+        print(f"# stream_replay_breakdown: {replay_breakdown}", file=sys.stderr)
     # Round-3 second-sweep operators, timed OUTSIDE the headline total
     # so the headline stays comparable across rounds (same 24-key set
     # since r2). min-of-2 steady state, same protocol.
@@ -706,6 +739,14 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         extras["scale10_r11_error"] = str(e)[:120]
     try:
+        from tools.bench_scale_r10 import run_scale_r12
+
+        sc12 = run_scale_r12(spark, sf_dir, factor=10)
+        extras["scale10_r12"] = sc12
+        print(f"# scale10_r12: {sc12}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["scale10_r12_error"] = str(e)[:120]
+    try:
         from tools.bench_stream import run_stream
 
         st = run_stream(spark, n=50_000, n_files=4)
@@ -738,6 +779,18 @@ def main() -> None:
         spark.stop()
     except Exception as e:  # noqa: BLE001
         print(f"# spark.stop: {e}", file=sys.stderr)
+
+    # Closing half of the host-health bracket (after spark.stop so the
+    # probe measures the host, not leftover executor threads).
+    try:
+        from tools.probe_host import probe
+
+        probe_close = probe()
+        extras["host_probe"] = {"open": probe_open, "close": probe_close}
+        print(f"# host_probe close: {probe_close}", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        extras["host_probe"] = {"open": probe_open, "close": None}
+        print(f"# host_probe close failed: {e}", file=sys.stderr)
 
     # Enriched record (headline + all extras, ~4 KB) goes to a FILE and
     # stderr — never stdout, where it would push the parseable headline

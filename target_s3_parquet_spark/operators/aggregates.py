@@ -2708,17 +2708,36 @@ def _concordance_counts(pts):
     [n, cc, dd, n1, n2] (row count, concordant pairs, discordant pairs,
     v-tied pairs, g-tied pairs) — the shared base every rank-
     correlation statistic derives from (`agg_corr_kendall_tau`,
-    `agg_corr_concordance_stats`, `tools/bench_tau.py`)."""
-    from target_s3_parquet_spark.operators._util import two_phase_rank
+    `agg_corr_concordance_stats`, `tools/bench_tau.py`).
+
+    r13 (guide §2.4 reuse): the sparse cell table `cnt` is the hub of
+    the whole plan — it feeds the per-price totals, the bucket
+    assignment join, the v-tie totals, AND (as sum(c)) the row count —
+    and previously each consumer re-ran the data-sized groupBy(v, g),
+    while n paid a SEPARATE full scan of `pts`. Caching `cnt` (and the
+    per-price `gt`) makes the raw data flow through exactly ONE
+    grouping pass; n = sum over the cached cells (count(*) == sum of
+    group counts, exact integers). The two per-price tie folds (n2,
+    ew) are fused into ONE aggregate over `gt`. Both caches are narrow
+    ((int, double, long) / per-distinct-price rows), session-scoped
+    via register_cache, and released per key by the harnesses."""
+    from target_s3_parquet_spark.operators._util import (
+        register_cache,
+        two_phase_rank,
+    )
 
     spark = pts.sparkSession
     d19 = "decimal(19,0)"
-    cnt = pts.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
-    gt = cnt.groupBy("g").agg(
-        F.sum("c").cast("long").alias("cg"),
-        F.sum(F.col("c").cast(d19) * F.col("c").cast(d19))
-        .cast("decimal(38,0)")
-        .alias("sc2"),
+    cnt = register_cache(
+        pts.groupBy("v", "g").agg(F.count(F.lit(1)).alias("c"))
+    )
+    gt = register_cache(
+        cnt.groupBy("g").agg(
+            F.sum("c").cast("long").alias("cg"),
+            F.sum(F.col("c").cast(d19) * F.col("c").cast(d19))
+            .cast("decimal(38,0)")
+            .alias("sc2"),
+        )
     )
     # value-disjoint price buckets of <= 1024 distinct prices: all rows
     # sharing a price share a bucket, and bucket b' < b => price < any
@@ -2726,7 +2745,11 @@ def _concordance_counts(pts):
     buck = two_phase_rank(gt, ["g"], rank_name="_r").select(
         "g", F.expr("CAST((_r - 1) DIV 1024 AS INT)").alias("b")
     )
-    cells = cnt.join(buck, "g")
+    # cached: the bucketed cell table feeds the cross-bucket contingency
+    # build, the cross-bucket scoring join, AND the within-bucket
+    # kernel — without the cache each consumer re-runs the cells↔bucket
+    # shuffle join
+    cells = register_cache(cnt.join(buck, "g"))
 
     # ---- cross-bucket: (bucket x 50) contingency, densified (tiny) --
     bc = cells.groupBy("b", "v").agg(F.sum("c").cast("long").alias("bcnt"))
@@ -2774,7 +2797,9 @@ def _concordance_counts(pts):
     )
 
     # ---- sparse closed forms for ties ------------------------------
-    nn = pts.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    # n = sum of the cached cell counts (== count(*) over pts, exact
+    # integers) — avoids a second full scan of the raw points
+    nn = cnt.agg(F.sum("c").cast("decimal(38,0)").alias("n"))
     tot = cnt.groupBy("v").agg(F.sum("c").cast("long").alias("tv"))
     t1 = tot.agg(
         (
@@ -2784,15 +2809,16 @@ def _concordance_counts(pts):
             / 2
         ).alias("n1")
     )
-    t2 = gt.agg(
+    # one fused fold over the cached per-price totals computes BOTH
+    # per-price tie terms (previously two separate 1-row aggregates,
+    # each re-consuming gt)
+    t2ew = gt.agg(
         (
             F.sum(F.col("cg").cast(d19) * (F.col("cg") - 1).cast(d19)).cast(
                 "decimal(38,0)"
             )
             / 2
-        ).alias("n2")
-    )
-    ew = gt.agg(
+        ).alias("n2"),
         (
             (
                 F.sum(F.col("cg").cast(d19) * F.col("cg").cast(d19)).cast(
@@ -2801,15 +2827,14 @@ def _concordance_counts(pts):
                 - F.sum("sc2")
             )
             / 2
-        ).alias("ew")
+        ).alias("ew"),
     )
 
     w = (
         c_cross.crossJoin(F.broadcast(c_within))
-        .crossJoin(F.broadcast(ew))
         .crossJoin(F.broadcast(nn))
         .crossJoin(F.broadcast(t1))
-        .crossJoin(F.broadcast(t2))
+        .crossJoin(F.broadcast(t2ew))
     )
     n = F.col("n")
     n0 = n * (n - 1) / 2

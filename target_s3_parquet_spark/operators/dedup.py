@@ -206,7 +206,18 @@ def _minhash_docs(spark, sf_dir):
     """Per-doc distinct word-3-gram shingles, cached (feeds signatures,
     band rows, and the Jaccard verify — 3 DAG branches, 1 shingle pass).
     At cluster scale the same role is played by persisting to a staging
-    parquet (or MEMORY_AND_DISK)."""
+    parquet (or MEMORY_AND_DISK).
+
+    r13: the r12 `fan_out_scan` here is REVERTED. It added a full-width
+    (doc_id, text) round-robin shuffle ahead of LIGHT per-row gram work
+    (split + slice, no Levenshtein/md5-per-position), and the driver's
+    r12 measurement showed text_near_dedup_minhash/_prod at 0.51x/0.61x
+    their r11 times (2.03 s vs 1.05 s at 32c, still +30% at 8c) with the
+    builder's own floor protocol agreeing (+22%/+9%). Exactly the
+    guide-§2.4 accidental-`repartition(n)` trap the helper's docstring
+    warns about: the exchange costs more than the single-split map work
+    it parallelizes. fan_out stays in the FS/CDC/simhash paths where
+    per-row pre-shuffle work is provably heavy."""
     d = t(spark, sf_dir, "documents")
     words = F.split(F.lower(F.col("text")), " ")
     grams = F.when(
@@ -219,8 +230,7 @@ def _minhash_docs(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        fan_out_scan(d.select("doc_id", "text"))
-        .select("doc_id", grams.alias("grams"))
+        d.select("doc_id", grams.alias("grams"))
         .filter(F.size("grams") > 0)
         .cache()
     )

@@ -2368,10 +2368,21 @@ def _ivfpq_search(spark, sf_dir, topk: int = _IPQ_TOPK):
             F.first("v").alias("v"),
         )
     )
-    resid = assign.join(F.broadcast(c), "cid").select(
-        "vec_id",
-        "cid",
-        F.zip_with("v", "cv", lambda x, cc: x - cc).alias("r"),
+    # cached (guide §2.4 reuse): the residual table is consumed THREE
+    # times — the encode side (via rsub), the codebook extraction
+    # (cbsub, used by both enc and qlut) — and each uncached consumer
+    # re-ran the whole corpus × ncells argmin-assign chain (AQE
+    # exchange reuse does not cover it: the subtrees diverge before
+    # the exchange). Session-scoped via register_cache; released per
+    # key by the bench/gate harnesses.
+    from target_s3_parquet_spark.operators._util import register_cache
+
+    resid = register_cache(
+        assign.join(F.broadcast(c), "cid").select(
+            "vec_id",
+            "cid",
+            F.zip_with("v", "cv", lambda x, cc: x - cc).alias("r"),
+        )
     )
 
     def _subs(col):
@@ -3085,6 +3096,10 @@ def emb_gram_matrix_prod(spark, sf_dir):
 
     def gram_partials(batches):
         for pdf in batches:
+            # drop null embeddings BEFORE stacking: the exact twin's
+            # posexplode emits nothing for a NULL vector, so skipping
+            # (not crashing) preserves its semantics on dirty data
+            pdf = pdf[pdf["embedding"].notna()]
             if not len(pdf):
                 continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
@@ -3737,6 +3752,11 @@ def _pca_quantized_gram(spark, sf_dir):
         total = None
         d = 0
         for pdf in batches:
+            # drop null embeddings BEFORE stacking: the replaced SQL
+            # form silently dropped them (transform on NULL emits
+            # nothing), and np.stack would raise on a null row instead
+            # of skipping it (r12 ADVICE)
+            pdf = pdf[pdf["embedding"].notna()]
             if not len(pdf):
                 continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)

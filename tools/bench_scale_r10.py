@@ -50,6 +50,24 @@ KEYS_R11 = [
     "eval_bootstrap_ci_hash",
 ]
 
+# r12 heavy keys (VERDICT r12 item 9): the keys the r12 optimization
+# round rebuilt — their §2.5 "fan-out is a no-op at scale" and cache-
+# size claims were argued from threshold arithmetic, not measured.
+# 10× customer grows the FS pair fan, 10× orders/lineitem the
+# Yannakakis semijoin program, 10× documents the CDC/simhash/Burrows
+# corpora; plus the mid-tier keys whose scale posture was asserted
+# only at sf0.1 (VERDICT item 3).
+KEYS_R12 = [
+    "er_fellegi_sunter_weights",
+    "join_yannakakis_program",
+    "docs_cdc_chunk_dedup",
+    "text_simhash_hamming_prod",
+    "text_burrows_delta",
+    "eval_conformal_interval",
+    "vocab_good_turing_counts",
+    "eval_isotonic_calibration",
+]
+
 _SHIFT = 10_000_000
 
 
@@ -169,6 +187,10 @@ def run_scale_r11(spark, sf_dir: str, factor: int = 10) -> dict:
     return _run_keys(spark, sf_dir, factor, KEYS_R11)
 
 
+def run_scale_r12(spark, sf_dir: str, factor: int = 10) -> dict:
+    return _run_keys(spark, sf_dir, factor, KEYS_R12)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -177,7 +199,12 @@ def main() -> None:
     from target_s3_parquet_spark.session import get_spark
 
     spark = get_spark("bench_scale_r10")
-    keys = {"r10": KEYS, "r11": KEYS_R11, "all": KEYS + KEYS_R11}[which]
+    keys = {
+        "r10": KEYS,
+        "r11": KEYS_R11,
+        "r12": KEYS_R12,
+        "all": KEYS + KEYS_R11 + KEYS_R12,
+    }[which]
     print(json.dumps(_run_keys(spark, sf_dir, factor, keys)))
 
 

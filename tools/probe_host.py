@@ -32,11 +32,16 @@ def spin(n: int) -> float:
 
 
 def probe() -> dict:
-    t1 = spin(N)
-    t0 = time.time()
+    # min-of-3 single-process baseline: a single unwarmed sample is
+    # noisy and systematically deflates scaling_x (r12 ADVICE).
+    t1 = min(spin(N) for _ in range(3))
     with ProcessPoolExecutor(32) as ex:
+        # Warm the pool first (worker spawn was previously charged to
+        # the 32-way wall time, deflating scaling_x — r12 ADVICE).
+        list(ex.map(spin, [N // 100] * 32))
+        t0 = time.time()
         list(ex.map(spin, [N] * 32))
-    wall = time.time() - t0
+        wall = time.time() - t0
     single = N / t1 / 1e6
     agg = 32 * N / wall / 1e6
     return {
